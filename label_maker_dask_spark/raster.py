@@ -1,0 +1,144 @@
+"""Pure-numpy geometry rasterization for segmentation labels.
+
+The reference burns class ids into a 256x256 raster with
+``rasterio.features.rasterize`` (label.py:152) after converting feature
+coordinates to pixel space and clipping to the tile square (label.py:134-152).
+rasterio/GDAL and shapely are not available in this environment, so this
+module implements the needed subset deterministically in numpy:
+
+- Polygon / MultiPolygon: even-odd scanline fill — a pixel is burned when its
+  *center* lies inside the polygon (GDAL's default, all_touched=False).
+  Interior rings fall out of the even-odd rule automatically.
+- LineString / MultiLineString: every cell the segment passes through is
+  burned (GDAL's Bresenham-style line burn).
+- Point / MultiPoint: the containing cell.
+
+Later geometries overwrite earlier ones (rasterio's default REPLACE merge,
+which the reference relies on for class precedence — SURVEY.md section 7).
+Clipping to the 0-255 tile square (reference label.py:145) is implicit: the
+burn grid *is* the tile square, so geometry outside it simply never lands.
+
+This is a documented approximation of GDAL, not a byte-for-byte clone; the
+unit tests pin its behavior with golden vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence, Tuple
+
+import numpy as np
+
+GRID = 256
+
+
+def rasterize(
+    shapes: Iterable[Tuple[dict, int]], out_shape: Tuple[int, int] = (GRID, GRID)
+) -> np.ndarray:
+    """Burn ``(geojson_geometry, value)`` pairs into a uint8 raster.
+
+    Mirrors the call shape of rasterio.features.rasterize as used at
+    reference label.py:152.  Geometry coordinates are already in pixel space
+    (x right, y down after the reference's y-flip).
+    """
+    out = np.zeros(out_shape, dtype=np.uint8)
+    for geom, value in shapes:
+        _burn(out, geom, value)
+    return out
+
+
+def _burn(out: np.ndarray, geom: dict, value: int) -> None:
+    gtype = geom.get("type")
+    coords = geom.get("coordinates")
+    if coords is None and gtype != "GeometryCollection":
+        return
+    if gtype == "Point":
+        _burn_point(out, coords, value)
+    elif gtype == "MultiPoint":
+        for c in coords:
+            _burn_point(out, c, value)
+    elif gtype == "LineString":
+        _burn_line(out, coords, value)
+    elif gtype == "MultiLineString":
+        for line in coords:
+            _burn_line(out, line, value)
+    elif gtype == "Polygon":
+        _burn_polygon(out, coords, value)
+    elif gtype == "MultiPolygon":
+        for poly in coords:
+            _burn_polygon(out, poly, value)
+    elif gtype == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            _burn(out, g, value)
+
+
+def _burn_point(out: np.ndarray, coord: Sequence[float], value: int) -> None:
+    h, w = out.shape
+    col = int(np.floor(coord[0]))
+    row = int(np.floor(coord[1]))
+    if 0 <= row < h and 0 <= col < w:
+        out[row, col] = value
+
+
+def _burn_line(out: np.ndarray, coords: Sequence[Sequence[float]], value: int) -> None:
+    """Burn every cell a polyline passes through by stepping each segment at
+    sub-cell resolution (deterministic; equivalent to a supercover walk)."""
+    h, w = out.shape
+    pts = np.asarray(coords, dtype=np.float64)
+    if len(pts) == 0:
+        return
+    if len(pts) == 1:
+        _burn_point(out, pts[0], value)
+        return
+    for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+        length = max(abs(x1 - x0), abs(y1 - y0))
+        # 4 samples per cell traversed: dense enough that no crossed cell is
+        # skipped, still O(cells) work per segment.
+        n = max(1, int(np.ceil(length * 4)))
+        t = np.linspace(0.0, 1.0, n + 1)
+        xs = np.floor(x0 + (x1 - x0) * t).astype(np.int64)
+        ys = np.floor(y0 + (y1 - y0) * t).astype(np.int64)
+        keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        out[ys[keep], xs[keep]] = value
+
+
+def _burn_polygon(
+    out: np.ndarray, rings: Sequence[Sequence[Sequence[float]]], value: int
+) -> None:
+    """Even-odd scanline fill over all rings at pixel centers (vectorized
+    per-row crossing count; holes handled by parity)."""
+    h, w = out.shape
+    edges = []
+    for ring in rings:
+        pts = np.asarray(ring, dtype=np.float64)
+        if len(pts) < 3:
+            continue
+        if not np.array_equal(pts[0], pts[-1]):
+            pts = np.vstack([pts, pts[0]])
+        x0, y0 = pts[:-1, 0], pts[:-1, 1]
+        x1, y1 = pts[1:, 0], pts[1:, 1]
+        mask = y0 != y1  # horizontal edges never cross a scanline
+        if mask.any():
+            edges.append((x0[mask], y0[mask], x1[mask], y1[mask]))
+    if not edges:
+        return
+    ex0 = np.concatenate([e[0] for e in edges])
+    ey0 = np.concatenate([e[1] for e in edges])
+    ex1 = np.concatenate([e[2] for e in edges])
+    ey1 = np.concatenate([e[3] for e in edges])
+
+    ymin = max(0, int(np.floor(min(ey0.min(), ey1.min()) - 0.5)))
+    ymax = min(h - 1, int(np.ceil(max(ey0.max(), ey1.max()))))
+    cols = np.arange(w) + 0.5
+    for row in range(ymin, ymax + 1):
+        yc = row + 0.5
+        # half-open rule [ymin, ymax) so a vertex shared by two edges counts once
+        lo = np.minimum(ey0, ey1)
+        hi = np.maximum(ey0, ey1)
+        active = (yc >= lo) & (yc < hi)
+        if not active.any():
+            continue
+        ax0, ay0, ax1, ay1 = ex0[active], ey0[active], ex1[active], ey1[active]
+        xcross = ax0 + (yc - ay0) * (ax1 - ax0) / (ay1 - ay0)
+        # pixel center is inside when an odd number of crossings lie to its right
+        inside = (cols[None, :] < xcross[:, None]).sum(axis=0) % 2 == 1
+        out[row, inside] = value

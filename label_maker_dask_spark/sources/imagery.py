@@ -1,0 +1,172 @@
+"""Imagery source connectors: TMS / WMS / COG readers as distributed scans.
+
+The reference sniffs the imagery string *per task* (reference main.py:54 →
+utils.py:232-238, with ``is_tif`` doing a rasterio open probe each time,
+utils.py:209-224).  Here the sniff runs **once at plan time** on the driver
+and wires the matching reader into a single ``mapInPandas`` stage that
+returns ``(z, x, y, image binary)`` — raw bytes; decode is a separate,
+optional multimodal step (multimodal/images.py).
+
+Readers require requests (TMS/WMS) or rio-tiler (COG); all optional — tests
+inject an ``image_fetcher`` (see ``fake.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, Optional
+from urllib.parse import parse_qs
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+IMAGES_SCHEMA = "z int, x long, y long, image binary"
+
+# image_fetcher: (z, x, y) -> bytes
+ImageFetcher = Callable[[int, int, int], bytes]
+
+
+def sniff_imagery(imagery: str) -> str:
+    """Classify an imagery string as 'tif' | 'wms' | 'tms' (reference
+    utils.py:209-238).  Without rasterio we sniff by scheme/extension plus
+    TIFF magic bytes for local paths — a plan-time-only heuristic."""
+    if _is_tif(imagery):
+        return "tif"
+    if "{bbox}" in imagery:
+        return "wms"
+    return "tms"
+
+
+def _is_tif(imagery: str) -> bool:
+    lowered = imagery.lower().split("?")[0]
+    if lowered.endswith((".tif", ".tiff", ".vrt")):
+        return True
+    path = imagery
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if os.path.isfile(path):
+        try:
+            with open(path, "rb") as fh:
+                magic = fh.read(4)
+            return magic in (b"II*\x00", b"MM\x00*")
+        except OSError:
+            return False
+    return False
+
+
+def _template_url(imagery: str, z: int, x: int, y: int) -> str:
+    """Template substitution incl. the reference's SafeDict ACCESS_TOKEN
+    env passthrough (utils.py:130-140, 157-159)."""
+    token = os.environ.get("ACCESS_TOKEN")
+    if token:
+        imagery = imagery.replace("{ACCESS_TOKEN}", token)
+    return imagery.format_map(_SafeDict(x=x, y=y, z=z))
+
+
+class _SafeDict(dict):
+    def __missing__(self, key):  # leave unknown {placeholders} intact
+        return "{" + key + "}"
+
+
+def tms_image_fetcher(imagery: str) -> ImageFetcher:
+    """GET ``{z}/{x}/{y}`` image bytes (reference utils.py:154-163); raw
+    bytes out — no PIL decode in the scan."""
+    import requests
+
+    session = requests.Session()
+
+    def fetch(z: int, x: int, y: int) -> bytes:
+        r = session.get(_template_url(imagery, z, x, y), timeout=30)
+        r.raise_for_status()
+        return r.content
+
+    return fetch
+
+
+def wms_image_fetcher(imagery: str) -> ImageFetcher:
+    """WMS GetMap with the tile's bbox in the requested CRS (reference
+    utils.py:176-206).  Only EPSG:4326 and EPSG:3857 are supported without
+    rasterio's CRS machinery — enough for the common WMS endpoints."""
+    import math
+
+    import requests
+
+    from label_maker_dask_spark.tiles import tile_ul_lat_scalar, tile_ul_lng_scalar
+
+    session = requests.Session()
+    query = parse_qs(imagery.lower())
+    version = (query.get("version") or ["1.1.1"])[0]
+    srs = (query.get("crs" if version == "1.3.0" else "srs") or ["epsg:4326"])[0]
+
+    def fetch(z: int, x: int, y: int) -> bytes:
+        west = tile_ul_lng_scalar(x, z)
+        east = tile_ul_lng_scalar(x + 1, z)
+        north = tile_ul_lat_scalar(y, z)
+        south = tile_ul_lat_scalar(y + 1, z)
+        if srs.endswith("3857"):
+            r = 6378137.0
+            xmin = math.radians(west) * r
+            xmax = math.radians(east) * r
+            ymin = r * math.log(math.tan(math.pi / 4 + math.radians(south) / 2))
+            ymax = r * math.log(math.tan(math.pi / 4 + math.radians(north) / 2))
+        else:
+            xmin, ymin, xmax, ymax = west, south, east, north
+        bbox = (
+            [ymin, xmin, ymax, xmax] if version == "1.3.0" else [xmin, ymin, xmax, ymax]
+        )
+        url = imagery.replace("{bbox}", ",".join(str(b) for b in bbox))
+        resp = session.get(url, timeout=30)
+        resp.raise_for_status()
+        return resp.content
+
+    return fetch
+
+
+def cog_image_fetcher(imagery: str) -> ImageFetcher:
+    """COG windowed read via rio-tiler (reference utils.py:166-173);
+    optional dependency."""
+    try:
+        from rio_tiler.io import COGReader  # type: ignore
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "COG reads require rio-tiler; inject an image_fetcher instead"
+        ) from exc
+
+    def fetch(z: int, x: int, y: int) -> bytes:
+        with COGReader(imagery) as image:
+            img = image.tile(x, y, z)
+        return img.data.tobytes()
+
+    return fetch
+
+
+_FETCHERS = {"tif": cog_image_fetcher, "wms": wms_image_fetcher, "tms": tms_image_fetcher}
+
+
+def fetch_images(
+    tiles: DataFrame,
+    imagery: Optional[str] = None,
+    image_fetcher: Optional[ImageFetcher] = None,
+) -> DataFrame:
+    """Tiles ``(z, x, y)`` -> ``(z, x, y, image binary)`` via one
+    ``mapInPandas`` scan; connector chosen at plan time."""
+    if image_fetcher is None:
+        if imagery is None:
+            raise ValueError("provide imagery or image_fetcher")
+        kind = sniff_imagery(imagery)
+        factory = lambda: _FETCHERS[kind](imagery)  # noqa: E731
+    else:
+        factory = lambda: image_fetcher  # noqa: E731
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetch = factory()
+        for pdf in batches:
+            images = [
+                fetch(int(z), int(x), int(y))
+                for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"])
+            ]
+            out = pdf[["z", "x", "y"]].copy()
+            out["image"] = images
+            yield out
+
+    return tiles.mapInPandas(scan, schema=IMAGES_SCHEMA)

@@ -1,0 +1,61 @@
+"""Numpy rasterizer unit tests (pixel-center fill, line burn, overwrite)."""
+
+import numpy as np
+
+from label_maker_dask_spark.raster import rasterize
+
+
+def test_square_fill_exact():
+    # square [10,10]..[20,20]: pixel centers 10.5..19.5 inside -> 10x10 cells
+    geom = {"type": "Polygon",
+            "coordinates": [[[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]]]}
+    out = rasterize([(geom, 3)], out_shape=(32, 32))
+    assert out.sum() == 3 * 100
+    assert out[10, 10] == 3 and out[19, 19] == 3
+    assert out[9, 10] == 0 and out[20, 10] == 0
+
+
+def test_polygon_hole():
+    geom = {"type": "Polygon", "coordinates": [
+        [[0, 0], [30, 0], [30, 30], [0, 30], [0, 0]],
+        [[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]],
+    ]}
+    out = rasterize([(geom, 1)], out_shape=(32, 32))
+    assert out[5, 5] == 1
+    assert out[15, 15] == 0       # inside the hole
+    assert out[25, 25] == 1
+
+
+def test_point_and_line():
+    pt = {"type": "Point", "coordinates": [5.5, 7.5]}
+    line = {"type": "LineString", "coordinates": [[0, 0], [10, 10]]}
+    out = rasterize([(pt, 9), (line, 2)], out_shape=(16, 16))
+    assert out[7, 5] == 9
+    # diagonal line passes through (i, i) cells
+    for i in range(10):
+        assert out[i, i] == 2
+
+
+def test_overwrite_order():
+    a = {"type": "Polygon",
+         "coordinates": [[[0, 0], [16, 0], [16, 16], [0, 16], [0, 0]]]}
+    b = {"type": "Polygon",
+         "coordinates": [[[4, 4], [12, 4], [12, 12], [4, 12], [4, 4]]]}
+    out = rasterize([(a, 1), (b, 2)], out_shape=(16, 16))
+    assert out[8, 8] == 2
+    assert out[1, 1] == 1
+
+
+def test_out_of_grid_clips():
+    geom = {"type": "Polygon",
+            "coordinates": [[[-10, -10], [5, -10], [5, 5], [-10, 5], [-10, -10]]]}
+    out = rasterize([(geom, 1)], out_shape=(8, 8))
+    assert out[0, 0] == 1 and out[4, 4] == 1
+    assert out[5, 5] == 0
+
+
+def test_multi_geometries():
+    geom = {"type": "MultiPoint", "coordinates": [[1.5, 1.5], [3.5, 3.5]]}
+    out = rasterize([(geom, 4)], out_shape=(8, 8))
+    assert out[1, 1] == 4 and out[3, 3] == 4
+    assert out.sum() == 8
