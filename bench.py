@@ -1,0 +1,97 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through a noop sink (no driver collect,
+no disk write — measures the plan, not the gather)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "join_left_order_item_counts",
+    "agg_rollup_region_nation",
+    "window_running_order_total",
+    "window_top3_orders_per_customer",
+    "events_tumbling_hourly",
+    "events_sessionize_30m",
+    "glfilter_select_events",
+    "classification_labels_flagship",
+    "dedup_exact_sha256",
+    "dedup_minhash_lsh_pairs",
+    "similarity_cosine_topk",
+    "text_stats_per_doc",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+
+    import label_maker_dask_spark.queries as Q
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lmds-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM warmup so measured queries don't pay JIT/classload/codegen cost:
+    # run the same plans once against the smallest scale factor first
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                Q.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        # release any persist() a query pipeline holds so later queries
+        # aren't measured under someone else's cache pressure
+        spark.catalog.clearCache()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

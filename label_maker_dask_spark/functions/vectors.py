@@ -1,0 +1,74 @@
+"""Vector math over ``array<float>`` embedding columns — built-in
+higher-order functions (``zip_with`` + ``aggregate``), JVM-side, no UDF.
+
+Everything folds left-to-right in element order after an explicit cast to
+double, so the DuckDB oracle (same order, same IEEE doubles) reproduces the
+results; similarity values are rounded before comparison/ranking to keep the
+cross-engine contract robust.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _sum(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine similarity rounded for stable cross-engine comparison."""
+    return F.round(cosine(a, b), digits)
+
+
+# --- DuckDB twins (same fold order, double precision) ------------------------
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({a}, x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def cosine_rounded_sql(a: str, b: str, digits: int = 6) -> str:
+    return f"round({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}), {digits})"
+
+
+def normalized_sql(a: str) -> str:
+    """Unit-normalize (the twin of similarity.normalized): divide each
+    element by the sequential-fold norm."""
+    return f"list_transform({a}, x -> x::DOUBLE / {norm_sql(a)})"
+
+
+def unit_dot_rounded_sql(a: str, b: str, digits: int = 6) -> str:
+    """Dot product of two already-normalized DOUBLE lists, rounded — the
+    oracle twin of ``round(dot(qn, cn), 6)``."""
+    return (
+        f"round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+        f"(x, y) -> x + y), {digits})"
+    )

@@ -1,0 +1,263 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash (SURVEY.md Part B — engine extensions, no reference analogue).
+
+Scale design notes (100 TB posture):
+
+- **exact**: group by a content digest, not the text itself — the shuffle key
+  is 32 bytes regardless of document size, and the map-side partial agg
+  collapses most duplicates before the exchange.
+- **minhash/LSH**: signatures are computed per-row (narrow); the only
+  shuffles are the band-bucket self-join (keys are small band signatures)
+  and the final verification join.  Candidate generation never compares all
+  pairs — complexity follows bucket occupancy, the standard LSH contract.
+- **n-gram Jaccard (exact)**: the shingle self-join explodes with corpus
+  size; it is the *oracle/verification* path and the small-corpus tool, not
+  the 100 TB path — that's what MinHash is for.  Documented accordingly.
+- Hashing uses the cross-engine polynomial fold (functions/text.py) so every
+  step is DuckDB-verifiable; swap ``xxhash64`` in for production cheapness
+  (same topology, not cross-checkable).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.functions.text import (
+    HASH_P,
+    shingle_hashes_from,
+    token_hashes,
+    tokens,
+)
+
+# fixed (a, b) coefficient pairs for the k minhash "permutations"
+# h_j(x) = (a_j * x + b_j) mod P  — deterministic, embedded in the oracle SQL
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (2 * j + 3, 104729 * (j + 1) % HASH_P) for j in range(16)
+]
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups keyed by sha256(text): canonical (min) id and
+    group size.  One hash-agg shuffle on the digest."""
+    return (
+        docs.select(
+            F.sha2(F.col(text_col), 256).alias("content_sha"),
+            F.col(id_col),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (doc_id, shingle_hash) pairs — the set representation used by
+    both Jaccard verification and MinHash.
+
+    Entirely narrow: tokens char-fold once per document (materialized as a
+    column so the fold runs once, not once per downstream reference),
+    shingle hashes are arithmetic combinations of adjacent token hashes, and
+    the per-doc distinct happens with ``array_distinct`` *before* the
+    explode — no shuffle, no join, no global distinct.  (The semantics need
+    per-doc set-ness only, which array_distinct provides.)"""
+    with_th = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_hashes(tokens(F.col(text_col))).alias("th"),
+    )
+    return with_th.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingle_hashes_from(F.col("th"), n))
+        ).alias("sh"),
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets: pairs sharing >=1 shingle,
+    ``|A ∩ B| / |A ∪ B| >= threshold``.  Exact-but-quadratic in the worst
+    case — the verification/oracle path (see module docstring)."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
+    """Per-doc MinHash signature: ``min((a_j*sh + b_j) mod P)`` per
+    permutation j — one narrow agg, k mins computed map-side."""
+    coeffs = MINHASH_COEFFS[:k]
+    mins = [
+        F.min((F.col("sh") * a + b) % HASH_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return shingled.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Banded LSH: split the k-wide signature into ``bands`` bands; docs
+    sharing any full band become a candidate pair.  The self-join key is the
+    (band index, band signature) pair — small and well-distributed."""
+    k = len([c for c in signatures.columns if c.startswith("mh")])
+    rows_per_band = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH bands -> candidate
+    pairs -> exact-Jaccard verification (the scalable near-dup operator).
+
+    The shingled frame feeds three consumers (signatures + both sides of the
+    verification join); persist it so the tokenize/shingle/hash subtree runs
+    once instead of three times — at scale this is a materialization point
+    you'd checkpoint anyway."""
+    shingled = doc_shingles(docs, text_col, id_col, n).persist()
+    candidates = lsh_candidate_pairs(minhash_signatures(shingled, k), bands)
+    verified = jaccard_pairs_for_candidates(shingled, candidates)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def jaccard_pairs_for_candidates(
+    shingled: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard restricted to candidate pairs (two joins on doc ids —
+    this is the verification step after LSH pruning)."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+SIMHASH_COEFFS: list[tuple[int, int]] = [
+    (6 * j + 5, 15485863 * (j + 1) % HASH_P) for j in range(SIMHASH_BITS)
+]
+
+
+def simhash(text: Column) -> Column:
+    """16-bit SimHash: per token, pseudo-random bit j is
+    ``((h*A_j + B_j) mod P) mod 2``; signature bit j is the sign of the
+    (+1/-1) sum over tokens.  Pure column arithmetic, cross-engine."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: char_poly_hash_col(t))
+
+    def bit_sum(A: int, B: int):
+        # closure factory keeps the merge lambda at arity 2 (acc, h); extra
+        # default args would make Spark bind an element-index param instead
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (((h * A + B) % HASH_P) % 2) * 2 - 1,
+        )
+
+    bit_sums = [bit_sum(A, B) for (A, B) in SIMHASH_COEFFS]
+    sig = sum(
+        (F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j, s in enumerate(bit_sums)),
+        F.lit(0),
+    )
+    return sig.cast("long")
+
+
+def char_poly_hash_col(s: Column) -> Column:
+    """char_poly_hash usable inside a lambda (no F.col references)."""
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_P,
+    )

@@ -1,0 +1,1098 @@
+"""Query catalog: every operator from SURVEY.md section 2 as a named query
+over the driver's testdata, each paired with a DuckDB oracle that replays
+identical semantics (same aliases, same rounding, same hash arithmetic).
+
+Conventions for cross-engine hash-matching:
+- every computed column is aliased identically in Spark and SQL;
+- floating-point aggregates are rounded (2dp money, 6dp ratios) — double
+  summation order differs between engines, rounding absorbs the ulps;
+- arithmetic hashing uses the polynomial char fold (functions/text.py) that
+  both engines compute bit-identically;
+- ties in window/top-k orderings always break on a unique key.
+
+Scale posture is part of each query's design: small dimensions are
+broadcast, aggregations are partial-agg friendly, top-k goes through window
+rank (WindowGroupLimit pushdown), and LSH prunes candidate pairs before any
+quadratic verification.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.filters import compile_filter, filter_sql
+from label_maker_dask_spark.functions.text import (
+    HASH_P,
+    LANG_MARKERS,
+    STOPWORDS,
+    char_poly_hash,
+    char_poly_hash_sql,
+    punct_ratio,
+    stopword_ratio,
+    tokens,
+    word_shingles_sql,
+)
+from label_maker_dask_spark.labels import classification_labels
+from label_maker_dask_spark.operators import dedup as D
+from label_maker_dask_spark.operators.similarity import cosine_topk, lsh_topk
+from label_maker_dask_spark.operators.topk import topk_per_group
+from label_maker_dask_spark.streaming.windows import (
+    sessionize_lag,
+    sliding_agg,
+    tumbling_agg,
+)
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table.  The events table carries TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects by default — read nanos as long and
+    truncate to micros with integer arithmetic (``div``, not double division:
+    epoch-nanos exceed a double's 53-bit mantissa).  DuckDB truncates nanos
+    to its micro timestamps the same way, so the engines agree."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = None
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational core (SURVEY.md section 2.B: joins/aggs/windows/sets)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-side filter + hash agg; filter and the two
+    needed columns push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into the fact join,
+    then agg + deterministic top-10."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey  = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey  = s_suppkey
+                             AND s_nationkey = c_nationkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join with every dimension broadcast; only the
+    orders⋈lineitem join shuffles."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, (li.l_suppkey == supplier.s_suppkey)
+              & (supplier.s_nationkey == customer.c_nationkey))
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_order_item_counts",
+    """
+    SELECT o_orderkey, count(l_orderkey) AS n_items,
+           round(coalesce(sum(l_quantity), 0), 2) AS total_qty
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def join_left_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
+                "total_qty"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_nation_supplier",
+    """
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM nation FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def join_full(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    return nation.join(
+        supplier, nation.n_nationkey == supplier.s_nationkey, "full_outer"
+    ).select("n_nationkey", "n_name", "s_suppkey", "s_name")
+
+
+@register(
+    "agg_rollup_region_nation",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "agg_cube_segment_priority",
+    """
+    SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_nations_per_segment",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "window_running_order_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_top3_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice, 2) AS totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def window_top3(spark, sf_dir):
+    out = topk_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "rank",
+    )
+
+
+@register(
+    "window_lag_value_delta",
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@register(
+    "set_intersect_customer_supplier_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except_customer_only_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT (distinct) semantics, matching the oracle
+
+
+@register(
+    "scalar_string_date_funcs",
+    """
+    SELECT date_part('year', o_orderdate)  AS order_year,
+           date_part('month', o_orderdate) AS order_month,
+           upper(o_orderpriority)          AS priority_uc,
+           substring(o_orderstatus, 1, 1)  AS status_1,
+           count(*)                        AS n,
+           round(sum(o_totalprice), 2)     AS total
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def scalar_funcs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.upper("o_orderpriority").alias("priority_uc"),
+            F.substring("o_orderstatus", 1, 1).alias("status_1"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# =====================================================================
+# Events: time windows (streaming twins) + GL-filter + flagship labels
+# =====================================================================
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    """Batch twin of the streaming tumbling-window agg (streaming/windows.py);
+    identical plan incrementalizes under readStream + watermark."""
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select("window_start", "event_type", "n_events", "total_value")
+
+
+@register(
+    "events_sliding_1h_30m",
+    """
+    SELECT ws AS window_start, count(*) AS n_events
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+             AS ws
+      FROM events)
+    GROUP BY ws
+    """,
+)
+def events_sliding(spark, sf_dir):
+    """Sliding 1h windows every 30m: each event lands in exactly two windows
+    (oracle replays that membership arithmetic with unnest)."""
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev, "ts", "1 hour", "30 minutes", [],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("window_start", "n_events")
+
+
+@register(
+    "events_sessionize_30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30 min gap) — the batch/oracle twin
+    of the native session_window streaming operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > 1_800_000_000,
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# the GL filters exercised against the events table (props JSON acts as the
+# feature properties; event_type plays $type; event_id plays $id)
+_GL_FILTER_SELECT = ["all", [">=", "k", 50], ["!in", "$type", "error", "signup"]]
+_GL_ORACLE_LOOKUP = "json_extract_string({props}, '$.' || {key})"
+
+
+def _events_as_features(spark, sf_dir, tile_expr="user_id % 100"):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.expr(tile_expr).alias("tile_id"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("geometry_type"),
+        F.from_json("props", "map<string,string>").alias("properties"),
+        "value",
+    )
+
+
+@register(
+    "glfilter_select_events",
+    f"""
+    SELECT event_id, event_type, value FROM events
+    WHERE {filter_sql(_GL_FILTER_SELECT, properties="props",
+                      geometry_type="event_type", feature_id="event_id",
+                      map_lookup=_GL_ORACLE_LOOKUP)}
+    """,
+)
+def glfilter_select(spark, sf_dir):
+    """The GL-filter compiler as a relational predicate: compiled once to a
+    Column, folded and pushed by Catalyst (contrast reference filter.py:26-29
+    re-eval per feature)."""
+    ev = _t(spark, sf_dir, "events")
+    pred = compile_filter(
+        _GL_FILTER_SELECT,
+        properties=F.from_json("props", "map<string,string>"),
+        geometry_type=F.col("event_type"),
+        feature_id=F.col("event_id"),
+    )
+    return ev.where(pred).select("event_id", "event_type", "value")
+
+
+_FLAGSHIP_CLASSES = [
+    {"name": "big_k", "filter": [">=", "k", 80]},
+    {"name": "purchase_or_signup", "filter": ["in", "$type", "purchase", "signup"]},
+    {"name": "small_k_error", "filter": ["all", ["==", "$type", "error"], ["<", "k", 20]]},
+]
+
+
+def _flagship_oracle() -> str:
+    preds = [
+        filter_sql(c["filter"], properties="props", geometry_type="geometry_type",
+                   feature_id="id", map_lookup=_GL_ORACLE_LOOKUP)
+        for c in _FLAGSHIP_CLASSES
+    ]
+    flags = ", ".join(
+        f"max(CASE WHEN {p} THEN 1 ELSE 0 END) AS c{i}" for i, p in enumerate(preds)
+    )
+    n = len(preds)
+    arr = ", ".join(f"c{i}" for i in range(n))
+    total = " + ".join(f"c{i}" for i in range(n))
+    return f"""
+    WITH f AS (
+      SELECT user_id % 100 AS tile_id, event_id AS id,
+             event_type AS geometry_type, props
+      FROM events),
+    agg AS (SELECT tile_id, {flags} FROM f GROUP BY tile_id)
+    SELECT tile_id,
+           [CASE WHEN {total} = 0 THEN 1 ELSE 0 END, {arr}] AS label
+    FROM agg
+    """
+
+
+@register("classification_labels_flagship", _flagship_oracle())
+def classification_flagship(spark, sf_dir):
+    """The reference's core operator (exists-agg classification labels,
+    label.py:15-23) over the events table: events act as vector-tile
+    features, user_id%100 as the tile key, three GL-filter classes."""
+    feats = _events_as_features(spark, sf_dir)
+    return classification_labels(
+        feats, _FLAGSHIP_CLASSES, tile_cols=("tile_id",)
+    )
+
+
+# =====================================================================
+# LLM-data-pipeline surface (dedup / similarity / text analysis)
+# =====================================================================
+
+@register(
+    "dedup_exact_sha256",
+    """
+    SELECT sha256(text) AS content_sha,
+           min(doc_id)  AS canonical_id,
+           count(*)     AS group_size
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """Shared oracle CTE: distinct (doc_id, shingle-hash) pairs mirroring
+    operators/dedup.doc_shingles (token char-folds combined arithmetically
+    into shingle hashes, per-doc list_distinct)."""
+    from label_maker_dask_spark.functions.text import shingle_hashes_sql
+
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+    shs = shingle_hashes_sql("t", n)
+    return f"""
+    toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    shr AS (SELECT doc_id, list_distinct({shs}) AS shs FROM toks),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM shr),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    """
+
+
+@register(
+    "dedup_jaccard_exact_pairs",
+    f"""
+    WITH {_shingle_cte()},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12
+    """,
+)
+def dedup_jaccard_exact(spark, sf_dir):
+    """Exact n-gram Jaccard pairs (>= 0.12) — the verification-grade dedup;
+    quadratic in shared-shingle pairs, so the small-corpus/oracle path
+    (MinHash below is the 100 TB path)."""
+    sh = D.doc_shingles(_t(spark, sf_dir, "documents"))
+    return D.jaccard_pairs(sh, threshold=0.12)
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.12) -> str:
+    coeffs = D.MINHASH_COEFFS[:k]
+    mins = ", ".join(
+        f"min((sh * {a} + {b}) % {HASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    rows_per_band = k // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {concat} AS bsig FROM sig".format(
+            bi=bi,
+            concat="||'-'||".join(
+                f"mh{bi * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH {_shingle_cte()},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND a.sh = b.sh
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh_pairs", _minhash_oracle())
+def dedup_minhash(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands) near-dup pairs with exact-Jaccard
+    verification — the scalable dedup; the oracle replays the identical
+    hash arithmetic in SQL."""
+    return D.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=4, threshold=0.12
+    )
+
+
+def _simhash_oracle() -> str:
+    fold = char_poly_hash_sql("t")
+    bit_terms = []
+    for j, (A, B) in enumerate(D.SIMHASH_COEFFS):
+        s = (
+            f"list_sum(list_transform(hs, h -> ((h * {A} + {B}) % {HASH_P}) % 2 * 2 - 1))"
+        )
+        bit_terms.append(f"CASE WHEN coalesce({s}, 0) > 0 THEN {1 << j} ELSE 0 END")
+    sig = " + ".join(bit_terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+      FROM documents),
+    hashes AS (
+      SELECT doc_id, list_transform(t, t -> {fold}) AS hs FROM toks)
+    SELECT doc_id, ({sig})::BIGINT AS simhash FROM hashes
+    """
+
+
+@register("dedup_simhash_signatures", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+
+
+# --- similarity search -------------------------------------------------------
+
+def _topk_oracle(filter_sql_pred: str, k: int = 5) -> str:
+    from label_maker_dask_spark.functions.vectors import (
+        normalized_sql,
+        unit_dot_rounded_sql,
+    )
+
+    nv = normalized_sql("embedding")
+    cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    return f"""
+    WITH qs AS (SELECT vec_id, {nv} AS nv FROM embeddings WHERE {filter_sql_pred}),
+    cs AS (SELECT vec_id, {nv} AS nv FROM embeddings)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+      FROM qs q JOIN cs c ON q.vec_id != c.vec_id)
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_cosine_topk", _topk_oracle("vec_id % 25 = 0"))
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for a broadcastable query set — the ANN
+    exactness baseline; corpus streams, queries broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_neardup_cosine",
+    None,  # set below: needs the vectors twin
+)
+def similarity_neardup(spark, sf_dir):
+    """All pairs with cosine >= 0.35 (threshold calibrated to the synthetic
+    corpus) — brute-force variant so the oracle is exact; the SRP-bucketed
+    variant is the scale path (similarity.embedding_neardup_pairs)."""
+    from label_maker_dask_spark.functions.vectors import dot
+    from label_maker_dask_spark.operators.similarity import normalized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = normalized(emb, "vec_id", "embedding", "id_a", "va")
+    b = normalized(emb, "vec_id", "embedding", "id_b", "vb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.35)
+    )
+
+
+def _neardup_oracle() -> str:
+    from label_maker_dask_spark.functions.vectors import (
+        normalized_sql,
+        unit_dot_rounded_sql,
+    )
+
+    nv = normalized_sql("embedding")
+    cos = unit_dot_rounded_sql("a.nv", "b.nv")
+    return f"""
+    WITH ns AS (SELECT vec_id, {nv} AS nv FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+    FROM ns a JOIN ns b ON a.vec_id < b.vec_id
+    WHERE {cos} >= 0.35
+    """
+
+
+ORACLES["similarity_neardup_cosine"] = _neardup_oracle()
+
+
+# --- text analysis -----------------------------------------------------------
+
+_PUNCT_RE = r"[^.,;:!?'\"()\[\]{}-]"
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+
+@register(
+    "text_stats_per_doc",
+    f"""
+    WITH t AS (SELECT doc_id, text, n_chars, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS text_len,
+           n_chars,
+           round(list_reduce(list_prepend(0::BIGINT,
+                 list_transform(toks, s -> length(s)::BIGINT)), (a,b) -> a+b)
+                 ::DOUBLE / len(toks), 6) AS avg_token_len,
+           round(length(regexp_replace(text, '{_PUNCT_RE.replace("'", "''")}', '', 'g'))
+                 ::DOUBLE / length(text), 6) AS punct_ratio,
+           round(len(list_filter(toks, t -> list_contains({STOPWORDS!r}, lower(t))))
+                 ::DOUBLE / len(toks), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document token/length/punctuation/stopword statistics — all
+    built-in expressions, one narrow pass."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        "n_chars",
+        F.round(tok_len_sum.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(toks), 6).alias("stopword_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> list_contains({markers!r}, lower(t))))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with deterministic precedence: en > de > fr > es
+    order = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(order):
+        better = " AND ".join(
+            f"{score[lang]} >= {score[other]}" for other in order[i + 1:]
+        )
+        prior = " AND ".join(
+            f"{score[lang]} > {score[other]}" for other in order[:i]
+        )
+        cond = " AND ".join(x for x in [prior, better] if x) or "true"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, lang AS labeled_lang, {case_sql} AS predicted_lang FROM t
+    """
+
+
+@register("text_lang_id", _lang_oracle())
+def text_lang_id(spark, sf_dir):
+    """Marker-word language ID (deterministic argmax, precedence-ordered) —
+    mechanism over the synthetic corpus, alongside the stored label."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def marker_hits(markers):
+        # closure factory: a default-arg lambda would take arity 2 and Spark
+        # would bind the second param to the element *index*
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(markers)))
+
+    scores = {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)
+    pred = F.lit("unknown")
+    for lang in reversed(order):
+        later = order[order.index(lang) + 1:]
+        earlier = order[: order.index(lang)]
+        cond = F.lit(True)
+        for other in later:
+            cond = cond & (scores[lang] >= scores[other])
+        for other in earlier:
+            cond = cond & (scores[lang] > scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_md5,
+           {char_poly_hash_sql("text")} AS poly_fp
+    FROM documents
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    """Two document fingerprints: digest of whitespace-normalized text
+    (standard md5 matches across engines) and the rolling polynomial fold."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("norm_md5"),
+        char_poly_hash(F.col("text")).alias("poly_fp"),
+    )
+
+
+@register(
+    "text_quality_by_source",
+    f"""
+    WITH t AS (
+      SELECT source, {_TOKS_SQL} AS toks, text FROM documents),
+    q AS (
+      SELECT source,
+             ((CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN length(regexp_replace(text, '{_PUNCT_RE.replace("'", "''")}', '', 'g'))
+                         ::DOUBLE / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN len(list_filter(toks, t -> list_contains({STOPWORDS!r}, lower(t))))
+                         ::DOUBLE / len(toks) BETWEEN 0.0100000001 AND 0.6999999999
+                    THEN 1.0 ELSE 0.0 END)) / 3.0 AS score
+      FROM t)
+    SELECT source, round(avg(score), 6) AS avg_quality, count(*) AS n_docs
+    FROM q GROUP BY source
+    """,
+)
+def text_quality(spark, sf_dir):
+    from label_maker_dask_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", quality_score(F.col("text")).alias("score"))
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("score"), 6).alias("avg_quality"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "text_token_stats_by_lang",
+    f"""
+    WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents)
+    SELECT lang,
+           sum(len(toks))::BIGINT AS total_tokens,
+           round(avg(len(toks)), 6) AS avg_tokens,
+           count(*) AS n_docs
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    return (
+        docs.select("lang", n.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# --- rows-only (non-SQL-expressible or ANN-recall) entries -------------------
+
+@register("similarity_lsh_topk_ann")  # no oracle: ANN recall < 1 by contract
+def similarity_lsh(spark, sf_dir):
+    """SRP-bucketed ANN top-k — the scale path; rows-only check since ANN
+    recall is probabilistic (exactness is similarity_cosine_topk's job)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return lsh_topk(emb, queries, k=5)

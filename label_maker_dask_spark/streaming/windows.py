@@ -1,0 +1,130 @@
+"""Event-time windowed aggregation operators.
+
+Each operator is written against a plain DataFrame, so the same function
+works on a batch frame (for the DuckDB correctness oracle) and on a
+``readStream`` frame (Structured Streaming incrementalizes the identical
+plan).  Watermarks are applied only when the input is streaming — on a batch
+frame ``withWatermark`` is a no-op pass-through by Spark's own contract.
+
+Scale posture: tumbling/sliding aggs shuffle on (window, key) — naturally
+well-distributed; session windows use Spark's native ``session_window``
+state merging; dedup-within-watermark bounds state by the watermark delay.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, delay: Optional[str]) -> DataFrame:
+    if delay and df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Non-overlapping event-time windows; emits window start/end + keys."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide windows)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session (native ``session_window`` state store on streams)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming dedup with bounded state; on a batch frame falls
+    back to plain dropDuplicates (same result set)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def sessionize_lag(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (lag + running count) —
+    the window-function formulation used for oracle cross-checks; the
+    streaming twin is :func:`session_agg`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    with_flag = df.withColumn(
+        "_new_session",
+        F.when(
+            F.col(ts_col).cast("long")
+            - F.lag(F.col(ts_col).cast("long")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0),
+    )
+    return with_flag.withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).drop("_new_session")

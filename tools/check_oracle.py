@@ -1,0 +1,106 @@
+"""Local emulation of the driver's correctness gate: run every catalog query
+on Spark AND its DuckDB oracle over the same parquet, compare row count +
+column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)].copy()
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(f"{v:.9g}")
+            elif isinstance(v, (list, tuple)) or "ndarray" in type(v).__name__:
+                vals.append(str([f"{x:.7g}" if isinstance(x, float) else str(x) for x in v]))
+            elif v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+                vals.append("NULL")
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    import label_maker_dask_spark.queries as Q
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in Q.QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        oracle = Q.ORACLES.get(name)
+        if oracle is None:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(oracle).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            failures.append(name)
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            failures.append(name)
+            continue
+        cs, co = canon(sdf), canon(odf)
+        if cs != co:
+            diff = [i for i, (a, b) in enumerate(zip(cs, co)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at {len([1 for a,b in zip(cs,co) if a!=b])} rows")
+            for i in diff:
+                print(f"   spark : {cs[i]}")
+                print(f"   oracle: {co[i]}")
+            failures.append(name)
+        else:
+            print(f"OK   {name}: {len(sdf)} rows")
+    print(f"\n{len(Q.QUERIES) - len(failures)}/{len(Q.QUERIES)} passing")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
