@@ -17,13 +17,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 import label_maker_dask_spark.queries as Q  # noqa: E402
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``label_maker_dask_spark`` importable on executor Python workers.
+
+    The driver process may import it via sys.path, but workers spawn with
+    their own PYTHONPATH — any mapInPandas/applyInPandas stage that pickles
+    a module-level reference needs the package shipped.  ``addPyFile`` with
+    a zip of the package distributes it once per session (idempotent)."""
+    import zipfile
+
+    marker = "_lmds_pkg_shipped"
+    if getattr(spark, marker, False):
+        return
+    zip_path = os.path.join("/tmp", "label_maker_dask_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        pkg_dir = os.path.join(_REPO, "label_maker_dask_spark")
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zip_path)
+    setattr(spark, marker, True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     return Q.QUERIES["classification_labels_flagship"](
         spark, "/root/testdata/sf0.001"
     )
@@ -31,7 +58,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
-    return dict(Q.QUERIES)
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: wrap(fn) for name, fn in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1096,3 +1098,306 @@ def similarity_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return lsh_topk(emb, queries, k=5)
+
+
+# =====================================================================
+# Extended join / agg / scalar surface
+# =====================================================================
+
+@register(
+    "join_asof_latest_order",
+    """
+    WITH ev AS (
+      SELECT event_id, ts, (user_id % 150) + 1 AS custkey FROM events),
+    os AS (
+      SELECT o_custkey AS custkey,
+             o_orderdate + INTERVAL 26 YEAR AS shifted_date,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2)
+    SELECT ev.event_id, ev.custkey, os.o_orderkey, os.shifted_date
+    FROM ev ASOF JOIN os
+      ON ev.custkey = os.custkey AND os.shifted_date <= ev.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """Point-in-time join: each event matched to the customer's latest order
+    (dates shifted +26y so the ranges overlap).  Right side deduped per
+    (custkey, date) so the as-of pick is deterministic; DuckDB replays with
+    its native ASOF JOIN."""
+    from label_maker_dask_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 26 YEAR")).alias("shifted_date"),
+            "o_orderkey",
+        )
+        .groupBy("custkey", "shifted_date")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join(
+        ev, orders, on=["custkey"], left_time="ts", right_time="shifted_date",
+        left_key=["event_id"], tie_break="o_orderkey",
+    ).select("event_id", "custkey", "o_orderkey", "shifted_date")
+
+
+@register(
+    "join_range_orders_near_event",
+    """
+    SELECT e.event_id, count(o.o_orderkey) AS n_orders_in_window
+    FROM (SELECT event_id, ts, (user_id % 150) + 1 AS custkey FROM events) e
+    LEFT JOIN (SELECT o_custkey, o_orderkey,
+                      o_orderdate + INTERVAL 26 YEAR AS sd FROM orders) o
+      ON o.o_custkey = e.custkey
+     AND o.sd >= e.ts - INTERVAL 7 DAY
+     AND o.sd <= e.ts + INTERVAL 7 DAY
+    GROUP BY e.event_id
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range (interval) join: orders within ±7 days of each event for the
+    same customer — equi key + range predicate, the standard banded-join
+    shape (at scale, bucket the time axis to bound the fan-out)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 26 YEAR")).alias("sd"),
+    )
+    cond = (
+        (orders.o_custkey == ev.custkey)
+        & (orders.sd >= F.col("ts") - F.expr("INTERVAL 7 DAY"))
+        & (orders.sd <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        ev.join(orders, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("o_orderkey").alias("n_orders_in_window"))
+    )
+
+
+@register(
+    "join_theta_acctbal",
+    """
+    SELECT s_suppkey, count(*) AS n_richer_customers
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def join_theta(spark, sf_dir):
+    """Theta join: equi component + inequality predicate (same-nation
+    customers with larger balance than the supplier)."""
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(
+            sup,
+            (cust.c_nationkey == sup.s_nationkey)
+            & (cust.c_acctbal > sup.s_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT r_name, c_mktsegment, count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL (rollup/cube's general form)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment, count(*) AS n,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+                         JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        """
+    )
+
+
+@register(
+    "union_by_name_parties",
+    """
+    SELECT c_custkey AS party_key, c_name AS name,
+           round(c_acctbal, 2) AS acctbal, 'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, round(s_acctbal, 2), 'supplier' FROM supplier
+    """,
+)
+def union_by_name(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("party_key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.col("s_name").alias("name"),
+    )
+    return cust.unionByName(sup)  # column order differs; names align
+
+
+@register(
+    "distinct_user_event_types",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_pairs(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "sort_limit_global_top50",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 50
+    """,
+)
+def sort_limit(spark, sf_dir):
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver, no full sort."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(50)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "scalar_array_map_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           CAST(floor(value / 10) * 10 AS BIGINT) AS value_bucket,
+           length(event_type) AS type_len
+    FROM events
+    """,
+)
+def scalar_array_map_json(spark, sf_dir):
+    """JSON extraction + map/array scalar functions over the props column."""
+    ev = _t(spark, sf_dir, "events")
+    props = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        props["k"].cast("long").alias("k_value"),
+        F.map_contains_key(props, "k").alias("has_k"),
+        (F.floor(F.col("value") / 10) * 10).cast("long").alias("value_bucket"),
+        F.length("event_type").alias("type_len"),
+    )
+
+
+@register(
+    "detection_pixel_bbox_math",
+    """
+    WITH coords AS (
+      SELECT l_orderkey, l_linenumber,
+             (l_partkey * 31) % 4097  AS xa, (l_partkey * 57) % 4097  AS xb,
+             (l_orderkey * 13) % 4097 AS ya, (l_orderkey * 29) % 4097 AS yb
+      FROM lineitem),
+    px AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round_even(least(xa, xb)    * 255.0 / 4096, 0) AS INT) AS px0,
+             CAST(round_even(greatest(ya, yb) * 255.0 / 4096, 0) AS INT) AS py1,
+             CAST(round_even(greatest(xa, xb) * 255.0 / 4096, 0) AS INT) AS px1,
+             CAST(round_even(least(ya, yb)    * 255.0 / 4096, 0) AS INT) AS py0
+      FROM coords)
+    SELECT l_orderkey, l_linenumber,
+           greatest(0, least(255, px0 - 4))         AS xmin,
+           greatest(0, least(255, (255 - py1) - 4)) AS ymin,
+           greatest(0, least(255, px1 + 4))         AS xmax,
+           greatest(0, least(255, (255 - py0) + 4)) AS ymax
+    FROM px
+    """,
+)
+def detection_pixel_math(spark, sf_dir):
+    """The object-detection pixel pipeline (reference label.py:68-96: 4096->
+    255 scale, HALF_EVEN rounding, y-flip, ±4 pad, clamp) over synthetic
+    tile-space coordinates derived from lineitem keys — the oracle-checkable
+    twin of labels.detection_labels' column math."""
+    from label_maker_dask_spark.functions.pixel import pixel_bbox_cols
+
+    li = _t(spark, sf_dir, "lineitem")
+    xa = (F.col("l_partkey") * 31) % 4097
+    xb = (F.col("l_partkey") * 57) % 4097
+    ya = (F.col("l_orderkey") * 13) % 4097
+    yb = (F.col("l_orderkey") * 29) % 4097
+    x0, y0, x1, y1 = pixel_bbox_cols(
+        F.least(xa, xb), F.least(ya, yb), F.greatest(xa, xb), F.greatest(ya, yb)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        x0.alias("xmin"), y0.alias("ymin"), x1.alias("xmax"), y1.alias("ymax"),
+    )
+
+
+@register(
+    "udf_grouped_median",
+    """
+    SELECT l_returnflag, median(l_extendedprice) AS median_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_median(spark, sf_dir):
+    """The grouped-aggregate pandas UDF surface (Arrow batch in, scalar
+    out): exact median via numpy — deterministic, so oracle-checkable
+    against DuckDB's median()."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg,
+        # so the count rides the same Arrow batch
+        return int(len(v))
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            median_udf("l_extendedprice").alias("median_price"),
+            count_udf("l_extendedprice").alias("n"),
+        )
+    )
+
+
+@register("agg_approx_distinct_users")  # rows-only: HLL sketches differ by engine
+def approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per event type — sketch values
+    are engine-specific, so this is a rows-only entry; the exact twin is
+    agg_distinct_nations_per_segment."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )

@@ -1,0 +1,82 @@
+"""Dedup operators: known-duplicate corpora with hand-checkable answers."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.operators import dedup as D
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+    Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),   # near dup of 1
+    Row(doc_id=4, text="completely different words appear in this one"),
+    Row(doc_id=5, text="short text"),                                    # < 3 tokens
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def test_exact_duplicate_groups(spark):
+    out = D.exact_duplicate_groups(_docs(spark)).collect()
+    groups = {r.canonical_id: r.group_size for r in out}
+    assert groups[1] == 2          # docs 1+2 collapse
+    assert groups[3] == 1
+    assert len(out) == 4           # 4 distinct texts
+
+
+def test_doc_shingles_setness(spark):
+    sh = D.doc_shingles(_docs(spark)).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, []).append(r.sh)
+    # doc 1: 9 tokens -> 7 shingles, all distinct here
+    assert len(by_doc[1]) == 7
+    assert len(set(by_doc[1])) == 7
+    # identical texts produce identical shingle sets
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+    # < 3 tokens -> no shingles
+    assert 5 not in by_doc
+
+
+def test_jaccard_pairs_exact_values(spark):
+    sh = D.doc_shingles(_docs(spark))
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(sh, 0.0).collect()}
+    # identical docs: jaccard 1.0
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 differ only in the last token, which appears in exactly
+    # one 3-shingle: inter=6, union=8 -> 0.75
+    assert abs(pairs[(1, 3)] - 0.75) < 1e-6
+    assert (1, 4) not in pairs     # nothing shared
+
+
+def test_minhash_pipeline_finds_dups(spark):
+    out = D.minhash_neardup_pairs(_docs(spark), threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in found         # identical -> identical signatures
+    # near-dup (1,3) shares 6/8 shingles; with 4-row bands it may or may not
+    # band-collide, but if reported its jaccard must be exact
+    for r in out:
+        if (r.id_a, r.id_b) == (1, 3):
+            assert abs(r.jaccard - 0.75) < 1e-6
+
+
+def test_minhash_signature_determinism(spark):
+    sig1 = D.minhash_signatures(D.doc_shingles(_docs(spark))).collect()
+    sig2 = D.minhash_signatures(D.doc_shingles(_docs(spark))).collect()
+    assert sorted(map(tuple, sig1)) == sorted(map(tuple, sig2))
+    # identical docs share the full signature
+    rows = {r.doc_id: tuple(r)[1:] for r in sig1}
+    assert rows[1] == rows[2]
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark).select("doc_id", D.simhash(F.col("text")).alias("sig"))
+    sigs = {r.doc_id: r.sig for r in df.collect()}
+    assert sigs[1] == sigs[2]                  # identical text, identical hash
+    assert 0 <= sigs[1] < (1 << 16)
+    # near-dup differs in few bits; different text differs in more
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sigs[1], sigs[3]) <= hamming(sigs[1], sigs[4]) + 2

@@ -1,0 +1,81 @@
+"""Similarity search: brute-force exactness and LSH bucketing invariants."""
+
+import math
+
+from pyspark.sql import Row
+
+from label_maker_dask_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+    srp_bucket,
+)
+
+VECS = [
+    Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+    Row(vec_id=2, embedding=[0.9, 0.1, 0.0, 0.0]),   # close to 1
+    Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+    Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+    Row(vec_id=5, embedding=[0.5, 0.5, 0.0, 0.0]),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(
+        VECS, schema="vec_id long, embedding array<float>"
+    )
+
+
+def test_cosine_topk_ordering(spark):
+    emb = _emb(spark)
+    out = cosine_topk(emb, emb.where("vec_id = 1"), k=4).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [2, 5, 3, 4]
+    sims = {r.neighbor_id: r.cosine_sim for r in out}
+    assert abs(sims[2] - 0.9 / math.sqrt(0.82)) < 1e-5
+    assert sims[3] == 0.0
+    assert sims[4] == -1.0
+
+
+def test_cosine_topk_excludes_self(spark):
+    emb = _emb(spark)
+    out = cosine_topk(emb, emb, k=10).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    # every query gets exactly 4 neighbors (corpus of 5, minus self)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 4 for v in by_q.values())
+
+
+def test_srp_bucket_deterministic_and_scale_invariant(spark):
+    df = _emb(spark).select("vec_id", srp_bucket(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("embedding"),
+        n_planes=8, dim=4).alias("b"))
+    b1 = {r.vec_id: r.b for r in df.collect()}
+    b2 = {r.vec_id: r.b for r in df.collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    """ANN results must be a subset of the brute-force candidates with
+    identical similarity values where reported."""
+    emb = _emb(spark)
+    queries = emb.where("vec_id = 1")
+    exact = {(r.query_id, r.neighbor_id): r.cosine_sim
+             for r in cosine_topk(emb, queries, k=4).collect()}
+    ann = lsh_topk(emb, queries, k=4, n_planes=4, dim=4).collect()
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine_sim) < 1e-9
+
+
+def test_embedding_neardup(spark):
+    out = embedding_neardup_pairs(
+        _emb(spark), threshold=0.95, n_planes=4, dim=4
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine_sim for r in out}
+    for (a, b), sim in pairs.items():
+        assert sim >= 0.95 and a < b

@@ -1,0 +1,114 @@
+"""True Structured Streaming runs: the same operator functions used in the
+batch/oracle queries, executed incrementally over a file stream with
+watermarks, must agree with their batch results (SURVEY.md Part B)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_agg,
+    tumbling_agg,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Materialize sf0.001 events as a micro-batched file stream source
+    (nanos timestamps truncated to micros on write)."""
+    import label_maker_dask_spark.queries as Q
+
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    return path
+
+
+@pytest.fixture()
+def events_batch(spark, events_dir):
+    import label_maker_dask_spark.queries as Q
+
+    ev = Q._t(spark, "/root/testdata/sf0.001", "events")
+    ev.coalesce(4).write.mode("overwrite").parquet(events_dir)
+    return spark.read.parquet(events_dir)
+
+
+def _run_stream(spark, events_dir, build, name):
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = build(stream_in)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if out.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir, events_batch):
+    def build(df):
+        return tumbling_agg(
+            df, "ts", "1 hour", ["event_type"],
+            [F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total")],
+            watermark="30 minutes",
+        )
+
+    got = _run_stream(spark, events_dir, build, "t_tumbling")
+    expected = build(events_batch)
+    a = sorted(map(tuple, got.select("window_start", "event_type", "n", "total").collect()))
+    b = sorted(map(tuple, expected.select("window_start", "event_type", "n", "total").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_streaming_session_window_runs(spark, events_dir, events_batch):
+    def build(df):
+        return session_agg(
+            df, "ts", "30 minutes", ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+            watermark="1 hour",
+        )
+
+    got = _run_stream(spark, events_dir, build, "t_session")
+    expected = build(events_batch)
+    # session merge across micro-batches must equal the batch sessionization
+    a = sorted(map(tuple, got.select("user_id", "session_start", "n").collect()))
+    b = sorted(map(tuple, expected.select("user_id", "session_start", "n").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir, events_batch):
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = dedup_within_watermark(stream_in, ["user_id"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("t_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    # a key may legitimately re-emit after the watermark expires its state,
+    # but within the run we must never exceed the batch-distinct count and
+    # must cover every distinct key at least once
+    n_keys = events_batch.select("user_id").distinct().count()
+    emitted = got.select("user_id").distinct().count()
+    assert emitted == n_keys
+    assert got.count() >= n_keys
+
+
+def test_batch_fallback_paths(spark, events_batch):
+    # the same helpers run on batch frames (watermark is a no-op there)
+    out = dedup_within_watermark(events_batch, ["user_id"], "ts")
+    assert out.count() == events_batch.select("user_id").distinct().count()
