@@ -26,7 +26,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.functions.text import (
+    HASH_MULT,
     HASH_P,
+    SHINGLE_B,
     shingle_hashes_from,
     token_hashes,
     tokens,
@@ -62,25 +64,98 @@ def doc_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Distinct (doc_id, shingle_hash) pairs — the set representation used by
     both Jaccard verification and MinHash.
 
-    Entirely narrow: tokens char-fold once per document (materialized as a
-    column so the fold runs once, not once per downstream reference),
-    shingle hashes are arithmetic combinations of adjacent token hashes, and
-    the per-doc distinct happens with ``array_distinct`` *before* the
-    explode — no shuffle, no join, no global distinct.  (The semantics need
-    per-doc set-ness only, which array_distinct provides.)"""
-    with_th = docs.select(
-        F.col(id_col).alias("doc_id"),
-        token_hashes(tokens(F.col(text_col))).alias("th"),
-    )
-    return with_th.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingle_hashes_from(F.col("th"), n))
-        ).alias("sh"),
+    Entirely narrow (no shuffle, no join): one row in, its distinct shingle
+    hashes out.  Two identical-value implementations:
+
+    - ``use_arrow=True`` (default): Arrow-batched ``mapInPandas`` computing
+      the polynomial char fold with vectorized int64 numpy (Horner over a
+      zero-padded byte matrix, ~max_token_len iterations per doc).  Spark's
+      higher-order functions are interpreted per element with no CSE, so the
+      expression form pays ~|chars| expression-tree walks per document; the
+      numpy form is an order of magnitude cheaper and bit-identical (all
+      arithmetic stays below 2^63: h < P ~1e9, h*B + h' < 1e15 + 1e9).
+    - ``use_arrow=False``: pure Catalyst expressions (functions/text.py) —
+      the form mirrored by the DuckDB oracle SQL.
+
+    Tests assert both paths produce identical row sets."""
+    if not use_arrow:
+        with_th = docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_hashes(tokens(F.col(text_col))).alias("th"),
+        )
+        return with_th.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingle_hashes_from(F.col("th"), n))
+            ).alias("sh"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    P, M, B = HASH_P, HASH_MULT, SHINGLE_B
+
+    def token_fold(toks: list) -> "np.ndarray":
+        try:
+            arr = np.array(toks, dtype="S")  # ASCII fast path
+        except UnicodeEncodeError:
+            h = np.empty(len(toks), dtype=np.int64)
+            for i, t in enumerate(toks):
+                acc = 0
+                for ch in t:
+                    acc = (acc * M + ord(ch)) % P
+                h[i] = acc
+            return h
+        mat = arr.view(np.uint8).reshape(len(toks), -1)
+        h = np.zeros(len(toks), dtype=np.int64)
+        for j in range(mat.shape[1]):
+            c = mat[:, j].astype(np.int64)
+            live = c > 0  # 0 = right-padding
+            h[live] = (h[live] * M + c[live]) % P
+        return h
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids = pdf[id_col].to_numpy()
+            toks_per_doc = [t.split() for t in pdf[text_col].fillna("")]
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+            )
+            flat = [tok for toks in toks_per_doc for tok in toks]
+            if len(flat) < n:
+                continue
+            th = token_fold(flat)
+            # doc index of each token; a shingle starting at token i is valid
+            # iff tokens i..i+n-1 belong to the same document
+            tok_doc = np.repeat(np.arange(len(lens)), lens)
+            sh = th[: -(n - 1)].copy()
+            for j in range(1, n):
+                end = len(th) - (n - 1) + j
+                sh = (sh * B + th[j:end]) % P
+            valid = tok_doc[: -(n - 1)] == tok_doc[n - 1 :]
+            sh = sh[valid]
+            d = tok_doc[: -(n - 1)][valid]
+            if len(sh) == 0:
+                continue
+            # per-doc distinct, fully vectorized: sort by (doc, shingle),
+            # keep first of each run
+            order = np.lexsort((sh, d))
+            d, sh = d[order], sh[order]
+            keep = np.empty(len(d), dtype=bool)
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (sh[1:] != sh[:-1])
+            yield pd.DataFrame({"doc_id": doc_ids[d[keep]], "sh": sh[keep]})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"doc_id {id_type}, sh long"
     )
 
 

@@ -24,11 +24,20 @@ from label_maker_dask_spark.functions.vectors import cosine_rounded, dot, norm
 
 def normalized(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
     """Project each vector onto the unit sphere once, so the per-pair cost
-    later is a single dot product (three folds per pair otherwise)."""
-    n = norm(F.col(vec_col))
-    return df.select(
-        F.col(id_col).alias(id_alias),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / n).alias(vec_alias),
+    later is a single dot product (three folds per pair otherwise).
+
+    The norm is materialized as a column BEFORE the per-element transform:
+    higher-order functions are interpreted with no common-subexpression
+    elimination, so referencing the norm fold inside the lambda would
+    re-evaluate it per element (O(d^2) per row instead of O(d))."""
+    with_n = df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    return with_n.select(
+        id_alias,
+        F.transform(
+            F.col("_v"), lambda x: x.cast("double") / F.col("_n")
+        ).alias(vec_alias),
     )
 
 
@@ -40,23 +49,64 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """For each query row, the k nearest corpus rows by cosine (self-matches
-    excluded).  ``queries`` is broadcast; ties break on neighbor id so the
-    result is total-ordered and cross-engine stable."""
-    q = normalized(queries, id_col, vec_col, "query_id", "qv")
-    c = normalized(embeddings, id_col, vec_col, "neighbor_id", "cv")
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
-        )
+    excluded).  Ties break on neighbor id so the result is total-ordered and
+    cross-engine stable.
+
+    Scale shape: the query set is collected once and shipped with the
+    closure (the brute-force contract is |queries| small, corpus unbounded);
+    the corpus streams through an Arrow-batched ``mapInPandas`` scorer that
+    computes one matmul per batch and emits only the per-batch top-(k+1)
+    rows per query — so the shuffle into the final global top-k window is
+    O(partitions * |queries| * k), independent of corpus size.  Every global
+    top-k row is necessarily in its batch's top-(k+1) (self-match removal
+    costs at most one slot), so the two-phase selection is exact."""
+    import numpy as np
+    import pandas as pd
+
+    qpd = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpd[id_col].to_numpy()
+    qm = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    take = k + 1
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (n_corpus, n_queries)
+            # per-batch candidate cut uses the same (rounded sim desc,
+            # neighbor asc) order as the final window, so boundary ties
+            # are resolved identically in both phases
+            sims6 = np.round(sims, 6)
+            m = min(take, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                order = np.lexsort((ids, -sims6[:, j]))[:m]
+                out_q.append(np.full(m, q_ids[j]))
+                out_n.append(ids[order])
+                out_s.append(sims[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "raw_sim": np.concatenate(out_s),
+                }
+            )
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(F.col("raw_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
@@ -94,17 +144,26 @@ def lsh_topk(
     """ANN top-k: compare only pairs sharing an SRP bucket.  Recall < 1 by
     construction (ANN contract); bucket join shuffles on the small int
     bucket id.  Increase recall with multi-probe (flip one bit) if needed."""
-    nrm_c = norm(F.col(vec_col))
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm_c).alias("cv"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm_c).alias("qv"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
+    def unit_with_bucket(df, id_alias, vec_alias):
+        # materialize the norm before the per-element divide (see normalized)
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias("_v"),
+                srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+            )
+            .withColumn("_n", norm(F.col("_v")))
+            .select(
+                id_alias,
+                F.transform(
+                    F.col("_v"), lambda x: x.cast("double") / F.col("_n")
+                ).alias(vec_alias),
+                "bucket",
+            )
+        )
+
+    c = unit_with_bucket(embeddings, "neighbor_id", "cv")
+    q = unit_with_bucket(queries, "query_id", "qv")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -135,11 +194,20 @@ def embedding_neardup_pairs(
     """Near-duplicate pairs by embedding cosine >= threshold, bucketed by SRP
     so only same-bucket pairs are scored (high-cosine pairs land in the same
     bucket with high probability)."""
-    nrm = norm(F.col(vec_col))
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("v"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_v"),
+            srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .select(
+            "id",
+            F.transform(
+                F.col("_v"), lambda x: x.cast("double") / F.col("_n")
+            ).alias("v"),
+            "bucket",
+        )
     )
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")

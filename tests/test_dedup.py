@@ -80,3 +80,18 @@ def test_simhash_properties(spark):
     def hamming(a, b):
         return bin(a ^ b).count("1")
     assert hamming(sigs[1], sigs[3]) <= hamming(sigs[1], sigs[4]) + 2
+
+
+def test_doc_shingles_arrow_matches_expression_path(spark):
+    """The numpy fast path and the Catalyst-expression path (the one the
+    DuckDB oracle mirrors) must produce identical (doc_id, sh) row sets —
+    including on non-ASCII text, which exercises the ord() fallback."""
+    docs = _docs(spark).union(
+        spark.createDataFrame(
+            [Row(doc_id=6, text="naïve café déjà vu encore une fois")],
+            schema="doc_id long, text string",
+        )
+    )
+    fast = sorted((r.doc_id, r.sh) for r in D.doc_shingles(docs, use_arrow=True).collect())
+    slow = sorted((r.doc_id, r.sh) for r in D.doc_shingles(docs, use_arrow=False).collect())
+    assert fast == slow and len(fast) > 0
