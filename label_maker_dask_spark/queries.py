@@ -1401,3 +1401,510 @@ def approx_distinct(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+# =====================================================================
+# TPC-H-shape extension suite (q2/q4/q6/q7/q8/q9/q14/q15/q17/q18/q19/q22
+# adapted to the driver's reduced star schema — no partsupp table, so
+# supply-cost terms are proxied from part.p_retailprice where needed)
+# =====================================================================
+
+@register(
+    "q2_min_price_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey, min_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY min_price, l_suppkey) AS rn
+      FROM cost)
+    SELECT partkey, suppkey, round(min_price, 2) AS min_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q2_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated min-per-group): for every part, the
+    supplier quoting the lowest observed price, ties on suppkey.  min() is
+    order-independent so the double compares identically cross-engine; the
+    window is a single shuffle on partkey with WindowGroupLimit pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        ).agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = Window.partitionBy("partkey").orderBy("min_price", "suppkey")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("partkey", "suppkey", F.round("min_price", 2).alias("min_price"))
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS -> left-semi join): orders with at least one
+    late shipment (>60 days after order date; the reduced schema has no
+    commit/receipt dates).  The semi join hashes on the equi key; the date
+    inequality rides as a join-side filter."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-aggregate; all four predicates push down
+    to the parquet scan and only three columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON s_suppkey  = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey  = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation shipping volume by year.  Both nation
+    dims broadcast; the only shuffles are the two fact-fact joins and the
+    final agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            # per-row product is bit-identical cross-engine; summing it as
+            # an exact decimal removes addition-order ulps entirely
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey  = l_partkey
+                JOIN supplier ON s_suppkey  = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey  = o_custkey
+                JOIN nation n2 ON c_nationkey  = n2.n_nationkey
+                JOIN region    ON n2.n_regionkey = r_regionkey
+                JOIN nation n1 ON s_nationkey  = n1.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part volume sold into
+    the AMERICA customer region, per year.  The ratio of double sums is
+    rounded to 6dp to absorb summation-order ulps."""
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n2 = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    flat = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey  = l_partkey
+                JOIN supplier ON s_suppkey  = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_type = 'PROMO')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit by supplier nation and year); with no
+    partsupp table, supply cost is proxied as 0.5 * p_retailprice."""
+    part = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO"))
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                    ).cast("decimal(28,8)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: conditional-aggregate ratio with a broadcast part dim."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (argmax via scalar subquery): quarterly revenue per
+    supplier, keep the max.  Spark expresses the scalar subquery as a
+    1-row broadcast cross join — no driver round-trip, stays one plan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(revenue, sup.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (correlated scalar subquery -> agg + equi-join): revenue
+    from below-half-average-quantity orders of one brand.  l_quantity is
+    integral, so sum/count — and therefore the avg threshold — are exact
+    doubles in both engines regardless of summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice, sum(l_quantity) AS sum_qty
+    FROM customer JOIN orders   ON c_custkey  = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (HAVING subquery -> left-semi join): orders whose total
+    quantity exceeds 150, with their customers.  Quantity sums are exact
+    (integral doubles), so the HAVING cut is cross-engine stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                    F.col("o_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 F.round("o_totalprice", 2).alias("o_totalprice"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: three disjunctive brand/size/quantity bands.
+    Catalyst extracts the common p_brand IN (...) prefix for scan pushdown
+    while the full disjunction stays as a post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT substring(c_name, 10, 2) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01'))
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (scalar-subquery threshold + anti join), grouped by a
+    name-derived code.  (Every synthetic customer has *some* order, so the
+    anti join is scoped to orders since 2000 to stay non-trivial.)"""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("threshold"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
