@@ -1908,3 +1908,137 @@ def q22_global_sales_opportunity(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "stateful_running_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_running_user_stats(spark, sf_dir):
+    """Batch twin of the applyInPandasWithState running-totals operator
+    (streaming/stateful.py): the final state per user equals this hash
+    aggregate — tests/test_streaming.py proves the streaming path converges
+    to it.  Summation goes through exact decimals for the cross-engine
+    hash match."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# =====================================================================
+# Multimodal columns (SURVEY.md Part B): binary image/video payloads with
+# typed metadata, decode/feature-extract as Arrow-batched stages
+# =====================================================================
+
+def _mm_channel_stats_oracle() -> str:
+    """DuckDB twin of encode(embedding)->4x4x4 image->channel stats: pixel
+    p_i = floor(clamp((x_i+1)*127.5, 0, 255)); C-order reshape puts element
+    i (0-based) in channel i%4, so channel stats are list aggregates over
+    the strided sublists.  Channel means are k/16 (exact binary fractions),
+    so round-to-6 is an identity in both engines."""
+    px = (
+        "list_transform(embedding, x -> "
+        "CAST(floor(greatest(0.0, least(255.0, (x::DOUBLE + 1.0) * 127.5))) AS BIGINT))"
+    )
+    chan = (
+        "list_transform(generate_series(0, 15), j -> __px[j * 4 + {c} + 1])"
+    )
+    cols = []
+    for stat, fn in [("mean", "list_avg"), ("min", "list_min"), ("max", "list_max")]:
+        parts = ", ".join(
+            f"{fn}({chan.format(c=c)})" + ("::DOUBLE" if stat == "mean" else "")
+            for c in range(4)
+        )
+        cast = "DOUBLE" if stat == "mean" else "INT"
+        cols.append(
+            f"list_transform([{parts}], v -> "
+            f"{'round(v, 6)' if stat == 'mean' else 'CAST(v AS INT)'}) AS ch_{stat}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " "
+        "FROM (SELECT vec_id, " + px + " AS __px FROM embeddings)"
+    )
+
+
+@register("multimodal_image_channel_stats", _mm_channel_stats_oracle())
+def multimodal_image_channel_stats(spark, sf_dir):
+    """End-to-end multimodal pipeline, fully oracle-checked: encode each
+    embedding into a deterministic 4x4x4 raw uint8 image (binary column +
+    typed metadata), then run the real image_channel_stats mapInPandas
+    stage.  The encode is floor-based so both engines compute identical
+    pixels; channel means are exact k/16 fractions."""
+    import numpy as np
+    import pandas as pd
+
+    from label_maker_dask_spark.multimodal.images import image_channel_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            px = np.floor(np.clip((mats + 1.0) * 127.5, 0.0, 255.0)).astype(
+                np.uint8
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "image": [row.tobytes() for row in px],
+                }
+            )
+
+    images = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, image binary"
+    )
+    return image_channel_stats(
+        images, src_hw=(4, 4), n_channels=4, key_cols=("vec_id",)
+    )
+
+
+@register("multimodal_video_frame_sample")  # rows-only: emits binary frames
+def multimodal_video_frame_sample(spark, sf_dir):
+    """Frame sampling over a synthetic video column (embedding bytes tiled
+    into 8 frames of 4x4x4), keeping every 3rd frame — the UDTF-shaped
+    fan-out stage.  Deterministic row count (3 frames per clip); payloads
+    are binary, so the driver records the rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from label_maker_dask_spark.multimodal.images import sample_frames
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            px = np.floor(np.clip((mats + 1.0) * 127.5, 0.0, 255.0)).astype(
+                np.uint8
+            )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["vec_id"].to_numpy(),
+                    "video": [np.tile(row, 8).tobytes() for row in px],
+                }
+            )
+
+    clips = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "clip_id long, video binary"
+    )
+    return sample_frames(
+        clips, frame_hw=(4, 4), n_channels=4, every_k=3, key_cols=("clip_id",)
+    ).select("clip_id", "frame_idx", F.length("image").alias("frame_bytes"))

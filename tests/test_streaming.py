@@ -112,3 +112,41 @@ def test_batch_fallback_paths(spark, events_batch):
     # the same helpers run on batch frames (watermark is a no-op there)
     out = dedup_within_watermark(events_batch, ["user_id"], "ts")
     assert out.count() == events_batch.select("user_id").distinct().count()
+
+
+def test_stateful_running_user_stats(spark, events_dir, events_batch):
+    """applyInPandasWithState running totals: the final update per user must
+    equal the batch aggregate (state accumulates across micro-batches)."""
+    from label_maker_dask_spark.streaming.stateful import running_user_stats
+
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = running_user_stats(stream_in)
+    q = (
+        out.writeStream.format("memory").queryName("t_stateful")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (user, micro-batch); the running count
+    # is monotone, so the final state is the max-n row per user
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts)
+        for r in spark.table("t_stateful")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts)
+        for r in running_user_stats(events_batch).collect()
+    }
+    assert got == expected and len(got) > 0
