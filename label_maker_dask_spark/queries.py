@@ -2042,3 +2042,17 @@ def multimodal_video_frame_sample(spark, sf_dir):
     return sample_frames(
         clips, frame_hw=(4, 4), n_channels=4, every_k=3, key_cols=("clip_id",)
     ).select("clip_id", "frame_idx", F.length("image").alias("frame_bytes"))
+
+
+@register("similarity_ivf_topk_ann")  # rows-only: ANN recall < 1 by contract
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (the scale path beyond SRP-LSH): Voronoi cells around
+    deterministic seed centroids, n_probe nearest cells per query, scoring
+    masked to probed cells.  In a stored index the cell id is a partition
+    column and non-probed cells never leave the parquet scan.  Exact twin:
+    similarity_cosine_topk; recall bound tested in tests/test_similarity.py."""
+    from label_maker_dask_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)

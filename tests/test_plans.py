@@ -1,0 +1,66 @@
+"""Plan-hygiene assertions: the physical plans must show the scale
+properties the operators claim — predicate/column pushdown into the
+parquet scan, broadcast joins for dimensions, top-k pushdown — not just
+produce correct rows.  These tests read `explain("formatted")` output, the
+same artifact a human would inspect before a 100 TB run."""
+
+import contextlib
+import io
+
+import pytest
+
+import label_maker_dask_spark.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark):
+    plan = plan_of(Q.QUERIES["q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters" in plan
+    # all four predicates reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # projection is pruned: the scan must not read l_orderkey/l_returnflag
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_discount" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(Q.QUERIES["q5_region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sort_limit_uses_topk_not_full_sort(spark):
+    plan = plan_of(Q.QUERIES["sort_limit_global_top50"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_group_limit_pushdown(spark):
+    plan = plan_of(Q.QUERIES["window_top3_orders_per_customer"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_flagship_has_single_aggregation_exchange(spark):
+    """The classification-label pipeline is one narrow stage plus the
+    per-tile aggregate: exactly one shuffle in the whole plan."""
+    plan = plan_of(Q.QUERIES["classification_labels_flagship"](spark, SF))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"expected <=2 Exchange nodes, saw {n_exchanges}"
+
+
+def test_theta_join_broadcasts_small_side(spark):
+    plan = plan_of(Q.QUERIES["join_theta_acctbal"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_glfilter_compiles_to_native_predicates(spark):
+    """The GL-filter DSL must land as Catalyst expressions (data filters in
+    the scan or Filter nodes), never as a Python UDF."""
+    plan = plan_of(Q.QUERIES["glfilter_select_events"](spark, SF))
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan

@@ -79,3 +79,26 @@ def test_embedding_neardup(spark):
     pairs = {(r.id_a, r.id_b): r.cosine_sim for r in out}
     for (a, b), sim in pairs.items():
         assert sim >= 0.95 and a < b
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF ANN with nprobe=half the cells must recover most of the exact
+    top-k set, and every reported neighbor must carry the exact cosine."""
+    from label_maker_dask_spark.operators.similarity import ivf_topk
+    import label_maker_dask_spark.queries as Q
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id % 13 = 0")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=4).collect()}
+    approx_rows = ivf_topk(emb, queries, k=4, n_cells=8, n_probe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert len(approx_rows) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # scores for overlapping pairs must match the exact path bit-for-bit
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim
+                    for r in cosine_topk(emb, queries, k=4).collect()}
+    for r in approx_rows:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
