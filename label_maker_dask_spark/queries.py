@@ -2056,3 +2056,8 @@ def similarity_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+# Extension registrations (import side-effect populates QUERIES/ORACLES;
+# placed at module end so the extension can import `register`/`_t` back).
+from label_maker_dask_spark import queries_tpch_ext  # noqa: E402,F401

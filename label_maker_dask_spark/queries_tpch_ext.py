@@ -1,0 +1,299 @@
+"""TPC-H shapes 11/12/13/16/20/21 adapted to the reduced star schema.
+
+The driver's testdata has no ``partsupp`` table and no
+commit/receipt/shipmode columns on ``lineitem`` (TESTDATA.md), so each
+query keeps its defining *plan shape* — scalar-subquery threshold (Q11),
+conditional aggregation over a late-shipment join (Q12), left-join count
+distribution (Q13), distinct-count with NOT-IN exclusion (Q16), nested
+semi-join qualification (Q20), EXISTS/NOT-EXISTS self-join (Q21) — with
+supply facts derived from ``lineitem`` where ``partsupp`` would be used.
+
+Registered into the same QUERIES/ORACLES catalog as
+``label_maker_dask_spark.queries`` (imported from its module end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.queries import _t, register
+
+
+@register(
+    "q11_part_value_concentration",
+    """
+    WITH value_per_part AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+    FROM value_per_part
+    WHERE val > (SELECT sum(val) * 0.001 FROM value_per_part)
+    """,
+)
+def q11_part_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (group agg filtered by a global scalar subquery):
+    per-part supply value for one nation's suppliers, kept only when above
+    a fraction of the nation's total.  No partsupp table exists
+    (TESTDATA.md), so lineitem revenue is the supply-value fact.
+
+    Scale: nation+supplier dims broadcast; one shuffle for the per-part
+    agg; the threshold is a 1-row broadcast (no second scan of the base
+    join — the aggregated frame is reused for the total).  Sums go through
+    exact decimals so the threshold cut is cross-engine stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    value = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).alias("val")
+        )
+    )
+    threshold = value.agg((F.sum("val") * F.lit(0.001)).alias("cutoff"))
+    return (
+        value.join(F.broadcast(threshold), F.col("val") > F.col("cutoff"))
+        .select(
+            "partkey", F.round("val", 2).cast("double").alias("part_value")
+        )
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_linestatus AS ship_status,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (join + conditional two-way count): late shipments
+    (>45 days after order date — the reduced schema has no
+    commit/receipt/shipmode, so lateness is ship-vs-order and the grouping
+    key is l_linestatus) split by order priority.
+
+    Scale: the shipdate range filter pushes to the lineitem scan; one
+    shuffle join on orderkey, then a 2-group partial-agg-friendly
+    conditional count."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_status"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (distribution of per-customer order counts): left join so
+    zero-order customers survive as c_count=0, with a join-side predicate
+    excluding urgent orders (stand-in for the NOT LIKE comment filter the
+    reduced schema lacks).
+
+    Scale: one shuffle join on custkey, per-customer count collapses
+    map-side, and the outer distribution agg is over tiny cardinality."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (distinct-count with NOT-IN exclusion): how many
+    suppliers ship each surviving (brand, type, size) combination,
+    excluding flagged suppliers (negative balance stands in for the
+    complaints LIKE — no comment column exists).  Supply facts come from
+    lineitem (no partsupp).
+
+    Scale: all part predicates push to the broadcast part dim; the NOT IN
+    is a left-anti join against a tiny broadcast side; count(distinct)
+    expands to a two-phase agg keyed by (group, suppkey) — no single hot
+    reducer."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    flagged = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_part_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_1','NATION_2','NATION_3',
+                                           'NATION_4','NATION_5'))
+    """,
+)
+def q20_promotion_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested IN-subquery qualification -> chained semi
+    joins): suppliers in a nation group who shipped a meaningful volume of
+    'small%' parts in 1997.  The availqty-vs-half-shipped partsupp
+    comparison becomes a HAVING over shipped quantity (no partsupp table).
+
+    Scale: part dim broadcast into the fact scan; the per-supplier volume
+    agg collapses map-side; both qualifications are left-semi joins
+    (supplier is never duplicated), nation semi is a broadcast."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    qualified = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .where(F.col("shipped_qty") > 50)
+        .select("l_suppkey")
+    )
+    nations = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+        .join(F.broadcast(nations),
+              F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_suppliers_who_shipped_last",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def q21_suppliers_who_shipped_last(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS correlated self-joins): in
+    finished multi-supplier orders, the supplier whose line shipped
+    strictly last (no later line from another supplier).  Ship-vs-ship
+    ordering stands in for the receipt-vs-commit lateness test (no
+    commit/receipt dates).
+
+    Scale: the two correlated subqueries are a left-semi and a left-anti
+    self-join of lineitem, both hashing on orderkey — same key as the
+    orders join, so AQE can chain the exchanges; supplier is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        l1.join(
+            l2,
+            (F.col("o2") == F.col("l_orderkey"))
+            & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3") == F.col("l_orderkey"))
+            & (F.col("s3") != F.col("l_suppkey"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+        .join(orders.select("o_orderkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
