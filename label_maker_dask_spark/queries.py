@@ -2059,5 +2059,6 @@ def similarity_ivf_topk(spark, sf_dir):
 
 
 # Extension registrations (import side-effect populates QUERIES/ORACLES;
-# placed at module end so the extension can import `register`/`_t` back).
+# placed at module end so the extensions can import `register`/`_t` back).
 from label_maker_dask_spark import queries_tpch_ext  # noqa: E402,F401
+from label_maker_dask_spark import queries_text_ext  # noqa: E402,F401

@@ -1,0 +1,121 @@
+"""Text-analysis extension queries: TF-IDF, n-gram frequency, and the
+scalar pandas-UDF surface (SURVEY.md §2.B "Text analysis" / "UDF surface").
+
+Registered into the shared QUERIES/ORACLES catalog like
+``queries_tpch_ext`` (imported from the end of ``queries``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.functions.text import tokens, word_shingles, word_shingles_sql
+from label_maker_dask_spark.queries import _TOKS_SQL, _t, register
+
+# shared tf-idf expression: rounded BEFORE ranking so the rank ordering is
+# identical cross-engine (unrounded doubles can differ by an ulp between
+# engines; ties then break on the term string)
+_TFIDF_SQL = "round((tc::DOUBLE / dl) * ln((n_docs + 1)::DOUBLE / (df + 1)), 6)"
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, rank, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term, {_TFIDF_SQL} AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY {_TFIDF_SQL} DESC, tf.term ASC) AS rank
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+    WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with per-document top-3 terms: tf = term count / doc length,
+    idf = ln((N+1)/(df+1)), ranked by the rounded score (ties on term).
+
+    Scale: term counts and doc lengths are partial-agg-friendly groupBys on
+    (doc, term) / (doc); document frequency aggregates the already-collapsed
+    tf frame; the corpus size is a 1-row broadcast.  The per-doc top-3 is a
+    window with WindowGroupLimit pushdown — no global sort anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        (F.col("tc").cast("double") / F.col("dl"))
+        * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+@register(
+    "text_bigram_top20",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT unnest({word_shingles_sql("toks", 2)}) AS bigram FROM t)
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def text_bigram_top20(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (n-gram frequency).  The shingle
+    expansion is a narrow array transform + explode; the count collapses
+    map-side; the final top-20 is orderBy+limit → TakeOrderedAndProject
+    (per-partition top-k, 20-row driver merge — never a full sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "udf_scalar_sigmoid_score",
+    """
+    SELECT event_id, round(1.0 / (1.0 + exp(-value / 100.0)), 6) AS sigmoid_score
+    FROM events
+    """,
+)
+def udf_scalar_sigmoid_score(spark, sf_dir):
+    """The scalar pandas-UDF surface (Arrow batch in, Arrow batch out; the
+    grouped-agg twin is udf_grouped_median, the grouped-map twin is the
+    segmentation rasterizer).  numpy exp vs the oracle's differ by at most
+    an ulp; rounding to 6dp makes the oracle exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sigmoid_udf(v: pd.Series) -> pd.Series:
+        x = v.to_numpy(dtype="float64") / 100.0
+        return pd.Series(np.round(1.0 / (1.0 + np.exp(-x)), 6))
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", sigmoid_udf("value").alias("sigmoid_score"))
