@@ -30,20 +30,32 @@ def _ship_package(spark: SparkSession) -> None:
     their own PYTHONPATH — any mapInPandas/applyInPandas stage that pickles
     a module-level reference needs the package shipped.  ``addPyFile`` with
     a zip of the package distributes it once per session (idempotent)."""
+    import hashlib
     import zipfile
 
     marker = "_lmds_pkg_shipped"
     if getattr(spark, marker, False):
         return
-    zip_path = os.path.join("/tmp", "label_maker_dask_spark_pkg.zip")
+    pkg_dir = os.path.join(_REPO, "label_maker_dask_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                sources.append(os.path.join(root, fname))
+    # content-addressed zip name: a stale cached zip must never ship old
+    # module code to executors after a source edit
+    digest = hashlib.sha256()
+    for full in sorted(sources):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zip_path = os.path.join(
+        "/tmp", f"label_maker_dask_spark_pkg_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
-        pkg_dir = os.path.join(_REPO, "label_maker_dask_spark")
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
-                    if fname.endswith(".py"):
-                        full = os.path.join(root, fname)
-                        zf.write(full, os.path.relpath(full, _REPO))
+            for full in sorted(sources):
+                zf.write(full, os.path.relpath(full, _REPO))
     spark.sparkContext.addPyFile(zip_path)
     setattr(spark, marker, True)
 

@@ -95,67 +95,130 @@ def doc_shingles(
             ).alias("sh"),
         )
 
-    import numpy as np
     import pandas as pd
-
-    P, M, B = HASH_P, HASH_MULT, SHINGLE_B
-
-    def token_fold(toks: list) -> "np.ndarray":
-        try:
-            arr = np.array(toks, dtype="S")  # ASCII fast path
-        except UnicodeEncodeError:
-            h = np.empty(len(toks), dtype=np.int64)
-            for i, t in enumerate(toks):
-                acc = 0
-                for ch in t:
-                    acc = (acc * M + ord(ch)) % P
-                h[i] = acc
-            return h
-        mat = arr.view(np.uint8).reshape(len(toks), -1)
-        h = np.zeros(len(toks), dtype=np.int64)
-        for j in range(mat.shape[1]):
-            c = mat[:, j].astype(np.int64)
-            live = c > 0  # 0 = right-padding
-            h[live] = (h[live] * M + c[live]) % P
-        return h
 
     def gen(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            got = _batch_shingle_arrays(pdf, text_col, id_col, n)
+            if got is None:
                 continue
-            doc_ids = pdf[id_col].to_numpy()
-            toks_per_doc = [t.split() for t in pdf[text_col].fillna("")]
-            lens = np.fromiter(
-                (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
-            )
-            flat = [tok for toks in toks_per_doc for tok in toks]
-            if len(flat) < n:
-                continue
-            th = token_fold(flat)
-            # doc index of each token; a shingle starting at token i is valid
-            # iff tokens i..i+n-1 belong to the same document
-            tok_doc = np.repeat(np.arange(len(lens)), lens)
-            sh = th[: -(n - 1)].copy()
-            for j in range(1, n):
-                end = len(th) - (n - 1) + j
-                sh = (sh * B + th[j:end]) % P
-            valid = tok_doc[: -(n - 1)] == tok_doc[n - 1 :]
-            sh = sh[valid]
-            d = tok_doc[: -(n - 1)][valid]
-            if len(sh) == 0:
-                continue
-            # per-doc distinct, fully vectorized: sort by (doc, shingle),
-            # keep first of each run
-            order = np.lexsort((sh, d))
-            d, sh = d[order], sh[order]
-            keep = np.empty(len(d), dtype=bool)
-            keep[0] = True
-            keep[1:] = (d[1:] != d[:-1]) | (sh[1:] != sh[:-1])
-            yield pd.DataFrame({"doc_id": doc_ids[d[keep]], "sh": sh[keep]})
+            doc_ids, d, sh = got
+            yield pd.DataFrame({"doc_id": doc_ids[d], "sh": sh})
 
     id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         gen, f"doc_id {id_type}, sh long"
+    )
+
+
+def _token_fold(toks: list):
+    """Vectorized polynomial char fold over a flat token list (Horner over a
+    zero-padded byte matrix; bit-identical to functions/text.char_poly_hash)."""
+    import numpy as np
+
+    P, M = HASH_P, HASH_MULT
+    try:
+        arr = np.array(toks, dtype="S")  # ASCII fast path
+    except UnicodeEncodeError:
+        h = np.empty(len(toks), dtype=np.int64)
+        for i, t in enumerate(toks):
+            acc = 0
+            for ch in t:
+                acc = (acc * M + ord(ch)) % P
+            h[i] = acc
+        return h
+    mat = arr.view(np.uint8).reshape(len(toks), -1)
+    h = np.zeros(len(toks), dtype=np.int64)
+    for j in range(mat.shape[1]):
+        c = mat[:, j].astype(np.int64)
+        live = c > 0  # 0 = right-padding
+        h[live] = (h[live] * M + c[live]) % P
+    return h
+
+
+def _batch_shingle_arrays(pdf, text_col: str, id_col: str, n: int):
+    """Per-batch distinct (doc, shingle-hash) pairs, sorted by (doc, hash):
+    returns ``(doc_ids, doc_idx, shingle_hash)`` numpy arrays or None if the
+    batch yields no shingles.  Shared by the exploded and profile forms."""
+    import numpy as np
+
+    P, B = HASH_P, SHINGLE_B
+    if len(pdf) == 0:
+        return None
+    doc_ids = pdf[id_col].to_numpy()
+    toks_per_doc = [t.split() for t in pdf[text_col].fillna("")]
+    lens = np.fromiter(
+        (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+    )
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if len(flat) < n:
+        return None
+    th = _token_fold(flat)
+    # doc index of each token; a shingle starting at token i is valid
+    # iff tokens i..i+n-1 belong to the same document
+    tok_doc = np.repeat(np.arange(len(lens)), lens)
+    sh = th[: -(n - 1)].copy()
+    for j in range(1, n):
+        end = len(th) - (n - 1) + j
+        sh = (sh * B + th[j:end]) % P
+    valid = tok_doc[: -(n - 1)] == tok_doc[n - 1 :]
+    sh = sh[valid]
+    d = tok_doc[: -(n - 1)][valid]
+    if len(sh) == 0:
+        return None
+    # per-doc distinct, fully vectorized: sort by (doc, shingle),
+    # keep first of each run
+    order = np.lexsort((sh, d))
+    d, sh = d[order], sh[order]
+    keep = np.empty(len(d), dtype=bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (sh[1:] != sh[:-1])
+    return doc_ids, d[keep], sh[keep]
+
+
+def minhash_doc_profiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """One narrow Arrow pass producing, per document, BOTH its distinct
+    shingle-hash set (``shs`` array) and its k-wide MinHash signature
+    (``mh0..mh{k-1}`` columns) — same values as
+    ``minhash_signatures(doc_shingles(docs))`` but with **zero shuffles**:
+    the per-doc min over ``(a_j*sh + b_j) mod P`` is a ``minimum.reduceat``
+    over the already-grouped shingle runs.
+
+    This is the 100 TB shape for the near-dup pipeline: the only exchanges
+    left downstream are the small LSH band join and the candidate
+    verification join; nothing exploded ever shuffles.  Documents with
+    fewer than ``n`` tokens have no shingles and produce no row (same
+    contract as ``doc_shingles``)."""
+    import numpy as np
+    import pandas as pd
+
+    coeffs = MINHASH_COEFFS[:k]
+
+    def gen(batches):
+        for pdf in batches:
+            got = _batch_shingle_arrays(pdf, text_col, id_col, n)
+            if got is None:
+                continue
+            doc_ids, d, sh = got
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            cols = {
+                "doc_id": doc_ids[d[starts]],
+                "shs": np.split(sh, starts[1:]),
+            }
+            for j, (a, b) in enumerate(coeffs):
+                cols[f"mh{j}"] = np.minimum.reduceat((sh * a + b) % HASH_P, starts)
+            yield pd.DataFrame(cols)
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    sig_cols = ", ".join(f"mh{j} long" for j in range(k))
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"doc_id {id_type}, shs array<long>, {sig_cols}"
     )
 
 
@@ -254,14 +317,44 @@ def minhash_neardup_pairs(
     """Full near-dup pipeline: shingle -> minhash -> LSH bands -> candidate
     pairs -> exact-Jaccard verification (the scalable near-dup operator).
 
-    The shingled frame feeds three consumers (signatures + both sides of the
-    verification join); persist it so the tokenize/shingle/hash subtree runs
-    once instead of three times — at scale this is a materialization point
-    you'd checkpoint anyway."""
-    shingled = doc_shingles(docs, text_col, id_col, n).persist()
-    candidates = lsh_candidate_pairs(minhash_signatures(shingled, k), bands)
-    verified = jaccard_pairs_for_candidates(shingled, candidates)
+    One narrow Arrow pass (``minhash_doc_profiles``) yields both the
+    signatures and the per-doc shingle sets; it is persisted because three
+    consumers read it (band join both sides + verification) — at scale this
+    is a materialization point you'd checkpoint anyway.  The only shuffles
+    in the whole pipeline are the band-bucket join and the two candidate
+    verification joins, all on compact keys."""
+    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).persist()
+    candidates = lsh_candidate_pairs(prof.drop("shs"), bands)
+    verified = jaccard_verify_sets(prof.select("doc_id", "shs"), candidates)
     return verified.where(F.col("jaccard") >= threshold)
+
+
+def jaccard_verify_sets(
+    sets: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc shingle-set arrays
+    (``doc_id, shs``): two joins on doc id, intersection via
+    ``array_intersect`` — no explode, no agg, far fewer exchanges than the
+    exploded-row verification (``jaccard_pairs_for_candidates``, kept as
+    the oracle-mirroring form).  Arrays hold distinct hashes, so sizes and
+    intersection cardinality are set arithmetic."""
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", n_inter)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
 
 
 def jaccard_pairs_for_candidates(

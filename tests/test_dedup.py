@@ -95,3 +95,19 @@ def test_doc_shingles_arrow_matches_expression_path(spark):
     fast = sorted((r.doc_id, r.sh) for r in D.doc_shingles(docs, use_arrow=True).collect())
     slow = sorted((r.doc_id, r.sh) for r in D.doc_shingles(docs, use_arrow=False).collect())
     assert fast == slow and len(fast) > 0
+
+
+def test_minhash_profiles_match_exploded_pipeline(spark):
+    """minhash_doc_profiles (one narrow pass) must equal the exploded
+    doc_shingles -> minhash_signatures composition value-for-value."""
+    docs = _docs(spark)
+    prof = D.minhash_doc_profiles(docs).collect()
+    sig = {r.doc_id: r for r in D.minhash_signatures(D.doc_shingles(docs)).collect()}
+    sh = {}
+    for r in D.doc_shingles(docs).collect():
+        sh.setdefault(r.doc_id, set()).add(r.sh)
+    assert set(sig) == {r.doc_id for r in prof}
+    for r in prof:
+        assert set(r.shs) == sh[r.doc_id]
+        for j in range(16):
+            assert r[f"mh{j}"] == sig[r.doc_id][f"mh{j}"]
