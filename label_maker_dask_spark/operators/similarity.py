@@ -76,23 +76,31 @@ def cosine_topk(
             ids = pdf[id_col].to_numpy()
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            # sort batch rows by neighbor id so a row's index IS its id
+            # rank — the tie-break key below stays a scalar
+            id_order = np.argsort(ids, kind="stable")
+            ids, cm = ids[id_order], cm[id_order]
             sims = cm @ qm.T  # (n_corpus, n_queries)
             # per-batch candidate cut uses the same (rounded sim desc,
-            # neighbor asc) order as the final window, so boundary ties
-            # are resolved identically in both phases
+            # neighbor asc) order as the final window, so boundary ties are
+            # resolved identically in both phases.  Selection is one
+            # argpartition over a combined scalar key instead of a
+            # per-query lexsort: sims6*1e6 is an exact small integer in
+            # float64; scaling it by L (a power of 10 > batch rows) and
+            # subtracting the id rank (< L) keeps every key an exact
+            # distinct integer — ties on sims6 break toward the smaller
+            # id and never cross a real 1e-6 sim gap.
             sims6 = np.round(sims, 6)
             m = min(take, len(ids))
-            out_q, out_n, out_s = [], [], []
-            for j in range(sims.shape[1]):
-                order = np.lexsort((ids, -sims6[:, j]))[:m]
-                out_q.append(np.full(m, q_ids[j]))
-                out_n.append(ids[order])
-                out_s.append(sims[order, j])
+            L = 10.0 ** int(np.ceil(np.log10(max(len(ids), 2))))
+            key = sims6 * (1e6 * L) - np.arange(len(ids), dtype=np.float64)[:, None]
+            part = np.argpartition(-key, m - 1, axis=0)[:m]  # (m, n_queries)
+            cols = np.broadcast_to(np.arange(sims.shape[1]), part.shape)
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "raw_sim": np.concatenate(out_s),
+                    "query_id": np.repeat(q_ids, m),
+                    "neighbor_id": ids[part.T.ravel()],
+                    "raw_sim": sims[part.T.ravel(), cols.T.ravel()],
                 }
             )
 

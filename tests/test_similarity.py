@@ -102,3 +102,25 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     for r in approx_rows:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_cosine_topk_tie_break_with_duplicate_vectors(spark):
+    """All-identical vectors make every similarity tie: top-k must then be
+    the k smallest neighbor ids for every query (the window's tie-break),
+    exercising the batch-local combined selection key at its boundary."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(40)), "embedding": [[1.0, 2.0, 3.0]] * 40}
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = cosine_topk(df, df.where(F.col("vec_id").isin(0, 17, 39)), k=4)
+    rows = sorted(out.collect(), key=lambda r: (r.query_id, r.rank))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_q[0] == [1, 2, 3, 4]
+    assert by_q[17] == [0, 1, 2, 3]
+    assert by_q[39] == [0, 1, 2, 3]
+    assert all(r.cosine_sim == 1.0 for r in rows)
