@@ -2062,3 +2062,4 @@ def similarity_ivf_topk(spark, sf_dir):
 # placed at module end so the extensions can import `register`/`_t` back).
 from label_maker_dask_spark import queries_tpch_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_text_ext  # noqa: E402,F401
+from label_maker_dask_spark import queries_raster_ext  # noqa: E402,F401

@@ -1,0 +1,153 @@
+"""Segmentation rasterization with an exact SQL oracle.
+
+The rasterizer (raster.py) burns pixel centers under the even-odd scanline
+rule; for an axis-aligned rectangle whose corners convert to integer pixel
+coordinates ``a < b`` (x) and ``pa < pb`` (y), the burned area is exactly
+``(b - a) * (pb - pa)`` — closed-form, so a query that rasterizes
+*non-overlapping* rectangles can be checked value-for-value by DuckDB
+replaying the pixel math (the same 4096→255 HALF_EVEN conversion as
+reference label.py:90-96).
+
+Rectangles are synthesized from events: up to 16 features per tile, each
+in its own 1024×1024 slot of the 4096 extent (slot = per-tile row_number),
+so no two features of a tile ever overlap and the REPLACE overwrite
+(later class wins, reference label.py:36-54 burn order) is exercised
+*within* a feature: a feature matching several classes is burned once per
+class in index order, so its final pixels belong to its highest matching
+class — the oracle's CASE picks the same class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.filters import filter_sql
+from label_maker_dask_spark.labels import segmentation_labels
+from label_maker_dask_spark.queries import _GL_ORACLE_LOOKUP, _t, register
+
+# overlapping class filters so REPLACE order matters: k=95 matches all
+# three and must rasterize as class 3
+_SEG_CLASSES = [
+    {"name": "has_k", "filter": ["has", "k"]},
+    {"name": "k_50", "filter": [">=", "k", 50]},
+    {"name": "k_90", "filter": [">=", "k", 90]},
+]
+
+_N_TILES = 50
+_MAX_FEATS = 16
+
+
+def _slot_coords_sql() -> dict[str, str]:
+    return {
+        "x0": "(slot % 4) * 1024 + 64 + (event_id % 5) * 3",
+        "x1": "(slot % 4) * 1024 + 64 + (event_id % 5) * 3 + 640 + (event_id % 11) * 7",
+        "y0": "(slot // 4) * 1024 + 96 + (event_id % 13) * 5",
+        "y1": "(slot // 4) * 1024 + 96 + (event_id % 13) * 5 + 576 + (event_id % 17) * 9",
+    }
+
+
+def _seg_oracle() -> str:
+    preds = [
+        filter_sql(
+            c["filter"],
+            properties="props",
+            geometry_type="'Polygon'",
+            feature_id="event_id",
+            map_lookup=_GL_ORACLE_LOOKUP,
+        )
+        for c in _SEG_CLASSES
+    ]
+    # later burns overwrite: the highest matching class index wins
+    case = (
+        f"CASE WHEN {preds[2]} THEN 3 WHEN {preds[1]} THEN 2 "
+        f"WHEN {preds[0]} THEN 1 END"
+    )
+    c = _slot_coords_sql()
+    px = "round_even({v} * 255.0 / 4096, 0)"
+    area = (
+        f"({px.format(v='x1')} - {px.format(v='x0')})"
+        f" * ({px.format(v='y1')} - {px.format(v='y0')})"
+    )
+    return f"""
+    WITH f AS (
+      SELECT user_id % {_N_TILES} AS tile_id, event_id, props,
+             row_number() OVER (PARTITION BY user_id % {_N_TILES}
+                                ORDER BY event_id) - 1 AS slot
+      FROM events),
+    sel AS (SELECT tile_id, event_id, props, slot FROM f WHERE slot < {_MAX_FEATS}),
+    cls AS (SELECT tile_id, event_id, slot, {case} AS class_id FROM sel),
+    geom AS (SELECT tile_id, class_id,
+                    {c['x0']} AS x0, {c['x1']} AS x1,
+                    {c['y0']} AS y0, {c['y1']} AS y1
+             FROM cls WHERE class_id IS NOT NULL)
+    SELECT tile_id, class_id, CAST(sum({area}) AS BIGINT) AS n_pixels
+    FROM geom GROUP BY tile_id, class_id
+    """
+
+
+@register("segmentation_raster_class_areas", _seg_oracle())
+def segmentation_raster_class_areas(spark, sf_dir):
+    """End-to-end segmentation rasterization (grouped-map applyInPandas +
+    the numpy scanline rasterizer) over synthetic rectangle features, with
+    per-(tile, class) burned-pixel counts as the oracle-checkable output.
+
+    Scale: feature synthesis is narrow column math; the rasterize is one
+    shuffle on the tile key (uniform 256×256 state per group, no skew);
+    the count decode is a second narrow Arrow pass over the rasters."""
+    ev = _t(spark, sf_dir, "events")
+    tile = (F.col("user_id") % _N_TILES).alias("tile_id")
+    w = Window.partitionBy(F.col("user_id") % _N_TILES).orderBy("event_id")
+    feats = (
+        ev.select(
+            tile,
+            "event_id",
+            "props",
+            (F.row_number().over(w) - 1).alias("slot"),
+        )
+        .where(F.col("slot") < _MAX_FEATS)
+    )
+    x0 = (F.col("slot") % 4) * 1024 + 64 + (F.col("event_id") % 5) * 3
+    x1 = x0 + 640 + (F.col("event_id") % 11) * 7
+    y0 = (F.floor(F.col("slot") / 4) * 1024 + 96 + (F.col("event_id") % 13) * 5).cast("long")
+    y1 = y0 + 576 + (F.col("event_id") % 17) * 9
+    geometry = F.format_string(
+        '{"type": "Polygon", "coordinates": '
+        "[[[%d, %d], [%d, %d], [%d, %d], [%d, %d], [%d, %d]]]}",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+    )
+    feats = feats.select(
+        "tile_id",
+        F.col("event_id").alias("id"),
+        F.lit("Polygon").alias("geometry_type"),
+        F.from_json("props", "map<string,string>").alias("properties"),
+        geometry.alias("geometry"),
+    )
+    rasters = segmentation_labels(feats, _SEG_CLASSES, tile_cols=("tile_id",))
+
+    def count(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tiles_out, classes_out, counts_out = [], [], []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["label"], dtype=np.uint8)
+                bc = np.bincount(arr, minlength=len(_SEG_CLASSES) + 1)
+                for cid in range(1, len(_SEG_CLASSES) + 1):
+                    if bc[cid] > 0:
+                        tiles_out.append(row["tile_id"])
+                        classes_out.append(cid)
+                        counts_out.append(int(bc[cid]))
+            yield pd.DataFrame(
+                {
+                    "tile_id": pd.Series(tiles_out, dtype="int64"),
+                    "class_id": pd.Series(classes_out, dtype="int32"),
+                    "n_pixels": pd.Series(counts_out, dtype="int64"),
+                }
+            )
+
+    return rasters.mapInPandas(
+        count, "tile_id long, class_id int, n_pixels long"
+    )
