@@ -142,7 +142,10 @@ def _typed_pair(ref: Column, value) -> tuple[Column, Column]:
     if isinstance(value, bool):
         return F.lower(ref.cast("string")), F.lit("true" if value else "false")
     if isinstance(value, (int, float)):
-        return ref.cast("double"), F.lit(float(value))
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+        # *throws* on a non-numeric property value; the GL semantics (and
+        # the reference's float() comparison path) need NULL -> no match
+        return ref.try_cast("double"), F.lit(float(value))
     return ref.cast("string"), F.lit(value)
 
 
@@ -213,7 +216,9 @@ def filter_sql(
                 "true" if value else "false"
             )
         if isinstance(value, (int, float)):
-            return f"CAST({ref(prop)} AS DOUBLE)", repr(float(value))
+            # TRY_CAST: a non-numeric property value must compare as NULL
+            # (Spark's cast semantics), not raise (DuckDB's strict CAST)
+            return f"TRY_CAST({ref(prop)} AS DOUBLE)", repr(float(value))
         return f"CAST({ref(prop)} AS VARCHAR)", _sql_str(value)
 
     def neg(e: str) -> str:
