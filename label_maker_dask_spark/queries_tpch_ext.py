@@ -297,3 +297,34 @@ def q21_suppliers_who_shipped_last(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "agg_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS DOUBLE) AS total_F,
+           CAST(round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS DOUBLE) AS total_O,
+           CAST(round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS DOUBLE) AS total_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status_by_priority(spark, sf_dir):
+    """The pivot surface: order totals pivoted to one column per order
+    status.  With the pivot values supplied explicitly, Spark skips the
+    distinct-values discovery job and compiles straight to conditional
+    aggregates — one shuffle, partial-agg friendly, same plan shape as a
+    hand-written CASE pivot (the oracle's form)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .sum("o_totalprice")
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(f"total_{s}")
+            for s in ["F", "O", "P"]
+        ],
+    )

@@ -128,3 +128,32 @@ def sessionize_lag(
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     ).drop("_new_session")
+
+
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: Sequence[str] = (),
+    available_now: bool = True,
+):
+    """Durable streaming sink: exactly-once parquet via the checkpointed
+    file-sink commit log (re-running after failure never duplicates a
+    batch's files).  ``available_now=True`` drains everything currently
+    available then stops — the backfill/batch-replay mode; pass False for
+    a continuously-running query the caller awaits.
+
+    Scale posture: output files per batch follow the stage's partitioning;
+    use ``partition_by`` for partition-pruned layouts and repartition
+    upstream to bound file counts.  Returns the StreamingQuery."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

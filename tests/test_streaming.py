@@ -150,3 +150,28 @@ def test_stateful_running_user_stats(spark, events_dir, events_batch):
         for r in running_user_stats(events_batch).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_to_parquet_exactly_once(spark, events_dir, events_batch, tmp_path):
+    """availableNow drain of the events file-stream into a parquet sink:
+    rows match the batch read, and a second run over the same checkpoint
+    writes nothing new (file-sink commit log = exactly-once)."""
+    from label_maker_dask_spark.streaming.windows import stream_to_parquet
+
+    stream = (
+        spark.readStream.schema(events_batch.schema).parquet(events_dir)
+    )
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_parquet(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == events_batch.count()
+    # replay with the same checkpoint: no new data -> no duplicates
+    q2 = stream_to_parquet(
+        spark.readStream.schema(events_batch.schema).parquet(events_dir),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == events_batch.count()
