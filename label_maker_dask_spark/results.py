@@ -1,0 +1,219 @@
+"""Result rows, class-match predicates, and client-side display helpers
+(reference result.py:15-128, utils.py:32-40,131-138 — SURVEY §2 A14/A18/
+A19/A20).
+
+Engine boundary: the *engine* returns a results DataFrame (one row per
+tile: ``z,x,y, label, image``); everything in this module operates on
+**collected rows** driver-side, exactly as the reference's Result classes
+render in a notebook after ``dask.compute``.  ``class_match`` is the one
+piece that belongs in the query layer — it compiles to a Column so result
+filtering runs distributed (``results_df.filter(class_match(...))``),
+unlike the reference which filters the gathered Python list.
+
+No imaging library is assumed: rasters and RGB images render to real PNG
+bytes via zlib/struct (stdlib), shown as data-URI ``<img>`` cards.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TILE_PX = 256
+
+# 6-color cycling palette for class ids (slot 0/background renders black),
+# mirroring the reference's fixed 6-color cycle (utils.py:131-138)
+CLASS_PALETTE: list[tuple[int, int, int]] = [
+    (102, 197, 204),
+    (246, 207, 113),
+    (248, 156, 116),
+    (220, 176, 242),
+    (135, 197, 95),
+    (158, 185, 243),
+]
+
+
+def class_color(c: int) -> tuple[int, int, int]:
+    """Class id -> RGB; 0 -> black (reference utils.py:131-138)."""
+    if c == 0:
+        return (0, 0, 0)
+    return CLASS_PALETTE[(c - 1) % len(CLASS_PALETTE)]
+
+
+def class_color_col(c: Column) -> Column:
+    """The same lookup as a Column expression (array literal + element_at)."""
+    palette = F.array(
+        *[
+            F.array(F.lit(r), F.lit(g), F.lit(b))
+            for (r, g, b) in CLASS_PALETTE
+        ]
+    )
+    black = F.array(F.lit(0), F.lit(0), F.lit(0))
+    return F.when(c == 0, black).otherwise(
+        F.element_at(palette, ((c - 1) % len(CLASS_PALETTE) + 1).cast("int"))
+    )
+
+
+def class_match(ml_type: str, i: int, label: Column = None) -> Column:
+    """Does a label contain class ``i``?  (reference utils.py:32-40, the
+    post-hoc result query.)  Returns a boolean Column over the ``label``
+    column so the filter runs distributed:
+
+    - classification: slot ``i`` of the flag vector is set (slot 0 =
+      background, matching the reference's direct ``label[i]`` indexing)
+    - object-detection: any box carries class ``i``
+    - segmentation: any raster byte equals ``i`` (binary containment —
+      no decode, JVM-side)
+    """
+    label = F.col("label") if label is None else label
+    if ml_type == "classification":
+        return F.element_at(label, i + 1) > 0  # element_at is 1-based
+    if ml_type == "object-detection":
+        return F.size(F.filter(label, lambda b: b["class"] == i)) > 0
+    if ml_type == "segmentation":
+        return F.contains(label, F.lit(bytes([i])))
+    raise ValueError(f"unknown ml_type {ml_type!r}")
+
+
+# --- PNG encoding (stdlib only) ---------------------------------------------
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a valid RGB PNG (zlib/struct)."""
+    h, w = arr.shape[:2]
+    raw = b"".join(
+        b"\x00" + arr[row].astype(np.uint8).tobytes() for row in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_data_uri(arr: np.ndarray) -> str:
+    return "data:image/png;base64," + base64.b64encode(_png_bytes(arr)).decode()
+
+
+def _image_array(image: Optional[bytes], height: int, width: int, channels: int) -> np.ndarray:
+    if image is None:
+        return np.zeros((TILE_PX, TILE_PX, 3), dtype=np.uint8)
+    arr = np.frombuffer(image, dtype=np.uint8)
+    arr = arr.reshape(height, width, channels)[:, :, :3]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def _card(title: str, body: str) -> str:
+    return (
+        f'<div style="display:inline-block;margin:4px;text-align:center">'
+        f"{body}<br/><small>{title}</small></div>"
+    )
+
+
+class Result:
+    """Base result row: ``(tile, label, classes, image?)`` collected from the
+    results DataFrame (reference result.py:15-46 holds the same fields)."""
+
+    def __init__(self, tile, label, classes: Sequence[dict], image=None,
+                 image_shape=(TILE_PX, TILE_PX, 3)):
+        self.tile = tuple(tile)
+        self.label = label
+        self.classes = list(classes)
+        self.image = bytes(image) if image is not None else None
+        self.image_shape = image_shape
+
+    def _image_html(self) -> str:
+        arr = _image_array(self.image, *self.image_shape)
+        return f'<img src="{png_data_uri(arr)}" width="{TILE_PX}"/>'
+
+
+class ClassificationResult(Result):
+    """Flag-vector card (reference result.py:15-46)."""
+
+    def _repr_html_(self) -> str:
+        names = ["background"] + [c["name"] for c in self.classes]
+        flags = list(self.label)
+        rows = "".join(
+            f"<tr><td>{n}</td><td>{'✓' if f else ''}</td></tr>"
+            for n, f in zip(names, flags)
+        )
+        table = f"<table><tr><th>class</th><th>present</th></tr>{rows}</table>"
+        return _card(f"tile {self.tile}", self._image_html() + table)
+
+
+class ObjectDetectionResult(Result):
+    """Bounding boxes drawn as an SVG overlay (reference result.py:49-89
+    draws with ImageDraw; an overlay keeps it dependency-free)."""
+
+    def _repr_html_(self) -> str:
+        boxes = "".join(
+            '<rect x="{x}" y="{y}" width="{w}" height="{h}" '
+            'style="fill:none;stroke:rgb{c};stroke-width:2"/>'.format(
+                x=b["xmin"], y=b["ymin"],
+                w=max(1, b["xmax"] - b["xmin"]),
+                h=max(1, b["ymax"] - b["ymin"]),
+                c=class_color(b["class"]),
+            )
+            for b in self.label
+        )
+        arr = _image_array(self.image, *self.image_shape)
+        svg = (
+            f'<svg width="{TILE_PX}" height="{TILE_PX}">'
+            f'<image href="{png_data_uri(arr)}" width="{TILE_PX}" '
+            f'height="{TILE_PX}"/>{boxes}</svg>'
+        )
+        return _card(f"tile {self.tile} ({len(self.label)} boxes)", svg)
+
+
+class SegmentationResult(Result):
+    """Class-id raster colorized per class (reference result.py:92-128)."""
+
+    def _repr_html_(self) -> str:
+        raster = np.frombuffer(self.label, dtype=np.uint8).reshape(
+            TILE_PX, TILE_PX
+        )
+        lut = np.zeros((256, 3), dtype=np.uint8)
+        for cid in range(1, len(self.classes) + 1):
+            lut[cid] = class_color(cid)
+        colored = lut[raster]
+        img = f'<img src="{png_data_uri(colored)}" width="{TILE_PX}"/>'
+        return _card(f"tile {self.tile}", img)
+
+
+_RESULT_CLASSES = {
+    "classification": ClassificationResult,
+    "object-detection": ObjectDetectionResult,
+    "segmentation": SegmentationResult,
+}
+
+
+def wrap_results(rows, ml_type: str, classes: Sequence[dict],
+                 tile_cols: Sequence[str] = ("z", "x", "y")) -> list[Result]:
+    """Collected DataFrame rows -> typed Result objects (the dispatch the
+    reference does per task at main.py:56-63, here once per collected row)."""
+    cls = _RESULT_CLASSES[ml_type]
+    out = []
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        tile = tuple(d[c] for c in tile_cols if c in d)
+        out.append(cls(tile, d["label"], classes, d.get("image")))
+    return out
