@@ -119,3 +119,19 @@ def udf_scalar_sigmoid_score(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return ev.select("event_id", sigmoid_udf("value").alias("sigmoid_score"))
+
+
+@register("similarity_neardup_srp_ann")  # rows-only: ANN recall < 1 by contract
+def similarity_neardup_srp_ann(spark, sf_dir):
+    """SRP-bucketed embedding near-dup (the 100 TB path for
+    similarity_neardup_cosine, its exact brute-force twin): only pairs
+    sharing a signed-random-projection bucket are scored, so pair cost
+    follows bucket occupancy instead of corpus².  High-cosine pairs share
+    buckets with high probability; recall < 1 is the ANN contract
+    (bounded against the exact twin in tests/test_similarity.py)."""
+    from label_maker_dask_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.35)

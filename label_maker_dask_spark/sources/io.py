@@ -98,3 +98,24 @@ def write_table(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort: bool = True,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the storage-layout half of co-located
+    joins: two facts bucketed on their join key with the same bucket count
+    join with ZERO exchange, and aggregations on the bucket key skip their
+    shuffle too (asserted in tests/test_bucketing.py).  At 100 TB this is
+    the difference between re-shuffling the fact table per query and
+    paying the layout cost once at ingest."""
+    writer = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.format(fmt).mode(mode).saveAsTable(name)

@@ -12,6 +12,7 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", "/tmp/lmds-test-warehouse")
         .getOrCreate()
     )
     yield spark
