@@ -328,3 +328,26 @@ def agg_pivot_status_by_priority(spark, sf_dir):
             for s in ["F", "O", "P"]
         ],
     )
+
+
+@register(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]),
+                          x -> round(x, 4)) AS price_pcts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group — Spark's native
+    percentile aggregate against DuckDB's quantile_cont, same
+    interpolation rule.  Exact percentile is a full-sort-per-group
+    aggregate; at scale prefer approx_percentile (t-digest sketch,
+    mergeable map-side) unless exactness is contractual — this entry is
+    the exactness baseline for that tradeoff."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return li.groupBy("l_returnflag").agg(
+        F.transform(pct, lambda x: F.round(x, 4)).alias("price_pcts")
+    )

@@ -64,3 +64,32 @@ def test_glfilter_compiles_to_native_predicates(spark):
     the scan or Filter nodes), never as a Python UDF."""
     plan = plan_of(Q.QUERIES["glfilter_select_events"](spark, SF))
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_salted_topk_matches_plain_topk_on_skew(spark):
+    """One group holds 90% of rows; the salted two-phase top-k must return
+    exactly the plain window top-k."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.topk import (
+        salted_topk_per_group,
+        topk_per_group,
+    )
+
+    df = (
+        spark.range(10_000)
+        .select(
+            F.when(F.col("id") < 9_000, F.lit("hot"))
+            .otherwise((F.col("id") % 7).cast("string"))
+            .alias("key"),
+            (F.col("id") * 2654435761 % 1_000_003).alias("score"),
+            F.col("id"),
+        )
+        .repartition(16)
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    plain = topk_per_group(df, ["key"], order, k=5)
+    salted = salted_topk_per_group(df, ["key"], order, k=5, salt=8)
+    a = sorted((r.key, r.rank, r.id) for r in plain.collect())
+    b = sorted((r.key, r.rank, r.id) for r in salted.collect())
+    assert a == b and len(a) > 0
