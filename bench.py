@@ -19,19 +19,25 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_order_distribution",
+    "q21_suppliers_who_shipped_last",
     "join_left_order_item_counts",
     "agg_rollup_region_nation",
+    "agg_pivot_status_by_priority",
     "window_running_order_total",
     "window_top3_orders_per_customer",
     "events_tumbling_hourly",
     "events_sessionize_30m",
     "glfilter_select_events",
     "classification_labels_flagship",
+    "segmentation_raster_class_areas",
     "dedup_exact_sha256",
     "dedup_minhash_lsh_pairs",
     "similarity_cosine_topk",
     "text_stats_per_doc",
+    "text_tfidf_top_terms",
 ]
 
 

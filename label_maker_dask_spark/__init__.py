@@ -25,8 +25,16 @@ reserved for genuinely imperative per-group work (rasterization, image decode).
 
 from label_maker_dask_spark.filters import compile_filter
 from label_maker_dask_spark.job import LabelMakerJob
+from label_maker_dask_spark.results import class_match, wrap_results
 from label_maker_dask_spark.tiles import tiles_df
 
 __version__ = "0.1.0"
 
-__all__ = ["compile_filter", "LabelMakerJob", "tiles_df", "__version__"]
+__all__ = [
+    "compile_filter",
+    "LabelMakerJob",
+    "tiles_df",
+    "class_match",
+    "wrap_results",
+    "__version__",
+]
