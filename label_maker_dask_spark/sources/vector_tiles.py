@@ -31,27 +31,19 @@ FEATURES_SCHEMA = (
 TileFetcher = Callable[[int, int, int], List[dict]]
 
 
-def http_tile_fetcher(label_source: str, layer: str = "osm") -> TileFetcher:
-    """Real fetcher: GET ``label_source.format(z=…, x=…, y=…)`` and decode the
-    Mapbox vector tile, keeping only ``layer`` (hardcoded "osm" in the
-    reference, label.py:111).  Any error -> empty feature list
-    (reference main.py:42-44 semantics)."""
-    try:
-        import mapbox_vector_tile  # type: ignore
-        import requests
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise ImportError(
-            "http_tile_fetcher requires requests + mapbox_vector_tile; "
-            "inject a custom tile_fetcher instead"
-        ) from exc
-
-    session = requests.Session()
+def decoding_tile_fetcher(
+    get_bytes: Callable[[int, int, int], bytes], layer: str = "osm"
+) -> TileFetcher:
+    """Wrap a raw-bytes getter with the MVT decode (pure-Python,
+    ``sources/mvt.py`` — no protobuf package needed), keeping only
+    ``layer`` (hardcoded "osm" in the reference, label.py:111).  Any
+    error — bad bytes, missing layer, failed fetch — yields an empty
+    feature list (reference main.py:42-44 semantics)."""
+    from label_maker_dask_spark.sources import mvt
 
     def fetch(z: int, x: int, y: int) -> List[dict]:
         try:
-            r = session.get(label_source.format(x=x, y=y, z=z), timeout=30)
-            r.raise_for_status()
-            decoded = mapbox_vector_tile.decode(r.content)
+            decoded = mvt.decode(get_bytes(z, x, y))
             feats = decoded[layer]["features"]
         except Exception:
             # "It is possible to get empty vector tile response" (main.py:43)
@@ -71,6 +63,28 @@ def http_tile_fetcher(label_source: str, layer: str = "osm") -> TileFetcher:
         return out
 
     return fetch
+
+
+def http_tile_fetcher(label_source: str, layer: str = "osm") -> TileFetcher:
+    """Real fetcher: GET ``label_source.format(z=…, x=…, y=…)`` per tile
+    with a per-partition session (the reference opens a fresh connection
+    per tile), decoded by :func:`decoding_tile_fetcher`."""
+    try:
+        import requests
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "http_tile_fetcher requires requests; inject a custom "
+            "tile_fetcher instead"
+        ) from exc
+
+    session = requests.Session()
+
+    def get_bytes(z: int, x: int, y: int) -> bytes:
+        r = session.get(label_source.format(x=x, y=y, z=z), timeout=30)
+        r.raise_for_status()
+        return r.content
+
+    return decoding_tile_fetcher(get_bytes, layer)
 
 
 def fetch_features(
