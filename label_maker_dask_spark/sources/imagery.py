@@ -123,14 +123,16 @@ def wms_image_fetcher(imagery: str) -> ImageFetcher:
 
 
 def cog_image_fetcher(imagery: str) -> ImageFetcher:
-    """COG windowed read via rio-tiler (reference utils.py:166-173);
-    optional dependency."""
+    """GeoTIFF/COG windowed read (reference utils.py:166-173): rio-tiler
+    when installed (any CRS, remote COGs); otherwise the dependency-free
+    baseline reader (sources/tiff.py — local files, EPSG:4326/3857,
+    deflate/predictor, striped or tiled)."""
     try:
         from rio_tiler.io import COGReader  # type: ignore
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise ImportError(
-            "COG reads require rio-tiler; inject an image_fetcher instead"
-        ) from exc
+    except ImportError:
+        from label_maker_dask_spark.sources.tiff import tif_image_fetcher
+
+        return tif_image_fetcher(imagery)
 
     def fetch(z: int, x: int, y: int) -> bytes:
         with COGReader(imagery) as image:

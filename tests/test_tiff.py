@@ -1,0 +1,198 @@
+"""GeoTIFF reader golden tests: files are written by an independent
+test-side TIFF writer (striped/tiled, uncompressed/deflate, predictor),
+then read back through sources/tiff.py's windowed tile reads."""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from label_maker_dask_spark.sources.tiff import (
+    TiffFile,
+    _tile_bounds_4326,
+    read_tile,
+    tif_image_fetcher,
+)
+
+TILE = (10, 512, 340)  # the slippy tile our test rasters cover exactly
+
+
+# --- minimal TIFF writer (test-side, independent of the reader) --------------
+
+
+def write_tiff(
+    arr: np.ndarray,
+    bounds,
+    compression: int = 1,
+    predictor: int = 1,
+    tiled: bool = False,
+    epsg: int = 4326,
+) -> bytes:
+    h, w, spp = arr.shape
+    west, south, east, north = bounds
+    sx = (east - west) / w
+    sy = (north - south) / h
+
+    def encode(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            b16 = block.astype(np.int16)
+            diff = np.concatenate(
+                [b16[:, :1, :], b16[:, 1:, :] - b16[:, :-1, :]], axis=1
+            ).astype(np.uint8)
+            raw = diff.tobytes()
+        else:
+            raw = block.tobytes()
+        return zlib.compress(raw) if compression in (8, 32946) else raw
+
+    chunks = []
+    if tiled:
+        tw = th = 32
+        for trow in range((h + th - 1) // th):
+            for tcol in range((w + tw - 1) // tw):
+                block = np.zeros((th, tw, spp), dtype=np.uint8)
+                ys = arr[trow * th:(trow + 1) * th, tcol * tw:(tcol + 1) * tw]
+                block[: ys.shape[0], : ys.shape[1]] = ys
+                chunks.append(encode(block))
+    else:
+        rps = 16
+        for s in range((h + rps - 1) // rps):
+            chunks.append(encode(arr[s * rps:(s + 1) * rps]))
+
+    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched later
+    data_start = 8
+    offsets, counts = [], []
+    pos = data_start
+    for c in chunks:
+        offsets.append(pos)
+        counts.append(len(c))
+        pos += len(c)
+    body = b"".join(chunks)
+
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [compression]))
+    entries.append((262, 3, 1, [2 if spp >= 3 else 1]))
+    if tiled:
+        entries.append((322, 3, 1, [32]))
+        entries.append((323, 3, 1, [32]))
+        entries.append((324, 4, len(offsets), offsets))
+        entries.append((325, 4, len(counts), counts))
+    else:
+        entries.append((273, 4, len(offsets), offsets))
+        entries.append((278, 3, 1, [16]))
+        entries.append((279, 4, len(counts), counts))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((284, 3, 1, [1]))
+    if predictor != 1:
+        entries.append((317, 3, 1, [predictor]))
+    entries.append((33550, 12, 3, [sx, sy, 0.0]))
+    entries.append((33922, 12, 6, [0.0, 0.0, 0.0, west, north, 0.0]))
+    key_id = 2048 if epsg == 4326 else 3072
+    entries.append((34735, 3, 8, [1, 1, 0, 1, key_id, 0, 1, epsg]))
+    entries.sort()
+
+    ifd_off = data_start + len(body)
+    n = len(entries)
+    ext_off = ifd_off + 2 + n * 12 + 4
+    ifd = struct.pack("<H", n)
+    ext = b""
+    type_fmt = {3: "H", 4: "I", 12: "d"}
+    type_size = {3: 2, 4: 4, 12: 8}
+    for tag, typ, count, values in entries:
+        payload = struct.pack("<" + type_fmt[typ] * count, *values)
+        if len(payload) <= 4:
+            ifd += struct.pack("<HHI", tag, typ, count) + payload.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack("<HHII", tag, typ, count, ext_off + len(ext))
+            ext += payload
+    ifd += struct.pack("<I", 0)  # no next IFD
+    out = bytearray(header + body + ifd + ext)
+    struct.pack_into("<I", out, 4, ifd_off)
+    return bytes(out)
+
+
+@pytest.fixture(scope="module")
+def source_array():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+
+
+def _expected_resample(arr, bounds, z, x, y):
+    """Reference nearest-neighbor mapping computed straight from the
+    geo math (independent of the reader's internals)."""
+    west, south, east, north = bounds
+    tw, tsouth, teast, tnorth = _tile_bounds_4326(z, x, y)
+    h, w = arr.shape[:2]
+    out = np.zeros((256, 256, arr.shape[2]), dtype=np.uint8)
+    for i in range(256):
+        lat = tnorth - (i + 0.5) * (tnorth - tsouth) / 256
+        row = math.floor((north - lat) / ((north - south) / h))
+        if not 0 <= row < h:
+            continue
+        for j in range(256):
+            lng = tw + (j + 0.5) * (teast - tw) / 256
+            col = math.floor((lng - west) / ((east - west) / w))
+            if 0 <= col < w:
+                out[i, j] = arr[row, col]
+    return out
+
+
+def test_uncompressed_striped_round_trip(source_array):
+    z, x, y = TILE
+    bounds = _tile_bounds_4326(z, x, y)
+    tif = TiffFile(write_tiff(source_array, bounds))
+    assert (tif.width, tif.height, tif.spp) == (64, 64, 3)
+    assert tif.epsg == 4326
+    got = read_tile(tif, z, x, y)
+    np.testing.assert_array_equal(
+        got, _expected_resample(source_array, bounds, z, x, y)
+    )
+
+
+def test_compression_variants_decode_identically(source_array):
+    z, x, y = TILE
+    bounds = _tile_bounds_4326(z, x, y)
+    plain = read_tile(TiffFile(write_tiff(source_array, bounds)), z, x, y)
+    for kwargs in (
+        dict(compression=8),
+        dict(compression=8, predictor=2),
+        dict(compression=32946, tiled=True),
+        dict(tiled=True),
+    ):
+        got = read_tile(
+            TiffFile(write_tiff(source_array, bounds, **kwargs)), z, x, y
+        )
+        np.testing.assert_array_equal(got, plain)
+
+
+def test_subtile_window_and_outside_zerofill(source_array):
+    z, x, y = TILE
+    bounds = _tile_bounds_4326(z, x, y)
+    tif = TiffFile(write_tiff(source_array, bounds))
+    # one zoom deeper: the NW child covers the raster's top-left quadrant
+    child = read_tile(tif, z + 1, 2 * x, 2 * y)
+    np.testing.assert_array_equal(
+        child, _expected_resample(source_array, bounds, z + 1, 2 * x, 2 * y)
+    )
+    # a neighboring tile entirely outside the raster is all zeros
+    outside = read_tile(tif, z, x + 5, y)
+    assert outside.sum() == 0
+
+
+def test_fetcher_end_to_end(tmp_path, source_array):
+    z, x, y = TILE
+    bounds = _tile_bounds_4326(z, x, y)
+    path = tmp_path / "basemap.tif"
+    path.write_bytes(write_tiff(source_array, bounds, compression=8))
+    fetch = tif_image_fetcher(str(path))
+    raw = fetch(z, x, y)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(256, 256, 3)
+    np.testing.assert_array_equal(
+        arr, _expected_resample(source_array, bounds, z, x, y)
+    )
