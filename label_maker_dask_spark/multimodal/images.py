@@ -48,15 +48,22 @@ def attach_image_meta(
 
 
 def decode_compressed(fmt: str = "jpeg"):
-    """Decoder for compressed image bytes -> raw buffer.  Needs PIL, which
-    is not installed in this environment — the plumbing stays real, the
-    codec is the stub (clearly marked, import-gated)."""
+    """Decoder for compressed image bytes -> raw array.
+
+    PNG decodes natively (``multimodal/png.py``, stdlib zlib — no imaging
+    library).  JPEG and other DCT codecs need PIL: the stage raises with
+    the dependency named unless it is importable; the Spark-side plumbing
+    is identical either way."""
+    if fmt.lower() == "png":
+        from label_maker_dask_spark.multimodal.png import decode_png
+
+        return decode_png
     try:
         from PIL import Image  # type: ignore  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             f"{fmt} decode requires Pillow, which is not installed; "
-            "raw_u8 buffers are fully supported without it"
+            "png and raw_u8 buffers are fully supported without it"
         ) from exc
 
     def decode(blob: bytes) -> np.ndarray:  # pragma: no cover - env-dependent
