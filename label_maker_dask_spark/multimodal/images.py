@@ -11,8 +11,10 @@ What is real here vs stubbed (environment has numpy but no PIL/OpenCV):
 
 - RAW uint8 HxWxC buffers: resize (nearest-neighbor), per-channel stats,
   frame sampling — fully implemented in numpy, deterministic, tested.
-- Compressed formats (JPEG/PNG decode): require PIL — the decode stage
-  raises ``NotImplementedError`` with the dependency named unless PIL is
+- PNG decode: native (``multimodal/png.py``, stdlib zlib — no imaging
+  library).
+- DCT codecs (JPEG etc.): require PIL — the decode stage raises
+  ``NotImplementedError`` with the dependency named unless PIL is
   importable.  The Spark-side plumbing (schema, batching, UDF signature)
   is identical either way, which is the part that matters at scale.
 """
