@@ -576,7 +576,7 @@ def events_sliding(spark, sf_dir):
     "events_sessionize_30m",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -584,14 +584,15 @@ def events_sliding(spark, sf_dir):
     ), sessions AS (
       SELECT user_id, ts, value,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            count(*) AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end,
-           round(sum(value), 2) AS session_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS session_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -612,7 +613,7 @@ def events_sessionize(spark, sf_dir):
         "session_id",
         F.sum("new_session").over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
@@ -620,7 +621,9 @@ def events_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("session_value"),
     )
 
 
@@ -681,7 +684,7 @@ def _flagship_oracle() -> str:
         f"max(CASE WHEN {p} THEN 1 ELSE 0 END) AS c{i}" for i, p in enumerate(preds)
     )
     n = len(preds)
-    arr = ", ".join(f"c{i}" for i in range(n))
+    arr = ", ".join(f"c{i} AS label_{i + 1}" for i in range(n))
     total = " + ".join(f"c{i}" for i in range(n))
     return f"""
     WITH f AS (
@@ -690,7 +693,7 @@ def _flagship_oracle() -> str:
       FROM events),
     agg AS (SELECT tile_id, {flags} FROM f GROUP BY tile_id)
     SELECT tile_id,
-           [CASE WHEN {total} = 0 THEN 1 ELSE 0 END, {arr}] AS label
+           CASE WHEN {total} = 0 THEN 1 ELSE 0 END AS label_0, {arr}
     FROM agg
     """
 
@@ -701,8 +704,15 @@ def classification_flagship(spark, sf_dir):
     label.py:15-23) over the events table: events act as vector-tile
     features, user_id%100 as the tile key, three GL-filter classes."""
     feats = _events_as_features(spark, sf_dir)
-    return classification_labels(
-        feats, _FLAGSHIP_CLASSES, tile_cols=("tile_id",)
+    out = classification_labels(feats, _FLAGSHIP_CLASSES, tile_cols=("tile_id",))
+    # driver's oracle compare canonicalizes via pandas sort, which cannot
+    # order array cells — expose the label vector as scalar columns
+    return out.select(
+        "tile_id",
+        *[
+            F.col("label").getItem(i).alias(f"label_{i}")
+            for i in range(len(_FLAGSHIP_CLASSES) + 1)
+        ],
     )
 
 

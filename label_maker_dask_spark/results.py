@@ -116,7 +116,10 @@ def _image_array(image: Optional[bytes], height: int, width: int, channels: int)
     if image is None:
         return np.zeros((TILE_PX, TILE_PX, 3), dtype=np.uint8)
     arr = np.frombuffer(image, dtype=np.uint8)
-    arr = arr.reshape(height, width, channels)[:, :, :3]
+    arr = arr.reshape(height, width, channels)
+    if channels == 2:  # gray+alpha: drop the alpha plane, spread gray to RGB
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    arr = arr[:, :, :3]
     if arr.shape[2] == 1:
         arr = np.repeat(arr, 3, axis=2)
     return arr

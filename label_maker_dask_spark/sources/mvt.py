@@ -129,13 +129,23 @@ def _decode_geometry(gtype: int, commands: list[int], extent: int, flip_y: bool)
     x = y = 0
     i = 0
     n = len(commands)
+
+    def _flush_open(ring: list[list[int]]) -> None:
+        # a ring flushed without ClosePath is malformed per the MVT spec;
+        # still record its sign so parts and ring_signs stay aligned for
+        # any rings that follow
+        if gtype == 3:
+            raw = [[px, extent - py] for px, py in ring] if flip_y else ring
+            ring_signs.append(1 if _ring_area2(raw) > 0 else -1)
+        parts.append(ring)
+
     while i < n:
         cmd = commands[i]
         i += 1
         cid, count = cmd & 0x7, cmd >> 3
         if cid in (1, 2):  # MoveTo / LineTo
             if cid == 1 and cur:
-                parts.append(cur)
+                _flush_open(cur)
                 cur = []
             for _ in range(count):
                 x += _zigzag(commands[i])
@@ -154,7 +164,7 @@ def _decode_geometry(gtype: int, commands: list[int], extent: int, flip_y: bool)
         else:
             raise ValueError(f"unknown geometry command {cid}")
     if cur:
-        parts.append(cur)
+        _flush_open(cur)
 
     if gtype == 1:  # Point / MultiPoint
         pts = [p for part in parts for p in part]

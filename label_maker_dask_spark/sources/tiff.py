@@ -220,6 +220,12 @@ def read_tile(tif: TiffFile, z: int, x: int, y: int, tile_px: int = TILE_PX) -> 
     strips/tiles; out-of-raster pixels are 0."""
     if tif.sx is None:
         raise ValueError("TIFF is not georeferenced")
+    if tif.epsg not in (4326, 3857):
+        # fail loudly: treating e.g. a UTM raster's bounds as degrees would
+        # silently produce wrong/zero pixels
+        raise ValueError(
+            f"unsupported CRS EPSG:{tif.epsg} (only EPSG:4326 and EPSG:3857)"
+        )
     west, south, east, north = _tile_bounds_4326(z, x, y)
     if tif.epsg == 3857:
         (west, north) = _to_3857(west, north)

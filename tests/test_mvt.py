@@ -164,3 +164,23 @@ def test_decoding_tile_fetcher_feature_rows_and_error_tolerance():
     # bad bytes and missing tiles both yield the empty feature set
     assert fetch(15, 3, 3) == []
     assert fetch(15, 9, 9) == []
+
+
+def test_unclosed_ring_keeps_sign_alignment():
+    # shell1 is malformed (no ClosePath) and gets flushed by the next
+    # MoveTo; its sign must still be recorded so shell2 keeps its hole
+    shell1 = [cmd(1, 1), zz(0), zz(0),
+              cmd(2, 3), zz(20), zz(0), zz(0), zz(20), zz(-20), zz(0)]
+    shell2 = [cmd(1, 1), zz(100), zz(80),
+              cmd(2, 3), zz(20), zz(0), zz(0), zz(20), zz(-20), zz(0),
+              cmd(7, 0)]
+    hole2 = [cmd(1, 1), zz(5), zz(-15),
+             cmd(2, 3), zz(0), zz(5), zz(5), zz(0), zz(0), zz(-5),
+             cmd(7, 0)]
+    feat = ld(2, vf(3, 3) + packed(4, shell1 + shell2 + hole2))
+    layer = vf(15, 2) + ld(1, b"osm") + feat + vf(5, 4096)
+    g = mvt.decode(ld(3, layer))["osm"]["features"][0]["geometry"]
+    assert g["type"] == "MultiPolygon"
+    assert len(g["coordinates"]) == 2
+    assert len(g["coordinates"][0]) == 1  # open shell stands alone
+    assert len(g["coordinates"][1]) == 2  # shell2 keeps its hole

@@ -112,3 +112,17 @@ def test_wrap_results_dispatch(spark):
     assert results[0].tile == (15, 3, 7)
     with pytest.raises(KeyError):
         wrap_results([], "no-such-type", CLASSES)
+
+
+def test_image_array_gray_alpha_drops_alpha_and_encodes():
+    from label_maker_dask_spark.multimodal.png import decode_png
+    from label_maker_dask_spark.results import _image_array
+
+    img = np.zeros((4, 4, 2), dtype=np.uint8)
+    img[:, :, 0] = 7    # gray plane
+    img[:, :, 1] = 255  # alpha plane must NOT leak into RGB
+    arr = _image_array(img.tobytes(), 4, 4, 2)
+    assert arr.shape == (4, 4, 3)
+    assert (arr == 7).all()
+    rt = decode_png(_png_bytes(arr))  # encoder accepts the spread array
+    assert (rt[:, :, :3] == 7).all()

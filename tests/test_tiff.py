@@ -196,3 +196,11 @@ def test_fetcher_end_to_end(tmp_path, source_array):
     np.testing.assert_array_equal(
         arr, _expected_resample(source_array, bounds, z, x, y)
     )
+
+
+def test_unsupported_crs_raises(source_array):
+    z, x, y = TILE
+    bounds = _tile_bounds_4326(z, x, y)
+    tif = TiffFile(write_tiff(source_array, bounds, epsg=32633))  # UTM 33N
+    with pytest.raises(ValueError, match="EPSG:32633"):
+        read_tile(tif, z, x, y)
