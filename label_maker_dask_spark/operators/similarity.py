@@ -126,6 +126,26 @@ def projection_coeff(j: int, d: int) -> float:
     return ((j * 2654435761 + d * 40503) % 1024) / 1024.0 - 0.5
 
 
+def srp_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`srp_bucket`: the same left-fold dot products
+    against the same inlined coefficient literals (each coefficient is a
+    multiple of 1/1024, so the decimal literal is an exact float64 and both
+    engines evaluate identical arithmetic), making SRP-bucketed ANN results
+    replayable — and therefore oracle-checkable — despite being
+    'approximate' relative to brute force."""
+    terms = []
+    for j in range(n_planes):
+        coeffs = ", ".join(repr(projection_coeff(j, d)) for d in range(dim))
+        dot_j = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i]::DOUBLE * ([{coeffs}]::DOUBLE[])[i])), "
+            f"(x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot_j} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::INT"
+
+
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Signed-random-projection bucket id: bit j = sign of <vec, r_j>."""
     bits = []

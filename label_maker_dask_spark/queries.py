@@ -1101,10 +1101,36 @@ def text_token_stats(spark, sf_dir):
 
 # --- rows-only (non-SQL-expressible or ANN-recall) entries -------------------
 
-@register("similarity_lsh_topk_ann")  # no oracle: ANN recall < 1 by contract
+def _lsh_topk_oracle(filter_pred: str, k: int = 5) -> str:
+    from label_maker_dask_spark.functions.vectors import (
+        normalized_sql,
+        unit_dot_rounded_sql,
+    )
+    from label_maker_dask_spark.operators.similarity import srp_bucket_sql
+
+    nv = normalized_sql("embedding")
+    bucket = srp_bucket_sql("embedding")
+    cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    return f"""
+    WITH bs AS (SELECT vec_id, {nv} AS nv, {bucket} AS bucket FROM embeddings),
+    qs AS (SELECT * FROM bs WHERE {filter_pred})
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+      FROM qs q JOIN bs c ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_lsh_topk_ann", _lsh_topk_oracle("vec_id % 25 = 0"))
 def similarity_lsh(spark, sf_dir):
-    """SRP-bucketed ANN top-k — the scale path; rows-only check since ANN
-    recall is probabilistic (exactness is similarity_cosine_topk's job)."""
+    """SRP-bucketed ANN top-k — the scale path.  Recall < 1 vs brute force
+    by the ANN contract, but the bucketing itself is deterministic integer
+    arithmetic (operators/similarity.projection_coeff), so the oracle
+    replays the exact same bucket join and the result hash-matches."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return lsh_topk(emb, queries, k=5)

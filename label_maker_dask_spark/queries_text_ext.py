@@ -121,14 +121,33 @@ def udf_scalar_sigmoid_score(spark, sf_dir):
     return ev.select("event_id", sigmoid_udf("value").alias("sigmoid_score"))
 
 
-@register("similarity_neardup_srp_ann")  # rows-only: ANN recall < 1 by contract
+def _neardup_srp_oracle(threshold: float = 0.35) -> str:
+    from label_maker_dask_spark.functions.vectors import (
+        normalized_sql,
+        unit_dot_rounded_sql,
+    )
+    from label_maker_dask_spark.operators.similarity import srp_bucket_sql
+
+    nv = normalized_sql("embedding")
+    bucket = srp_bucket_sql("embedding")
+    cos = unit_dot_rounded_sql("a.nv", "b.nv")
+    return f"""
+    WITH bs AS (SELECT vec_id, {nv} AS nv, {bucket} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+    FROM bs a JOIN bs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register("similarity_neardup_srp_ann", _neardup_srp_oracle())
 def similarity_neardup_srp_ann(spark, sf_dir):
     """SRP-bucketed embedding near-dup (the 100 TB path for
     similarity_neardup_cosine, its exact brute-force twin): only pairs
     sharing a signed-random-projection bucket are scored, so pair cost
-    follows bucket occupancy instead of corpus².  High-cosine pairs share
-    buckets with high probability; recall < 1 is the ANN contract
-    (bounded against the exact twin in tests/test_similarity.py)."""
+    follows bucket occupancy instead of corpus².  Recall < 1 vs brute
+    force is the ANN contract (bounded in tests/test_similarity.py), but
+    the bucketing is deterministic, so the oracle replays the same bucket
+    join and the result hash-matches."""
     from label_maker_dask_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
