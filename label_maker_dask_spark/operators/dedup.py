@@ -429,3 +429,64 @@ def char_poly_hash_col(s: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_P,
     )
+
+
+def duplicate_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph:
+    ``(doc_id, component)`` where component = the minimum doc id reachable
+    through the pairs.  This resolves pairwise near-dup hits into dedup
+    *groups* (keep one canonical doc per component) — the step after
+    MinHash/SimHash pair generation in a training-data pipeline.
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    CC shape, same as GraphX/GraphFrames): each round every node adopts
+    ``min(own label, neighbors' labels)``; converges in O(component
+    diameter) rounds.  Each round is one shuffle on the node id; dedup
+    graphs are overwhelmingly tiny stars/cliques, so 3-4 rounds typically
+    suffice.  ``localCheckpoint`` truncates the lineage each round so the
+    plan doesn't grow with iterations (at 100 TB, a persistent checkpoint
+    dir does the same durably).  The driver-side loop only ever collects
+    one scalar (the per-round change count) — never data."""
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["d"] == labels["id"])
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("n_comp") < F.col("comp")).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.select("id", "comp")
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component"),
+            "component_size",
+        )
+    )

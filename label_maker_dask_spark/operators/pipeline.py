@@ -1,0 +1,163 @@
+"""Training-data pipeline operators beyond the reference surface
+(SURVEY.md Part B): deterministic dataset splits, stratified sampling,
+PII scanning, benchmark-contamination checks, and repetition scoring.
+
+Everything here is pure Catalyst column algebra — no Python in the row
+path — and every operator has a DuckDB SQL twin built from the same
+cross-engine polynomial hash (functions/text.char_poly_hash), so results
+hash-match the oracle bit-for-bit.
+
+Scale posture: splits/sampling/PII/repetition are narrow per-row maps
+(no shuffle at all); contamination is a broadcast-able semi-join on
+shingle hashes (the benchmark side is small by definition).  All of it
+survives a 1000-executor scale-up unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.functions.text import (
+    char_poly_hash,
+    char_poly_hash_sql,
+    tokens,
+    word_shingles,
+)
+
+# regexes valid in BOTH Java (Spark) and RE2 (DuckDB) dialects — keep them
+# free of backreferences and lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 \-]{7,}[0-9]"
+URL_RE = r"https?://[^ ]+"
+
+
+def split_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Deterministic [0, 100) bucket from the row id — the split
+    assignment is a pure function of (salt, id), so it is stable across
+    runs, engines, and repartitioning (never ``rand()``, which breaks
+    reproducibility and retry semantics)."""
+    return char_poly_hash(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % 100
+
+
+def split_bucket_sql(id_expr: str, salt: str = "split") -> str:
+    return f"{char_poly_hash_sql(f'''('{salt}:' || {id_expr}::VARCHAR)''')} % 100"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign train/val/test deterministically by hash bucket."""
+    b = split_bucket(F.col(id_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    pct: int = 20,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~pct% sample within each stratum: the hash is salted
+    with the stratum value so per-stratum selections are independent.
+    Unlike ``df.sampleBy``, re-running (or re-trying a task) yields the
+    identical sample."""
+    b = split_bucket(
+        F.concat(F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")),
+        salt,
+    )
+    return df.where(b < pct)
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row counts of email / phone / URL matches plus a combined flag —
+    the triage pass before redaction.  Pure regexp_extract_all column
+    algebra (JVM-side, no UDF)."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    n_url = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
+    return df.withColumns(
+        {
+            "n_emails": n_email,
+            "n_phones": n_phone,
+            "n_urls": n_url,
+            "has_pii": (n_email + n_phone + n_url) > 0,
+        }
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII matches with typed placeholder tokens."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, URL_RE, "<URL>")
+
+
+def contamination_overlap(
+    shingled_corpus: DataFrame, shingled_bench: DataFrame
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus doc, how many
+    benchmark docs share at least one word n-gram with it, and how many
+    distinct shingles are shared.  Input frames are ``(doc_id, sh)``
+    distinct pairs from :func:`operators.dedup.doc_shingles`.
+
+    Scale shape: the benchmark side is small by definition (eval sets are
+    thousands of docs), so Spark broadcasts it and the corpus streams —
+    no corpus-sized shuffle."""
+    bench = shingled_bench.select(
+        F.col("doc_id").alias("bench_id"), F.col("sh").alias("bsh")
+    )
+    return (
+        shingled_corpus.join(
+            F.broadcast(bench), F.col("sh") == F.col("bsh")
+        )
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_matched"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+    )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition metrics over word bigrams: distinct/total ratio
+    (low = repetitive boilerplate) and the count of the most frequent
+    bigram.  Docs with fewer than two tokens are excluded (no bigrams).
+
+    The ratio comes from array ops (``array_distinct``/``size``) and the
+    max-count from one explode + two-level agg — the explode stays within
+    a map-side partial aggregation, so the shuffle carries one row per
+    (doc, distinct bigram), not per occurrence."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(toks, 2).alias("bigrams"),
+    ).where(F.size("bigrams") > 0)
+    ratio = base.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("bigrams")) / F.size("bigrams"), 6
+        ).alias("distinct_bigram_ratio"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram_count"))
+    )
+    return ratio.join(top, "doc_id")

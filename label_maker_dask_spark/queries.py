@@ -2099,3 +2099,4 @@ def similarity_ivf_topk(spark, sf_dir):
 from label_maker_dask_spark import queries_tpch_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_text_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_raster_ext  # noqa: E402,F401
+from label_maker_dask_spark import queries_pipeline_ext  # noqa: E402,F401

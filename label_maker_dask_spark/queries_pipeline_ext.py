@@ -1,0 +1,230 @@
+"""Training-data pipeline extension queries (SURVEY.md §2.B): deterministic
+dataset splits, stratified sampling, PII scanning/redaction, benchmark
+contamination, repetition scoring, and dedup-group resolution (connected
+components).
+
+Registered into the shared QUERIES/ORACLES catalog like the other
+``queries_*_ext`` modules (imported from the end of ``queries``).
+
+The synthetic corpus contains no real PII, so the PII entry synthesizes
+deterministic PII-bearing suffixes (keyed on doc_id) identically in both
+engines before scanning — the regex/redaction plumbing is what's under
+test, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.functions.text import (
+    char_poly_hash_sql,
+    word_shingles_sql,
+)
+from label_maker_dask_spark.operators.dedup import (
+    doc_shingles,
+    duplicate_components,
+    jaccard_pairs,
+)
+from label_maker_dask_spark.operators.pipeline import (
+    EMAIL_RE,
+    PHONE_RE,
+    URL_RE,
+    contamination_overlap,
+    hash_split,
+    pii_scan,
+    redact_pii,
+    repetition_scores,
+    split_bucket_sql,
+    stratified_sample_hash,
+)
+from label_maker_dask_spark.queries import _TOKS_SQL, _shingle_cte, _t, register
+
+
+@register(
+    "split_hash_train_val_test",
+    f"""
+    WITH b AS (SELECT source, {split_bucket_sql('doc_id')} AS bucket
+               FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def split_hash_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by salted hash of the
+    doc id (never rand(): stable across runs, engines, retries, and
+    repartitioning), counted per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {char_poly_hash_sql("('sample:' || lang || '|' || doc_id::VARCHAR)")}
+          % 100 < 20
+    """,
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    """Deterministic ~20% sample within each language stratum — the salted
+    hash makes per-stratum selections independent and reproducible (unlike
+    sampleBy, a retry or rerun yields the identical sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_hash(docs, "lang", pct=20).select("doc_id", "lang")
+
+
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 0199 now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' see https://example.com/d/' || doc_id::VARCHAR
+            ELSE '' END
+"""
+
+
+@register(
+    "pii_regex_scan",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+           (len(regexp_extract_all(text, '{EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{PHONE_RE}'))
+            + len(regexp_extract_all(text, '{URL_RE}'))) > 0 AS has_pii,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+                  '{EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{PHONE_RE}', '<PHONE>', 'g'),
+                  '{URL_RE}', '<URL>', 'g')) AS redacted_len
+    FROM aug
+    """,
+)
+def pii_regex_scan(spark, sf_dir):
+    """PII triage + redaction over a deterministically PII-augmented copy
+    of the corpus: per-doc email/phone/URL match counts, a combined flag,
+    and the redacted text length.  Pure regexp column algebra — the
+    patterns are written to parse identically under Java and RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 555 0199 now"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" see https://example.com/d/"), did),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(aug).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_urls",
+        "has_pii",
+        F.length(redact_pii(F.col("text"))).alias("redacted_len"),
+    )
+
+
+@register(
+    "contamination_3gram_overlap",
+    f"""
+    WITH {_shingle_cte()},
+    bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 != 0)
+    SELECT c.doc_id,
+           count(DISTINCT b.bench_id) AS n_bench_matched,
+           count(DISTINCT c.sh) AS n_shared_shingles
+    FROM corp c JOIN bench b ON c.sh = b.sh
+    GROUP BY 1
+    """,
+)
+def contamination_3gram_overlap(spark, sf_dir):
+    """Benchmark-contamination check: corpus docs sharing word 3-grams with
+    the held-out benchmark slice (doc_id % 97 = 0 stands in for an eval
+    set).  The benchmark shingle set is broadcast — the corpus never
+    shuffles.  (Production uses 8-13-grams; the synthetic corpus is short
+    word-soup, so 3-grams keep the check non-degenerate.)"""
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    bench = sh.where(F.col("doc_id") % 97 == 0)
+    corpus = sh.where(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(corpus, bench)
+
+
+@register(
+    "text_repetition_bigrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (SELECT doc_id, {word_shingles_sql('toks', 2)} AS bigrams FROM t),
+    nz AS (SELECT * FROM bg WHERE len(bigrams) > 0),
+    ex AS (SELECT doc_id, unnest(bigrams) AS b FROM nz),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS max_bigram_count FROM cnt GROUP BY 1)
+    SELECT nz.doc_id,
+           round(len(list_distinct(bigrams))::DOUBLE / len(bigrams), 6)
+             AS distinct_bigram_ratio,
+           top.max_bigram_count
+    FROM nz JOIN top ON nz.doc_id = top.doc_id
+    """,
+)
+def text_repetition_bigrams(spark, sf_dir):
+    """Per-doc repetition metrics over word bigrams (low distinct ratio =
+    repetitive boilerplate, the classic pre-training quality filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_scores(docs)
+
+
+@register(
+    "dedup_components_jaccard",
+    f"""
+    WITH RECURSIVE {_shingle_cte()},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+    comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    sizes2 AS (SELECT component, count(*) AS component_size
+               FROM comps GROUP BY 1)
+    SELECT c.id AS doc_id, c.component, s.component_size
+    FROM comps c JOIN sizes2 s USING (component)
+    """,
+)
+def dedup_components_jaccard(spark, sf_dir):
+    """Resolve pairwise near-dup hits (exact 3-gram Jaccard >= 0.12) into
+    dedup groups via connected components (iterative min-label
+    propagation; the oracle replays it with a recursive CTE).  Component =
+    min reachable doc id = the canonical doc to keep."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs), 0.12)
+    return duplicate_components(pairs)

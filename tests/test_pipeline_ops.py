@@ -1,0 +1,136 @@
+"""Training-data pipeline operators (SURVEY §2.B extensions): hash splits,
+stratified sampling, PII scan/redaction, contamination, repetition, and
+duplicate-component resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.operators.dedup import (
+    doc_shingles,
+    duplicate_components,
+)
+from label_maker_dask_spark.operators.pipeline import (
+    contamination_overlap,
+    hash_split,
+    pii_scan,
+    redact_pii,
+    repetition_scores,
+    stratified_sample_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc {i} body word{i % 7} word{i % 3}", "en" if i % 2 else "de")
+            for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hash_split_deterministic_and_partitioned(docs):
+    a = hash_split(docs).select("doc_id", "split").collect()
+    b = hash_split(docs).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["n"] for r in
+              hash_split(docs).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 200
+    # roughly 80/10/10 — generous bounds for a 200-row sample
+    assert counts["train"] > 120
+
+
+def test_stratified_sample_deterministic_per_stratum(docs):
+    s1 = {r["doc_id"] for r in stratified_sample_hash(docs, "lang", pct=30).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample_hash(docs, "lang", pct=30).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < 200
+    # widening pct only adds rows (hash thresholding is monotone)
+    s3 = {r["doc_id"] for r in stratified_sample_hash(docs, "lang", pct=60).collect()}
+    assert s1 <= s3
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or x@y.io thanks"),
+            (2, "call +1 555 0100 999 today"),
+            (3, "see https://example.com/p?q=1 and http://a.b/c"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (got[1]["n_emails"], got[1]["has_pii"]) == (2, True)
+    assert (got[2]["n_phones"], got[2]["has_pii"]) == (1, True)
+    assert (got[3]["n_urls"], got[3]["has_pii"]) == (2, True)
+    assert (got[4]["has_pii"], got[4]["n_emails"]) == (False, 0)
+    red = df.select("doc_id", redact_pii(F.col("text")).alias("t")).collect()
+    red = {r["doc_id"]: r["t"] for r in red}
+    assert red[1] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert red[2] == "call <PHONE> today"
+    assert red[3].count("<URL>") == 2
+    assert red[4] == "clean text with no pii at all"
+
+
+def test_contamination_overlap_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # shares 'alpha beta gamma' w/ bench
+            (2, "one two three four five"),      # no overlap
+            (3, "alpha beta gamma epsilon"),     # shares with bench too
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "zzz alpha beta gamma yyy xxx www")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bench_matched"], r["n_shared_shingles"])
+        for r in contamination_overlap(
+            doc_shingles(corpus), doc_shingles(bench)
+        ).collect()
+    }
+    assert got == {1: (1, 1), 3: (1, 1)}  # doc 2 absent: no shared 3-gram
+
+
+def test_repetition_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),  # highly repetitive
+            (2, "all words here are fully distinct tokens"),
+            (3, "single"),                                # <2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert set(got) == {1, 2}
+    # doc1 bigrams: 7 total, 2 distinct ('spam ham' x4, 'ham spam' x3)
+    assert got[1]["max_bigram_count"] == 4
+    assert got[1]["distinct_bigram_ratio"] == pytest.approx(2 / 7, abs=1e-6)
+    assert got[2]["distinct_bigram_ratio"] == 1.0
+    assert got[2]["max_bigram_count"] == 1
+
+
+def test_duplicate_components_resolves_groups(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: (r["component"], r["component_size"])
+           for r in duplicate_components(pairs).collect()}
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 3), 21: (20, 3), 22: (20, 3),
+    }
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    # a 12-node path graph needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = duplicate_components(pairs).collect()
+    assert all(r["component"] == 0 and r["component_size"] == 13 for r in got)
+    assert len(got) == 13
