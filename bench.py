@@ -38,6 +38,13 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_stats_per_doc",
     "text_tfidf_top_terms",
+    # round-2 additions (dataset-curation surface) — the pre-round-2
+    # BASELINE.md floor has no entries for these five
+    "similarity_lsh_topk_ann",
+    "pii_regex_scan",
+    "contamination_3gram_overlap",
+    "text_repetition_bigrams",
+    "dedup_components_minhash",
 ]
 
 

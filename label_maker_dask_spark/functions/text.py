@@ -53,14 +53,28 @@ def char_poly_hash_sql(expr: str) -> str:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings; fewer than n tokens ->
-    empty array (guarding Spark's descending ``sequence``)."""
-    def shingle_at(i: Column) -> Column:
-        return F.concat_ws(" ", F.slice(toks, i, n))
+    empty array.
 
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), shingle_at),
-    ).otherwise(F.array().cast("array<string>"))
+    Built as ``n-1`` ``zip_with`` merges of shifted whole-array slices
+    rather than a per-index ``slice`` inside ``transform`` — higher-order
+    functions are interpreted, and the per-index form re-slices the array
+    for every position (O(len·n) allocations per row, ~10x slower at the
+    bench scale)."""
+    m = F.size(toks) - (n - 1)
+
+    def build() -> Column:
+        acc = F.slice(toks, 1, m)
+        for off in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(toks, 1 + off, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return acc
+
+    return F.when(F.size(toks) >= n, build()).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:

@@ -138,26 +138,26 @@ def repetition_scores(
     (low = repetitive boilerplate) and the count of the most frequent
     bigram.  Docs with fewer than two tokens are excluded (no bigrams).
 
-    The ratio comes from array ops (``array_distinct``/``size``) and the
-    max-count from one explode + two-level agg — the explode stays within
-    a map-side partial aggregation, so the shuffle carries one row per
-    (doc, distinct bigram), not per occurrence."""
+    One pass: explode bigrams once, count per (doc, bigram), then derive
+    BOTH metrics from the counts in a second agg on the same key —
+    distinct = count of groups, total = sum of counts, max = max count.
+    The explode stays within a map-side partial aggregation, so the
+    shuffle carries one row per (doc, distinct bigram), not per
+    occurrence, and the document text is scanned exactly once."""
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(toks, 2).alias("bigrams"),
     ).where(F.size("bigrams") > 0)
-    ratio = base.select(
-        "doc_id",
-        F.round(
-            F.size(F.array_distinct("bigrams")) / F.size("bigrams"), 6
-        ).alias("distinct_bigram_ratio"),
-    )
-    top = (
+    return (
         base.select("doc_id", F.explode("bigrams").alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("max_bigram_count"))
+        .agg(
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias(
+                "distinct_bigram_ratio"
+            ),
+            F.max("c").alias("max_bigram_count"),
+        )
     )
-    return ratio.join(top, "doc_id")

@@ -160,6 +160,63 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return sum(bits, F.lit(0)).cast("int")
 
 
+def srp_units(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of ``srp_bucket`` + ``normalized``: one
+    ``mapInPandas`` pass emitting ``(id, unit vector, bucket)``.
+
+    Bit-exactness contract: every fold is evaluated left-to-right per
+    element — a Python loop over the (fixed, small) dim axis with numpy
+    vectorization across rows — never ``np.sum``/``np.dot`` pairwise
+    summation, so norms, projections, and therefore bucket SIGNS are
+    identical to the interpreted expression form and the SQL oracle.
+    The expression path pays ~n_planes*dim interpreted lambda calls per
+    row; this pays ~n_planes*dim numpy ops per BATCH."""
+    import numpy as np
+    import pandas as pd
+
+    coeffs = np.array(
+        [[projection_coeff(j, d) for d in range(dim)] for j in range(n_planes)]
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(mat)
+            acc = np.zeros(n)
+            for d in range(mat.shape[1]):
+                acc = acc + mat[:, d] * mat[:, d]
+            unit = mat / np.sqrt(acc)[:, None]
+            bucket = np.zeros(n, dtype=np.int64)
+            for j in range(n_planes):
+                dp = np.zeros(n)
+                for d in range(dim):
+                    dp = dp + mat[:, d] * coeffs[j, d]
+                bucket |= (dp > 0).astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    id_alias: ids,
+                    vec_alias: list(unit),
+                    "bucket": bucket.astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_alias} {id_type}, {vec_alias} array<double>, bucket int"
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -172,26 +229,8 @@ def lsh_topk(
     """ANN top-k: compare only pairs sharing an SRP bucket.  Recall < 1 by
     construction (ANN contract); bucket join shuffles on the small int
     bucket id.  Increase recall with multi-probe (flip one bit) if needed."""
-    def unit_with_bucket(df, id_alias, vec_alias):
-        # materialize the norm before the per-element divide (see normalized)
-        return (
-            df.select(
-                F.col(id_col).alias(id_alias),
-                F.col(vec_col).alias("_v"),
-                srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-            )
-            .withColumn("_n", norm(F.col("_v")))
-            .select(
-                id_alias,
-                F.transform(
-                    F.col("_v"), lambda x: x.cast("double") / F.col("_n")
-                ).alias(vec_alias),
-                "bucket",
-            )
-        )
-
-    c = unit_with_bucket(embeddings, "neighbor_id", "cv")
-    q = unit_with_bucket(queries, "query_id", "qv")
+    c = srp_units(embeddings, "neighbor_id", "cv", n_planes, dim, id_col, vec_col)
+    q = srp_units(queries, "query_id", "qv", n_planes, dim, id_col, vec_col)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -222,21 +261,7 @@ def embedding_neardup_pairs(
     """Near-duplicate pairs by embedding cosine >= threshold, bucketed by SRP
     so only same-bucket pairs are scored (high-cosine pairs land in the same
     bucket with high probability)."""
-    e = (
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("_v"),
-            srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-        )
-        .withColumn("_n", norm(F.col("_v")))
-        .select(
-            "id",
-            F.transform(
-                F.col("_v"), lambda x: x.cast("double") / F.col("_n")
-            ).alias("v"),
-            "bucket",
-        )
-    )
+    e = srp_units(embeddings, "id", "v", n_planes, dim, id_col, vec_col)
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (

@@ -23,7 +23,6 @@ from label_maker_dask_spark.functions.text import (
 from label_maker_dask_spark.operators.dedup import (
     doc_shingles,
     duplicate_components,
-    jaccard_pairs,
 )
 from label_maker_dask_spark.operators.pipeline import (
     EMAIL_RE,
@@ -164,9 +163,10 @@ def contamination_3gram_overlap(spark, sf_dir):
     shuffles.  (Production uses 8-13-grams; the synthetic corpus is short
     word-soup, so 3-grams keep the check non-degenerate.)"""
     docs = _t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
-    bench = sh.where(F.col("doc_id") % 97 == 0)
-    corpus = sh.where(F.col("doc_id") % 97 != 0)
+    # filter BEFORE shingling: the bench pass tokenizes ~1% of the corpus
+    # instead of re-shingling the whole table twice
+    bench = doc_shingles(docs.where(F.col("doc_id") % 97 == 0))
+    corpus = doc_shingles(docs.where(F.col("doc_id") % 97 != 0))
     return contamination_overlap(corpus, bench)
 
 
@@ -177,13 +177,11 @@ def contamination_3gram_overlap(spark, sf_dir):
     bg AS (SELECT doc_id, {word_shingles_sql('toks', 2)} AS bigrams FROM t),
     nz AS (SELECT * FROM bg WHERE len(bigrams) > 0),
     ex AS (SELECT doc_id, unnest(bigrams) AS b FROM nz),
-    cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2),
-    top AS (SELECT doc_id, max(c) AS max_bigram_count FROM cnt GROUP BY 1)
-    SELECT nz.doc_id,
-           round(len(list_distinct(bigrams))::DOUBLE / len(bigrams), 6)
-             AS distinct_bigram_ratio,
-           top.max_bigram_count
-    FROM nz JOIN top ON nz.doc_id = top.doc_id
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2)
+    SELECT doc_id,
+           round(count(*)::DOUBLE / sum(c), 6) AS distinct_bigram_ratio,
+           max(c) AS max_bigram_count
+    FROM cnt GROUP BY doc_id
     """,
 )
 def text_repetition_bigrams(spark, sf_dir):
@@ -193,19 +191,11 @@ def text_repetition_bigrams(spark, sf_dir):
     return repetition_scores(docs)
 
 
-@register(
-    "dedup_components_jaccard",
-    f"""
-    WITH RECURSIVE {_shingle_cte()},
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM inter JOIN sizes sa ON sa.doc_id = id_a
-                 JOIN sizes sb ON sb.doc_id = id_b
-      WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12),
+def _components_oracle() -> str:
+    from label_maker_dask_spark.queries import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
     nodes AS (SELECT DISTINCT s AS id FROM edges),
@@ -214,17 +204,22 @@ def text_repetition_bigrams(spark, sf_dir):
       UNION
       SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
     comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
-    sizes2 AS (SELECT component, count(*) AS component_size
+    csizes AS (SELECT component, count(*) AS component_size
                FROM comps GROUP BY 1)
     SELECT c.id AS doc_id, c.component, s.component_size
-    FROM comps c JOIN sizes2 s USING (component)
-    """,
-)
-def dedup_components_jaccard(spark, sf_dir):
-    """Resolve pairwise near-dup hits (exact 3-gram Jaccard >= 0.12) into
-    dedup groups via connected components (iterative min-label
-    propagation; the oracle replays it with a recursive CTE).  Component =
-    min reachable doc id = the canonical doc to keep."""
+    FROM comps c JOIN csizes s USING (component)
+    """
+
+
+@register("dedup_components_minhash", _components_oracle())
+def dedup_components_minhash(spark, sf_dir):
+    """Resolve pairwise near-dup hits (MinHash+LSH candidates verified at
+    exact Jaccard >= 0.12 — the 100 TB pair-generation path) into dedup
+    groups via connected components (iterative min-label propagation; the
+    oracle replays it with a recursive CTE).  Component = min reachable
+    doc id = the canonical doc to keep."""
+    from label_maker_dask_spark.operators.dedup import minhash_neardup_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(doc_shingles(docs), 0.12)
+    pairs = minhash_neardup_pairs(docs, k=16, bands=4, threshold=0.12)
     return duplicate_components(pairs)
