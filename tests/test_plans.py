@@ -93,3 +93,33 @@ def test_salted_topk_matches_plain_topk_on_skew(spark):
     a = sorted((r.key, r.rank, r.id) for r in plain.collect())
     b = sorted((r.key, r.rank, r.id) for r in salted.collect())
     assert a == b and len(a) > 0
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast: the corpus never shuffles
+    for the contamination join."""
+    plan = plan_of(Q.QUERIES["contamination_3gram_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scan_is_narrow(spark):
+    """PII scan is a pure per-row map: no Exchange, no Python UDF."""
+    plan = plan_of(Q.QUERIES["pii_regex_scan"](spark, SF))
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hash_split_prunes_to_needed_columns(spark):
+    """The split query reads only (doc_id, source) — never the text."""
+    plan = plan_of(Q.QUERIES["split_hash_train_val_test"](spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema
+
+
+def test_lsh_topk_single_shuffle_for_corpus(spark):
+    """The corpus side of SRP ANN joins on a broadcast of the (small)
+    query side — the only Exchanges allowed are for the final per-query
+    window, not a corpus repartition by bucket."""
+    plan = plan_of(Q.QUERIES["similarity_lsh_topk_ann"](spark, SF))
+    assert "BroadcastHashJoin" in plan
