@@ -161,3 +161,78 @@ def repetition_scores(
             F.max("c").alias("max_bigram_count"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_count: Column,
+    seq_len: int = 2048,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard pre-training layout):
+    documents are laid head-to-tail in a deterministic order and cut into
+    fixed ``seq_len`` token windows; a document's pack is the window its
+    first token lands in.
+
+    Determinism + scale come from the same trick as the splits: documents
+    are first hash-bucketed (``n_buckets`` independent streams — in
+    production, one per output shard), then ordered by id *within* the
+    bucket, so the only window runs per-bucket, never globally, and the
+    layout is reproducible under retries and repartitioning.  Returns
+    per-doc ``(doc_id, bucket, start_offset, pack_id)``."""
+    from pyspark.sql import Window
+
+    b = (split_bucket(F.col(id_col), salt="pack") % n_buckets).alias("bucket")
+    base = docs.select(F.col(id_col).alias("doc_id"), b, token_count.alias("n_tok"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_offset")
+    return base.select(
+        "doc_id",
+        "bucket",
+        "n_tok",
+        start,
+    ).withColumn("pack_id", F.floor(F.col("start_offset") / seq_len))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch — the *deterministic*
+    approximate-distinct: hash every key with the cross-engine polynomial
+    fold, keep the k smallest distinct hash values per group, and estimate
+    ``(k-1) * P / kth_smallest`` (exact count when a group has fewer than
+    k distinct keys).  Unlike HLL sketches (engine-specific layouts), the
+    estimate is a pure function of the data, so a SQL oracle reproduces it
+    bit-for-bit.  KMV sketches are mergeable (union the sets, re-take the
+    k smallest), so partial aggregation works at scale; error ~ 1/sqrt(k).
+    """
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    # the char fold alone is too structured for order statistics (nearby
+    # keys give nearby hashes, biasing the kth-minimum); a quadratic
+    # post-mix scatters it while staying exact int64 (< P^2 + P < 2^63)
+    raw = char_poly_hash(F.concat(F.lit("kmv:"), F.col(key_col).cast("string")))
+    h = ((raw * raw + raw) % HASH_P).alias("h")
+    d = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_seen"))
+        .select(
+            *group_cols,
+            F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+            .otherwise(F.round(F.lit((k - 1) * HASH_P) / F.col("kth"), 6))
+            .alias("approx_distinct"),
+        )
+    )

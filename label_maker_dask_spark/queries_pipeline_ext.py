@@ -223,3 +223,102 @@ def dedup_components_minhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_neardup_pairs(docs, k=16, bands=4, threshold=0.12)
     return duplicate_components(pairs)
+
+
+def _pack_oracle(seq_len: int = 512, n_buckets: int = 32) -> str:
+    bucket = split_bucket_sql("doc_id", salt="pack")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, ({bucket}) % {n_buckets} AS bucket,
+             len({_TOKS_SQL}) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS start_offset
+      FROM t)
+    SELECT bucket, CAST(floor(start_offset / {seq_len}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM c GROUP BY 1, 2
+    """
+
+
+@register("pack_sequences_512", _pack_oracle())
+def pack_sequences_512(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token windows, summarized
+    per (bucket, pack): deterministic hash-bucketed streams, per-bucket
+    windows only (no global sort at any scale)."""
+    from label_maker_dask_spark.functions.text import tokens
+    from label_maker_dask_spark.operators.pipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, F.size(tokens(F.col("text"))), seq_len=512)
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    fold = char_poly_hash_sql("('kmv:' || user_id::VARCHAR)")
+    return f"""
+    WITH raw AS (SELECT DISTINCT event_type, {fold} AS r FROM events),
+    h AS (SELECT DISTINCT event_type, (r * r + r) % {HASH_P} AS h FROM raw),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+    t AS (SELECT event_type, max(h) AS kth, count(*) AS n_seen
+          FROM r WHERE rn <= {k} GROUP BY 1)
+    SELECT event_type,
+           CASE WHEN n_seen < {k} THEN n_seen::DOUBLE
+                ELSE round({(k - 1) * HASH_P} / kth, 6) END AS approx_distinct
+    FROM t
+    """
+
+
+@register("agg_kmv_distinct_users", _kmv_oracle())
+def agg_kmv_distinct_users(spark, sf_dir):
+    """K-minimum-values distinct-user sketch per event type — the
+    deterministic approximate-distinct (unlike HLL, the estimate is a pure
+    function of the data, so the oracle replays it exactly; the HLL twin
+    agg_approx_distinct_users stays rows-only by nature)."""
+    from label_maker_dask_spark.operators.pipeline import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=64)
+
+
+@register(
+    "window_ntile_length_deciles",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+    SELECT decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM r GROUP BY decile
+    """,
+)
+def window_ntile_length_deciles(spark, sf_dir):
+    """Document-length deciles via NTILE (deterministic: doc_id tiebreak).
+    NOTE the global window is a deliberate small-data shape — at 100 TB the
+    same binning comes from approxQuantile boundaries broadcast as a CASE
+    expression (no single-partition sort); this entry pins the semantics."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -134,3 +134,44 @@ def test_duplicate_components_long_chain_converges(spark):
     got = duplicate_components(pairs).collect()
     assert all(r["component"] == 0 and r["component_size"] == 13 for r in got)
     assert len(got) == 13
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from label_maker_dask_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (10 + i % 13)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    from label_maker_dask_spark.functions.text import tokens
+
+    packed = pack_sequences(df, F.size(tokens(F.col("text"))), seq_len=64,
+                            n_buckets=8).collect()
+    assert len(packed) == 300
+    # within a bucket, offsets are contiguous head-to-tail in doc_id order
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            assert r["pack_id"] == off // 64
+            off += r["n_tok"]
+    # deterministic across invocations
+    again = pack_sequences(df, F.size(tokens(F.col("text"))), seq_len=64,
+                           n_buckets=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, packed))
+
+
+def test_kmv_distinct_is_exact_below_k_and_close_above(spark):
+    from label_maker_dask_spark.operators.pipeline import kmv_distinct
+
+    rows = [("small", f"u{i % 7}") for i in range(100)]
+    rows += [("big", f"u{i % 500}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, user string")
+    got = {r["grp"]: r["approx_distinct"]
+           for r in kmv_distinct(df, "user", ["grp"], k=64).collect()}
+    assert got["small"] == 7.0  # below k: exact
+    assert abs(got["big"] - 500) / 500 < 0.35  # ~1/sqrt(64) error regime
