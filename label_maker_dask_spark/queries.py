@@ -1990,20 +1990,19 @@ def _mm_channel_stats_oracle() -> str:
     chan = (
         "list_transform(generate_series(0, 15), j -> __px[j * 4 + {c} + 1])"
     )
-    cols = []
-    for stat, fn in [("mean", "list_avg"), ("min", "list_min"), ("max", "list_max")]:
-        parts = ", ".join(
-            f"{fn}({chan.format(c=c)})" + ("::DOUBLE" if stat == "mean" else "")
-            for c in range(4)
-        )
-        cast = "DOUBLE" if stat == "mean" else "INT"
-        cols.append(
-            f"list_transform([{parts}], v -> "
-            f"{'round(v, 6)' if stat == 'mean' else 'CAST(v AS INT)'}) AS ch_{stat}"
+    selects = []
+    for c in range(4):
+        ch = chan.format(c=c)
+        selects.append(
+            f"SELECT vec_id, {c} AS channel, "
+            f"round(list_avg({ch})::DOUBLE, 6) AS ch_mean, "
+            f"CAST(list_min({ch}) AS INT) AS ch_min, "
+            f"CAST(list_max({ch}) AS INT) AS ch_max "
+            f"FROM base"
         )
     return (
-        "SELECT vec_id, " + ", ".join(cols) + " "
-        "FROM (SELECT vec_id, " + px + " AS __px FROM embeddings)"
+        "WITH base AS (SELECT vec_id, " + px + " AS __px FROM embeddings) "
+        + " UNION ALL ".join(selects)
     )
 
 
@@ -2039,8 +2038,22 @@ def multimodal_image_channel_stats(spark, sf_dir):
     images = emb.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id long, image binary"
     )
-    return image_channel_stats(
+    stats = image_channel_stats(
         images, src_hw=(4, 4), n_channels=4, key_cols=("vec_id",)
+    )
+    # one row per channel: the driver's compare cannot canonicalize array
+    # cells, and the operator's array form stays available via the API
+    return stats.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("ch_mean", "ch_min", "ch_max")).alias(
+            "channel", "s"
+        ),
+    ).select(
+        "vec_id",
+        "channel",
+        F.col("s.ch_mean").alias("ch_mean"),
+        F.col("s.ch_min").alias("ch_min"),
+        F.col("s.ch_max").alias("ch_max"),
     )
 
 

@@ -334,8 +334,9 @@ def agg_pivot_status_by_priority(spark, sf_dir):
     "agg_exact_percentiles",
     """
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]),
-                          x -> round(x, 4)) AS price_pcts
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -345,9 +346,53 @@ def agg_exact_percentiles(spark, sf_dir):
     interpolation rule.  Exact percentile is a full-sort-per-group
     aggregate; at scale prefer approx_percentile (t-digest sketch,
     mergeable map-side) unless exactness is contractual — this entry is
-    the exactness baseline for that tradeoff."""
+    the exactness baseline for that tradeoff.  (Scalar output columns:
+    the driver's compare cannot canonicalize array cells.)"""
     li = _t(spark, sf_dir, "lineitem")
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
-    return li.groupBy("l_returnflag").agg(
-        F.transform(pct, lambda x: F.round(x, 4)).alias("price_pcts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p").getItem(0), 4).alias("p50"),
+            F.round(F.col("_p").getItem(1), 4).alias("p90"),
+            F.round(F.col("_p").getItem(2), 4).alias("p99"),
+        )
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE)
+               AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+               AS sum_price,
+             CAST(count(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'n_items', n_items FROM a
+    """,
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    """Wide-to-long reshaping via DataFrame.unpivot (melt) — the inverse of
+    the pivot entry; decimal-summed so the doubled values hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_items"], "metric", "value"
     )
