@@ -1977,6 +1977,33 @@ def stateful_running_user_stats(spark, sf_dir):
 # typed metadata, decode/feature-extract as Arrow-batched stages
 # =====================================================================
 
+def _embedding_images(emb):
+    """Deterministic embedding -> 4x4x4 raw uint8 image (binary column):
+    pixel_i = floor(clamp((x_i + 1) * 127.5, 0, 255)), C-order — the
+    multimodal fixture both engines can recompute exactly."""
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            px = np.floor(np.clip((mats + 1.0) * 127.5, 0.0, 255.0)).astype(
+                np.uint8
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "image": [row.tobytes() for row in px],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, image binary"
+    )
+
+
 def _mm_channel_stats_oracle() -> str:
     """DuckDB twin of encode(embedding)->4x4x4 image->channel stats: pixel
     p_i = floor(clamp((x_i+1)*127.5, 0, 255)); C-order reshape puts element
@@ -2013,31 +2040,9 @@ def multimodal_image_channel_stats(spark, sf_dir):
     typed metadata), then run the real image_channel_stats mapInPandas
     stage.  The encode is floor-based so both engines compute identical
     pixels; channel means are exact k/16 fractions."""
-    import numpy as np
-    import pandas as pd
-
     from label_maker_dask_spark.multimodal.images import image_channel_stats
 
-    emb = _t(spark, sf_dir, "embeddings")
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            px = np.floor(np.clip((mats + 1.0) * 127.5, 0.0, 255.0)).astype(
-                np.uint8
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "image": [row.tobytes() for row in px],
-                }
-            )
-
-    images = emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id long, image binary"
-    )
+    images = _embedding_images(_t(spark, sf_dir, "embeddings"))
     stats = image_channel_stats(
         images, src_hw=(4, 4), n_channels=4, key_cols=("vec_id",)
     )
@@ -2105,6 +2110,120 @@ def similarity_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+def _mm_resize_oracle() -> str:
+    """4x4 -> 2x2 nearest resize picks source pixels floor((i+0.5)*4/2) =
+    rows/cols {1,3}; with 4 channels in C-order that is these 16 flat
+    (1-based) positions of the encoded pixel list."""
+    px = (
+        "list_transform(embedding, x -> "
+        "CAST(floor(greatest(0.0, least(255.0, (x::DOUBLE + 1.0) * 127.5))) AS BIGINT))"
+    )
+    keep = [21, 22, 23, 24, 29, 30, 31, 32, 53, 54, 55, 56, 61, 62, 63, 64]
+    sel = "[" + ", ".join(f"__px[{i}]" for i in keep) + "]"
+    return f"""
+    WITH base AS (SELECT vec_id, {px} AS __px FROM embeddings),
+    r AS (SELECT vec_id, {sel} AS rp FROM base)
+    SELECT vec_id,
+           CAST(list_reduce(rp, (a, b) -> a + b) AS BIGINT) AS px_sum,
+           CAST(list_min(rp) AS INT) AS px_min,
+           CAST(list_max(rp) AS INT) AS px_max
+    FROM r
+    """
+
+
+@register("multimodal_image_resize_stats", _mm_resize_oracle())
+def multimodal_image_resize_stats(spark, sf_dir):
+    """Nearest-neighbor resize (4x4 -> 2x2, 4 channels) through the real
+    resize_images Arrow stage, summarized as per-image scalar pixel stats
+    so the oracle can replay the exact source-pixel selection."""
+    import numpy as np
+    import pandas as pd
+
+    from label_maker_dask_spark.multimodal.images import resize_images
+
+    images = _embedding_images(_t(spark, sf_dir, "embeddings"))
+    small = resize_images(
+        images, src_hw=(4, 4), dst_hw=(2, 2), n_channels=4, key_cols=("vec_id",)
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["image"]]
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "px_sum": mats.sum(axis=1),
+                    "px_min": mats.min(axis=1).astype("int32"),
+                    "px_max": mats.max(axis=1).astype("int32"),
+                }
+            )
+
+    return small.mapInPandas(
+        stats, "vec_id long, px_sum long, px_min int, px_max int"
+    )
+
+
+def _mm_audio_oracle(window: int = 16) -> str:
+    """PCM synthesis floor(x*1000) gives integer samples; integer sums of
+    squares are exact in float64 under any summation order, so
+    rms = round(sqrt(sum(s^2)/window), 6) is engine-independent."""
+    pcm = (
+        "list_transform(embedding, x -> CAST(greatest(-32768.0, least(32767.0, "
+        "floor(x::DOUBLE * 1000))) AS BIGINT))"
+    )
+    n_windows = 64 // window  # embeddings are fixed 64-dim
+    return f"""
+    WITH base AS (SELECT vec_id AS clip_id, {pcm} AS pcm FROM embeddings),
+    w AS (SELECT clip_id, unnest(generate_series(0, {n_windows - 1})) AS j, pcm
+          FROM base)
+    SELECT clip_id, CAST(j AS INT) AS window_idx,
+           round(sqrt(list_reduce(
+                   list_transform(generate_series(1, {window}),
+                                  i -> (pcm[j * {window} + i]
+                                        * pcm[j * {window} + i])::DOUBLE),
+                   (a, b) -> a + b) / {window}), 6) AS rms
+    FROM w
+    """
+
+
+@register("multimodal_audio_rms_windows", _mm_audio_oracle())
+def multimodal_audio_rms_windows(spark, sf_dir):
+    """Windowed RMS energy over synthetic int16 PCM (floor(x*1000) per
+    embedding element, 64 samples -> four 16-sample windows) through the
+    real audio_rms_windows Arrow stage.  Integer-valued squares keep the
+    mean exact regardless of summation order, so the oracle replays it."""
+    import numpy as np
+    import pandas as pd
+
+    from label_maker_dask_spark.multimodal.images import audio_rms_windows
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pcm = np.clip(np.floor(mats * 1000.0), -32768, 32767).astype(
+                np.int16
+            )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["vec_id"].to_numpy(),
+                    "audio": [row.tobytes() for row in pcm],
+                }
+            )
+
+    clips = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "clip_id long, audio binary"
+    )
+    return audio_rms_windows(clips, window_samples=16)
 
 
 # Extension registrations (import side-effect populates QUERIES/ORACLES;
