@@ -64,11 +64,18 @@ def normalized_sql(a: str) -> str:
     return f"list_transform({a}, x -> x::DOUBLE / {norm_sql(a)})"
 
 
+def unit_dot_sql(a: str, b: str) -> str:
+    """Unrounded left-fold dot of two already-normalized DOUBLE lists —
+    for sign/order decisions (cell assignment, probe ranking) that need
+    bit-exact values, not display rounding."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
 def unit_dot_rounded_sql(a: str, b: str, digits: int = 6) -> str:
     """Dot product of two already-normalized DOUBLE lists, rounded — the
     oracle twin of ``round(dot(qn, cn), 6)``."""
-    return (
-        f"round(list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
-        f"(x, y) -> x + y), {digits})"
-    )
+    return f"round({unit_dot_sql(a, b)}, {digits})"

@@ -120,6 +120,30 @@ def cosine_topk(
     )
 
 
+def _unit_exact(mat):
+    """Unit-normalize rows with the exact left-fold norm (loop over the
+    dim axis; bit-identical to the expression/SQL fold, unlike
+    np.linalg.norm's pairwise summation)."""
+    import numpy as np
+
+    acc = np.zeros(len(mat))
+    for d in range(mat.shape[1]):
+        acc = acc + mat[:, d] * mat[:, d]
+    return mat / np.sqrt(acc)[:, None]
+
+
+def _dots_exact(a, b):
+    """(n,dim) x (m,dim) -> (n,m) dot products accumulated left-to-right
+    over the dim axis — the vectorized twin of the fold dot, bit-identical
+    to the SQL oracle (never BLAS matmul)."""
+    import numpy as np
+
+    dp = np.zeros((len(a), len(b)))
+    for d in range(a.shape[1]):
+        dp = dp + a[:, d : d + 1] * b[:, d][None, :]
+    return dp
+
+
 def projection_coeff(j: int, d: int) -> float:
     """Deterministic pseudo-random coefficient for hyperplane j, dim d —
     integer arithmetic mapped into [-0.5, 0.5), replayable in SQL."""
@@ -295,23 +319,24 @@ def ivf_topk(
     (~n_probe/n_cells of the corpus) instead of corpus size.  In a stored
     index the cell id becomes a partition column and non-probed cells are
     pruned at the parquet scan — this operator computes the same
-    assignment on the fly.  Recall < 1 by the ANN contract (rows-only
-    check); tests bound recall against the brute-force baseline."""
+    assignment on the fly.  Recall < 1 vs brute force by the ANN
+    contract (bounded in tests), but every fold below runs left-to-right
+    per element (never BLAS matmul / pairwise summation), so cell
+    assignment, probe ranking, and scores are bit-exact replayable — the
+    oracle recomputes the identical result in SQL."""
     import numpy as np
     import pandas as pd
 
     cpd = (
         embeddings.orderBy(id_col).limit(n_cells).select(vec_col).toPandas()
     )
-    cm = np.stack(cpd[vec_col].to_numpy()).astype(np.float64)
-    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    cm = _unit_exact(np.stack(cpd[vec_col].to_numpy()).astype(np.float64))
 
     qpd = queries.select(id_col, vec_col).toPandas()
     q_ids = qpd[id_col].to_numpy()
-    qm = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _unit_exact(np.stack(qpd[vec_col].to_numpy()).astype(np.float64))
     # per query: the n_probe nearest cells (ties by cell index, stable)
-    probe = np.argsort(-(qm @ cm.T), kind="stable", axis=1)[:, :n_probe]
+    probe = np.argsort(-_dots_exact(qm, cm), kind="stable", axis=1)[:, :n_probe]
     take = k + 1
 
     def score(batches):
@@ -319,16 +344,15 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            xm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            xm = xm / np.linalg.norm(xm, axis=1, keepdims=True)
-            cells = np.argmax(xm @ cm.T, axis=1)
+            xm = _unit_exact(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            cells = np.argmax(_dots_exact(xm, cm), axis=1)
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
                 mask = np.isin(cells, probe[j])
                 if not mask.any():
                     continue
                 cand_ids = ids[mask]
-                sims = xm[mask] @ qm[j]
+                sims = _dots_exact(xm[mask], qm[j : j + 1])[:, 0]
                 sims6 = np.round(sims, 6)
                 m = min(take, len(cand_ids))
                 order = np.lexsort((cand_ids, -sims6))[:m]

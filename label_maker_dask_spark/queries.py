@@ -2098,13 +2098,64 @@ def multimodal_video_frame_sample(spark, sf_dir):
     ).select("clip_id", "frame_idx", F.length("image").alias("frame_bytes"))
 
 
-@register("similarity_ivf_topk_ann")  # rows-only: ANN recall < 1 by contract
+def _ivf_oracle(filter_pred: str, k: int = 5, n_cells: int = 16,
+                n_probe: int = 4) -> str:
+    from label_maker_dask_spark.functions.vectors import (
+        normalized_sql,
+        unit_dot_rounded_sql,
+        unit_dot_sql,
+    )
+
+    nv = normalized_sql("embedding")
+    return f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, {nv} AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+    corpus AS (SELECT vec_id, {nv} AS nv FROM embeddings),
+    assign AS (
+      SELECT c.vec_id, cent.cell,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {unit_dot_sql('c.nv', 'cent.cv')} DESC,
+                        cent.cell ASC) AS rn
+      FROM corpus c CROSS JOIN cent),
+    cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    qs AS (SELECT vec_id, nv FROM corpus WHERE {filter_pred}),
+    qprobe AS (
+      SELECT q.vec_id AS query_id, cent.cell,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {unit_dot_sql('q.nv', 'cent.cv')} DESC,
+                        cent.cell ASC) AS rn
+      FROM qs q CROSS JOIN cent),
+    probed AS (SELECT query_id, cell FROM qprobe WHERE rn <= {n_probe}),
+    scored AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id,
+             {unit_dot_rounded_sql('q.nv', 'n.nv')} AS cosine_sim
+      FROM probed p
+      JOIN cells cl ON cl.cell = p.cell
+      JOIN qs q ON q.vec_id = p.query_id
+      JOIN corpus n ON n.vec_id = cl.vec_id
+      WHERE p.query_id != cl.vec_id)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@register("similarity_ivf_topk_ann", _ivf_oracle("vec_id % 25 = 0"))
 def similarity_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the scale path beyond SRP-LSH): Voronoi cells around
-    deterministic seed centroids, n_probe nearest cells per query, scoring
-    masked to probed cells.  In a stored index the cell id is a partition
-    column and non-probed cells never leave the parquet scan.  Exact twin:
-    similarity_cosine_topk; recall bound tested in tests/test_similarity.py."""
+    deterministic seed centroids (the 16 lowest-id vectors), n_probe
+    nearest cells per query, scoring masked to probed cells.  In a stored
+    index the cell id is a partition column and non-probed cells never
+    leave the parquet scan.  Recall < 1 vs brute force by the ANN
+    contract (bounded in tests/test_similarity.py), but cell assignment
+    and probe ranking use exact left-fold arithmetic, so the oracle
+    replays the identical result."""
     from label_maker_dask_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
