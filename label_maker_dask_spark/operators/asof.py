@@ -26,16 +26,24 @@ def asof_join(
     left_key: Sequence[str],
     tie_break: str,
     how: str = "inner",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Latest right row with ``right_time <= left_time`` per left row.
 
     ``left_key`` is the left side's unique key (window partition);
     ``tie_break`` a unique right-side column so equal right timestamps
-    resolve deterministically (largest wins).
+    resolve deterministically (largest wins).  ``tolerance`` (an INTERVAL
+    expression string, e.g. ``"INTERVAL 30 DAY"``) bounds the lookback:
+    matches older than ``left_time - tolerance`` are ignored — pandas
+    ``merge_asof(tolerance=...)`` semantics.  Bounding the lookback also
+    bounds the join fan-out at scale: without it, one left row can pair
+    with the key's entire right-side history before the window cut.
     """
     lt = F.col(f"__l.{left_time}")
     rt = F.col(f"__r.{right_time}")
     cond = rt <= lt
+    if tolerance is not None:
+        cond = cond & (rt >= lt - F.expr(tolerance))
     for k in on:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
     joined = left.alias("__l").join(right.alias("__r"), cond, how)

@@ -1182,6 +1182,57 @@ def join_asof(spark, sf_dir):
 
 
 @register(
+    "join_asof_tolerance_90d",
+    """
+    WITH ev AS (
+      SELECT event_id, ts, (user_id % 150) + 1 AS custkey FROM events),
+    os AS (
+      SELECT o_custkey AS custkey,
+             o_orderdate + INTERVAL 26 YEAR AS shifted_date,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2)
+    SELECT event_id, custkey, o_orderkey, shifted_date FROM (
+      SELECT ev.event_id, ev.custkey, os.o_orderkey, os.shifted_date,
+             row_number() OVER (
+               PARTITION BY ev.event_id
+               ORDER BY os.shifted_date DESC, os.o_orderkey DESC) AS rn
+      FROM ev JOIN os
+        ON ev.custkey = os.custkey
+       AND os.shifted_date <= ev.ts
+       AND os.shifted_date >= ev.ts - INTERVAL 90 DAY)
+    WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a bounded lookback (tolerance = 90 days): events
+    whose latest order is older than the tolerance get no match — pandas
+    merge_asof(tolerance) semantics.  The bound lives in the join
+    condition, where it also caps the pre-window fan-out at scale; the
+    oracle replays the same banded join + window (DuckDB's native ASOF
+    JOIN rejects a second inequality)."""
+    from label_maker_dask_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 26 YEAR")).alias("shifted_date"),
+            "o_orderkey",
+        )
+        .groupBy("custkey", "shifted_date")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join(
+        ev, orders, on=["custkey"], left_time="ts", right_time="shifted_date",
+        left_key=["event_id"], tie_break="o_orderkey",
+        tolerance="INTERVAL 90 DAY",
+    ).select("event_id", "custkey", "o_orderkey", "shifted_date")
+
+
+@register(
     "join_range_orders_near_event",
     """
     SELECT e.event_id, count(o.o_orderkey) AS n_orders_in_window

@@ -175,3 +175,24 @@ def test_kmv_distinct_is_exact_below_k_and_close_above(spark):
            for r in kmv_distinct(df, "user", ["grp"], k=64).collect()}
     assert got["small"] == 7.0  # below k: exact
     assert abs(got["big"] - 500) / 500 < 0.35  # ~1/sqrt(64) error regime
+
+
+def test_asof_join_tolerance_bounds_lookback(spark):
+    from label_maker_dask_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-10"), (2, "2020-03-01")], "id long, lts string"
+    ).select("id", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(10, "2020-01-01"), (11, "2020-01-08")], "rid long, rts string"
+    ).select("rid", F.col("rts").cast("timestamp").alias("rts"), F.lit(1).alias("k"))
+    left = left.withColumn("k", F.lit(1))
+    unbounded = asof_join(left, right, on=["k"], left_time="lts",
+                          right_time="rts", left_key=["id"], tie_break="rid")
+    got = {r["id"]: r["rid"] for r in unbounded.collect()}
+    assert got == {1: 11, 2: 11}
+    bounded = asof_join(left, right, on=["k"], left_time="lts",
+                        right_time="rts", left_key=["id"], tie_break="rid",
+                        tolerance="INTERVAL 10 DAY")
+    got = {r["id"]: r["rid"] for r in bounded.collect()}
+    assert got == {1: 11}  # row 2's latest match is 53 days old: dropped
