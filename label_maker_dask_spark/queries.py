@@ -2113,12 +2113,28 @@ def multimodal_image_channel_stats(spark, sf_dir):
     )
 
 
-@register("multimodal_video_frame_sample")  # rows-only: emits binary frames
+def _mm_frames_oracle() -> str:
+    px_sum = (
+        "list_reduce(list_transform(embedding, x -> "
+        "CAST(floor(greatest(0.0, least(255.0, (x::DOUBLE + 1.0) * 127.5))) AS BIGINT)), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+    WITH base AS (SELECT vec_id AS clip_id, {px_sum} AS s FROM embeddings)
+    SELECT clip_id, unnest([0, 3, 6]) AS frame_idx,
+           64 AS frame_bytes, s AS frame_px_sum
+    FROM base
+    """
+
+
+@register("multimodal_video_frame_sample", _mm_frames_oracle())
 def multimodal_video_frame_sample(spark, sf_dir):
     """Frame sampling over a synthetic video column (embedding bytes tiled
     into 8 frames of 4x4x4), keeping every 3rd frame — the UDTF-shaped
-    fan-out stage.  Deterministic row count (3 frames per clip); payloads
-    are binary, so the driver records the rows-only check."""
+    fan-out stage.  The sampled frame set (indices 0/3/6), payload size,
+    and per-frame pixel sum are all deterministic, so the oracle replays
+    them (frames tile the same encoded image, making the pixel sum a pure
+    function of the embedding)."""
     import numpy as np
     import pandas as pd
 
@@ -2144,9 +2160,30 @@ def multimodal_video_frame_sample(spark, sf_dir):
     clips = emb.select("vec_id", "embedding").mapInPandas(
         encode, "clip_id long, video binary"
     )
-    return sample_frames(
+    frames = sample_frames(
         clips, frame_hw=(4, 4), n_channels=4, every_k=3, key_cols=("clip_id",)
-    ).select("clip_id", "frame_idx", F.length("image").alias("frame_bytes"))
+    )
+
+    def px_sum(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].to_numpy(),
+                    "frame_idx": pdf["frame_idx"].to_numpy(),
+                    "frame_bytes": [len(b) for b in pdf["image"]],
+                    "frame_px_sum": [
+                        int(np.frombuffer(b, dtype=np.uint8).astype(np.int64).sum())
+                        for b in pdf["image"]
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(
+        px_sum,
+        "clip_id long, frame_idx int, frame_bytes int, frame_px_sum long",
+    )
 
 
 def _ivf_oracle(filter_pred: str, k: int = 5, n_cells: int = 16,
