@@ -237,15 +237,22 @@ def segmentation_labels(
 
         pdf = pdf.sort_values(order_col)
         shapes = []
-        for _, row in pdf.iterrows():
+        # column-array zip, not iterrows: pandas row views cost ~100us each,
+        # which dominated the whole rasterize stage at bench scale
+        for geometry, properties, gtype, fid in zip(
+            pdf["geometry"].to_numpy(),
+            pdf["properties"].to_numpy(),
+            pdf["geometry_type"].to_numpy(),
+            pdf[order_col].to_numpy(),
+        ):
             try:
-                geom = json.loads(row["geometry"])
+                geom = json.loads(geometry)
             except (TypeError, ValueError):
                 continue
             feature = {
-                "properties": dict(row["properties"]) if row["properties"] is not None else {},
-                "geometry": {"type": row.get("geometry_type")},
-                "id": row.get(order_col),
+                "properties": dict(properties) if properties is not None else {},
+                "geometry": {"type": gtype},
+                "id": fid,
             }
             converted = None
             for i, filt in enumerate(filters):
