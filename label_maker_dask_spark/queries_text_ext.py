@@ -154,3 +154,38 @@ def similarity_neardup_srp_ann(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.35)
+
+
+# GPT-2-style pre-tokenizer, reduced to the subset that parses identically
+# under Java regex (Spark) and RE2 (DuckDB): letter runs, digit runs, and
+# single non-alphanumeric marks.  (The original's contraction alternates
+# and lookahead are not RE2-compatible.)
+_BPE_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+@register(
+    "text_bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           len({_TOKS_SQL}) AS n_ws_tokens,
+           round(len(regexp_extract_all(text, '{_BPE_RE}'))::DOUBLE
+                 / nullif(len({_TOKS_SQL}), 0), 6) AS tokens_per_word
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark, sf_dir):
+    """Token counting both ways — whitespace words and a BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / punctuation marks, the
+    GPT-2 pre-tokenization shape) — plus their ratio, the standard
+    tokens-per-word fertility estimate used for pre-training data budgets.
+    Pure regexp column algebra, narrow, no UDF."""
+    t = F.col("text")
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
+    n_ws = F.size(tokens(t))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe / F.nullif(n_ws, F.lit(0)), 6).alias("tokens_per_word"),
+    )
