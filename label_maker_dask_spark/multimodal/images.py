@@ -163,13 +163,14 @@ def sample_frames(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                blob = row[video_col]
+            key_arrays = [pdf[k].to_numpy() for k in key_cols]
+            for ridx, blob in enumerate(pdf[video_col].to_numpy()):
                 n_frames = len(blob) // frame_bytes
+                keys = {k: arr[ridx] for k, arr in zip(key_cols, key_arrays)}
                 for i in range(0, n_frames, every_k):
                     rows.append(
                         {
-                            **{k: row[k] for k in key_cols},
+                            **keys,
                             "frame_idx": i,
                             "image": blob[i * frame_bytes : (i + 1) * frame_bytes],
                         }
@@ -197,17 +198,19 @@ def audio_rms_windows(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                pcm = np.frombuffer(row[audio_col], dtype=np.int16)
+            key_arrays = [pdf[k].to_numpy() for k in key_cols]
+            for ridx, blob in enumerate(pdf[audio_col].to_numpy()):
+                pcm = np.frombuffer(blob, dtype=np.int16)
                 n = len(pcm) // window_samples
                 if n == 0:
                     continue
                 w = pcm[: n * window_samples].reshape(n, window_samples)
                 rms = np.sqrt((w.astype(np.float64) ** 2).mean(axis=1))
+                keys = {k: arr[ridx] for k, arr in zip(key_cols, key_arrays)}
                 for i, v in enumerate(rms):
                     rows.append(
                         {
-                            **{k: row[k] for k in key_cols},
+                            **keys,
                             "window_idx": i,
                             "rms": round(float(v), 6),
                         }

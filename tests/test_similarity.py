@@ -124,3 +124,34 @@ def test_cosine_topk_tie_break_with_duplicate_vectors(spark):
     assert by_q[17] == [0, 1, 2, 3]
     assert by_q[39] == [0, 1, 2, 3]
     assert all(r.cosine_sim == 1.0 for r in rows)
+
+
+def test_srp_units_bit_identical_to_expression_form(spark):
+    """The Arrow-vectorized srp_units must reproduce the interpreted
+    expression form EXACTLY — bucket signs and unit-vector elements — or
+    the deterministic-replay oracles stop holding."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        normalized,
+        srp_bucket,
+        srp_units,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = emb.select(
+        F.col("vec_id").alias("id_e"),
+        srp_bucket(F.col("embedding")).alias("b_expr"),
+    )
+    exprv = normalized(emb, "vec_id", "embedding", "id_v", "v_expr")
+    fast = srp_units(emb, "id_f", "v_fast")
+    rows = (
+        fast.join(expr, fast["id_f"] == expr["id_e"])
+        .join(exprv, fast["id_f"] == exprv["id_v"])
+        .select("id_f", "bucket", "b_expr", "v_fast", "v_expr")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r["bucket"] == r["b_expr"], r["id_f"]
+        assert list(r["v_fast"]) == list(r["v_expr"]), r["id_f"]  # bitwise
