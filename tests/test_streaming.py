@@ -175,3 +175,20 @@ def test_stream_to_parquet_exactly_once(spark, events_dir, events_batch, tmp_pat
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == events_batch.count()
+
+
+def test_streaming_sliding_equals_batch(spark, events_dir, events_batch):
+    from label_maker_dask_spark.streaming.windows import sliding_agg
+
+    def build(df):
+        return sliding_agg(
+            df, "ts", "1 hour", "30 minutes", ["event_type"],
+            [F.count(F.lit(1)).alias("n")],
+            watermark="1 hour",
+        )
+
+    got = _run_stream(spark, events_dir, build, "t_sliding")
+    expected = build(events_batch)
+    a = sorted(map(tuple, got.select("window_start", "event_type", "n").collect()))
+    b = sorted(map(tuple, expected.select("window_start", "event_type", "n").collect()))
+    assert a == b and len(a) > 0
