@@ -382,3 +382,136 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index ``ivf_topk`` computes on the fly: corpus
+    rows written partitioned by their Voronoi cell id (``<path>/data``),
+    centroids alongside (``<path>/centroids``).  Cell assignment uses the
+    same exact left-fold arithmetic as ``ivf_topk``, so a stored-index
+    query returns the identical result — the only difference is that
+    non-probed cells are pruned at the parquet scan instead of filtered
+    after a full read."""
+    import numpy as np
+    import pandas as pd
+
+    cpd = embeddings.orderBy(id_col).limit(n_cells).select(vec_col).toPandas()
+    craw = np.stack(cpd[vec_col].to_numpy()).astype(np.float64)
+    cm = _unit_exact(craw)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": range(n_cells),
+                "cv": [[float(x) for x in v] for v in cm],
+            }
+        ),
+        "cell int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xm = _unit_exact(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.argmax(_dots_exact(xm, cm), axis=1).astype("int32")
+            yield out
+
+    (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(assign, f"{id_col} {id_type}, {vec_col} {vec_type}, cell int")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path + "/data")
+    )
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a stored IVF index: per-query probe cells are
+    computed driver-side from the stored centroids, and the corpus scan is
+    filtered with ``cell IN (probed)`` — a PARTITION filter, so non-probed
+    cells never leave storage (the pruning `ivf_topk`'s docstring
+    promises; asserted in tests/test_plans.py).  Results are identical to
+    the on-the-fly ``ivf_topk`` under the same centroids."""
+    import numpy as np
+    import pandas as pd
+
+    cent = spark.read.parquet(path + "/centroids").orderBy("cell").toPandas()
+    cm = np.stack(cent["cv"].to_numpy()).astype(np.float64)
+
+    qpd = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpd[id_col].to_numpy()
+    qm = _unit_exact(np.stack(qpd[vec_col].to_numpy()).astype(np.float64))
+    probe = np.argsort(-_dots_exact(qm, cm), kind="stable", axis=1)[:, :n_probe]
+    probed_cells = sorted({int(c) for row in probe for c in row})
+    take = k + 1
+
+    corpus = spark.read.parquet(path + "/data").where(
+        F.col("cell").isin(probed_cells)
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            xm = _unit_exact(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                mask = np.isin(cells, probe[j])
+                if not mask.any():
+                    continue
+                cand_ids = ids[mask]
+                sims = _dots_exact(xm[mask], qm[j : j + 1])[:, 0]
+                sims6 = np.round(sims, 6)
+                m = min(take, len(cand_ids))
+                order = np.lexsort((cand_ids, -sims6))[:m]
+                out_q.append(np.full(m, q_ids[j]))
+                out_n.append(cand_ids[order])
+                out_s.append(sims[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "raw_sim": np.concatenate(out_s),
+                    }
+                )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    scored = corpus.select(id_col, vec_col, "cell").mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(F.col("raw_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

@@ -155,3 +155,40 @@ def test_srp_units_bit_identical_to_expression_form(spark):
     for r in rows:
         assert r["bucket"] == r["b_expr"], r["id_f"]
         assert list(r["v_fast"]) == list(r["v_expr"]), r["id_f"]  # bitwise
+
+
+def test_ivf_stored_index_matches_onthefly_and_prunes(spark, tmp_path):
+    """The stored IVF index must return the identical result to the
+    on-the-fly ivf_topk (same exact-fold arithmetic), and its corpus scan
+    must prune non-probed cells at the PARTITION level."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_stored,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, n_cells=16)
+
+    stored = ivf_topk_stored(spark, path, queries, k=5, n_probe=4)
+    onthefly = ivf_topk(emb, queries, k=5, n_probe=4)
+    a = sorted(map(tuple, stored.collect()))
+    b = sorted(map(tuple, onthefly.collect()))
+    assert a == b and len(a) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stored.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the cell IN (...) predicate reaches the partition filter, not a
+    # post-scan Filter over all cells
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "cell" in pf_line
