@@ -460,6 +460,7 @@ def duplicate_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["d"] == labels["id"])
@@ -480,7 +481,15 @@ def duplicate_components(
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.select("id", "comp")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning mid-propagation labels would silently split one true
+        # component into several with wrong ids/sizes
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
     return (
         labels.join(sizes, "comp")

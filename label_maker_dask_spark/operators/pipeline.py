@@ -114,7 +114,13 @@ def contamination_overlap(
 
     Scale shape: the benchmark side is small by definition (eval sets are
     thousands of docs), so Spark broadcasts it and the corpus streams —
-    no corpus-sized shuffle."""
+    no corpus-sized shuffle.
+
+    Corpus and benchmark are DIFFERENT datasets, so ids are not compared:
+    a corpus doc and a bench doc that coincidentally share a numeric id
+    are still a genuine overlap.  (Callers slicing the bench out of the
+    corpus itself must exclude those ids from the corpus side, as the
+    registered catalog query does.)"""
     bench = shingled_bench.select(
         F.col("doc_id").alias("bench_id"), F.col("sh").alias("bsh")
     )
@@ -122,7 +128,6 @@ def contamination_overlap(
         shingled_corpus.join(
             F.broadcast(bench), F.col("sh") == F.col("bsh")
         )
-        .where(F.col("doc_id") != F.col("bench_id"))
         .groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").alias("n_bench_matched"),
@@ -219,10 +224,12 @@ def kmv_distinct(
     from label_maker_dask_spark.functions.text import HASH_P
 
     # the char fold alone is too structured for order statistics (nearby
-    # keys give nearby hashes, biasing the kth-minimum); a quadratic
-    # post-mix scatters it while staying exact int64 (< P^2 + P < 2^63)
+    # keys give nearby hashes, biasing the kth-minimum); the cube map
+    # r -> r^3 mod P scatters it AND is injective (P prime with
+    # gcd(3, P-1) = 1), preserving the exact-below-k guarantee.  Two
+    # mod steps keep every intermediate < P^2 < 2^63.
     raw = char_poly_hash(F.concat(F.lit("kmv:"), F.col(key_col).cast("string")))
-    h = ((raw * raw + raw) % HASH_P).alias("h")
+    h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
     d = df.select(*group_cols, h).distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     ranked = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

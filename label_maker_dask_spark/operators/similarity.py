@@ -144,6 +144,39 @@ def _dots_exact(a, b):
     return dp
 
 
+def _score_probed(ids, cells, xm, q_ids, qm, probe, take):
+    """Shared per-batch IVF scorer (on-the-fly and stored-index paths MUST
+    use the same candidate cut or their bit-identity breaks): for each
+    query, score unit rows whose cell is probed and keep the batch
+    top-``take`` under the (rounded sim desc, neighbor asc) order the
+    final window also uses.  Returns a DataFrame or None."""
+    import numpy as np
+    import pandas as pd
+
+    out_q, out_n, out_s = [], [], []
+    for j in range(len(q_ids)):
+        mask = np.isin(cells, probe[j])
+        if not mask.any():
+            continue
+        cand_ids = ids[mask]
+        sims = _dots_exact(xm[mask], qm[j : j + 1])[:, 0]
+        sims6 = np.round(sims, 6)
+        m = min(take, len(cand_ids))
+        order = np.lexsort((cand_ids, -sims6))[:m]
+        out_q.append(np.full(m, q_ids[j]))
+        out_n.append(cand_ids[order])
+        out_s.append(sims[order])
+    if not out_q:
+        return None
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "raw_sim": np.concatenate(out_s),
+        }
+    )
+
+
 def projection_coeff(j: int, d: int) -> float:
     """Deterministic pseudo-random coefficient for hyperplane j, dim d —
     integer arithmetic mapped into [-0.5, 0.5), replayable in SQL."""
@@ -217,17 +250,11 @@ def srp_units(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            n = len(mat)
-            acc = np.zeros(n)
-            for d in range(mat.shape[1]):
-                acc = acc + mat[:, d] * mat[:, d]
-            unit = mat / np.sqrt(acc)[:, None]
-            bucket = np.zeros(n, dtype=np.int64)
+            unit = _unit_exact(mat)
+            dp = _dots_exact(mat, coeffs)  # (n, n_planes), raw-vector dots
+            bucket = np.zeros(len(mat), dtype=np.int64)
             for j in range(n_planes):
-                dp = np.zeros(n)
-                for d in range(dim):
-                    dp = dp + mat[:, d] * coeffs[j, d]
-                bucket |= (dp > 0).astype(np.int64) << j
+                bucket |= (dp[:, j] > 0).astype(np.int64) << j
             yield pd.DataFrame(
                 {
                     id_alias: ids,
@@ -346,27 +373,9 @@ def ivf_topk(
             ids = pdf[id_col].to_numpy()
             xm = _unit_exact(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             cells = np.argmax(_dots_exact(xm, cm), axis=1)
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(q_ids)):
-                mask = np.isin(cells, probe[j])
-                if not mask.any():
-                    continue
-                cand_ids = ids[mask]
-                sims = _dots_exact(xm[mask], qm[j : j + 1])[:, 0]
-                sims6 = np.round(sims, 6)
-                m = min(take, len(cand_ids))
-                order = np.lexsort((cand_ids, -sims6))[:m]
-                out_q.append(np.full(m, q_ids[j]))
-                out_n.append(cand_ids[order])
-                out_s.append(sims[order])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "raw_sim": np.concatenate(out_s),
-                    }
-                )
+            out = _score_probed(ids, cells, xm, q_ids, qm, probe, take)
+            if out is not None:
+                yield out
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
     scored = embeddings.select(id_col, vec_col).mapInPandas(
@@ -479,27 +488,9 @@ def ivf_topk_stored(
             xm = _unit_exact(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             )
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(q_ids)):
-                mask = np.isin(cells, probe[j])
-                if not mask.any():
-                    continue
-                cand_ids = ids[mask]
-                sims = _dots_exact(xm[mask], qm[j : j + 1])[:, 0]
-                sims6 = np.round(sims, 6)
-                m = min(take, len(cand_ids))
-                order = np.lexsort((cand_ids, -sims6))[:m]
-                out_q.append(np.full(m, q_ids[j]))
-                out_n.append(cand_ids[order])
-                out_s.append(sims[order])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "raw_sim": np.concatenate(out_s),
-                    }
-                )
+            out = _score_probed(ids, cells, xm, q_ids, qm, probe, take)
+            if out is not None:
+                yield out
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     scored = corpus.select(id_col, vec_col, "cell").mapInPandas(

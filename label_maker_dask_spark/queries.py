@@ -2140,25 +2140,12 @@ def multimodal_video_frame_sample(spark, sf_dir):
 
     from label_maker_dask_spark.multimodal.images import sample_frames
 
-    emb = _t(spark, sf_dir, "embeddings")
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            px = np.floor(np.clip((mats + 1.0) * 127.5, 0.0, 255.0)).astype(
-                np.uint8
-            )
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["vec_id"].to_numpy(),
-                    "video": [np.tile(row, 8).tobytes() for row in px],
-                }
-            )
-
-    clips = emb.select("vec_id", "embedding").mapInPandas(
-        encode, "clip_id long, video binary"
+    # reuse the shared encode; tiling 8 frames of the same image is just
+    # concatenating the binary 8 times (uint8 C-order)
+    images = _embedding_images(_t(spark, sf_dir, "embeddings"))
+    clips = images.select(
+        F.col("vec_id").alias("clip_id"),
+        F.concat(*([F.col("image")] * 8)).alias("video"),
     )
     frames = sample_frames(
         clips, frame_hw=(4, 4), n_channels=4, every_k=3, key_cols=("clip_id",)

@@ -267,7 +267,8 @@ def _kmv_oracle(k: int = 64) -> str:
     fold = char_poly_hash_sql("('kmv:' || user_id::VARCHAR)")
     return f"""
     WITH raw AS (SELECT DISTINCT event_type, {fold} AS r FROM events),
-    h AS (SELECT DISTINCT event_type, (r * r + r) % {HASH_P} AS h FROM raw),
+    h AS (SELECT DISTINCT event_type, (r * r % {HASH_P}) * r % {HASH_P} AS h
+          FROM raw),
     r AS (SELECT event_type, h,
                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
           FROM h),

@@ -159,8 +159,9 @@ def similarity_neardup_srp_ann(spark, sf_dir):
 # GPT-2-style pre-tokenizer, reduced to the subset that parses identically
 # under Java regex (Spark) and RE2 (DuckDB): letter runs, digit runs, and
 # single non-alphanumeric marks.  (The original's contraction alternates
-# and lookahead are not RE2-compatible.)
-_BPE_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+# and lookahead are not RE2-compatible; whitespace is spelled explicitly
+# because Java's \\s includes \\x0B while RE2's does not.)
+_BPE_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0B\f\r]"
 
 
 @register(

@@ -119,7 +119,9 @@ def test_hash_split_prunes_to_needed_columns(spark):
 
 def test_lsh_topk_single_shuffle_for_corpus(spark):
     """The corpus side of SRP ANN joins on a broadcast of the (small)
-    query side — the only Exchanges allowed are for the final per-query
-    window, not a corpus repartition by bucket."""
+    query side — the only shuffle Exchange allowed is for the final
+    per-query window, never a corpus repartition by bucket."""
     plan = plan_of(Q.QUERIES["similarity_lsh_topk_ann"](spark, SF))
     assert "BroadcastHashJoin" in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, f"expected <=1 shuffle Exchange, saw {n_shuffles}"
