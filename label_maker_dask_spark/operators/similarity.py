@@ -506,3 +506,66 @@ def ivf_topk_stored(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def write_srp_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SRP-LSH index: unit vectors + bucket ids written
+    partitioned by bucket (``<path>/data``).  No centroid sidecar is
+    needed — the hyperplanes are index-derived arithmetic
+    (:func:`projection_coeff`), so any reader recomputes them."""
+    (
+        srp_units(embeddings, id_col, "v", n_planes, dim, id_col, vec_col)
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path + "/data")
+    )
+
+
+def lsh_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a stored SRP index: query buckets are computed
+    on the (small) query side, and the corpus scan is filtered with
+    ``bucket IN (query buckets)`` — a PARTITION filter, so non-probed
+    buckets never leave storage.  Results are identical to the on-the-fly
+    :func:`lsh_topk` (same coefficients, same fold arithmetic)."""
+    q = srp_units(queries, "query_id", "qv", n_planes, dim, id_col, vec_col)
+    q_buckets = sorted(
+        r["bucket"] for r in q.select("bucket").distinct().collect()
+    )
+    c = spark.read.parquet(path + "/data").where(
+        F.col("bucket").isin(q_buckets)
+    )
+    c = c.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                 "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

@@ -192,3 +192,34 @@ def test_ivf_stored_index_matches_onthefly_and_prunes(spark, tmp_path):
     # post-scan Filter over all cells
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "cell" in pf_line
+
+
+def test_lsh_stored_index_matches_onthefly_and_prunes(spark, tmp_path):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_stored,
+        write_srp_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "srp_index")
+    write_srp_index(emb, path)
+
+    stored = lsh_topk_stored(spark, path, queries, k=5)
+    onthefly = lsh_topk(emb, queries, k=5)
+    a = sorted(map(tuple, stored.collect()))
+    b = sorted(map(tuple, onthefly.collect()))
+    assert a == b and len(a) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stored.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "bucket" in pf_lines[0]
