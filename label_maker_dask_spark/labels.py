@@ -178,7 +178,13 @@ def detection_labels(
         *tile_cols,
         F.col(order_col).alias("_ord"),
         boxes.alias("_boxes"),
-    ).where(F.size("_boxes") > 0)
+    )
+    if tiles is not None:
+        # non-matching features can be dropped pre-shuffle: the left join
+        # below restores their tiles with the empty label
+        per_feature = per_feature.where(F.size("_boxes") > 0)
+    # with tiles=None every tile that HAS features must still emit a row
+    # (empty label) — same contract as classification's background row
     agg = per_feature.groupBy(*tile_cols).agg(
         F.array_sort(F.collect_list(F.struct("_ord", "_boxes"))).alias("_fb")
     )
@@ -286,8 +292,10 @@ def _convert_geom(geom: dict) -> dict:
         if not isinstance(coords, (list, tuple)):
             return coords
         if coords and isinstance(coords[0], (int, float)):
+            # keep only (x, y): a 3-element GeoJSON position's altitude
+            # must not be scaled as if it were a coordinate
             out = []
-            for i, v in enumerate(coords):
+            for i, v in enumerate(coords[:2]):
                 px = float(np.round(v * TILE_PX / EXTENT))
                 out.append(px if i % 2 == 0 else TILE_PX - px)
             return out

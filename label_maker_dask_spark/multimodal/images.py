@@ -78,8 +78,9 @@ def decode_compressed(fmt: str = "jpeg"):
     return decode
 
 
-def _iter_images(pdf: pd.DataFrame, h: int, w: int, c: int):
-    for blob in pdf["image"]:
+def _iter_images(pdf: pd.DataFrame, h: int, w: int, c: int,
+                 image_col: str = "image"):
+    for blob in pdf[image_col]:
         yield np.frombuffer(blob, dtype=np.uint8).reshape(h, w, c)
 
 
@@ -104,7 +105,7 @@ def resize_images(
             out = pdf[list(key_cols)].copy()
             out["image"] = [
                 arr[rows][:, cols].tobytes()
-                for arr in _iter_images(pdf, sh, sw, n_channels)
+                for arr in _iter_images(pdf, sh, sw, n_channels, image_col)
             ]
             yield out
 
@@ -129,7 +130,7 @@ def image_channel_stats(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             means, mins, maxs = [], [], []
-            for arr in _iter_images(pdf, sh, sw, n_channels):
+            for arr in _iter_images(pdf, sh, sw, n_channels, image_col):
                 means.append([round(float(m), 6) for m in arr.mean(axis=(0, 1))])
                 mins.append([int(m) for m in arr.min(axis=(0, 1))])
                 maxs.append([int(m) for m in arr.max(axis=(0, 1))])

@@ -111,6 +111,12 @@ def doc_shingles(
     )
 
 
+import re
+
+# Java's \s (the expression path's split pattern) is ASCII-only
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
 def _token_fold(toks: list):
     """Vectorized polynomial char fold over a flat token list (Horner over a
     zero-padded byte matrix; bit-identical to functions/text.char_poly_hash)."""
@@ -146,7 +152,13 @@ def _batch_shingle_arrays(pdf, text_col: str, id_col: str, n: int):
     if len(pdf) == 0:
         return None
     doc_ids = pdf[id_col].to_numpy()
-    toks_per_doc = [t.split() for t in pdf[text_col].fillna("")]
+    # ASCII-\s split, NOT str.split(): Python's split treats all Unicode
+    # whitespace (e.g. NBSP) as separators while the expression path's
+    # Java split("\\s+") and the RE2 oracle do not — the two paths must
+    # produce identical token (and therefore shingle) sets
+    toks_per_doc = [
+        [t for t in _WS_RE.split(s) if t] for s in pdf[text_col].fillna("")
+    ]
     lens = np.fromiter(
         (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
     )
@@ -397,12 +409,10 @@ SIMHASH_COEFFS: list[tuple[int, int]] = [
 ]
 
 
-def simhash(text: Column) -> Column:
-    """16-bit SimHash: per token, pseudo-random bit j is
-    ``((h*A_j + B_j) mod P) mod 2``; signature bit j is the sign of the
-    (+1/-1) sum over tokens.  Pure column arithmetic, cross-engine."""
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: char_poly_hash_col(t))
+def simhash_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash from an already-computed token-hash array: per token,
+    pseudo-random bit j is ``((h*A_j + B_j) mod P) mod 2``; signature bit j
+    is the sign of the (+1/-1) sum over tokens."""
 
     def bit_sum(A: int, B: int):
         # closure factory keeps the merge lambda at arity 2 (acc, h); extra
@@ -419,6 +429,36 @@ def simhash(text: Column) -> Column:
         F.lit(0),
     )
     return sig.cast("long")
+
+
+def simhash(text: Column) -> Column:
+    """16-bit SimHash of a text column — single-Column convenience form.
+
+    NOTE the interpreted char fold is referenced by all 16 per-bit
+    aggregates and higher-order expressions get no CSE, so this form pays
+    16x the fold cost.  The hot path is :func:`simhash_signatures_df`,
+    which materializes the token hashes once in a separate projection."""
+    return simhash_from_hashes(
+        F.transform(tokens(text), lambda t: char_poly_hash_col(t))
+    )
+
+
+def simhash_signatures_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc SimHash signatures with the token-hash array materialized
+    ONCE in its own projection: the 16 per-bit aggregates then reference
+    the stored array column (Catalyst's CollapseProject keeps
+    multiply-referenced expensive expressions materialized — the same
+    trick as similarity.normalized), instead of re-evaluating the full
+    character fold per bit (~16x measured)."""
+    hashes = F.transform(
+        tokens(F.col(text_col)), lambda t: char_poly_hash_col(t)
+    )
+    with_h = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_th"))
+    return with_h.select(
+        "doc_id", simhash_from_hashes(F.col("_th")).alias("simhash")
+    )
 
 
 def char_poly_hash_col(s: Column) -> Column:

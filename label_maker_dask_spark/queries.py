@@ -600,22 +600,8 @@ def events_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization (30 min gap) — the batch/oracle twin
     of the native session_window streaming operator."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-            > 1_800_000_000,
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    sessions = sessionize_lag(
+        ev, "ts", "user_id", gap_minutes=30, tie_break="event_id"
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -842,7 +828,7 @@ def _simhash_oracle() -> str:
 @register("dedup_simhash_signatures", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+    return D.simhash_signatures_df(docs)
 
 
 # --- similarity search -------------------------------------------------------

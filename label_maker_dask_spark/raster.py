@@ -84,6 +84,8 @@ def _burn_line(out: np.ndarray, coords: Sequence[Sequence[float]], value: int) -
     sub-cell resolution (deterministic; equivalent to a supercover walk)."""
     h, w = out.shape
     pts = np.asarray(coords, dtype=np.float64)
+    if pts.ndim == 2 and pts.shape[1] > 2:
+        pts = pts[:, :2]  # drop altitude from 3-element positions
     if len(pts) == 0:
         return
     if len(pts) == 1:
@@ -110,6 +112,8 @@ def _burn_polygon(
     edges = []
     for ring in rings:
         pts = np.asarray(ring, dtype=np.float64)
+        if pts.ndim == 2 and pts.shape[1] > 2:
+            pts = pts[:, :2]  # drop altitude from 3-element positions
         if len(pts) < 3:
             continue
         if not np.array_equal(pts[0], pts[-1]):
@@ -129,11 +133,12 @@ def _burn_polygon(
     ymin = max(0, int(np.floor(min(ey0.min(), ey1.min()) - 0.5)))
     ymax = min(h - 1, int(np.ceil(max(ey0.max(), ey1.max()))))
     cols = np.arange(w) + 0.5
+    # per-edge y-extents are loop-invariant — hoist out of the scanline loop
+    lo = np.minimum(ey0, ey1)
+    hi = np.maximum(ey0, ey1)
     for row in range(ymin, ymax + 1):
         yc = row + 0.5
         # half-open rule [ymin, ymax) so a vertex shared by two edges counts once
-        lo = np.minimum(ey0, ey1)
-        hi = np.maximum(ey0, ey1)
         active = (yc >= lo) & (yc < hi)
         if not active.any():
             continue

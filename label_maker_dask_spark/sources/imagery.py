@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 from typing import Callable, Iterator, Optional
-from urllib.parse import parse_qs
+from urllib.parse import parse_qs, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -94,7 +94,10 @@ def wms_image_fetcher(imagery: str) -> ImageFetcher:
     from label_maker_dask_spark.tiles import tile_ul_lat_scalar, tile_ul_lng_scalar
 
     session = requests.Session()
-    query = parse_qs(imagery.lower())
+    # parse only the query string: feeding the full URL to parse_qs would
+    # glue "https://host/path?" onto the first parameter's key, silently
+    # losing e.g. a leading version=1.3.0 (and with it the axis swap)
+    query = parse_qs(urlparse(imagery.lower()).query)
     version = (query.get("version") or ["1.1.1"])[0]
     srs = (query.get("crs" if version == "1.3.0" else "srs") or ["epsg:4326"])[0]
 
@@ -119,6 +122,9 @@ def wms_image_fetcher(imagery: str) -> ImageFetcher:
         resp.raise_for_status()
         return resp.content
 
+    # expose the parsed protocol params for tests/introspection
+    fetch.version = version  # type: ignore[attr-defined]
+    fetch.srs = srs  # type: ignore[attr-defined]
     return fetch
 
 

@@ -157,9 +157,15 @@ class TiffFile:
             ).astype(np.uint8).reshape(rows, cols * self.spp)
         return arr.reshape(rows, cols, self.spp)
 
-    def read_rows(self, r0: int, r1: int) -> np.ndarray:
+    def read_rows(self, r0: int, r1: int, c0: int | None = None,
+                  c1: int | None = None) -> np.ndarray:
         """Decode only the strips/tiles covering rows [r0, r1) — the
-        windowed read.  Returns (r1-r0, width, spp) uint8."""
+        windowed read.  Returns (r1-r0, width, spp) uint8 (full width;
+        columns outside an optional [c0, c1) stay zero).  In the tiled
+        layout the column bounds also prune which tiles DECODE — without
+        them every tile column across the raster width would inflate for
+        each window (striped layouts span the full width, so column
+        pruning cannot apply there)."""
         out = np.zeros((r1 - r0, self.width, self.spp), dtype=np.uint8)
         if self.tiled:
             tw = int(self._scalar(_TAG_TILE_W))
@@ -167,8 +173,14 @@ class TiffFile:
             offs = self.tags[_TAG_TILE_OFFSETS]
             cnts = self.tags[_TAG_TILE_COUNTS]
             tiles_across = (self.width + tw - 1) // tw
+            lo_t = 0 if c0 is None else max(0, c0 // tw)
+            hi_t = (
+                tiles_across
+                if c1 is None
+                else min(tiles_across, (c1 - 1) // tw + 1)
+            )
             for trow in range(r0 // th, (r1 - 1) // th + 1):
-                for tcol in range(tiles_across):
+                for tcol in range(lo_t, hi_t):
                     idx = trow * tiles_across + tcol
                     chunk = self._decode_chunk(offs[idx], cnts[idx], th, tw)
                     ys = slice(max(r0, trow * th), min(r1, (trow + 1) * th))
@@ -244,7 +256,11 @@ def read_tile(tif: TiffFile, z: int, x: int, y: int, tile_px: int = TILE_PX) -> 
         return out
     r0 = int(rows[row_ok].min())
     r1 = int(rows[row_ok].max()) + 1
-    window = tif.read_rows(r0, r1)  # only the needed strips decode
+    c0 = int(cols[col_ok].min())
+    c1 = int(cols[col_ok].max()) + 1
+    # only the needed strips decode; in tiled layouts only the needed
+    # tile COLUMNS decode as well
+    window = tif.read_rows(r0, r1, c0, c1)
     src = window[np.clip(rows - r0, 0, r1 - r0 - 1)][:, np.clip(cols, 0, tif.width - 1)]
     mask = row_ok[:, None] & col_ok[None, :]
     out[mask] = src[mask]

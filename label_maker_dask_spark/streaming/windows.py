@@ -102,20 +102,28 @@ def sessionize_lag(
     ts_col: str,
     user_col: str,
     gap_minutes: int = 30,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Batch sessionization via gaps-and-islands (lag + running count) —
     the window-function formulation used for oracle cross-checks; the
-    streaming twin is :func:`session_agg`."""
+    streaming twin is :func:`session_agg`.
+
+    Gaps compare at MICROSECOND precision (``unix_micros``, matching the
+    oracle's ``epoch_us`` arithmetic) — casting timestamps to whole
+    seconds would mis-classify boundary gaps like 1800.3s.  Pass
+    ``tie_break`` (a unique column) so equal timestamps order
+    deterministically."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = gap_minutes * 60
+    order = [ts_col] + ([tie_break] if tie_break else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_us = gap_minutes * 60 * 1_000_000
     with_flag = df.withColumn(
         "_new_session",
         F.when(
-            F.col(ts_col).cast("long")
-            - F.lag(F.col(ts_col).cast("long")).over(w)
-            > gap_s,
+            F.unix_micros(F.col(ts_col))
+            - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            > gap_us,
             1,
         )
         .otherwise(0),
@@ -124,7 +132,7 @@ def sessionize_lag(
         "session_id",
         F.sum("_new_session").over(
             Window.partitionBy(user_col)
-            .orderBy(ts_col)
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     ).drop("_new_session")

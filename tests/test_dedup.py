@@ -111,3 +111,20 @@ def test_minhash_profiles_match_exploded_pipeline(spark):
         assert set(r.shs) == sh[r.doc_id]
         for j in range(16):
             assert r[f"mh{j}"] == sig[r.doc_id][f"mh{j}"]
+
+
+def test_doc_shingles_arrow_path_uses_ascii_whitespace(spark):
+    """Python str.split() treats NBSP as a separator; Java's \\s+ (the
+    expression path) does not — the Arrow path must match the expression
+    path (and therefore the oracle) on such inputs."""
+    docs = spark.createDataFrame(
+        [(1, "foo\u00a0bar baz qux quux corge")],
+        "doc_id long, text string",
+    )
+    fast = sorted(
+        (r.doc_id, r.sh) for r in D.doc_shingles(docs, use_arrow=True).collect()
+    )
+    slow = sorted(
+        (r.doc_id, r.sh) for r in D.doc_shingles(docs, use_arrow=False).collect()
+    )
+    assert fast == slow and len(fast) > 0

@@ -91,3 +91,21 @@ def test_binary_file_read(spark, tmp_path):
     for name, data in blobs.items():
         assert bytes(rows[name]["content"]) == data
         assert rows[name]["length"] == len(data)
+
+
+def test_wms_fetcher_parses_leading_query_param():
+    """parse_qs must see only the query string: a version/crs appearing as
+    the FIRST parameter must not be swallowed by the 'https://host/path?'
+    prefix (that bug silently dropped the 1.3.0 axis swap)."""
+    from label_maker_dask_spark.sources.imagery import wms_image_fetcher
+
+    f = wms_image_fetcher(
+        "https://maps.example.com/wms?version=1.3.0&crs=EPSG:3857&bbox={bbox}"
+    )
+    assert f.version == "1.3.0"
+    assert f.srs == "epsg:3857"
+    f2 = wms_image_fetcher(
+        "https://maps.example.com/wms?srs=EPSG:3857&bbox={bbox}"
+    )
+    assert f2.version == "1.1.1"
+    assert f2.srs == "epsg:3857"

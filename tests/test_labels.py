@@ -141,3 +141,23 @@ def test_segmentation_buffer_requires_shapely(spark):
     classes = [{"name": "Roads", "filter": ["has", "highway"], "buffer": 2.0}]
     with pytest.raises(NotImplementedError):
         segmentation_labels(_features_df(spark), classes)
+
+
+def test_detection_emits_empty_label_for_unmatched_tiles(spark):
+    """A tile whose features match no class must still produce a row with
+    an empty label when tiles=None — the same contract as classification's
+    background row (reference label.py:99-109)."""
+    from label_maker_dask_spark.labels import detection_labels
+
+    feats = spark.createDataFrame(
+        [
+            (1, 2, 3, 10, "Point",
+             '{"type": "Point", "coordinates": [100, 100]}', {"road": "no"}),
+        ],
+        "z long, x long, y long, id long, geometry_type string, "
+        "geometry string, properties map<string,string>",
+    )
+    classes = [{"name": "roads", "filter": ["==", "road", "yes"]}]
+    rows = detection_labels(feats, classes).collect()
+    assert len(rows) == 1
+    assert rows[0]["label"] == []

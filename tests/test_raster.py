@@ -59,3 +59,20 @@ def test_multi_geometries():
     out = rasterize([(geom, 4)], out_shape=(8, 8))
     assert out[1, 1] == 4 and out[3, 3] == 4
     assert out.sum() == 8
+
+
+def test_rasterize_accepts_3d_positions():
+    """GeoJSON positions may carry an altitude; burn must use (x, y) only
+    and not crash on 3-element coordinates."""
+    import numpy as np
+
+    from label_maker_dask_spark.raster import rasterize
+
+    line = {"type": "LineString", "coordinates": [[0, 0, 5], [10, 0, 5]]}
+    poly = {"type": "Polygon",
+            "coordinates": [[[20, 20, 1], [40, 20, 1], [40, 40, 1],
+                             [20, 40, 1], [20, 20, 1]]]}
+    arr = rasterize([(line, 1), (poly, 2)])
+    assert arr[0, 0] == 1 and arr[0, 5] == 1
+    assert arr[30, 30] == 2
+    assert int(np.count_nonzero(arr == 2)) > 0

@@ -192,3 +192,20 @@ def test_streaming_sliding_equals_batch(spark, events_dir, events_batch):
     a = sorted(map(tuple, got.select("window_start", "event_type", "n").collect()))
     b = sorted(map(tuple, expected.select("window_start", "event_type", "n").collect()))
     assert a == b and len(a) > 0
+
+
+def test_sessionize_lag_microsecond_boundary(spark):
+    """A gap of 1800.3s must split sessions (second-truncation would give
+    1801-100=1701... or merge 1800.05s gaps the oracle splits)."""
+    from label_maker_dask_spark.streaming.windows import sessionize_lag
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:01:40.900"),
+         (2, 7, "2024-01-01 00:31:41.200"),   # +1800.3s -> new session
+         (3, 7, "2024-01-01 00:59:41.100")],  # +1679.9s -> same session
+        "event_id long, user_id long, lts string",
+    ).select("event_id", "user_id", F.col("lts").cast("timestamp").alias("ts"))
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize_lag(df, "ts", "user_id",
+                                   tie_break="event_id").collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
