@@ -54,8 +54,9 @@ def cosine_topk(
 
     Scale shape: the query set is collected once and shipped with the
     closure (the brute-force contract is |queries| small, corpus unbounded);
-    the corpus streams through an Arrow-batched ``mapInPandas`` scorer that
-    computes one matmul per batch and emits only the per-batch top-(k+1)
+    the corpus streams through an Arrow-batched ``mapInPandas`` scorer
+    computing exact left-fold dot products per batch (bit-reproducible by
+    the oracle) and emits only the per-batch top-(k+1)
     rows per query — so the shuffle into the final global top-k window is
     O(partitions * |queries| * k), independent of corpus size.  Every global
     top-k row is necessarily in its batch's top-(k+1) (self-match removal
@@ -65,8 +66,7 @@ def cosine_topk(
 
     qpd = queries.select(id_col, vec_col).toPandas()
     q_ids = qpd[id_col].to_numpy()
-    qm = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _unit_exact(np.stack(qpd[vec_col].to_numpy()).astype(np.float64))
     take = k + 1
 
     def score(batches):
@@ -74,13 +74,16 @@ def cosine_topk(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = _unit_exact(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             # sort batch rows by neighbor id so a row's index IS its id
             # rank — the tie-break key below stays a scalar
             id_order = np.argsort(ids, kind="stable")
             ids, cm = ids[id_order], cm[id_order]
-            sims = cm @ qm.T  # (n_corpus, n_queries)
+            # exact left-fold dots (not BLAS matmul): round-6 absorbs most
+            # pairwise-summation ulps, but a value within an ulp of a
+            # .5e-6 boundary would still flip the oracle hash — the fold
+            # removes that residual risk entirely
+            sims = _dots_exact(cm, qm)  # (n_corpus, n_queries)
             # per-batch candidate cut uses the same (rounded sim desc,
             # neighbor asc) order as the final window, so boundary ties are
             # resolved identically in both phases.  Selection is one
