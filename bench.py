@@ -45,6 +45,7 @@ HEADLINE = [
     "contamination_3gram_overlap",
     "text_repetition_bigrams",
     "dedup_components_minhash",
+    "curation_end_to_end",
 ]
 
 

@@ -323,3 +323,92 @@ def window_ntile_length_deciles(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def _curation_e2e_oracle(seq_len: int = 512, n_buckets: int = 32) -> str:
+    from label_maker_dask_spark.queries import _PUNCT_RE, _minhash_oracle
+    from label_maker_dask_spark.functions.text import STOPWORDS
+
+    punct = _PUNCT_RE.replace("'", "''")
+    quality = f"""
+      ((CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN length(regexp_replace(text, '{punct}', '', 'g'))
+                  ::DOUBLE / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN len(list_filter(toks, t -> list_contains({STOPWORDS!r}, lower(t))))
+                  ::DOUBLE / len(toks) BETWEEN 0.0100000001 AND 0.6999999999
+             THEN 1.0 ELSE 0.0 END)) / 3.0
+    """
+    split = split_bucket_sql("doc_id")
+    pack_bucket = split_bucket_sql("doc_id", salt="pack")
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+    comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    scored AS (
+      SELECT doc_id, toks, {quality} AS quality
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)),
+    surv AS (
+      SELECT s.doc_id, s.toks FROM scored s
+      LEFT JOIN comps c ON c.id = s.doc_id
+      WHERE (c.id IS NULL OR c.component = s.doc_id)
+        AND s.quality >= 0.6
+        AND ({split}) < 80),
+    t AS (SELECT doc_id, ({pack_bucket}) % {n_buckets} AS bucket,
+                 len(toks) AS n_tok
+          FROM surv),
+    c2 AS (SELECT doc_id, bucket, n_tok,
+                  sum(n_tok) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+                    AS start_offset
+           FROM t)
+    SELECT bucket, CAST(floor(start_offset / {seq_len}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM c2 GROUP BY 1, 2
+    """
+
+
+@register("curation_end_to_end", _curation_e2e_oracle())
+def curation_end_to_end(spark, sf_dir):
+    """The full training-data curation pipeline composed as ONE lazy plan —
+    near-dup group resolution (MinHash+LSH pairs -> connected components,
+    keep the canonical doc), quality filtering (score >= 2/3), the
+    deterministic train split, and concat-and-chunk sequence packing —
+    summarized per (bucket, pack).  Every stage is the same operator the
+    standalone entries use; the oracle replays the whole composition,
+    recursive CTE included.
+
+    Scale: dedup pairs come from the LSH path (no corpus^2); the quality
+    filter and split are narrow column maps applied before the packing
+    shuffle, so the window only sees surviving documents."""
+    from label_maker_dask_spark.functions.text import quality_score, tokens
+    from label_maker_dask_spark.operators.dedup import minhash_neardup_pairs
+    from label_maker_dask_spark.operators.pipeline import (
+        pack_sequences,
+        split_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = duplicate_components(
+        minhash_neardup_pairs(docs, k=16, bands=4, threshold=0.12)
+    ).select(F.col("doc_id").alias("c_id"), "component")
+    survivors = (
+        docs.join(comp, docs["doc_id"] == F.col("c_id"), "left")
+        .where(F.col("c_id").isNull() | (F.col("component") == F.col("doc_id")))
+        .where(quality_score(F.col("text")) >= 0.6)
+        .where(split_bucket(F.col("doc_id")) < 80)
+        .select("doc_id", "text")
+    )
+    packed = pack_sequences(
+        survivors, F.size(tokens(F.col("text"))), seq_len=512
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
