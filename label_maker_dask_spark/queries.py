@@ -583,9 +583,10 @@ def events_sliding(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (
+             CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            count(*) AS n_events,
@@ -1464,10 +1465,12 @@ def udf_grouped_median(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct_users")  # rows-only: HLL sketches differ by engine
-def approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) per event type — sketch values
-    are engine-specific, so this is a rows-only entry; the exact twin is
+def approx_distinct_hll(spark, sf_dir):
+    """Non-catalog convenience: approx_count_distinct (HyperLogLog++) per
+    event type.  HLL sketch values are engine-specific so this can never be
+    oracle-checked; the catalog's approximate-distinct entry is
+    agg_approx_distinct_users (KMV sketch, deterministic and replayable in
+    SQL — queries_pipeline_ext.py), and the exact twin is
     agg_distinct_nations_per_segment."""
     return (
         _t(spark, sf_dir, "events")

@@ -240,7 +240,7 @@ def _pack_oracle(seq_len: int = 512, n_buckets: int = 32) -> str:
                AS start_offset
       FROM t)
     SELECT bucket, CAST(floor(start_offset / {seq_len}) AS BIGINT) AS pack_id,
-           count(*) AS n_docs, sum(n_tok) AS n_tokens
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM c GROUP BY 1, 2
     """
 
@@ -281,12 +281,14 @@ def _kmv_oracle(k: int = 64) -> str:
     """
 
 
-@register("agg_kmv_distinct_users", _kmv_oracle())
-def agg_kmv_distinct_users(spark, sf_dir):
-    """K-minimum-values distinct-user sketch per event type — the
-    deterministic approximate-distinct (unlike HLL, the estimate is a pure
-    function of the data, so the oracle replays it exactly; the HLL twin
-    agg_approx_distinct_users stays rows-only by nature)."""
+@register("agg_approx_distinct_users", _kmv_oracle())
+def agg_approx_distinct_users(spark, sf_dir):
+    """K-minimum-values distinct-user sketch per event type — the catalog's
+    approximate-distinct entry.  Unlike HLL, the KMV estimate is a pure
+    function of the data (mergeable, error ~1/sqrt(k)), so the oracle
+    replays it exactly and the driver hash-checks it; raw
+    approx_count_distinct (HLL) remains a non-catalog convenience
+    (queries.approx_distinct_hll)."""
     from label_maker_dask_spark.operators.pipeline import kmv_distinct
 
     ev = _t(spark, sf_dir, "events")
@@ -369,7 +371,7 @@ def _curation_e2e_oracle(seq_len: int = 512, n_buckets: int = 32) -> str:
                     AS start_offset
            FROM t)
     SELECT bucket, CAST(floor(start_offset / {seq_len}) AS BIGINT) AS pack_id,
-           count(*) AS n_docs, sum(n_tok) AS n_tokens
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM c2 GROUP BY 1, 2
     """
 

@@ -15,16 +15,30 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
+    """Order-insensitive canonical rows, dtype-aware.
+
+    The driver hashes pandas values, so an integer-valued float64 column
+    (e.g. a DuckDB HUGEINT window sum landing as float) hashes differently
+    from Spark's int64 even though ``%.9g`` renders both as "1".  Prefixing
+    each scalar with its dtype kind ("i:" / "f:" / "b:") makes that class of
+    mismatch visible locally instead of only in the driver's gate.
+    """
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     rows = []
     for row in df.itertuples(index=False):
         vals = []
         for v in row:
-            if isinstance(v, float):
+            if isinstance(v, (bool, np.bool_)):
+                vals.append(f"b:{bool(v)}")
+            elif isinstance(v, (int, np.integer)):
+                vals.append(f"i:{int(v)}")
+            elif isinstance(v, float):
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(f"{v:.9g}")
+                    vals.append(f"f:{v:.9g}")
             elif isinstance(v, (list, tuple)) or "ndarray" in type(v).__name__:
                 vals.append(str([f"{x:.7g}" if isinstance(x, float) else str(x) for x in v]))
             elif v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
