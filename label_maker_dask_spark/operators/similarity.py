@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 
 from label_maker_dask_spark.functions.vectors import cosine_rounded, dot, norm
 
+#: Brute-force / IVF operators ship the query set with the task closure, so
+#: it must stay driver- and executor-memory small.  At 64-dim float64 the
+#: default cap is ~5 MB of vectors — far below broadcast limits but large
+#: enough for any realistic "score these probes" workload.
+DEFAULT_MAX_QUERIES = 10_000
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str, max_queries: int, op: str):
+    """Enforce the small-query-set contract BEFORE collecting.
+
+    ``cosine_topk``/``ivf_topk`` broadcast the query side; an unbounded
+    ``toPandas`` here would OOM the driver on a large query DataFrame.
+    ``limit(max+1)`` bounds the collect itself (we never pull more than one
+    row past the cap), and the error names the operators built for
+    corpus-sized query sets."""
+    qpd = queries.select(id_col, vec_col).limit(max_queries + 1).toPandas()
+    if len(qpd) > max_queries:
+        raise ValueError(
+            f"{op}: query set exceeds max_queries={max_queries}. The "
+            "brute-force/IVF paths collect and broadcast the query side; "
+            "for large query sets use lsh_topk / lsh_topk_stored "
+            "(bucket-join, no collect) or write_ivf_index + ivf_topk_stored "
+            "with a chunked query loop, or raise max_queries explicitly if "
+            "the driver can hold the set."
+        )
+    return qpd
+
 
 def normalized(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
     """Project each vector onto the unit sphere once, so the per-pair cost
@@ -47,6 +74,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """For each query row, the k nearest corpus rows by cosine (self-matches
     excluded).  Ties break on neighbor id so the result is total-ordered and
@@ -64,7 +92,7 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    qpd = queries.select(id_col, vec_col).toPandas()
+    qpd = _collect_queries(queries, id_col, vec_col, max_queries, "cosine_topk")
     q_ids = qpd[id_col].to_numpy()
     qm = _unit_exact(np.stack(qpd[vec_col].to_numpy()).astype(np.float64))
     take = k + 1
@@ -338,6 +366,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF-style ANN top-k: partition the corpus into ``n_cells`` Voronoi
     cells around deterministic seed centroids (the ``n_cells`` lowest-id
@@ -362,7 +391,7 @@ def ivf_topk(
     )
     cm = _unit_exact(np.stack(cpd[vec_col].to_numpy()).astype(np.float64))
 
-    qpd = queries.select(id_col, vec_col).toPandas()
+    qpd = _collect_queries(queries, id_col, vec_col, max_queries, "ivf_topk")
     q_ids = qpd[id_col].to_numpy()
     qm = _unit_exact(np.stack(qpd[vec_col].to_numpy()).astype(np.float64))
     # per query: the n_probe nearest cells (ties by cell index, stable)
@@ -458,6 +487,7 @@ def ivf_topk_stored(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """ANN top-k against a stored IVF index: per-query probe cells are
     computed driver-side from the stored centroids, and the corpus scan is
@@ -471,7 +501,7 @@ def ivf_topk_stored(
     cent = spark.read.parquet(path + "/centroids").orderBy("cell").toPandas()
     cm = np.stack(cent["cv"].to_numpy()).astype(np.float64)
 
-    qpd = queries.select(id_col, vec_col).toPandas()
+    qpd = _collect_queries(queries, id_col, vec_col, max_queries, "ivf_topk_stored")
     q_ids = qpd[id_col].to_numpy()
     qm = _unit_exact(np.stack(qpd[vec_col].to_numpy()).astype(np.float64))
     probe = np.argsort(-_dots_exact(qm, cm), kind="stable", axis=1)[:, :n_probe]

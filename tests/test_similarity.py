@@ -223,3 +223,41 @@ def test_lsh_stored_index_matches_onthefly_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines and "bucket" in pf_lines[0]
+
+
+def test_query_side_contract_enforced(spark):
+    """cosine_topk / ivf_topk collect the query side; a query set past the
+    cap must fail fast with an error that points at the scale paths, and
+    the guard itself must not collect more than cap+1 rows."""
+    import pytest
+
+    from label_maker_dask_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark)
+    big = spark.range(0, 50).selectExpr(
+        "id as vec_id", "array(1.0, 0.0, 0.0, 0.0) as embedding"
+    )
+    for fn in (cosine_topk, ivf_topk):
+        with pytest.raises(ValueError, match="lsh_topk"):
+            fn(emb, big, k=2, max_queries=10)
+    # at or under the cap still works
+    out = cosine_topk(emb, big.limit(10), k=2, max_queries=10)
+    assert out.count() == 10 * 2
+
+
+def test_query_side_contract_stored_index(spark, tmp_path):
+    import pytest
+
+    from label_maker_dask_spark.operators.similarity import (
+        ivf_topk_stored,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_contract")
+    write_ivf_index(emb, path, n_cells=2)
+    big = spark.range(0, 50).selectExpr(
+        "id as vec_id", "array(1.0, 0.0, 0.0, 0.0) as embedding"
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_topk_stored(spark, path, big, k=2, max_queries=10)

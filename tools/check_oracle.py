@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
@@ -34,14 +35,15 @@ def canon(df: pd.DataFrame) -> list[tuple]:
                 vals.append(f"b:{bool(v)}")
             elif isinstance(v, (int, np.integer)):
                 vals.append(f"i:{int(v)}")
-            elif isinstance(v, float):
-                if math.isnan(v):
+            elif isinstance(v, (float, np.floating, decimal.Decimal)):
+                f = float(v)
+                if math.isnan(f):
                     vals.append("NaN")
                 else:
-                    vals.append(f"f:{v:.9g}")
+                    vals.append(f"f:{f:.9g}")
             elif isinstance(v, (list, tuple)) or "ndarray" in type(v).__name__:
                 vals.append(str([f"{x:.7g}" if isinstance(x, float) else str(x) for x in v]))
-            elif v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            elif v is None or v is pd.NaT:
                 vals.append("NULL")
             else:
                 vals.append(str(v))
