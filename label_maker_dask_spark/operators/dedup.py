@@ -444,20 +444,75 @@ def simhash(text: Column) -> Column:
 
 
 def simhash_signatures_df(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """Per-doc SimHash signatures with the token-hash array materialized
-    ONCE in its own projection: the 16 per-bit aggregates then reference
-    the stored array column (Catalyst's CollapseProject keeps
-    multiply-referenced expensive expressions materialized — the same
-    trick as similarity.normalized), instead of re-evaluating the full
-    character fold per bit (~16x measured)."""
-    hashes = F.transform(
-        tokens(F.col(text_col)), lambda t: char_poly_hash_col(t)
-    )
-    with_h = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_th"))
-    return with_h.select(
-        "doc_id", simhash_from_hashes(F.col("_th")).alias("simhash")
+    """Per-doc SimHash signatures.  Two identical-value implementations
+    (same twin pattern as :func:`doc_shingles`):
+
+    - ``use_arrow=True`` (default, the 100 TB path): one Arrow-batched
+      ``mapInPandas`` pass — tokens char-folded once with the vectorized
+      ``_token_fold`` (Horner over a padded byte matrix), then all 16 bit
+      sums come from one ``np.bincount`` per plane over the flat token-hash
+      array.  Entirely narrow: one row in, one (doc_id, simhash) row out.
+    - ``use_arrow=False``: Catalyst expressions with the token-hash array
+      materialized ONCE in its own projection (the 16 per-bit aggregates
+      then reference the stored array — Catalyst's CollapseProject keeps
+      multiply-referenced expensive expressions materialized, the same
+      trick as similarity.normalized).  This form mirrors the DuckDB
+      oracle SQL; higher-order folds are interpreted per element, so it is
+      the slow path at scale.
+
+    Tests assert both paths are value-identical row for row."""
+    if not use_arrow:
+        hashes = F.transform(
+            tokens(F.col(text_col)), lambda t: char_poly_hash_col(t)
+        )
+        with_h = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_th"))
+        return with_h.select(
+            "doc_id", simhash_from_hashes(F.col("_th")).alias("simhash")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    P = HASH_P
+    coeffs = SIMHASH_COEFFS
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids = pdf[id_col].to_numpy()
+            toks_per_doc = [
+                [t for t in _WS_RE.split(s) if t]
+                for s in pdf[text_col].fillna("")
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc),
+                dtype=np.int64,
+                count=len(toks_per_doc),
+            )
+            sig = np.zeros(len(doc_ids), dtype=np.int64)
+            flat = [tok for toks in toks_per_doc for tok in toks]
+            if flat:
+                th = _token_fold(flat)  # < P ~1e9
+                tok_doc = np.repeat(np.arange(len(lens)), lens)
+                for j, (A, B) in enumerate(coeffs):
+                    # th*A + B < 1e9*95 + 1e9 — far inside int64
+                    contrib = (((th * A + B) % P) % 2) * 2 - 1
+                    # float64 weights are exact here: |sum| <= n_tokens << 2^53
+                    s = np.bincount(
+                        tok_doc, weights=contrib, minlength=len(lens)
+                    )
+                    sig |= (s > 0).astype(np.int64) << j
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": sig})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"doc_id {id_type}, simhash long"
     )
 
 

@@ -128,3 +128,30 @@ def test_doc_shingles_arrow_path_uses_ascii_whitespace(spark):
         (r.doc_id, r.sh) for r in D.doc_shingles(docs, use_arrow=False).collect()
     )
     assert fast == slow and len(fast) > 0
+
+
+def test_simhash_arrow_matches_expression_path(spark):
+    """The Arrow SimHash path (default, the scale path) must equal the
+    Catalyst-expression path (the oracle mirror) signature-for-signature —
+    including non-ASCII (ord() fallback), NBSP (ASCII-\\s parity), an empty
+    doc, and a null doc (both engines sign an empty/null bit-sum as 0)."""
+    docs = _docs(spark).union(
+        spark.createDataFrame(
+            [
+                Row(doc_id=6, text="naïve café déjà vu encore une fois"),
+                Row(doc_id=7, text="foo bar baz"),
+                Row(doc_id=8, text=""),
+                Row(doc_id=9, text=None),
+            ],
+            schema="doc_id long, text string",
+        )
+    )
+    fast = sorted(
+        (r.doc_id, r.simhash)
+        for r in D.simhash_signatures_df(docs, use_arrow=True).collect()
+    )
+    slow = sorted(
+        (r.doc_id, r.simhash)
+        for r in D.simhash_signatures_df(docs, use_arrow=False).collect()
+    )
+    assert fast == slow and len(fast) == docs.count()
