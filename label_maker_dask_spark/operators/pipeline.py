@@ -168,12 +168,32 @@ def repetition_scores(
     )
 
 
+def derive_pack_buckets(
+    n_rows: int,
+    target_bucket_rows: int = 4_000_000,
+    min_buckets: int = 32,
+) -> int:
+    """Bucket count for :func:`pack_sequences` sized from input volume.
+
+    Each bucket is one window-sort task, so the bucket count bounds the
+    per-reducer row count: ``ceil(n_rows / target_bucket_rows)`` keeps
+    every sort task at or under ``target_bucket_rows`` rows (~40 B/row of
+    (id, bucket, n_tok, offset) state ⇒ the 4M default is ~160 MB of sort
+    input per task).  The ``min_buckets`` floor keeps small inputs wide
+    enough to use a cluster's parallelism.  Formula documented in
+    SCALE.md."""
+    import math
+
+    return max(min_buckets, math.ceil(max(n_rows, 1) / target_bucket_rows))
+
+
 def pack_sequences(
     docs: DataFrame,
     token_count: Column,
     seq_len: int = 2048,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
+    target_bucket_rows: int = 4_000_000,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard pre-training layout):
     documents are laid head-to-tail in a deterministic order and cut into
@@ -185,8 +205,19 @@ def pack_sequences(
     production, one per output shard), then ordered by id *within* the
     bucket, so the only window runs per-bucket, never globally, and the
     layout is reproducible under retries and repartitioning.  Returns
-    per-doc ``(doc_id, bucket, start_offset, pack_id)``."""
+    per-doc ``(doc_id, bucket, start_offset, pack_id)``.
+
+    ``n_buckets=None`` (default) sizes the bucket count from the input
+    volume via :func:`derive_pack_buckets` — one ``count()`` job, then
+    every window-sort task holds ≤ ``target_bucket_rows`` rows, so packing
+    never degrades to a handful of multi-TB sort tasks at 100 TB.  Pass an
+    explicit ``n_buckets`` for a fixed shard layout (or to keep the whole
+    job one lazy plan); the bucket assignment is a pure function of
+    (id, n_buckets) either way."""
     from pyspark.sql import Window
+
+    if n_buckets is None:
+        n_buckets = derive_pack_buckets(docs.count(), target_bucket_rows)
 
     b = (split_bucket(F.col(id_col), salt="pack") % n_buckets).alias("bucket")
     base = docs.select(F.col(id_col).alias("doc_id"), b, token_count.alias("n_tok"))

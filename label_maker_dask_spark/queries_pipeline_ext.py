@@ -254,7 +254,11 @@ def pack_sequences_512(spark, sf_dir):
     from label_maker_dask_spark.operators.pipeline import pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
-    packed = pack_sequences(docs, F.size(tokens(F.col("text"))), seq_len=512)
+    # n_buckets pinned so the oracle's % 32 matches and the plan stays lazy;
+    # production callers omit it and get volume-derived buckets
+    packed = pack_sequences(
+        docs, F.size(tokens(F.col("text"))), seq_len=512, n_buckets=32
+    )
     return packed.groupBy("bucket", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
@@ -408,7 +412,7 @@ def curation_end_to_end(spark, sf_dir):
         .select("doc_id", "text")
     )
     packed = pack_sequences(
-        survivors, F.size(tokens(F.col("text"))), seq_len=512
+        survivors, F.size(tokens(F.col("text"))), seq_len=512, n_buckets=32
     )
     return packed.groupBy("bucket", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

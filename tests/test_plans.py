@@ -125,3 +125,30 @@ def test_lsh_topk_single_shuffle_for_corpus(spark):
     assert "BroadcastHashJoin" in plan
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 1, f"expected <=1 shuffle Exchange, saw {n_shuffles}"
+
+
+def test_pack_sequences_never_plans_single_task_global_sort(spark):
+    """Packing's only sort is the per-bucket window — the plan must
+    partition on `bucket` (many independent sort tasks), never collapse to
+    a SinglePartition global sort, and the bucket count must scale with
+    input volume when not pinned."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.functions.text import tokens
+    from label_maker_dask_spark.operators.pipeline import (
+        derive_pack_buckets,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = pack_sequences(docs, F.size(tokens(F.col("text"))), seq_len=512)
+    plan = plan_of(packed)
+    assert "hashpartitioning(bucket" in plan
+    assert "SinglePartition" not in plan
+
+    # the volume-derived bucket count keeps every sort task bounded:
+    # 100 TB ≈ 2e10 docs  →  ≥ 5000 buckets of ≤ 4M rows each
+    assert derive_pack_buckets(20_000_000_000) == 5000
+    assert derive_pack_buckets(20_000_000_000, target_bucket_rows=1_000_000) == 20000
+    # floor keeps small inputs parallel
+    assert derive_pack_buckets(100) == 32
