@@ -70,19 +70,49 @@ def test_streaming_tumbling_equals_batch(spark, events_dir, events_batch):
     assert a == b and len(a) > 0
 
 
-def test_streaming_session_window_runs(spark, events_dir, events_batch):
+def test_streaming_session_window_equals_batch(spark, events_dir, events_batch):
+    """Full equals-batch for session windows: the streamed state-store merge
+    across micro-batches must reproduce the batch sessionization row for
+    row — including the merged session_end and a value aggregate, not just
+    session identity/count."""
     def build(df):
         return session_agg(
             df, "ts", "30 minutes", ["user_id"],
-            [F.count(F.lit(1)).alias("n")],
+            [F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total")],
             watermark="1 hour",
         )
 
+    cols = ["user_id", "session_start", "session_end", "n", "total"]
     got = _run_stream(spark, events_dir, build, "t_session")
     expected = build(events_batch)
-    # session merge across micro-batches must equal the batch sessionization
-    a = sorted(map(tuple, got.select("user_id", "session_start", "n").collect()))
-    b = sorted(map(tuple, expected.select("user_id", "session_start", "n").collect()))
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, expected.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_session_window_agrees_with_lag_sessionization(spark, events_batch):
+    """The two sessionization formulations — native session_window (the
+    streaming twin) and gaps-and-islands lag (the oracle-checked
+    events_sessionize_30m path) — must carve identical sessions: same
+    (user, session_start) set, same per-session event counts."""
+    from label_maker_dask_spark.streaming.windows import sessionize_lag
+
+    sw = session_agg(
+        events_batch, "ts", "30 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+    ).select("user_id", "session_start", "n")
+
+    lag = (
+        sessionize_lag(events_batch, "ts", "user_id", gap_minutes=30,
+                       tie_break="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.count(F.lit(1)).alias("n"))
+        .select("user_id", "session_start", "n")
+    )
+    a = sorted(map(tuple, sw.collect()))
+    b = sorted(map(tuple, lag.collect()))
     assert a == b and len(a) > 0
 
 
