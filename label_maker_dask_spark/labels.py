@@ -218,20 +218,15 @@ def segmentation_labels(
     deterministic (feature order, class index) order — later burns
     overwrite, the reference's rasterize REPLACE semantics.
 
-    ``buffer`` on a class requires a geometry library for segmentation
-    (shape morphology, not just bounds) — unavailable here, so it raises.
+    ``buffer`` on a class (reference ``geo.buffer(d, 4)`` between clip and
+    burn, label.py:49-52) is applied WITHOUT a geometry library via
+    burn-then-morph: the shape is burned to a scratch mask and a
+    ``|d|``-px Euclidean disk dilation (negative d: erosion) runs on the
+    256-px grid before the REPLACE write — see raster.morph_disk.
     """
     classes = _norm_classes(classes)
-    for cl in classes:
-        if cl.get("buffer"):
-            try:
-                import shapely  # noqa: F401
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "segmentation buffer requires shapely, which is not "
-                    "installed in this environment (reference label.py:148-149)"
-                ) from exc
     filters = [c.get("filter") for c in classes]
+    buffers = [float(c.get("buffer") or 0.0) for c in classes]
     cols = list(tile_cols)
 
     schema = (
@@ -266,7 +261,7 @@ def segmentation_labels(
                     continue
                 if converted is None:
                     converted = _convert_geom(geom)
-                shapes.append((converted, i + 1))
+                shapes.append((converted, i + 1, buffers[i]))
         arr = rasterize(shapes)
         head = {c: [pdf.iloc[0][c]] for c in cols}
         head["label"] = [arr.tobytes()]

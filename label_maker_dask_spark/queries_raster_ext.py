@@ -88,15 +88,11 @@ def _seg_oracle() -> str:
     """
 
 
-@register("segmentation_raster_class_areas", _seg_oracle())
-def segmentation_raster_class_areas(spark, sf_dir):
-    """End-to-end segmentation rasterization (grouped-map applyInPandas +
-    the numpy scanline rasterizer) over synthetic rectangle features, with
-    per-(tile, class) burned-pixel counts as the oracle-checkable output.
-
-    Scale: feature synthesis is narrow column math; the rasterize is one
-    shuffle on the tile key (uniform 256×256 state per group, no skew);
-    the count decode is a second narrow Arrow pass over the rasters."""
+def _synth_rect_features(spark, sf_dir):
+    """Synthetic per-tile rectangle features from events (shared by the
+    plain and buffered segmentation queries): up to 16 features per tile,
+    each in its own 1024-unit slot so shapes never overlap across
+    features — even after a ≤3-px dilation (margins ≥ 4 px)."""
     ev = _t(spark, sf_dir, "events")
     tile = (F.col("user_id") % _N_TILES).alias("tile_id")
     w = Window.partitionBy(F.col("user_id") % _N_TILES).orderBy("event_id")
@@ -118,14 +114,18 @@ def segmentation_raster_class_areas(spark, sf_dir):
         "[[[%d, %d], [%d, %d], [%d, %d], [%d, %d], [%d, %d]]]}",
         x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
     )
-    feats = feats.select(
+    return feats.select(
         "tile_id",
         F.col("event_id").alias("id"),
         F.lit("Polygon").alias("geometry_type"),
         F.from_json("props", "map<string,string>").alias("properties"),
         geometry.alias("geometry"),
     )
-    rasters = segmentation_labels(feats, _SEG_CLASSES, tile_cols=("tile_id",))
+
+
+def _class_pixel_counts(rasters):
+    """Per-(tile, class) burned-pixel counts decoded from the raster
+    column — one narrow Arrow pass, zero-count classes dropped."""
 
     def count(batches):
         for pdf in batches:
@@ -151,3 +151,99 @@ def segmentation_raster_class_areas(spark, sf_dir):
     return rasters.mapInPandas(
         count, "tile_id long, class_id int, n_pixels long"
     )
+
+
+@register("segmentation_raster_class_areas", _seg_oracle())
+def segmentation_raster_class_areas(spark, sf_dir):
+    """End-to-end segmentation rasterization (grouped-map applyInPandas +
+    the numpy scanline rasterizer) over synthetic rectangle features, with
+    per-(tile, class) burned-pixel counts as the oracle-checkable output.
+
+    Scale: feature synthesis is narrow column math; the rasterize is one
+    shuffle on the tile key (uniform 256×256 state per group, no skew);
+    the count decode is a second narrow Arrow pass over the rasters."""
+    feats = _synth_rect_features(spark, sf_dir)
+    rasters = segmentation_labels(feats, _SEG_CLASSES, tile_cols=("tile_id",))
+    return _class_pixel_counts(rasters)
+
+
+# buffered variant: nested predicates + strictly descending buffers, so a
+# feature matching several classes burns as concentric rings — REPLACE
+# order with per-class dilation (reference label.py:49-52) is what the
+# oracle replays in closed form
+_SEG_BUFFERS = (3, 1, 0)
+_SEG_CLASSES_BUF = [
+    {**c, "buffer": b} for c, b in zip(_SEG_CLASSES, _SEG_BUFFERS)
+]
+# Q(b) = #{(i,j) : i,j >= 1, i²+j² <= b²} — corner cells of the lattice
+# disk; dilated pixel count of a solid w×h rect is wh + 2b(w+h) + 4Q(b)
+_Q = {3: 4, 1: 0, 0: 0}
+
+
+def _seg_buffered_oracle() -> str:
+    preds = [
+        filter_sql(
+            c["filter"],
+            properties="props",
+            geometry_type="'Polygon'",
+            feature_id="event_id",
+            map_lookup=_GL_ORACLE_LOOKUP,
+        )
+        for c in _SEG_CLASSES
+    ]
+    c = _slot_coords_sql()
+    px = "round_even({v} * 255.0 / 4096, 0)"
+    w = f"({px.format(v='x1')} - {px.format(v='x0')})"
+    h = f"({px.format(v='y1')} - {px.format(v='y0')})"
+    b1, b2, b3 = _SEG_BUFFERS
+
+    def area(b: int) -> str:
+        return f"(w * h + {2 * b} * (w + h) + {4 * _Q[b]})"
+
+    # nested predicates (p3 ⇒ p2 ⇒ p1): the visible pixels of a class are
+    # its dilated area minus the next matching class's dilated area
+    ring1 = (
+        f"CASE WHEN p2 THEN {area(b1)} - {area(b2)} ELSE {area(b1)} END"
+    )
+    ring2 = f"CASE WHEN p3 THEN {area(b2)} - {area(b3)} ELSE {area(b2)} END"
+    ring3 = area(b3)
+    return f"""
+    WITH f AS (
+      SELECT user_id % {_N_TILES} AS tile_id, event_id, props,
+             row_number() OVER (PARTITION BY user_id % {_N_TILES}
+                                ORDER BY event_id) - 1 AS slot
+      FROM events),
+    sel AS (SELECT tile_id, event_id, props, slot FROM f WHERE slot < {_MAX_FEATS}),
+    geom AS (SELECT tile_id, event_id,
+                    {preds[0]} AS p1, {preds[1]} AS p2, {preds[2]} AS p3,
+                    {c['x0']} AS x0, {c['x1']} AS x1,
+                    {c['y0']} AS y0, {c['y1']} AS y1
+             FROM sel),
+    dims AS (SELECT tile_id, event_id, p1, p2, p3,
+                    {w} AS w, {h} AS h
+             FROM geom),
+    rings AS (
+      SELECT tile_id, 1 AS class_id, {ring1} AS a FROM dims WHERE p1
+      UNION ALL
+      SELECT tile_id, 2, {ring2} FROM dims WHERE p2
+      UNION ALL
+      SELECT tile_id, 3, {ring3} FROM dims WHERE p3)
+    SELECT tile_id, class_id, CAST(sum(a) AS BIGINT) AS n_pixels
+    FROM rings GROUP BY tile_id, class_id
+    """
+
+
+@register("segmentation_buffered_ring_areas", _seg_buffered_oracle())
+def segmentation_buffered_ring_areas(spark, sf_dir):
+    """Buffered segmentation end-to-end WITHOUT a geometry library: each
+    class dilates its burn by a per-class pixel radius (burn-then-morph,
+    raster.morph_disk — the reference's shapely geo.buffer(d, 4) between
+    clip and rasterize, label.py:49-52), and REPLACE order turns the
+    nested classes into concentric rings.  For integer-pixel rectangles a
+    disk dilation has the closed form wh + 2b(w+h) + 4Q(b), so DuckDB
+    replays every ring area exactly."""
+    feats = _synth_rect_features(spark, sf_dir)
+    rasters = segmentation_labels(
+        feats, _SEG_CLASSES_BUF, tile_cols=("tile_id",)
+    )
+    return _class_pixel_counts(rasters)

@@ -32,18 +32,68 @@ GRID = 256
 
 
 def rasterize(
-    shapes: Iterable[Tuple[dict, int]], out_shape: Tuple[int, int] = (GRID, GRID)
+    shapes: Iterable[Tuple], out_shape: Tuple[int, int] = (GRID, GRID)
 ) -> np.ndarray:
-    """Burn ``(geojson_geometry, value)`` pairs into a uint8 raster.
+    """Burn ``(geojson_geometry, value)`` or ``(geometry, value, buffer)``
+    tuples into a uint8 raster.
 
     Mirrors the call shape of rasterio.features.rasterize as used at
     reference label.py:152.  Geometry coordinates are already in pixel space
     (x right, y down after the reference's y-flip).
-    """
+
+    A non-zero ``buffer`` reproduces the reference's shapely
+    ``geo.buffer(d, 4)`` before the burn (label.py:49-52) WITHOUT a geometry
+    library, by burn-then-morph: the unbuffered geometry is burned to a
+    scratch mask, then a Euclidean disk dilation (d > 0) or erosion (d < 0)
+    of radius |d| pixels is applied on the grid before the REPLACE write
+    into the output.  On the 256-px grid this equals round-cap
+    buffer-then-burn up to half-pixel quantization of the original burn —
+    the same order of approximation as the center-inside fill rule itself.
+    Morphing per *shape* (not once at the end) preserves the reference's
+    REPLACE overwrite order between differently-buffered classes."""
     out = np.zeros(out_shape, dtype=np.uint8)
-    for geom, value in shapes:
-        _burn(out, geom, value)
+    for shape in shapes:
+        geom, value, buf = shape if len(shape) == 3 else (*shape, 0.0)
+        if not buf:
+            _burn(out, geom, value)
+            continue
+        scratch = np.zeros(out_shape, dtype=np.uint8)
+        _burn(scratch, geom, 1)
+        mask = morph_disk(scratch.astype(bool), float(buf))
+        out[mask] = value
     return out
+
+
+def morph_disk(mask: np.ndarray, d: float) -> np.ndarray:
+    """Euclidean disk morphology on a boolean grid: ``d > 0`` dilates (a
+    cell joins when its center lies within ``d`` of a set cell's center),
+    ``d < 0`` erodes by ``|d|`` (a set cell survives only when no unset
+    cell — including the off-grid surround, matching the reference's
+    clip-then-negative-buffer order, label.py:47-52 — lies within
+    ``|d|``).  Vectorized as one shifted OR per in-disk offset:
+    O(d² · cells) bitwise work, exact for any real ``d``."""
+    if d == 0:
+        return mask.copy()
+    r = int(np.floor(abs(d)))
+    d2 = float(d) * float(d)
+    if d > 0:
+        base = mask
+    else:
+        # erosion = complement-dilate-complement; pad with True so the
+        # off-grid surround erodes the border like a clip boundary
+        base = np.pad(~mask, r, mode="constant", constant_values=True)
+    out = np.zeros_like(base)
+    H, W = base.shape
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy * dy + dx * dx > d2:
+                continue
+            yd, ys = (dy, 0) if dy >= 0 else (0, -dy)
+            xd, xs = (dx, 0) if dx >= 0 else (0, -dx)
+            out[yd : H - ys, xd : W - xs] |= base[ys : H - yd, xs : W - xd]
+    if d > 0:
+        return out
+    return mask & ~out[r : H - r, r : W - r]
 
 
 def _burn(out: np.ndarray, geom: dict, value: int) -> None:

@@ -137,10 +137,22 @@ def test_segmentation_later_class_overwrites(spark):
     assert (arr == 0).sum() == 0 or arr[0, 0] in (0, 1)
 
 
-def test_segmentation_buffer_requires_shapely(spark):
+def test_segmentation_buffer_burn_then_dilate(spark):
+    """A buffered segmentation class rasterizes without shapely: the rect
+    1024..2048 converts to a 64x64 pixel square, and a 2-px round-cap
+    buffer adds exactly 2d(w+h) + 4*Q(2) = 512 + 4 pixels (closed form for
+    integer-pixel rectangles)."""
     classes = [{"name": "Roads", "filter": ["has", "highway"], "buffer": 2.0}]
-    with pytest.raises(NotImplementedError):
-        segmentation_labels(_features_df(spark), classes)
+    feats = spark.createDataFrame(
+        [Row(z=15, x=0, y=0, id=1, geometry_type="Polygon",
+             geometry=_poly(1024, 1024, 2048, 2048),
+             properties={"highway": "residential"})],
+        schema="z int, x long, y long, id long, geometry_type string, "
+               "geometry string, properties map<string,string>",
+    )
+    out = segmentation_labels(feats, classes).collect()
+    arr = np.frombuffer(out[0].label, dtype=np.uint8).reshape(256, 256)
+    assert (arr == 1).sum() == 64 * 64 + 2 * 2 * (64 + 64) + 4
 
 
 def test_detection_emits_empty_label_for_unmatched_tiles(spark):
