@@ -85,12 +85,15 @@ def tms_image_fetcher(imagery: str) -> ImageFetcher:
 
 def wms_image_fetcher(imagery: str) -> ImageFetcher:
     """WMS GetMap with the tile's bbox in the requested CRS (reference
-    utils.py:176-206).  Only EPSG:4326 and EPSG:3857 are supported without
-    rasterio's CRS machinery — enough for the common WMS endpoints."""
-    import math
-
+    utils.py:176-206).  The bbox is reprojected from WGS84 with a
+    densified envelope transform (sources/crs.py — the pure-math twin of
+    the reference's rasterio ``transform_bounds(..., densify_pts=21)``,
+    utils.py:81-84): EPSG:4326/CRS:84, Web/World Mercator and all UTM
+    zones built-in, pyproj for the long tail.  An unsupported CRS raises
+    here, at plan time, not per task."""
     import requests
 
+    from label_maker_dask_spark.sources.crs import project_fn, transform_bounds
     from label_maker_dask_spark.tiles import tile_ul_lat_scalar, tile_ul_lng_scalar
 
     session = requests.Session()
@@ -100,20 +103,18 @@ def wms_image_fetcher(imagery: str) -> ImageFetcher:
     query = parse_qs(urlparse(imagery.lower()).query)
     version = (query.get("version") or ["1.1.1"])[0]
     srs = (query.get("crs" if version == "1.3.0" else "srs") or ["epsg:4326"])[0]
+    project_fn(srs)  # plan-time capability check
 
     def fetch(z: int, x: int, y: int) -> bytes:
         west = tile_ul_lng_scalar(x, z)
         east = tile_ul_lng_scalar(x + 1, z)
         north = tile_ul_lat_scalar(y, z)
         south = tile_ul_lat_scalar(y + 1, z)
-        if srs.endswith("3857"):
-            r = 6378137.0
-            xmin = math.radians(west) * r
-            xmax = math.radians(east) * r
-            ymin = r * math.log(math.tan(math.pi / 4 + math.radians(south) / 2))
-            ymax = r * math.log(math.tan(math.pi / 4 + math.radians(north) / 2))
-        else:
-            xmin, ymin, xmax, ymax = west, south, east, north
+        xmin, ymin, xmax, ymax = transform_bounds(
+            srs, west, south, east, north, densify_pts=21
+        )
+        # 1.3.0 swaps to axis order per the reference's behavior
+        # (utils.py:87-90: unconditional y-first under 1.3.0)
         bbox = (
             [ymin, xmin, ymax, xmax] if version == "1.3.0" else [xmin, ymin, xmax, ymax]
         )
