@@ -46,6 +46,12 @@ HEADLINE = [
     "text_repetition_bigrams",
     "dedup_components_minhash",
     "curation_end_to_end",
+    # round-4 additions (r3 verdict item 10): the as-of joins and the
+    # KMV-backed approx-distinct were catalog-green but never benched,
+    # so perf regressions on those paths were invisible
+    "join_asof_latest_order",
+    "join_asof_tolerance_90d",
+    "agg_approx_distinct_users",
 ]
 
 
