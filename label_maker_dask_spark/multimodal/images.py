@@ -13,7 +13,10 @@ What is real here vs stubbed (environment has numpy but no PIL/OpenCV):
   frame sampling — fully implemented in numpy, deterministic, tested.
 - PNG decode: native (``multimodal/png.py``, stdlib zlib — no imaging
   library).
-- DCT codecs (JPEG etc.): require PIL — the decode stage raises
+- JPEG decode: native (``multimodal/jpeg.py``, baseline sequential DCT in
+  pure numpy, verified against the JVM's javax.imageio decoder).
+  Progressive/arithmetic streams raise ``NotImplementedError`` naming PIL.
+- Other formats (webp, gif, ...): require PIL — the decode stage raises
   ``NotImplementedError`` with the dependency named unless PIL is
   importable.  The Spark-side plumbing (schema, batching, UDF signature)
   is identical either way, which is the part that matters at scale.
@@ -52,20 +55,26 @@ def attach_image_meta(
 def decode_compressed(fmt: str = "jpeg"):
     """Decoder for compressed image bytes -> raw array.
 
-    PNG decodes natively (``multimodal/png.py``, stdlib zlib — no imaging
-    library).  JPEG and other DCT codecs need PIL: the stage raises with
-    the dependency named unless it is importable; the Spark-side plumbing
-    is identical either way."""
+    PNG decodes natively (``multimodal/png.py``, stdlib zlib) and JPEG
+    decodes natively too (``multimodal/jpeg.py``, baseline sequential DCT
+    in pure numpy — progressive/arithmetic streams raise with Pillow
+    named).  Other formats need PIL: the stage raises with the dependency
+    named unless it is importable; the Spark-side plumbing is identical
+    either way."""
     if fmt.lower() == "png":
         from label_maker_dask_spark.multimodal.png import decode_png
 
         return decode_png
+    if fmt.lower() in ("jpeg", "jpg"):
+        from label_maker_dask_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg
     try:
         from PIL import Image  # type: ignore  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             f"{fmt} decode requires Pillow, which is not installed; "
-            "png and raw_u8 buffers are fully supported without it"
+            "png, jpeg and raw_u8 buffers are fully supported without it"
         ) from exc
 
     def decode(blob: bytes) -> np.ndarray:  # pragma: no cover - env-dependent

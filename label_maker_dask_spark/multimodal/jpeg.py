@@ -1,0 +1,406 @@
+"""Native baseline JPEG decoder — pure numpy + stdlib, no PIL/libjpeg.
+
+Most real TMS/WMS imagery is JPEG (the reference decodes it through PIL,
+``label_maker_dask/utils.py:52,62,95``); this module removes the engine's
+last imaging-library dependency for the common case.  Scope: baseline
+sequential DCT (SOF0) and extended sequential (SOF1), 8-bit, grayscale or
+YCbCr, any of the standard chroma samplings (4:4:4 / 4:2:2 / 4:2:0 and
+friends), restart markers, 8- and 16-bit quantization tables.  Progressive
+(SOF2) and arithmetic-coded streams raise ``NotImplementedError`` naming
+Pillow as the optional escape hatch — they are rare in tile servers, which
+favor baseline for incremental decode.
+
+Decode shape: marker parse -> Huffman entropy decode (the only per-symbol
+Python loop) -> batched dequant + IDCT over all blocks of a component at
+once (einsum, vectorized) -> np.repeat chroma upsampling -> vectorized
+YCbCr->RGB.  On a 256x256 tile the sequential part touches ~1.5k blocks,
+comfortably inside an Arrow batch budget; the heavy math is numpy.
+
+Verified against an independent implementation: the JVM's javax.imageio
+decoder (always present — Spark requires Java) in tests/test_jpeg.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "jpeg_info"]
+
+# SOF markers by coding process; only sequential-Huffman ones are in scope
+_SOF_SEQUENTIAL = {0xC0, 0xC1}
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive DCT",
+    0xC3: "lossless sequential",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic-coded extended sequential",
+    0xCA: "arithmetic-coded progressive",
+    0xCB: "arithmetic-coded lossless",
+    0xCD: "arithmetic-coded differential sequential",
+    0xCE: "arithmetic-coded differential progressive",
+    0xCF: "arithmetic-coded differential lossless",
+}
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix M; inverse transform is M.T @ F @ M."""
+    k = np.arange(8).reshape(8, 1).astype(np.float64)
+    n = np.arange(8).reshape(1, 8).astype(np.float64)
+    m = 0.5 * np.cos((2.0 * n + 1.0) * k * np.pi / 16.0)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_IDCT_M = _dct_matrix()
+
+
+class _Huffman:
+    """Canonical Huffman table (JPEG Annex C construction)."""
+
+    __slots__ = ("maxcode", "mincode", "valptr", "symbols", "counts")
+
+    def __init__(self, counts: List[int], symbols: bytes):
+        self.counts = counts
+        self.symbols = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        ptr = 0
+        for length in range(1, 17):
+            if counts[length]:
+                self.valptr[length] = ptr
+                self.mincode[length] = code
+                code += counts[length]
+                ptr += counts[length]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy bytes.
+
+    Overrun past the segment end yields 0 bits rather than raising — the
+    spec allows encoders to pad the final byte, and a truncated stream
+    should degrade, not crash, to stay consistent with the engine's
+    error-tolerant source readers (e.g. sources/mvt.py)."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, n: int) -> int:
+    """DIFF/AC magnitude sign extension (spec F.2.2.1)."""
+    if n == 0:
+        return 0
+    if v < (1 << (n - 1)):
+        return v - (1 << n) + 1
+    return v
+
+
+def _decode_symbol(br: _BitReader, table: _Huffman) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if table.counts[length] and code <= table.maxcode[length]:
+            return table.symbols[table.valptr[length] + code - table.mincode[length]]
+    raise ValueError("corrupt JPEG: Huffman code longer than 16 bits")
+
+
+def _split_entropy(data: bytes, start: int) -> Tuple[List[bytes], int]:
+    """Extract entropy-coded segments starting at ``start``.
+
+    Returns (segments, index-of-terminating-marker).  Segments are split
+    on RST0-7 restart markers with 0xFF00 byte stuffing removed; any
+    other marker (EOI, next SOS, ...) terminates the scan."""
+    segments: List[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:  # stuffed 0xFF data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker: segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte before a marker
+            i += 1
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
+    """Chroma upsampling along one axis.
+
+    Factor 2 uses the triangle filter (3/4 near + 1/4 far neighbor,
+    edges replicated) — libjpeg's "fancy upsampling", which every
+    mainstream decoder defaults to; other factors fall back to sample
+    replication."""
+    if factor == 1:
+        return plane
+    if factor != 2:
+        return np.repeat(plane, factor, axis=axis)
+    p = np.moveaxis(plane, axis, 0)
+    prev = np.concatenate([p[:1], p[:-1]], axis=0)
+    nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+    out = np.empty((p.shape[0] * 2,) + p.shape[1:], dtype=p.dtype)
+    out[0::2] = 0.75 * p + 0.25 * prev
+    out[1::2] = 0.75 * p + 0.25 * nxt
+    return np.moveaxis(out, 0, axis)
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "dc_id", "ac_id")
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.dc_id = 0
+        self.ac_id = 0
+
+
+def _parse_headers(data: bytes):
+    """Walk the marker stream up to (and including) the SOS header."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG: missing SOI marker")
+    qt: Dict[int, np.ndarray] = {}
+    dc: Dict[int, _Huffman] = {}
+    ac: Dict[int, _Huffman] = {}
+    comps: List[_Component] = []
+    size: Optional[Tuple[int, int]] = None
+    restart_interval = 0
+    adobe_transform: Optional[int] = None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT — may hold several tables
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    j += 64
+                else:
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(
+                        np.int32
+                    )
+                    j += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT — may hold several tables
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = [0] + list(seg[j + 1 : j + 17])
+                total = sum(counts)
+                symbols = seg[j + 17 : j + 17 + total]
+                table = _Huffman(counts, symbols)
+                (dc if tc == 0 else ac)[th] = table
+                j += 17 + total
+        elif marker in _SOF_SEQUENTIAL:
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG unsupported (8-bit baseline only); "
+                    "install Pillow for exotic precisions"
+                )
+            h_img = struct.unpack(">H", seg[1:3])[0]
+            w_img = struct.unpack(">H", seg[3:5])[0]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+            size = (h_img, w_img)
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"{_SOF_UNSUPPORTED[marker]} JPEG is unsupported (native "
+                "decoder handles baseline/extended sequential Huffman); "
+                "install Pillow to decode it"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = seg[0]
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                for comp in comps:
+                    if comp.cid == cs:
+                        comp.dc_id = tables >> 4
+                        comp.ac_id = tables & 0x0F
+            return (
+                qt, dc, ac, comps, size, restart_interval,
+                adobe_transform, i + 2 + seg_len,
+            )
+        elif marker == 0xD9:  # EOI before any scan
+            break
+        i += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOS scan found")
+
+
+def jpeg_info(data: bytes) -> Tuple[int, int, int]:
+    """(height, width, n_components) from the frame header — a plan-time
+    capability/shape check that does not entropy-decode anything."""
+    _, _, _, comps, size, _, _, _ = _parse_headers(data)
+    if size is None:
+        raise ValueError("corrupt JPEG: no SOF frame header")
+    return size[0], size[1], len(comps)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to uint8 (H, W) gray or (H, W, 3) RGB."""
+    (qt, dc, ac, comps, size, restart_interval, adobe_transform,
+     scan_start) = _parse_headers(data)
+    if size is None or not comps:
+        raise ValueError("corrupt JPEG: no SOF frame header before scan")
+    h_img, w_img = size
+    if h_img == 0 or w_img == 0:
+        raise ValueError("corrupt JPEG: zero image dimension")
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise NotImplementedError(
+            f"{ncomp}-component JPEG (CMYK?) unsupported; install Pillow"
+        )
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    segments, _ = _split_entropy(data, scan_start)
+
+    # coefficient store per component: (rows of blocks, cols of blocks, 64)
+    coeff = [
+        np.zeros((mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int32)
+        for c in comps
+    ]
+
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    pred = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("corrupt JPEG: missing restart segment")
+                br = _BitReader(segments[seg_idx])
+                pred = [0] * ncomp
+            for ci, comp in enumerate(comps):
+                dc_tbl, ac_tbl = dc[comp.dc_id], ac[comp.ac_id]
+                for by in range(comp.v):
+                    for bx in range(comp.h):
+                        blk = coeff[ci][my * comp.v + by, mx * comp.h + bx]
+                        t = _decode_symbol(br, dc_tbl)
+                        diff = _extend(br.receive(t), t)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, ac_tbl)
+                            run, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if run == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC index past block end"
+                                )
+                            blk[k] = _extend(br.receive(ssss), ssss)
+                            k += 1
+            mcu_count += 1
+
+    # Batched dequantize + de-zigzag + IDCT per component (all numpy).
+    planes: List[np.ndarray] = []
+    for ci, comp in enumerate(comps):
+        blocks = coeff[ci]  # (R, C, 64) zigzag-ordered
+        dq = blocks * qt[comp.tq][np.newaxis, np.newaxis, :]
+        nat = np.zeros_like(dq)
+        nat[:, :, _ZIGZAG] = dq
+        rr, cc = nat.shape[0], nat.shape[1]
+        freq = nat.reshape(rr, cc, 8, 8).astype(np.float64)
+        spatial = np.einsum("ik,rcij,jl->rckl", _IDCT_M, freq, _IDCT_M)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(rr * 8, cc * 8)
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # upsample subsampled chroma to full resolution, then crop
+        plane = _upsample(plane, vmax // comp.v, axis=0)
+        plane = _upsample(plane, hmax // comp.h, axis=1)
+        planes.append(plane[:h_img, :w_img])
+
+    if ncomp == 1:
+        return planes[0].astype(np.uint8)
+
+    y, cb, cr = planes
+    if adobe_transform == 0:
+        # Adobe APP14 transform=0: components are already RGB
+        rgb = np.stack([y, cb, cr], axis=-1)
+        return np.clip(rgb, 0, 255).astype(np.uint8)
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -1,0 +1,206 @@
+"""Native baseline JPEG decoder vs an independent implementation.
+
+The oracle is the JVM's javax.imageio JPEG codec — always present in this
+engine's runtime (Spark requires Java), and an implementation we share no
+code with.  Every test encodes pixels JVM-side, decodes the same bytes
+with ``multimodal/jpeg.py``, and compares sample-for-sample.
+
+Tolerances: grayscale must match the JVM decoder bit-for-bit (no chroma
+path, both sides implement the same spec IDCT).  RGB allows a small per-
+sample delta — the two decoders legitimately differ in chroma-upsample
+phase and YCbCr rounding order; libjpeg-turbo vs libjpeg differ by the
+same magnitude.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from label_maker_dask_spark.multimodal.images import decode_compressed
+from label_maker_dask_spark.multimodal.jpeg import (
+    _split_entropy,
+    decode_jpeg,
+    jpeg_info,
+)
+
+
+def _jvm_tools(spark):
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+
+    def encode(arr: np.ndarray, progressive: bool = False) -> bytes:
+        h, w = arr.shape[:2]
+        gray = arr.ndim == 2
+        bi_type = (
+            jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            if gray
+            else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        bi = jvm.java.awt.image.BufferedImage(w, h, bi_type)
+        px = gw.new_array(jvm.int, h * w)
+        if gray:
+            for i, v in enumerate(arr.astype(int).ravel()):
+                px[i] = int(v)
+            bi.getRaster().setSamples(0, 0, w, h, 0, px)
+        else:
+            a = arr.astype(np.int64)
+            flat = (a[..., 0] * 65536 + a[..., 1] * 256 + a[..., 2]).ravel()
+            for i, v in enumerate(flat):
+                px[i] = int(v)
+            bi.setRGB(0, 0, w, h, px, 0, w)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        if progressive:
+            writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+                "jpg"
+            ).next()
+            ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer.setOutput(ios)
+            param = writer.getDefaultWriteParam()
+            param.setProgressiveMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+            )
+            writer.write(
+                None, jvm.javax.imageio.IIOImage(bi, None, None), param
+            )
+            ios.close()
+            writer.dispose()
+        else:
+            jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    def decode_rgb(blob: bytes) -> np.ndarray:
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(blob))
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        w, h = bi.getWidth(), bi.getHeight()
+        px = bi.getRGB(0, 0, w, h, None, 0, w)
+        a = np.array(px, dtype=np.int64).reshape(h, w)
+        return np.stack(
+            [(a >> 16) & 255, (a >> 8) & 255, a & 255], axis=-1
+        ).astype(np.uint8)
+
+    def decode_gray(blob: bytes) -> np.ndarray:
+        # raw raster samples: getRGB on TYPE_BYTE_GRAY would apply a
+        # linear-gray -> sRGB colorspace conversion and skew the oracle
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(blob))
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        w, h = bi.getWidth(), bi.getHeight()
+        px = bi.getRaster().getSamples(0, 0, w, h, 0, gw.new_array(jvm.int, w * h))
+        return np.array(px, dtype=np.int64).reshape(h, w).astype(np.uint8)
+
+    return encode, decode_rgb, decode_gray
+
+
+def _smooth_rgb(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (128 + 100 * np.sin(xx / 9.0)).astype(np.uint8)
+    g = (128 + 100 * np.cos(yy / 7.0)).astype(np.uint8)
+    b = ((xx + yy) * 2 % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def test_gray_bit_exact_vs_jvm(spark):
+    encode, _, decode_gray = _jvm_tools(spark)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    blob = encode(img)
+    assert jpeg_info(blob) == (48, 64, 1)
+    ours = decode_jpeg(blob)
+    assert ours.shape == (48, 64) and ours.dtype == np.uint8
+    np.testing.assert_array_equal(ours, decode_gray(blob))
+
+
+def test_rgb_within_tolerance_vs_jvm(spark):
+    encode, decode_rgb, _ = _jvm_tools(spark)
+    img = _smooth_rgb(48, 64)
+    blob = encode(img)
+    assert jpeg_info(blob) == (48, 64, 3)
+    ours = decode_jpeg(blob)
+    theirs = decode_rgb(blob)
+    d = np.abs(ours.astype(int) - theirs.astype(int))
+    assert d.max() <= 4 and d.mean() <= 1.0
+
+
+def test_odd_dimensions_mcu_padding_cropped(spark):
+    encode, decode_rgb, _ = _jvm_tools(spark)
+    img = _smooth_rgb(45, 61)  # not multiples of 8 or 16
+    blob = encode(img)
+    ours = decode_jpeg(blob)
+    assert ours.shape == (45, 61, 3)
+    d = np.abs(ours.astype(int) - decode_rgb(blob).astype(int))
+    assert d.max() <= 4 and d.mean() <= 1.0
+
+
+def test_sharp_256_tile_vs_jvm(spark):
+    encode, decode_rgb, _ = _jvm_tools(spark)
+    yy, xx = np.mgrid[0:256, 0:256]
+    img = np.stack(
+        [(yy * 7) % 256, (xx * 3) % 256, (yy + 5) % 256], axis=-1
+    ).astype(np.uint8)
+    blob = encode(img)
+    ours = decode_jpeg(blob)
+    d = np.abs(ours.astype(int) - decode_rgb(blob).astype(int))
+    assert d.max() <= 8 and d.mean() <= 1.0
+
+
+def test_uniform_color_round_trips_exactly(spark):
+    encode, decode_rgb, _ = _jvm_tools(spark)
+    img = np.full((32, 32, 3), [200, 50, 90], dtype=np.uint8)
+    blob = encode(img)
+    np.testing.assert_array_equal(decode_jpeg(blob), decode_rgb(blob))
+
+
+def test_progressive_raises_naming_pillow(spark):
+    encode, _, _ = _jvm_tools(spark)
+    blob = encode(_smooth_rgb(32, 32), progressive=True)
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        decode_jpeg(blob)
+
+
+def test_corrupt_input_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+def test_split_entropy_unstuffs_and_segments():
+    # data | stuffed FF | RST0 | data | EOI
+    raw = b"\x01\x02\xff\x00\x03\xff\xd0\x04\x05\xff\xd9"
+    segments, end = _split_entropy(raw, 0)
+    assert segments == [b"\x01\x02\xff\x03", b"\x04\x05"]
+    assert raw[end : end + 2] == b"\xff\xd9"
+
+
+def test_decode_compressed_jpeg_in_mapinpandas(spark):
+    """decode_compressed('jpeg') wired through the Arrow-batched stage
+    shape used by the multimodal pipeline."""
+    encode, _, decode_gray = _jvm_tools(spark)
+    rng = np.random.default_rng(7)
+    blobs, expected = [], []
+    for i in range(4):
+        yy, xx = np.mgrid[0:24, 0:24]
+        img = ((yy * (i + 2) + xx) % 256).astype(np.uint8)
+        blob = encode(img)
+        blobs.append(blob)
+        expected.append(float(decode_gray(blob).mean()))
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "id long, image binary"
+    )
+    decode = decode_compressed("jpeg")
+
+    def scan(batches):
+        for pdf in batches:
+            out = pdf[["id"]].copy()
+            out["px_mean"] = [
+                float(decode(bytes(b)).mean()) for b in pdf["image"]
+            ]
+            yield out
+
+    rows = (
+        df.mapInPandas(scan, "id long, px_mean double")
+        .orderBy("id")
+        .collect()
+    )
+    got = [r.px_mean for r in rows]
+    assert got == pytest.approx(expected, abs=1e-9)

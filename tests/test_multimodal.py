@@ -76,10 +76,11 @@ def test_audio_rms(spark):
 
 
 def test_compressed_decode_is_gated(spark):
+    # png and jpeg decode natively; everything else needs Pillow
     try:
         import PIL  # noqa: F401
         pytest.skip("PIL installed; decode available")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_compressed("jpeg")
+        decode_compressed("webp")
