@@ -15,14 +15,23 @@ baseline-TIFF subset that covers typical exported basemap rasters:
 ONLY the strips/tiles that intersect it (the windowed-read property that
 makes COG-style access parallelize per map tile), and nearest-neighbor
 resamples to 256×256.  Pixels outside the raster come back 0.
+
+Remote COGs: ``TiffFile`` reads through a byte-range source, so an
+``http(s)://`` imagery string gets true cloud-optimized access — header
+and IFD from the first range request, then one coalesced range per
+strip/tile run — via ``HttpRangeSource`` (stdlib urllib, 64 KiB block
+cache).  This matches what rio-tiler does for the reference
+(utils.py:55-62) without requiring it; servers that ignore ``Range``
+degrade to a single full download.
 """
 
 from __future__ import annotations
 
 import math
 import struct
+import urllib.request
 import zlib
-from typing import Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -49,18 +58,103 @@ _TAG_GEO_KEYS = 34735
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
 
 
-class TiffFile:
-    """Parsed baseline TIFF/GeoTIFF held as bytes (one open, many windows)."""
+class _MemorySource:
+    """Byte-range source over an in-memory buffer."""
 
     def __init__(self, data: bytes):
-        self.data = data
-        if data[:2] == b"II":
+        self._data = data
+
+    def read(self, off: int, n: int) -> bytes:
+        return self._data[off : off + n]
+
+
+class HttpRangeSource:
+    """Byte-range source over HTTP using ``Range`` requests (stdlib only).
+
+    Reads are served from a 64 KiB-block cache; a miss fetches ONE
+    coalesced ``bytes=lo-hi`` request covering the missing run, so a
+    strip/tile decode costs at most one round trip.  A server that
+    answers 200 instead of 206 doesn't support ranges — the body is kept
+    and all further reads are memory reads (correct, just not windowed).
+
+    ``requests_made`` / ``bytes_fetched`` are exposed so tests (and
+    profiling) can assert the windowed-access property: decoding one map
+    tile must NOT download the whole raster.
+
+    ``block`` trades round-trips against over-fetch: it should sit at or
+    below the raster's internal tile/strip byte size (64 KiB default
+    suits the common 256-512 px compressed COG tiles; drop it for
+    rasters with very small chunks).
+    """
+
+    def __init__(self, url: str, timeout: float = 30.0, block: int = 64 * 1024):
+        self.url = url
+        self.timeout = timeout
+        self.BLOCK = block
+        self._blocks: Dict[int, bytes] = {}
+        self._full: Optional[bytes] = None
+        self.requests_made = 0
+        self.bytes_fetched = 0
+
+    def _fetch_range(self, lo: int, hi: int) -> bytes:
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={lo}-{hi}"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            body = resp.read()
+            self.requests_made += 1
+            self.bytes_fetched += len(body)
+            if resp.status == 200:  # Range ignored: full body came back
+                self._full = body
+        return body
+
+    def read(self, off: int, n: int) -> bytes:
+        if n <= 0:
+            return b""
+        if self._full is not None:
+            return self._full[off : off + n]
+        b0 = off // self.BLOCK
+        b1 = (off + n - 1) // self.BLOCK
+        missing = [b for b in range(b0, b1 + 1) if b not in self._blocks]
+        # coalesce contiguous missing blocks into single range requests
+        i = 0
+        while i < len(missing):
+            j = i
+            while j + 1 < len(missing) and missing[j + 1] == missing[j] + 1:
+                j += 1
+            lo = missing[i] * self.BLOCK
+            hi = (missing[j] + 1) * self.BLOCK - 1
+            body = self._fetch_range(lo, hi)
+            if self._full is not None:
+                return self._full[off : off + n]
+            for k, b in enumerate(range(missing[i], missing[j] + 1)):
+                self._blocks[b] = body[k * self.BLOCK : (k + 1) * self.BLOCK]
+            i = j + 1
+        chunks = [self._blocks[b] for b in range(b0, b1 + 1)]
+        buf = b"".join(chunks)
+        start = off - b0 * self.BLOCK
+        return buf[start : start + n]
+
+
+class TiffFile:
+    """Parsed baseline TIFF/GeoTIFF over a byte-range source (one open,
+    many windows).  Accepts raw bytes or any object with
+    ``read(offset, n) -> bytes`` (e.g. ``HttpRangeSource``)."""
+
+    def __init__(self, data):
+        self._src = (
+            _MemorySource(bytes(data))
+            if isinstance(data, (bytes, bytearray, memoryview))
+            else data
+        )
+        head = self._src.read(0, 8)
+        if head[:2] == b"II":
             self._e = "<"
-        elif data[:2] == b"MM":
+        elif head[:2] == b"MM":
             self._e = ">"
         else:
             raise ValueError("not a TIFF (bad byte-order mark)")
-        magic, ifd_off = struct.unpack(self._e + "HI", data[2:8])
+        magic, ifd_off = struct.unpack(self._e + "HI", head[2:8])
         if magic != 42:
             raise ValueError("not a TIFF (bad magic)")
         self.tags = self._read_ifd(ifd_off)
@@ -94,17 +188,18 @@ class TiffFile:
     # -- low-level parsing ----------------------------------------------------
 
     def _read_ifd(self, off: int) -> dict:
-        n = struct.unpack_from(self._e + "H", self.data, off)[0]
+        n = struct.unpack(self._e + "H", self._src.read(off, 2))[0]
+        entries = self._src.read(off + 2, n * 12)
         tags = {}
         for k in range(n):
-            base = off + 2 + k * 12
-            tag, typ, count = struct.unpack_from(self._e + "HHI", self.data, base)
+            base = k * 12
+            tag, typ, count = struct.unpack_from(self._e + "HHI", entries, base)
             size = _TYPE_SIZES.get(typ, 1) * count
             if size <= 4:
-                raw = self.data[base + 8:base + 8 + size]
+                raw = entries[base + 8:base + 8 + size]
             else:
-                ptr = struct.unpack_from(self._e + "I", self.data, base + 8)[0]
-                raw = self.data[ptr:ptr + size]
+                ptr = struct.unpack_from(self._e + "I", entries, base + 8)[0]
+                raw = self._src.read(ptr, size)
             tags[tag] = self._decode_values(typ, count, raw)
         return tags
 
@@ -141,7 +236,7 @@ class TiffFile:
     # -- chunk decode ---------------------------------------------------------
 
     def _decode_chunk(self, off: int, nbytes: int, rows: int, cols: int) -> np.ndarray:
-        raw = self.data[off:off + nbytes]
+        raw = self._src.read(off, nbytes)
         if self.compression in (8, 32946):
             raw = zlib.decompress(raw)
         arr = np.frombuffer(raw, dtype=np.uint8, count=rows * cols * self.spp)
@@ -268,12 +363,19 @@ def read_tile(tif: TiffFile, z: int, x: int, y: int, tile_px: int = TILE_PX) -> 
 
 
 def tif_image_fetcher(imagery: str):
-    """Local-GeoTIFF image fetcher: (z, x, y) -> raw (256, 256, spp) uint8
+    """GeoTIFF/COG image fetcher: (z, x, y) -> raw (256, 256, spp) uint8
     bytes, channels-last (the reference transposes rio-tiler's output the
-    same way, utils.py:55-62).  The file parses once per partition."""
-    path = imagery[len("file://"):] if imagery.startswith("file://") else imagery
-    with open(path, "rb") as fh:
-        tif = TiffFile(fh.read())
+    same way, utils.py:55-62).  Local paths parse once per partition from
+    a full read; ``http(s)://`` URLs parse lazily through range requests
+    (header + only the strips/tiles each task's window touches)."""
+    if imagery.startswith(("http://", "https://")):
+        tif = TiffFile(HttpRangeSource(imagery))
+    else:
+        path = (
+            imagery[len("file://"):] if imagery.startswith("file://") else imagery
+        )
+        with open(path, "rb") as fh:
+            tif = TiffFile(fh.read())
 
     def fetch(z: int, x: int, y: int) -> bytes:
         return read_tile(tif, z, x, y).tobytes()
