@@ -115,8 +115,23 @@ def png_data_uri(arr: np.ndarray) -> str:
 def _image_array(image: Optional[bytes], height: int, width: int, channels: int) -> np.ndarray:
     if image is None:
         return np.zeros((TILE_PX, TILE_PX, 3), dtype=np.uint8)
-    arr = np.frombuffer(image, dtype=np.uint8)
-    arr = arr.reshape(height, width, channels)
+    # TMS fetchers return the server's compressed payload untouched; the
+    # reference decoded those through PIL at fetch time (utils.py:157-163).
+    # Sniff the magic bytes and decode with the native codecs so rendering
+    # works on raw buffers AND on compressed tiles.
+    if image[:4] == b"\x89PNG":
+        from label_maker_dask_spark.multimodal.png import decode_png
+
+        arr = decode_png(bytes(image))
+    elif image[:3] == b"\xff\xd8\xff":
+        from label_maker_dask_spark.multimodal.jpeg import decode_jpeg
+
+        arr = decode_jpeg(bytes(image))
+        if arr.ndim == 2:
+            arr = arr[:, :, np.newaxis]
+    else:
+        arr = np.frombuffer(image, dtype=np.uint8)
+        arr = arr.reshape(height, width, channels)
     if channels == 2:  # gray+alpha: drop the alpha plane, spread gray to RGB
         return np.repeat(arr[:, :, :1], 3, axis=2)
     arr = arr[:, :, :3]

@@ -126,3 +126,55 @@ def test_image_array_gray_alpha_drops_alpha_and_encodes():
     assert (arr == 7).all()
     rt = decode_png(_png_bytes(arr))  # encoder accepts the spread array
     assert (rt[:, :, :3] == 7).all()
+
+
+def test_image_array_decodes_compressed_png():
+    """A TMS tile arrives as compressed PNG bytes; rendering must decode
+    it rather than reshape the compressed payload (reference decoded at
+    fetch time, utils.py:157-163)."""
+    from label_maker_dask_spark.multimodal.png import decode_png
+    from label_maker_dask_spark.results import _image_array, _png_bytes
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    blob = _png_bytes(src)
+    got = _image_array(blob, 256, 256, 3)
+    np.testing.assert_array_equal(got, src)
+    # sanity: the compressed blob is NOT reshapeable as a raw buffer
+    assert len(blob) != 256 * 256 * 3
+    np.testing.assert_array_equal(decode_png(blob), src)
+
+
+def test_image_array_decodes_compressed_jpeg(spark):
+    from label_maker_dask_spark.results import _image_array
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    yy, xx = np.mgrid[0:256, 0:256]
+    src = np.stack(
+        [(128 + 60 * np.sin(xx / 11.0)).astype(np.uint8),
+         (128 + 60 * np.cos(yy / 13.0)).astype(np.uint8),
+         ((xx + yy) % 256).astype(np.uint8)],
+        axis=-1,
+    )
+    bi = jvm.java.awt.image.BufferedImage(
+        256, 256, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    px = gw.new_array(jvm.int, 256 * 256)
+    a = src.astype(np.int64)
+    flat = (a[..., 0] * 65536 + a[..., 1] * 256 + a[..., 2]).ravel()
+    for i, v in enumerate(flat):
+        px[i] = int(v)
+    bi.setRGB(0, 0, 256, 256, px, 0, 256)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+    blob = bytes(baos.toByteArray())
+
+    got = _image_array(blob, 256, 256, 3)
+    assert got.shape == (256, 256, 3)
+    d = np.abs(got.astype(int) - src.astype(int))
+    assert d.mean() <= 4  # lossy codec on a mostly-smooth image
+
+    # and the full render path works on compressed input
+    card = ClassificationResult((15, 3, 7), [0, 1, 0], CLASSES, blob)._repr_html_()
+    assert card.startswith("<div") and "data:image/png;base64," in card
