@@ -52,6 +52,10 @@ HEADLINE = [
     "join_asof_latest_order",
     "join_asof_tolerance_90d",
     "agg_approx_distinct_users",
+    # round-4 operators: buffered segmentation (burn-then-morph) and the
+    # Arrow-vectorized SimHash path
+    "segmentation_buffered_ring_areas",
+    "dedup_simhash_signatures",
 ]
 
 
