@@ -33,6 +33,7 @@ PROBES = [
     "contamination_3gram_overlap",
     # rasterize (pandas-UDF path)
     "segmentation_raster_class_areas",
+    "segmentation_buffered_ring_areas",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
