@@ -280,6 +280,16 @@ def _parse_headers(data: bytes):
             adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = seg[0]
+            if ns != len(comps):
+                # a legal baseline file may split components across several
+                # scans (T.81 non-interleaved); decoding the first scan as if
+                # it were interleaved would return plausible garbage, so fail
+                # loudly like the other unsupported-variant branches
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scan ({ns} of {len(comps)} "
+                    "components) unsupported by the native decoder; "
+                    "install Pillow to decode it"
+                )
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 for comp in comps:

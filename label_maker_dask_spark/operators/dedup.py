@@ -142,15 +142,14 @@ def _token_fold(toks: list):
     return h
 
 
-def _batch_shingle_arrays(pdf, text_col: str, id_col: str, n: int):
-    """Per-batch distinct (doc, shingle-hash) pairs, sorted by (doc, hash):
-    returns ``(doc_ids, doc_idx, shingle_hash)`` numpy arrays or None if the
-    batch yields no shingles.  Shared by the exploded and profile forms."""
+def _batch_token_arrays(pdf, text_col: str, id_col: str):
+    """Per-batch tokenize + hash, shared by the shingle and SimHash Arrow
+    paths: returns ``(doc_ids, n_docs, token_hash, tok_doc)`` where
+    ``token_hash`` is the char-poly hash of every token in batch order and
+    ``tok_doc`` maps each token to its doc index.  Kept in ONE place so a
+    future tokenization-parity fix cannot silently diverge between paths."""
     import numpy as np
 
-    P, B = HASH_P, SHINGLE_B
-    if len(pdf) == 0:
-        return None
     doc_ids = pdf[id_col].to_numpy()
     # ASCII-\s split, NOT str.split(): Python's split treats all Unicode
     # whitespace (e.g. NBSP) as separators while the expression path's
@@ -163,12 +162,25 @@ def _batch_shingle_arrays(pdf, text_col: str, id_col: str, n: int):
         (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
     )
     flat = [tok for toks in toks_per_doc for tok in toks]
-    if len(flat) < n:
-        return None
-    th = _token_fold(flat)
-    # doc index of each token; a shingle starting at token i is valid
-    # iff tokens i..i+n-1 belong to the same document
+    th = _token_fold(flat) if flat else np.empty(0, dtype=np.int64)
     tok_doc = np.repeat(np.arange(len(lens)), lens)
+    return doc_ids, len(lens), th, tok_doc
+
+
+def _batch_shingle_arrays(pdf, text_col: str, id_col: str, n: int):
+    """Per-batch distinct (doc, shingle-hash) pairs, sorted by (doc, hash):
+    returns ``(doc_ids, doc_idx, shingle_hash)`` numpy arrays or None if the
+    batch yields no shingles.  Shared by the exploded and profile forms."""
+    import numpy as np
+
+    P, B = HASH_P, SHINGLE_B
+    if len(pdf) == 0:
+        return None
+    doc_ids, _, th, tok_doc = _batch_token_arrays(pdf, text_col, id_col)
+    if len(th) < n:
+        return None
+    # a shingle starting at token i is valid iff tokens i..i+n-1 belong
+    # to the same document
     sh = th[: -(n - 1)].copy()
     for j in range(1, n):
         end = len(th) - (n - 1) + j
@@ -485,28 +497,16 @@ def simhash_signatures_df(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            doc_ids = pdf[id_col].to_numpy()
-            toks_per_doc = [
-                [t for t in _WS_RE.split(s) if t]
-                for s in pdf[text_col].fillna("")
-            ]
-            lens = np.fromiter(
-                (len(t) for t in toks_per_doc),
-                dtype=np.int64,
-                count=len(toks_per_doc),
+            doc_ids, n_docs, th, tok_doc = _batch_token_arrays(
+                pdf, text_col, id_col
             )
             sig = np.zeros(len(doc_ids), dtype=np.int64)
-            flat = [tok for toks in toks_per_doc for tok in toks]
-            if flat:
-                th = _token_fold(flat)  # < P ~1e9
-                tok_doc = np.repeat(np.arange(len(lens)), lens)
+            if len(th):  # th < P ~1e9
                 for j, (A, B) in enumerate(coeffs):
                     # th*A + B < 1e9*95 + 1e9 — far inside int64
                     contrib = (((th * A + B) % P) % 2) * 2 - 1
                     # float64 weights are exact here: |sum| <= n_tokens << 2^53
-                    s = np.bincount(
-                        tok_doc, weights=contrib, minlength=len(lens)
-                    )
+                    s = np.bincount(tok_doc, weights=contrib, minlength=n_docs)
                     sig |= (s > 0).astype(np.int64) << j
             yield pd.DataFrame({"doc_id": doc_ids, "simhash": sig})
 

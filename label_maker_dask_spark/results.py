@@ -118,8 +118,13 @@ def _image_array(image: Optional[bytes], height: int, width: int, channels: int)
     # TMS fetchers return the server's compressed payload untouched; the
     # reference decoded those through PIL at fetch time (utils.py:157-163).
     # Sniff the magic bytes and decode with the native codecs so rendering
-    # works on raw buffers AND on compressed tiles.
-    if image[:4] == b"\x89PNG":
+    # works on raw buffers AND on compressed tiles.  A raw buffer whose first
+    # pixels happen to spell a codec magic must not reach a decoder, so the
+    # exact-raw-length check wins: compressed payloads essentially never
+    # equal height*width*channels bytes.
+    if len(image) == height * width * channels:
+        arr = np.frombuffer(image, dtype=np.uint8).reshape(height, width, channels)
+    elif image[:4] == b"\x89PNG":
         from label_maker_dask_spark.multimodal.png import decode_png
 
         arr = decode_png(bytes(image))

@@ -28,7 +28,7 @@ central meridian) still produce a covering envelope.
 from __future__ import annotations
 
 import math
-from typing import Callable, Tuple
+from typing import Callable, Tuple, Union
 
 # WGS84 ellipsoid
 _A = 6378137.0
@@ -124,7 +124,7 @@ def project_fn(crs: str) -> ProjectFn:
 
 
 def transform_bounds(
-    dst_crs: str,
+    dst_crs: Union[str, ProjectFn],
     west: float,
     south: float,
     east: float,
@@ -135,8 +135,13 @@ def transform_bounds(
     densifying each edge with ``densify_pts`` interior samples first —
     the same contract as rasterio's ``transform_bounds`` used at
     reference utils.py:81-84 (a projected edge can bow outside the
-    endpoints' envelope; sampling catches the extremum)."""
-    project = project_fn(dst_crs)
+    endpoints' envelope; sampling catches the extremum).
+
+    ``dst_crs`` may be an already-resolved projection callable from
+    :func:`project_fn` — per-tile callers (the WMS fetch loop) resolve
+    once at plan time instead of paying a CRS lookup (a pyproj database
+    hit for the long tail) on every fetch."""
+    project = dst_crs if callable(dst_crs) else project_fn(dst_crs)
     n = max(int(densify_pts), 0) + 1
     pts = []
     for i in range(n + 1):

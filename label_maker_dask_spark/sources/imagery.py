@@ -103,7 +103,10 @@ def wms_image_fetcher(imagery: str) -> ImageFetcher:
     query = parse_qs(urlparse(imagery.lower()).query)
     version = (query.get("version") or ["1.1.1"])[0]
     srs = (query.get("crs" if version == "1.3.0" else "srs") or ["epsg:4326"])[0]
-    project_fn(srs)  # plan-time capability check
+    # plan-time capability check, and resolved ONCE: per-tile re-resolution
+    # would repeat the CRS lookup (a pyproj database hit for the long tail)
+    # on every fetch
+    project = project_fn(srs)
 
     def fetch(z: int, x: int, y: int) -> bytes:
         west = tile_ul_lng_scalar(x, z)
@@ -111,7 +114,7 @@ def wms_image_fetcher(imagery: str) -> ImageFetcher:
         north = tile_ul_lat_scalar(y, z)
         south = tile_ul_lat_scalar(y + 1, z)
         xmin, ymin, xmax, ymax = transform_bounds(
-            srs, west, south, east, north, densify_pts=21
+            project, west, south, east, north, densify_pts=21
         )
         # 1.3.0 swaps to axis order per the reference's behavior
         # (utils.py:87-90: unconditional y-first under 1.3.0)

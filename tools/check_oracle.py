@@ -35,7 +35,15 @@ def canon(df: pd.DataFrame) -> list[tuple]:
                 vals.append(f"b:{bool(v)}")
             elif isinstance(v, (int, np.integer)):
                 vals.append(f"i:{int(v)}")
-            elif isinstance(v, (float, np.floating, decimal.Decimal)):
+            elif isinstance(v, decimal.Decimal):
+                # Decimals are exact — compare them exactly (scale-insensitive
+                # via normalize) instead of degrading to the 9-digit float
+                # canon, so a cents-level engine divergence on a high-magnitude
+                # decimal aggregate stays visible.  A Decimal column paired
+                # with a float oracle column is a dtype divergence the driver
+                # would flag anyway; surface it locally too.
+                vals.append("NaN" if v.is_nan() else f"d:{v.normalize()}")
+            elif isinstance(v, (float, np.floating)):
                 f = float(v)
                 if math.isnan(f):
                     vals.append("NaN")

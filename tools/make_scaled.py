@@ -46,12 +46,23 @@ _SHIFT = {
 }
 _DIMS = ["region", "nation"]
 
-# 5-char vowel images per copy (copy 0 = identity); consonant choices keep
-# token lengths and whitespace identical so per-doc work is unchanged
-_VOWEL_MAPS = [
-    "aeiou", "bcdfg", "hjklm", "npqrs", "tvwxz",
-    "gfdcb", "mlkjh", "srqpn", "zxwvt", "kzqvj",
-]
+# 5-char vowel image per copy (copy 0 = identity); consonant targets keep
+# token lengths and whitespace identical so per-doc work is unchanged.
+# The map is the copy index written base-21 over the consonant alphabet, so
+# every copy up to 21**5 gets a DISTINCT substitution — a fixed table would
+# wrap and silently emit byte-identical text across copies, which is exactly
+# the K-way-duplicate inflation this perturbation exists to prevent.
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
+
+
+def _vowel_map(i: int) -> str:
+    if i >= len(_CONSONANTS) ** 5:
+        raise ValueError(f"copy index {i} exceeds the distinct-map space")
+    digits = []
+    for _ in range(5):
+        digits.append(_CONSONANTS[i % len(_CONSONANTS)])
+        i //= len(_CONSONANTS)
+    return "".join(digits)
 
 
 def main() -> None:
@@ -88,8 +99,9 @@ def main() -> None:
             for key in keys:
                 cp = cp.withColumn(key, F.col(key) + F.lit(i * STRIDE))
             if table == "documents" and i > 0:
-                sub = _VOWEL_MAPS[i % len(_VOWEL_MAPS)]
-                cp = cp.withColumn("text", F.translate("text", "aeiou", sub))
+                cp = cp.withColumn(
+                    "text", F.translate("text", "aeiou", _vowel_map(i))
+                )
             parts.append(cp)
         out = parts[0]
         for cp in parts[1:]:
