@@ -204,3 +204,18 @@ def test_decode_compressed_jpeg_in_mapinpandas(spark):
     )
     got = [r.px_mean for r in rows]
     assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_non_interleaved_scan_raises_naming_pillow():
+    # hand-built 3-component baseline file whose first SOS covers only one
+    # component (legal T.81 multi-scan layout): decoding it as interleaved
+    # would return plausible garbage, so the parser must refuse
+    import struct
+
+    sof = struct.pack(">HBHHB", 8 + 9, 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    blob = b"\xff\xd8" + b"\xff\xc0" + sof + b"\xff\xda" + sos + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(blob)

@@ -178,3 +178,21 @@ def test_image_array_decodes_compressed_jpeg(spark):
     # and the full render path works on compressed input
     card = ClassificationResult((15, 3, 7), [0, 1, 0], CLASSES, blob)._repr_html_()
     assert card.startswith("<div") and "data:image/png;base64," in card
+
+
+def test_image_array_raw_buffer_with_codec_magic_stays_raw():
+    # a raw uint8 tile whose pixel (0,0) spells the JPEG SOI magic must
+    # NOT be routed to the decoder (which would raise on the garbage that
+    # follows) — the exact-raw-length check wins
+    from label_maker_dask_spark.results import _image_array
+
+    raw = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw[0, 0] = (0xFF, 0xD8, 0xFF)
+    raw[0, 1] = (0xE0, 0x00, 0x10)
+    got = _image_array(raw.tobytes(), 4, 4, 3)
+    assert np.array_equal(got, raw)
+    # same for the PNG magic
+    raw2 = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw2.ravel()[:4] = np.frombuffer(b"\x89PNG", dtype=np.uint8)
+    got2 = _image_array(raw2.tobytes(), 4, 4, 3)
+    assert np.array_equal(got2, raw2)
