@@ -70,8 +70,11 @@ def morph_disk(mask: np.ndarray, d: float) -> np.ndarray:
     ``d < 0`` erodes by ``|d|`` (a set cell survives only when no unset
     cell — including the off-grid surround, matching the reference's
     clip-then-negative-buffer order, label.py:47-52 — lies within
-    ``|d|``).  Vectorized as one shifted OR per in-disk offset:
-    O(d² · cells) bitwise work, exact for any real ``d``."""
+    ``|d|``).  The disk is decomposed into its horizontal runs
+    (half-width ``⌊√(d²−dy²)⌋`` at row offset ``dy``), each run dilation
+    doubled logarithmically and cached per distinct width: O(d log d)
+    shifted ORs instead of the naive one-OR-per-in-disk-offset O(d²),
+    identical output — the run union IS the lattice disk."""
     if d == 0:
         return mask.copy()
     r = int(np.floor(abs(d)))
@@ -84,13 +87,29 @@ def morph_disk(mask: np.ndarray, d: float) -> np.ndarray:
         base = np.pad(~mask, r, mode="constant", constant_values=True)
     out = np.zeros_like(base)
     H, W = base.shape
+
+    def shift_or(dst, src, dy, dx):
+        yd, ys = (dy, 0) if dy >= 0 else (0, -dy)
+        xd, xs = (dx, 0) if dx >= 0 else (0, -dx)
+        dst[yd : H - ys, xd : W - xs] |= src[ys : H - yd, xs : W - xd]
+
+    hcache: dict = {}
     for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            if dy * dy + dx * dx > d2:
-                continue
-            yd, ys = (dy, 0) if dy >= 0 else (0, -dy)
-            xd, xs = (dx, 0) if dx >= 0 else (0, -dx)
-            out[yd : H - ys, xd : W - xs] |= base[ys : H - yd, xs : W - xd]
+        w = int(np.floor(np.sqrt(d2 - dy * dy)))
+        hrow = hcache.get(w)
+        if hrow is None:
+            # horizontal dilation to half-width w by coverage doubling:
+            # a row covering offsets [-a, a] ORed with itself shifted
+            # ±b (b ≤ a+1) covers [-a-b, a+b]
+            hrow = base if w == 0 else base.copy()
+            a = 0
+            while a < w:
+                b = min(a + 1, w - a)
+                shift_or(hrow, hrow, 0, b)
+                shift_or(hrow, hrow, 0, -b)
+                a += b
+            hcache[w] = hrow
+        shift_or(out, hrow, dy, 0)
     if d > 0:
         return out
     return mask & ~out[r : H - r, r : W - r]
