@@ -57,6 +57,13 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC scan — like Parquet a self-describing columnar format with
+    min/max statistics, so Catalyst pushdown + column pruning apply
+    natively (Spark's vectorized ORC reader)."""
+    return spark.read.options(**options).orc(path)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,
@@ -89,7 +96,7 @@ def write_table(
 ) -> None:
     """Durable sink (the reference's only sink is driver memory,
     main.py:109-111 — distributed writes replace the gather).  Formats:
-    parquet (default), csv, json."""
+    parquet (default), orc, csv, json."""
     writer = df.write.format(fmt).mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", str(header).lower())

@@ -80,6 +80,23 @@ def test_max_records_per_file_bounds_output_files(spark, orders, tmp_path):
     assert len(files) >= n // 100  # skew can't emit one giant file
 
 
+def test_orc_round_trip_preserves_values_and_pushes_down(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_orc")
+    sio.write_table(orders, path, fmt="orc", mode="overwrite")
+    back = sio.read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert canon(back) == canon(orders)
+    # predicate reaches the ORC scan node, like parquet
+    plan = (
+        back.filter(F.col("o_orderkey") == 1)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan
+
+
 def test_binary_file_read(spark, tmp_path):
     blobs = {"a.png": b"\x89PNG-fake-a", "b.png": b"\x89PNG-fake-b"}
     for name, data in blobs.items():
