@@ -97,6 +97,53 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: Sequence[str],
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+    left_watermark: Optional[str] = None,
+    right_watermark: Optional[str] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: a left row pairs with the
+    right rows sharing its ``keys`` whose ``right_ts`` falls in
+    ``[left_ts + lower, left_ts + upper]``.
+
+    The batch twin of this shape is the catalog's range join
+    (``join_range_orders_near_event``); this is the incremental form.
+    Under streaming BOTH sides must carry watermarks — the time-range
+    condition lets Spark expire a side's buffered state as soon as the
+    other side's watermark passes its bound, so state is rate ×
+    (watermark + interval width), never unbounded.  ``how`` may be
+    "inner" or "left_outer" (outer needs the watermarks).
+
+    Output columns are the left columns plus the right's ``right_ts`` and
+    non-key remainder prefixed ``r_`` — a streaming sink needs
+    collision-free names."""
+    l = _maybe_watermark(left, left_ts, left_watermark).alias("l")
+    r = _maybe_watermark(right, right_ts, right_watermark).alias("r")
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"r.{right_ts} >= l.{left_ts} + INTERVAL {lower}",
+                f"r.{right_ts} <= l.{left_ts} + INTERVAL {upper}",
+            ]
+        )
+    )
+    joined = l.join(r, on=cond, how=how)
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(f"r_{c}")
+        for c in right.columns
+        if c not in keys
+    ]
+    return joined.select(*keep)
+
+
 def sessionize_lag(
     df: DataFrame,
     ts_col: str,

@@ -239,3 +239,44 @@ def test_sessionize_lag_microsecond_boundary(spark):
            for r in sessionize_lag(df, "ts", "user_id",
                                    tie_break="event_id").collect()}
     assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_streaming_interval_join_equals_batch(spark, events_dir, events_batch):
+    """Stream-stream interval join: click-like events pair with the same
+    user's later events inside a bounded window; the incremental join with
+    two watermarked sides must reproduce the batch join row for row."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="30 minutes",
+            left_watermark="1 hour", right_watermark="1 hour",
+        )
+
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        build(stream_in)
+        .writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_interval_join")
+    expected = build(events_batch)
+    cols = ["user_id", "ts", "event_id", "r_ts", "r_event_id", "r_value"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, expected.select(*cols).collect()))
+    assert a == b and len(a) > 0
