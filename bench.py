@@ -56,6 +56,7 @@ HEADLINE = [
     # Arrow-vectorized SimHash path
     "segmentation_buffered_ring_areas",
     "dedup_simhash_signatures",
+    "agg_approx_percentiles_sampled",
 ]
 
 

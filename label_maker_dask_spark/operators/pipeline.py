@@ -235,6 +235,53 @@ def pack_sequences(
     ).withColumn("pack_id", F.floor(F.col("start_offset") / seq_len))
 
 
+def sampled_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    ps: tuple = (0.5, 0.9, 0.99),
+    k: int = 256,
+    salt: str = "pct",
+) -> DataFrame:
+    """Deterministic approximate percentiles: a bottom-k-by-salted-hash
+    uniform row sample per group, then EXACT interpolated percentiles over
+    the sample.  Like :func:`kmv_distinct`, the estimate is a pure
+    function of the data — no ``rand()``, no engine-specific sketch
+    layout — so a SQL oracle replays it bit-for-bit.  Sampling error is
+    the classic order-statistic bound ~1/sqrt(k) on the quantile rank.
+
+    At 100 TB the bottom-k rank is a per-group top-k (partial agg keeps k
+    rows per group per partition before one shuffle), and the final exact
+    percentile touches only k rows per group — the full column is never
+    sorted."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    # same cube scatter as kmv_distinct: the raw char fold is too
+    # structured for order statistics
+    raw = char_poly_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
+    w = Window.partitionBy(*group_cols).orderBy("h", id_col)
+    sample = (
+        df.select(*group_cols, id_col, value_col, h)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    aggs = [
+        F.round(F.percentile(value_col, p), 6).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in ps
+    ]
+    return sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sampled"), *aggs
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,

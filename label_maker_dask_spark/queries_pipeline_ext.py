@@ -285,6 +285,41 @@ def _kmv_oracle(k: int = 64) -> str:
     """
 
 
+def _sampled_pct_oracle(k: int = 256) -> str:
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    fold = char_poly_hash_sql("('pct:' || event_id::VARCHAR)")
+    return f"""
+    WITH raw AS (SELECT event_type, event_id, value, {fold} AS r FROM events),
+    h AS (SELECT event_type, event_id, value,
+                 (r * r % {HASH_P}) * r % {HASH_P} AS h FROM raw),
+    rk AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h, event_id) AS rn
+           FROM h)
+    SELECT event_type, count(*) AS n_sampled,
+           round(quantile_cont(value, 0.5), 6) AS p5,
+           round(quantile_cont(value, 0.9), 6) AS p9,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM rk WHERE rn <= {k} GROUP BY event_type
+    """
+
+
+@register("agg_approx_percentiles_sampled", _sampled_pct_oracle())
+def agg_approx_percentiles_sampled(spark, sf_dir):
+    """Approximate value percentiles per event type via a deterministic
+    bottom-k-by-salted-hash row sample + exact interpolated percentiles
+    over the sample (operators/pipeline.sampled_percentiles).  The
+    sketch-free twin of approx_percentile: pure function of the data, so
+    DuckDB's quantile_cont over the same sample replays it exactly."""
+    from label_maker_dask_spark.operators.pipeline import sampled_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return sampled_percentiles(
+        ev, "value", ["event_type"], "event_id", ps=(0.5, 0.9, 0.99), k=256
+    )
+
+
 @register("agg_approx_distinct_users", _kmv_oracle())
 def agg_approx_distinct_users(spark, sf_dir):
     """K-minimum-values distinct-user sketch per event type — the catalog's

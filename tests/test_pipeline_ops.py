@@ -196,3 +196,32 @@ def test_asof_join_tolerance_bounds_lookback(spark):
                         tolerance="INTERVAL 10 DAY")
     got = {r["id"]: r["rid"] for r in bounded.collect()}
     assert got == {1: 11}  # row 2's latest match is 53 days old: dropped
+
+
+def test_sampled_percentiles_exact_below_k_and_close_above(spark):
+    from label_maker_dask_spark.operators.pipeline import sampled_percentiles
+
+    rows = [("small", i, float(i)) for i in range(9)] + [
+        ("big", 100 + i, float(i % 1000)) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = {
+        r["grp"]: r
+        for r in sampled_percentiles(
+            df, "v", ["grp"], "id", ps=(0.5, 0.9), k=64
+        ).collect()
+    }
+    # below k the "sample" is the whole group: exact interpolated quantiles
+    assert got["small"]["n_sampled"] == 9
+    assert got["small"]["p5"] == 4.0 and got["small"]["p9"] == 7.2
+    # above k: uniform-sample estimate lands in the right regime
+    assert got["big"]["n_sampled"] == 64
+    assert abs(got["big"]["p5"] - 499.5) < 150
+    # deterministic: a second run returns identical values
+    again = {
+        r["grp"]: r
+        for r in sampled_percentiles(
+            df, "v", ["grp"], "id", ps=(0.5, 0.9), k=64
+        ).collect()
+    }
+    assert again == got
