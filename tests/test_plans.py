@@ -152,3 +152,45 @@ def test_pack_sequences_never_plans_single_task_global_sort(spark):
     assert derive_pack_buckets(20_000_000_000, target_bucket_rows=1_000_000) == 20000
     # floor keeps small inputs parallel
     assert derive_pack_buckets(100) == 32
+
+
+def tree_of(df) -> str:
+    """Physical-plan tree with each operator printed exactly once —
+    `explain("formatted")` lists every node twice (tree + detail section),
+    which breaks operator counting."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_reuses_one_fact_shuffle(spark):
+    """Three chained step-windows + the per-user agg must share a single
+    fact-sized exchange on user_id; the only other exchange carries the
+    <=4-row stage histogram."""
+    tree = tree_of(Q.QUERIES["events_funnel_signup_view_purchase"](spark, SF))
+    assert tree.count("Window") >= 3
+    n_exchanges = tree.count("Exchange")
+    assert n_exchanges <= 2, f"expected <=2 Exchange nodes, saw {n_exchanges}"
+
+
+def test_trailing_range_window_single_shuffle(spark):
+    tree = tree_of(Q.QUERIES["window_trailing_1h_user_activity"](spark, SF))
+    n_exchanges = tree.count("Exchange")
+    assert n_exchanges <= 1, f"expected <=1 Exchange node, saw {n_exchanges}"
+
+
+def test_histogram_prunes_to_single_column(spark):
+    plan = plan_of(Q.QUERIES["agg_histogram_order_totals"](spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_totalprice" in read_schema and "o_orderdate" not in read_schema
+
+
+def test_gapfill_window_runs_on_date_spine_not_fact(spark):
+    """The forward-fill window must sit above the day-level aggregate (date
+    cardinality), never above the raw fact scan: in the plan tree (parents
+    print before children) a day-level Aggregate must appear between the
+    Window and every scan of the orders fact."""
+    tree = tree_of(Q.QUERIES["timeseries_gapfill_daily_revenue"](spark, SF))
+    win_pos = tree.index("Window")
+    first_scan = tree.index("orders.parquet")
+    assert win_pos < first_scan, "window must sit above the fact scan"
+    agg_between = tree[win_pos:first_scan]
+    assert "HashAggregate" in agg_between or "SortAggregate" in agg_between
