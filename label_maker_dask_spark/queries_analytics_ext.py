@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from label_maker_dask_spark.functions.timeutil import epoch_micros
 from label_maker_dask_spark.queries import ORACLES, QUERIES, _t, register
 from label_maker_dask_spark.queries_pipeline_ext import _components_oracle
 
@@ -174,7 +175,7 @@ def events_funnel_signup_view_purchase(spark, sf_dir):
         # integer micros subtraction then one double division — the exact
         # arithmetic DuckDB's (epoch_us(t3) - epoch_us(t1)) / 3.6e9 does
         (
-            (F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t1")))
+            (epoch_micros("t3") - epoch_micros("t1"))
             / F.lit(3600000000.0)
         ).alias("hours_to_purchase"),
     )
@@ -211,7 +212,7 @@ def window_trailing_1h_user_activity(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(

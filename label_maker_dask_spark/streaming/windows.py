@@ -18,6 +18,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from label_maker_dask_spark.functions.timeutil import epoch_micros
+
 
 def _maybe_watermark(df: DataFrame, ts_col: str, delay: Optional[str]) -> DataFrame:
     if delay and df.isStreaming:
@@ -155,11 +157,11 @@ def sessionize_lag(
     the window-function formulation used for oracle cross-checks; the
     streaming twin is :func:`session_agg`.
 
-    Gaps compare at MICROSECOND precision (``unix_micros``, matching the
-    oracle's ``epoch_us`` arithmetic) — casting timestamps to whole
-    seconds would mis-classify boundary gaps like 1800.3s.  Pass
-    ``tie_break`` (a unique column) so equal timestamps order
-    deterministically."""
+    Gaps compare at MICROSECOND precision (``epoch_micros``, matching the
+    oracle's ``epoch_us`` arithmetic and tolerating TIMESTAMP_NTZ input) —
+    casting timestamps to whole seconds would mis-classify boundary gaps
+    like 1800.3s.  Pass ``tie_break`` (a unique column) so equal
+    timestamps order deterministically."""
     from pyspark.sql import Window
 
     order = [ts_col] + ([tie_break] if tie_break else [])
@@ -168,8 +170,8 @@ def sessionize_lag(
     with_flag = df.withColumn(
         "_new_session",
         F.when(
-            F.unix_micros(F.col(ts_col))
-            - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            epoch_micros(ts_col)
+            - F.lag(epoch_micros(ts_col)).over(w)
             > gap_us,
             1,
         )
