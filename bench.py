@@ -57,6 +57,11 @@ HEADLINE = [
     "segmentation_buffered_ring_areas",
     "dedup_simhash_signatures",
     "agg_approx_percentiles_sampled",
+    # round-5 operators: CDC merge, salted skew-join, and the
+    # single-shuffle OHLC rollup
+    "merge_upsert_orders_cdc",
+    "join_skew_salted_brand_revenue",
+    "timeseries_ohlc_hourly_by_type",
 ]
 
 

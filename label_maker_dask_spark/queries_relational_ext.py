@@ -1,0 +1,245 @@
+"""Round-5 relational/pipeline catalog extensions.
+
+Five operators that widen the engine surface where a production
+training-data warehouse still had gaps, each hash-matched against a DuckDB
+oracle:
+
+- ``timeseries_ohlc_hourly_by_type`` — hypertable-style OHLC candlestick
+  rollup (:func:`operators.timeseries.resample_ohlc`): open/close via
+  min/max-of-struct argmin, so the whole rollup is ONE partial-aggregable
+  shuffle (no per-group sort).
+- ``merge_upsert_orders_cdc`` — CDC MERGE (SCD-1 upsert + delete) applied
+  as one full-outer join (:func:`operators.merge.merge_upsert`), the plan
+  shape Delta/Iceberg MERGE lowers to.
+- ``join_skew_salted_brand_revenue`` — the explicit salted-join
+  skew-mitigation pattern (:func:`operators.skew.salted_join`); oracle is
+  the plain join because salting must not change results.
+- ``window_percent_rank_cume_dist`` — the rank-family windows the catalog
+  had not yet exercised (percent_rank/cume_dist/dense_rank), tie-stable.
+- ``agg_corr_covar_by_returnflag`` — second-moment aggregates
+  (corr/covar/stddev/var) with rounding margins sized to the engines'
+  partial-merge float noise (corr is O(1) -> 6 dp; large-magnitude
+  moments -> 2-4 dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.operators.merge import merge_upsert
+from label_maker_dask_spark.operators.skew import salted_join
+from label_maker_dask_spark.operators.timeseries import resample_ohlc
+from label_maker_dask_spark.queries import _t, register
+
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@register("timeseries_ohlc_hourly_by_type", _OHLC_ORACLE)
+def timeseries_ohlc_hourly_by_type(spark, sf_dir):
+    """Hourly OHLC candlesticks per event type.
+
+    The oracle replays open/close with two row_number windows (per-group
+    sorts); the engine path instead rides min/max-of-struct(ts, id, value)
+    argmins inside ONE hash aggregate — map-side partials emit a single row
+    per (type, hour) whatever the input volume, which is the shape that
+    survives 100 TB (the window formulation would sort every event).
+    Raw input doubles pass through unrounded — no arithmetic, so the
+    engines agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ohlc(
+        ev, "ts", "value", ["event_type"], "hour", tie_break="event_id"
+    )
+    return out.select("event_type", "bucket", "open", "high", "low", "close", "n")
+
+
+_MERGE_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS s_price,
+         'U' AS s_status,
+         (o_orderkey % 97 = 0) AS is_delete
+  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 999.99, 'N', false
+  FROM orders WHERE o_orderkey % 131 = 0)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       t.o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.s_status
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.s_price
+            ELSE t.o_totalprice END AS o_totalprice,
+       t.o_orderdate,
+       t.o_orderpriority,
+       CASE WHEN coalesce(s.is_delete, false) THEN 'delete'
+            WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+              THEN 'update'
+            WHEN s.o_orderkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE NOT coalesce(s.is_delete, false)
+"""
+
+
+@register("merge_upsert_orders_cdc", _MERGE_ORACLE)
+def merge_upsert_orders_cdc(spark, sf_dir):
+    """CDC MERGE onto the orders table: a deterministic change batch
+    (10%-repriced updates for key%7, deletes for key%97, fresh inserts for
+    key%131 under shifted keys) applied with
+    :func:`operators.merge.merge_upsert`.
+
+    The reprice goes through exact decimals (double*1.1 then round would be
+    engine-rounding-sensitive; decimal(18,2)*decimal(2,1) is exact in both).
+    Scale shape: one full-outer join on the merge key with the change set
+    broadcast — the base table never shuffles."""
+    ords = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    upd = ords.where((key % 7 == 0) | (key % 97 == 0)).select(
+        "o_orderkey",
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2))"
+            " * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)"
+        ).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        (key % 97 == 0).alias("is_delete"),
+    )
+    ins = ords.where(key % 131 == 0).select(
+        (key + 100000000).alias("o_orderkey"),
+        F.lit(999.99).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(False).alias("is_delete"),
+    )
+    src = upd.unionByName(ins)
+    return merge_upsert(
+        ords,
+        src,
+        keys=["o_orderkey"],
+        update_cols=["o_totalprice", "o_orderstatus"],
+        delete_col="is_delete",
+        broadcast_source=True,
+        action_col="action",
+    )
+
+
+_SALTED_ORACLE = """
+SELECT p_brand,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+@register("join_skew_salted_brand_revenue", _SALTED_ORACLE)
+def join_skew_salted_brand_revenue(spark, sf_dir):
+    """Brand revenue through an explicitly salted fact⋈dim join
+    (:func:`operators.skew.salted_join`, 8 salts, dim broadcast).
+
+    The oracle is the PLAIN join — salting is pure skew mitigation and must
+    be result-invariant; the hash-match proves it.  With the dim broadcast
+    the salt costs nothing (the replicated dim still ships once per
+    executor), while a hot part key now spreads over 8 reducers in the
+    downstream agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = (
+        _t(spark, sf_dir, "part")
+        .withColumnRenamed("p_partkey", "l_partkey")
+        .select("l_partkey", "p_brand")
+    )
+    joined = salted_join(li, pt, ["l_partkey"], n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_RANKFAM_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       dense_rank()   OVER w AS bal_dense_rank,
+       round(percent_rank() OVER w, 6) AS bal_percent_rank,
+       round(cume_dist()    OVER w, 6) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+"""
+
+
+@register("window_percent_rank_cume_dist", _RANKFAM_ORACLE)
+def window_percent_rank_cume_dist(spark, sf_dir):
+    """Rank-family windows (dense_rank / percent_rank / cume_dist) over
+    account balance within market segment — all tie-stable (peers share a
+    value), so no id tie-break is needed for a deterministic hash.
+
+    Scale shape: one shuffle on c_mktsegment then a sorted scan; five
+    segments is skew-prone at 100 TB, where the fix is the same
+    pre-aggregate-or-salt toolbox as any low-cardinality partition key."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+_MOMENTS_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 2)  AS covar_pop_qty_price,
+       round(stddev_samp(l_quantity), 6)                 AS std_qty,
+       round(var_pop(l_quantity), 4)                     AS var_qty,
+       round(stddev_samp(l_extendedprice), 2)            AS std_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_corr_covar_by_returnflag", _MOMENTS_ORACLE)
+def agg_corr_covar_by_returnflag(spark, sf_dir):
+    """Second-moment aggregates per return flag.  Rounding margins are
+    sized to magnitude so cross-engine/partition-order float noise (~1e-12
+    relative, from merging partial (n, mean, M2) states in different
+    orders) can never flip a rounded digit: corr is O(1) -> 6 dp,
+    price-scale moments (~1e4..1e8) -> 2-4 dp.
+
+    Scale shape: all six moments ride one map-side-partial hash aggregate
+    — a single shuffle of 4 groups x constant state."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+        F.round(F.covar_pop(q, p), 2).alias("covar_pop_qty_price"),
+        F.round(F.stddev_samp(q), 6).alias("std_qty"),
+        F.round(F.var_pop(q), 4).alias("var_qty"),
+        F.round(F.stddev_samp(p), 2).alias("std_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
