@@ -62,6 +62,7 @@ HEADLINE = [
     "merge_upsert_orders_cdc",
     "join_skew_salted_brand_revenue",
     "timeseries_ohlc_hourly_by_type",
+    "embedding_kmeans_clusters",
 ]
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from label_maker_dask_spark.operators.clustering import spherical_kmeans
 from label_maker_dask_spark.operators.merge import merge_upsert
 from label_maker_dask_spark.operators.skew import salted_join
 from label_maker_dask_spark.operators.timeseries import resample_ohlc
@@ -207,6 +208,77 @@ def window_percent_rank_cume_dist(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("bal_percent_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+_KMEANS_ORACLE = """
+WITH unitv AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+  FROM (
+    SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b))
+             AS nrm
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u AS cu
+  FROM (SELECT vec_id, u FROM unitv ORDER BY vec_id LIMIT 8)),
+a0 AS (
+  SELECT vec_id, u, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cell ASC) AS rn
+  FROM (
+    SELECT vec_id, u, cell,
+           list_reduce(list_transform(generate_series(1, 64),
+                                      i -> u[i] * cu[i]),
+                       (a,b) -> a + b) AS dot
+    FROM unitv CROSS JOIN init)),
+qrows AS (
+  SELECT cell, u, unnest(generate_series(1, 64)) AS pos
+  FROM a0 WHERE rn = 1),
+qsum AS (
+  SELECT cell, pos,
+         sum(CAST(round(u[pos] * 1000000) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM qrows GROUP BY cell, pos),
+cent1 AS (
+  SELECT cell, list_transform(mv, x -> x / nrm) AS cu
+  FROM (
+    SELECT cell, mv,
+           sqrt(list_reduce(list_transform(mv, x -> x * x), (a,b) -> a + b))
+             AS nrm
+    FROM (
+      SELECT cell, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos)
+               AS mv
+      FROM qsum GROUP BY cell))),
+a1 AS (
+  SELECT vec_id, cell, dot,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cell ASC) AS rn
+  FROM (
+    SELECT vec_id, cell,
+           list_reduce(list_transform(generate_series(1, 64),
+                                      i -> u[i] * cu[i]),
+                       (a,b) -> a + b) AS dot
+    FROM unitv CROSS JOIN cent1))
+SELECT vec_id, cell AS cluster, round(dot, 6) AS sim
+FROM a1 WHERE rn = 1
+"""
+
+
+@register("embedding_kmeans_clusters", _KMEANS_ORACLE)
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means (k=8, one Lloyd refinement) over the embeddings
+    table — the clustering step of SemDeDup-style semantic curation
+    (:func:`operators.clustering.spherical_kmeans`).
+
+    The oracle unrolls the identical iteration in SQL: same deterministic
+    lowest-id seeds, same left-to-right dot/norm folds, same
+    integer-quantized exact means — so the hash-match proves the
+    *distributed* implementation is partition-order-independent.  Scale
+    shape per iteration: broadcast cross-join vs k centroids collapsed
+    map-side to an argmax row per vector, plus one (cluster, dim)
+    integer-sum shuffle of k*d rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return spherical_kmeans(emb, k=8, iters=1)
 
 
 _MOMENTS_ORACLE = """
