@@ -63,6 +63,8 @@ HEADLINE = [
     "join_skew_salted_brand_revenue",
     "timeseries_ohlc_hourly_by_type",
     "embedding_kmeans_clusters",
+    "embedding_kmeans_clusters_arrow",
+    "curation_semdedup_cluster_profiles",
 ]
 
 

@@ -94,6 +94,47 @@ def _recompute(assigned: DataFrame, quant: int) -> DataFrame:
     return _unit(vecs, "cv", "cu").select("cell", "cu")
 
 
+def _assign_arrow(unitv: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Arrow-vectorized twin of :func:`_assign` — bit-identical output.
+
+    Centroids (k rows) collect to the driver and ride the closure; per
+    Arrow batch, dots accumulate with the same left-to-right dim fold the
+    expression path and the SQL oracle use (``_dots_exact``, never BLAS),
+    and ``np.argmax``'s first-max rule reproduces the lowest-cell
+    tie-break because centroids are ordered by cell.  This is the 100 TB
+    hot path: the expression fold evaluates an interpreted lambda per
+    element, the Arrow path ~one numpy op per dimension per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from label_maker_dask_spark.operators.similarity import _dots_exact
+
+    cpd = cents.orderBy("cell").toPandas()
+    cell_ids = cpd["cell"].to_numpy()
+    cm = np.stack(cpd["cu"].to_numpy()).astype(np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            um = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+            dots = _dots_exact(um, cm)
+            best = np.argmax(dots, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": cell_ids[best].astype(np.int32),
+                    "dot": dots[np.arange(len(um)), best],
+                    "u": pdf["u"],
+                }
+            )
+
+    id_type = unitv.schema[id_col].dataType.simpleString()
+    return unitv.mapInPandas(
+        assign, f"{id_col} {id_type}, cluster int, dot double, u array<double>"
+    )
+
+
 def spherical_kmeans(
     embeddings: DataFrame,
     k: int = 8,
@@ -101,6 +142,7 @@ def spherical_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 1_000_000,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Cluster embeddings on the unit sphere; returns one row per vector:
     (``id_col``, ``cluster`` int, ``sim`` double = round(cosine-to-
@@ -110,7 +152,13 @@ def spherical_kmeans(
     assignment (the IVF coarse quantizer), each further iteration is
     recompute-means -> reassign.  Deterministic under any partitioning —
     see the module docstring for the replay contract.
-    """
+
+    ``use_arrow`` switches assignment to the vectorized twin
+    (:func:`_assign_arrow`, bit-identical by construction and by test):
+    the expression path is the oracle mirror and stays fully lazy; the
+    Arrow path is the throughput path, at the cost of one driver-side
+    k-row centroid collect per iteration (the classic distributed-k-means
+    driver state, k*d doubles)."""
     unitv = _unit(embeddings.select(id_col, vec_col), vec_col, "u").select(
         id_col, "u"
     )
@@ -120,10 +168,11 @@ def spherical_kmeans(
         .limit(k)
         .select((F.row_number().over(w) - 1).alias("cell"), F.col("u").alias("cu"))
     )
-    assigned = _assign(unitv, cents, id_col)
+    assign = _assign_arrow if use_arrow else _assign
+    assigned = assign(unitv, cents, id_col)
     for _ in range(iters):
         cents = _recompute(assigned, quant)
-        assigned = _assign(unitv, cents, id_col)
+        assigned = assign(unitv, cents, id_col)
     return assigned.select(
         id_col,
         "cluster",

@@ -281,6 +281,65 @@ def embedding_kmeans_clusters(spark, sf_dir):
     return spherical_kmeans(emb, k=8, iters=1)
 
 
+@register("embedding_kmeans_clusters_arrow", _KMEANS_ORACLE)
+def embedding_kmeans_clusters_arrow(spark, sf_dir):
+    """The Arrow-vectorized twin of ``embedding_kmeans_clusters`` —
+    identical semantics and the SAME oracle, so the hash-match proves the
+    hot path (numpy left-fold dots per Arrow batch, ``use_arrow=True``)
+    bit-matches both the expression plan and the SQL replay.  This is the
+    pairing SimHash uses (`dedup.py` expression mirror + Arrow twin): the
+    interpreted-lambda path for oracle transparency, the vectorized path
+    for 100 TB throughput."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return spherical_kmeans(emb, k=8, iters=1, use_arrow=True)
+
+
+_SEMDEDUP_ORACLE = f"""
+SELECT cluster,
+       min(vec_id) FILTER (WHERE rn = 1) AS rep_vec_id,
+       count(*) AS n_members,
+       round(avg(sim), 6) AS avg_centroid_sim,
+       round(min(sim), 6) AS min_centroid_sim
+FROM (
+  SELECT cluster, vec_id, sim,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM ({_KMEANS_ORACLE}) a)
+GROUP BY cluster
+"""
+
+
+@register("curation_semdedup_cluster_profiles", _SEMDEDUP_ORACLE)
+def curation_semdedup_cluster_profiles(spark, sf_dir):
+    """The pruning-decision view of SemDeDup semantic curation: per
+    semantic cluster, the representative (closest-to-centroid, ties to the
+    lowest id), member count, and the centroid-similarity profile that
+    drives keep/drop thresholds.
+
+    Composes :func:`operators.clustering.spherical_kmeans` with a
+    per-cluster argmax window — the window partitions on cluster id (k
+    groups), but its input is already one row per vector, so the sort is
+    k small sorts, not a fact-table sort.  avg/min similarities round at
+    6 dp (values are O(1) cosines; partial-merge noise is ~1e-13)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    clusters = spherical_kmeans(emb, k=8, iters=1)
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        clusters.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("vec_id"))).alias(
+                "rep_vec_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sim"), 6).alias("avg_centroid_sim"),
+            F.round(F.min("sim"), 6).alias("min_centroid_sim"),
+        )
+    )
+
+
 _MOMENTS_ORACLE = """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,

@@ -63,6 +63,20 @@ def test_kmeans_partition_order_independent(spark):
     assert a == b
 
 
+def test_kmeans_arrow_twin_bit_identical(spark):
+    df = _blobs(spark)
+    expr = sorted(
+        map(tuple, spherical_kmeans(df, k=3, iters=2).collect())
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            spherical_kmeans(df, k=3, iters=2, use_arrow=True).collect(),
+        )
+    )
+    assert expr == arrow
+
+
 def test_kmeans_no_python_row_path(spark):
     df = _blobs(spark, n_per=4)
     plan = (
