@@ -224,6 +224,44 @@ def test_streaming_sliding_equals_batch(spark, events_dir, events_batch):
     assert a == b and len(a) > 0
 
 
+def test_streaming_ohlc_equals_batch(spark, events_dir, events_batch):
+    """OHLC candles computed incrementally over the stream (tumbling
+    window + the same min/max-of-struct argmin aggregates) must equal the
+    batch resample_ohlc rollup — the struct-min open/close state merges
+    across micro-batches exactly like any other min/max state."""
+    from label_maker_dask_spark.operators.timeseries import resample_ohlc
+
+    def ohlc_aggs():
+        order = [F.col("ts"), F.col("event_id")]
+        first_s = F.min(F.struct(*order, F.col("value").alias("v")))
+        last_s = F.max(F.struct(*order, F.col("value").alias("v")))
+        return [
+            first_s.getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s.getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+
+    def build(df):
+        return tumbling_agg(
+            df, "ts", "1 hour", ["event_type"], ohlc_aggs(),
+            watermark="30 minutes",
+        )
+
+    got = _run_stream(spark, events_dir, build, "t_ohlc")
+    expected = resample_ohlc(
+        events_batch, "ts", "value", ["event_type"], "hour",
+        tie_break="event_id",
+    )
+    cols = ["event_type", "open", "high", "low", "close", "n"]
+    a = sorted(
+        map(tuple, got.select(F.col("window_start"), *cols).collect())
+    )
+    b = sorted(map(tuple, expected.select(F.col("bucket"), *cols).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_sessionize_lag_microsecond_boundary(spark):
     """A gap of 1800.3s must split sessions (second-truncation would give
     1801-100=1701... or merge 1800.05s gaps the oracle splits)."""
