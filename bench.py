@@ -65,6 +65,8 @@ HEADLINE = [
     "embedding_kmeans_clusters",
     "embedding_kmeans_clusters_arrow",
     "curation_semdedup_cluster_profiles",
+    "agg_kmv_merged_weekly_users",
+    "timeseries_multigrain_revenue",
 ]
 
 

@@ -309,8 +309,21 @@ def kmv_distinct(
     raw = char_poly_hash(F.concat(F.lit("kmv:"), F.col(key_col).cast("string")))
     h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
     d = df.select(*group_cols, h).distinct()
+    return _kmv_estimate(d, group_cols, k)
+
+
+def _kmv_estimate(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Bottom-k cut + estimator over a distinct (groups, h) frame — shared
+    by the one-shot sketch and the merge path so both use the identical
+    formula."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.functions.text import HASH_P
+
     w = Window.partitionBy(*group_cols).orderBy("h")
-    ranked = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
     return (
         ranked.groupBy(*group_cols)
         .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_seen"))
@@ -321,3 +334,37 @@ def kmv_distinct(
             .alias("approx_distinct"),
         )
     )
+
+
+def kmv_distinct_merged(
+    df: DataFrame,
+    key_col: str,
+    coarse_cols: list[str],
+    fine_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Two-level KMV rollup: build a bottom-k sketch per (coarse, fine)
+    group, then MERGE the fine sketches into one estimate per coarse group
+    — the pre-aggregated-sketch pattern a 100 TB pipeline uses (daily
+    sketches stored once, any coarser rollup answered without rescanning
+    the facts).
+
+    KMV merge is exact: every member of bottom-k(S) lies in the bottom-k
+    of whichever fine partition holds it, so bottom-k(union of per-fine
+    bottom-k) == bottom-k(S) and the merged estimate EQUALS the direct
+    coarse sketch — which is what the catalog oracle computes directly.
+    Scale shape: the fine-level cut bounds intermediate state at
+    k rows per fine group; the merge shuffles only those sketch rows."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    raw = char_poly_hash(F.concat(F.lit("kmv:"), F.col(key_col).cast("string")))
+    h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
+    d = df.select(*coarse_cols, *fine_cols, h).distinct()
+    wf = Window.partitionBy(*coarse_cols, *fine_cols).orderBy("h")
+    fine_sketch = d.withColumn("rn", F.row_number().over(wf)).where(
+        F.col("rn") <= k
+    )
+    merged = fine_sketch.select(*coarse_cols, "h").distinct()
+    return _kmv_estimate(merged, coarse_cols, k)

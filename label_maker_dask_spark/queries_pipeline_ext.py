@@ -453,3 +453,43 @@ def curation_end_to_end(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+def _kmv_merged_oracle(k: int = 64) -> str:
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    fold = char_poly_hash_sql("('kmv:' || user_id::VARCHAR)")
+    return f"""
+    WITH raw AS (SELECT DISTINCT date_trunc('week', ts) AS week, {fold} AS r
+                 FROM events),
+    h AS (SELECT DISTINCT week, (r * r % {HASH_P}) * r % {HASH_P} AS h
+          FROM raw),
+    r AS (SELECT week, h,
+                 row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+          FROM h),
+    t AS (SELECT week, max(h) AS kth, count(*) AS n_seen
+          FROM r WHERE rn <= {k} GROUP BY 1)
+    SELECT week,
+           CASE WHEN n_seen < {k} THEN n_seen::DOUBLE
+                ELSE round({(k - 1) * HASH_P} / kth, 6) END AS approx_distinct
+    FROM t
+    """
+
+
+@register("agg_kmv_merged_weekly_users", _kmv_merged_oracle())
+def agg_kmv_merged_weekly_users(spark, sf_dir):
+    """Weekly distinct-user estimates assembled by MERGING daily KMV
+    sketches (operators/pipeline.kmv_distinct_merged) — the
+    pre-aggregated-sketch rollup a 100 TB pipeline stores (daily sketches
+    written once; any coarser grain answered from k-row sketches, never a
+    fact rescan).  The oracle computes the DIRECT weekly sketch: KMV
+    merge is provably lossless (bottom-k of unioned bottom-k's equals
+    bottom-k of the union), so the hash-match proves the merge path exact."""
+    from label_maker_dask_spark.operators.pipeline import kmv_distinct_merged
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    return kmv_distinct_merged(ev, "user_id", ["week"], ["day"], k=64)

@@ -374,3 +374,40 @@ def agg_corr_covar_by_returnflag(spark, sf_dir):
         F.round(F.stddev_samp(p), 2).alias("std_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_MULTIGRAIN_ORACLE = """
+SELECT date_trunc('day', o_orderdate) AS day,
+       date_trunc('month', o_orderdate) AS month,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((date_trunc('day', o_orderdate)),
+                        (date_trunc('month', o_orderdate)), ())
+"""
+
+
+@register("timeseries_multigrain_revenue", _MULTIGRAIN_ORACLE)
+def timeseries_multigrain_revenue(spark, sf_dir):
+    """Hypertable-style continuous-aggregate sweep: revenue at day, month,
+    and grand-total grains in ONE grouping-sets pass over the fact table
+    (each grain's rows carry NULL in the other grain's bucket column).
+
+    Scale shape: grouping sets expand map-side — the fact table is
+    scanned once and the shuffle carries one partial row per (grain,
+    bucket) per task, vs three separate scans for three rollups.  Sums
+    ride exact decimals for cross-engine stability."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("mg_orders")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', o_orderdate) AS day,
+               date_trunc('month', o_orderdate) AS month,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2)
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM mg_orders
+        GROUP BY GROUPING SETS ((date_trunc('day', o_orderdate)),
+                                (date_trunc('month', o_orderdate)), ())
+        """
+    )

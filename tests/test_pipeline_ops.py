@@ -177,6 +177,32 @@ def test_kmv_distinct_is_exact_below_k_and_close_above(spark):
     assert abs(got["big"] - 500) / 500 < 0.35  # ~1/sqrt(64) error regime
 
 
+def test_kmv_merge_equals_direct_sketch(spark):
+    """KMV mergeability is lossless: weekly estimates assembled from
+    per-day bottom-k sketches must EQUAL the direct weekly sketch — not
+    approximately, exactly (bottom-k of unioned bottom-k's is bottom-k of
+    the union)."""
+    from label_maker_dask_spark.operators.pipeline import (
+        kmv_distinct,
+        kmv_distinct_merged,
+    )
+
+    rows = [
+        (f"w{i % 3}", f"d{i % 11}", f"u{(i * 7) % 400}") for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "week string, day string, user string")
+    direct = sorted(
+        map(tuple, kmv_distinct(df, "user", ["week"], k=32).collect())
+    )
+    merged = sorted(
+        map(
+            tuple,
+            kmv_distinct_merged(df, "user", ["week"], ["day"], k=32).collect(),
+        )
+    )
+    assert merged == direct and len(direct) == 3
+
+
 def test_asof_join_tolerance_bounds_lookback(spark):
     from label_maker_dask_spark.operators.asof import asof_join
 
