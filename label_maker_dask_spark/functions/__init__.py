@@ -5,5 +5,6 @@ from label_maker_dask_spark.functions.pixel import (
     pixel_bbox_cols,
     pixel_convert,
 )
+from label_maker_dask_spark.functions.timeutil import epoch_micros
 
-__all__ = ["clamp", "pixel_bbox_cols", "pixel_convert"]
+__all__ = ["clamp", "epoch_micros", "pixel_bbox_cols", "pixel_convert"]

@@ -4,18 +4,22 @@ The reference pipeline is append-only (results gathered once,
 ``main.py:109-111``); a production training-data store needs the other half
 — applying a change stream (updates + inserts + deletes) onto a base table.
 Without a transactional table format in this environment, the merge is
-expressed as the standard Spark pattern: a single **full outer join** on the
-merge keys, then one ``when`` cascade per output column.  That is exactly
-the shuffle shape Delta/Iceberg MERGE compiles to (minus the file-level
-transaction log), so the plan survives scale-up: one shuffle of each side on
-the key, no driver materialization, and the small change-set side is
-broadcast when it fits.
+expressed as the union of its two match classes:
+
+- **matched path**: ``target LEFT JOIN source`` — with the change batch
+  broadcast this is a BroadcastHashJoin, so the base table is never
+  shuffled.  (A FULL OUTER formulation would look simpler but Spark cannot
+  broadcast any side of a full-outer equi-join — it silently degrades to a
+  sort-merge join that shuffles the full-width base table.)
+- **insert path**: ``source LEFT ANTI JOIN target.select(keys)`` — only the
+  *key column* of the base table feeds this join, so even its shuffle (when
+  the optimizer picks SMJ) carries keys, not rows.
 
 Semantics (deterministic, order-free):
-- key in both      -> ``when_matched``  (update: source column wins)
-- key only in src  -> ``when_not_matched`` (insert)
-- key only in tgt  -> carried through unchanged (or dropped if the source
-  row carries ``delete_col = true``)
+- key in both      -> update (source column wins on ``update_cols``)
+- key only in src  -> insert (non-source target columns become NULL)
+- key only in tgt  -> carried through unchanged
+- matched + ``delete_col`` true -> dropped (as is a delete of a missing key)
 Duplicate keys on the source side are rejected up front — SQL MERGE raises
 on multi-row matches, and silently joining them would fan out the target.
 """
@@ -24,7 +28,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,14 +46,14 @@ def merge_upsert(
     ``update_cols`` defaults to every non-key column the two frames share.
     ``delete_col`` names a boolean column on the source marking deletions.
     ``broadcast_source`` hints the typical CDC shape (small change batch vs
-    huge base): the outer join then needs no shuffle of the target at all.
-    ``action_col`` (optional) appends a column with 'update'/'insert'/
-    'keep'/'delete' for audit sinks; deleted rows are filtered out either
-    way.
+    huge base): the matched path becomes a broadcast join and the target
+    never shuffles.  ``action_col`` (optional) appends
+    'update'/'insert'/'keep' for audit sinks; deleted rows are filtered
+    out either way.
 
-    100 TB posture: one equi-join on the merge key (broadcast when the
-    change set is small, sort-merge otherwise — AQE picks); column updates
-    are pure projections.  Nothing is collected.
+    100 TB posture: module docstring — broadcast left-join for matches,
+    keys-only anti-join for inserts, nothing collected but the (small,
+    by MERGE contract) source's duplicate-key guard.
     """
     if update_cols is None:
         shared = set(target.columns) & set(source.columns)
@@ -61,41 +65,58 @@ def merge_upsert(
             "MERGE semantics require at most one source row per key"
         )
 
-    # presence markers, not key-isNotNull: a legitimately-NULL key value on
-    # one side must not read as "row absent"
-    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    def _not_deleted(prefix: str = "") -> Column:
+        if not delete_col:
+            return F.lit(True)
+        return ~F.coalesce(F.col(f"{prefix}{delete_col}"), F.lit(False))
+
+    # --- matched/kept path: stream the target, probe the change batch.
+    # A presence marker, not key-isNotNull: a legitimately-NULL key value
+    # must not read as "row absent" (the join itself is null-safe).
+    t = target.alias("t")
     s0 = source.withColumn("_s_present", F.lit(True))
     s = (F.broadcast(s0) if broadcast_source else s0).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
-    joined = t.join(s, on=cond, how="full_outer")
-
-    t_hit = F.col("t._t_present").isNotNull()
     s_hit = F.col("s._s_present").isNotNull()
-    deleted = (
-        (s_hit & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
-        if delete_col
-        else F.lit(False)
-    )
 
-    out_cols = []
+    upd_cols = []
     for c in target.columns:
-        if c in keys:
-            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
-        elif c in update_cols:
-            out_cols.append(
+        if c in update_cols:
+            upd_cols.append(
                 F.when(s_hit, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             )
         else:
-            out_cols.append(F.col(f"t.{c}").alias(c))
+            upd_cols.append(F.col(f"t.{c}").alias(c))
     if action_col:
-        out_cols.append(
-            F.when(deleted, F.lit("delete"))
-            .when(t_hit & s_hit, F.lit("update"))
-            .when(s_hit, F.lit("insert"))
-            .otherwise(F.lit("keep"))
-            .alias(action_col)
+        upd_cols.append(
+            F.when(s_hit, F.lit("update")).otherwise(F.lit("keep")).alias(action_col)
         )
-    return joined.where(~deleted).select(*out_cols)
+    matched = (
+        t.join(s, on=cond, how="left")
+        .where(~s_hit | _not_deleted("s."))
+        .select(*upd_cols)
+    )
+
+    # --- insert path: change rows with no base match; only the base
+    # table's key columns participate.
+    tk = target.select(*keys).alias("tk")
+    anti_cond = [F.col(f"i.{k}").eqNullSafe(F.col(f"tk.{k}")) for k in keys]
+    ins = (
+        s0.alias("i")
+        .join(tk, on=anti_cond, how="left_anti")
+        .where(_not_deleted())
+    )
+    ins_cols = []
+    src_cols = set(source.columns)
+    for f in target.schema.fields:
+        if f.name in keys or (f.name in update_cols and f.name in src_cols):
+            ins_cols.append(F.col(f.name))
+        else:
+            ins_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    if action_col:
+        ins_cols.append(F.lit("insert").alias(action_col))
+
+    return matched.unionByName(ins.select(*ins_cols))
 
 
 __all__ = ["merge_upsert"]

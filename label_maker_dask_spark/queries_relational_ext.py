@@ -1,13 +1,12 @@
-"""Round-5 relational/pipeline catalog extensions.
-
-Five operators that widen the engine surface where a production
-training-data warehouse still had gaps, each hash-matched against a DuckDB
-oracle:
+"""Round-5 relational/pipeline catalog extensions, each hash-matched
+against a DuckDB oracle:
 
 - ``timeseries_ohlc_hourly_by_type`` — hypertable-style OHLC candlestick
   rollup (:func:`operators.timeseries.resample_ohlc`): open/close via
   min/max-of-struct argmin, so the whole rollup is ONE partial-aggregable
   shuffle (no per-group sort).
+- ``timeseries_multigrain_revenue`` — day/month/total revenue in one
+  grouping-sets scan.
 - ``merge_upsert_orders_cdc`` — CDC MERGE (SCD-1 upsert + delete) applied
   as one full-outer join (:func:`operators.merge.merge_upsert`), the plan
   shape Delta/Iceberg MERGE lowers to.
@@ -20,6 +19,11 @@ oracle:
   (corr/covar/stddev/var) with rounding margins sized to the engines'
   partial-merge float noise (corr is O(1) -> 6 dp; large-magnitude
   moments -> 2-4 dp).
+- ``embedding_kmeans_clusters`` / ``..._arrow`` — oracle-replayable
+  spherical k-means (:mod:`operators.clustering`), expression mirror and
+  bit-identical Arrow twin against the same unrolled SQL oracle.
+- ``curation_semdedup_cluster_profiles`` — the SemDeDup pruning-decision
+  view composed on top of the clustering.
 """
 
 from __future__ import annotations

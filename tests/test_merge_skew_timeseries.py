@@ -57,6 +57,28 @@ def test_merge_null_key_matches_null_safely(spark):
     assert len(out) == 1 and out[0].action == "update" and out[0].name == "N"
 
 
+def test_merge_broadcast_never_shuffles_target_wide(spark):
+    """With broadcast_source, the matched path must be a BroadcastHashJoin
+    (the wide target streams) — a FULL OUTER formulation cannot broadcast
+    and would silently sort-merge-shuffle the whole base table."""
+    from pyspark.sql import functions as F
+
+    tgt = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("amount"),
+        F.concat(F.lit("row_"), F.col("id")).alias("payload"),
+    )
+    src = spark.createDataFrame(
+        [(5, 1.0, "x"), (20_000, 2.0, "y")], "k long, amount double, payload string"
+    )
+    out = merge_upsert(tgt, src, ["k"], broadcast_source=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "FullOuter" not in plan
+    # and the result is still the correct 10_001-row merge
+    assert out.count() == 10_001
+
+
 # ---------------------------------------------------------------- salted join
 
 
