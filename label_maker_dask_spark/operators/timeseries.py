@@ -21,6 +21,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ohlc_aggs(
+    ts_col: str, value_col: str, tie_break: str | None = None
+) -> list[Column]:
+    """The OHLC aggregate expressions (open/high/low/close/n) on their own,
+    for composing with ANY grouping — ``resample_ohlc`` pairs them with a
+    ``date_trunc`` batch bucket; a streaming job pairs them with
+    ``streaming.windows.tumbling_agg`` (they are plain min/max state, so
+    they merge across micro-batches; equals-batch is pinned in
+    tests/test_streaming.py)."""
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    first_s = F.min(F.struct(*order, F.col(value_col).alias("v")))
+    last_s = F.max(F.struct(*order, F.col(value_col).alias("v")))
+    return [
+        first_s.getField("v").alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        last_s.getField("v").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+
+
 def resample_ohlc(
     df: DataFrame,
     ts_col: str,
@@ -41,19 +62,9 @@ def resample_ohlc(
     per (key, bucket) regardless of input volume.  This is the plan a
     hypertable continuous aggregate maintains incrementally.
     """
-    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
-    first_s = F.min(F.struct(*order, F.col(value_col).alias("v")))
-    last_s = F.max(F.struct(*order, F.col(value_col).alias("v")))
     bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
-    return (
-        df.groupBy(*keys, bucket)
-        .agg(
-            first_s.getField("v").alias("open"),
-            F.max(value_col).alias("high"),
-            F.min(value_col).alias("low"),
-            last_s.getField("v").alias("close"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    return df.groupBy(*keys, bucket).agg(
+        *ohlc_aggs(ts_col, value_col, tie_break)
     )
 
 
@@ -69,4 +80,4 @@ def time_bucket_sum(
     return df.groupBy(*keys, bucket).agg(*aggs)
 
 
-__all__ = ["resample_ohlc", "time_bucket_sum"]
+__all__ = ["ohlc_aggs", "resample_ohlc", "time_bucket_sum"]

@@ -229,23 +229,15 @@ def test_streaming_ohlc_equals_batch(spark, events_dir, events_batch):
     window + the same min/max-of-struct argmin aggregates) must equal the
     batch resample_ohlc rollup — the struct-min open/close state merges
     across micro-batches exactly like any other min/max state."""
-    from label_maker_dask_spark.operators.timeseries import resample_ohlc
-
-    def ohlc_aggs():
-        order = [F.col("ts"), F.col("event_id")]
-        first_s = F.min(F.struct(*order, F.col("value").alias("v")))
-        last_s = F.max(F.struct(*order, F.col("value").alias("v")))
-        return [
-            first_s.getField("v").alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            last_s.getField("v").alias("close"),
-            F.count(F.lit(1)).alias("n"),
-        ]
+    from label_maker_dask_spark.operators.timeseries import (
+        ohlc_aggs,
+        resample_ohlc,
+    )
 
     def build(df):
         return tumbling_agg(
-            df, "ts", "1 hour", ["event_type"], ohlc_aggs(),
+            df, "ts", "1 hour", ["event_type"],
+            ohlc_aggs("ts", "value", tie_break="event_id"),
             watermark="30 minutes",
         )
 

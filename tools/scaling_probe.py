@@ -34,6 +34,12 @@ PROBES = [
     # rasterize (pandas-UDF path)
     "segmentation_raster_class_areas",
     "segmentation_buffered_ring_areas",
+    # round-5 operators
+    "merge_upsert_orders_cdc",
+    "join_skew_salted_brand_revenue",
+    "timeseries_ohlc_hourly_by_type",
+    "embedding_kmeans_clusters_arrow",
+    "agg_kmv_merged_weekly_users",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
