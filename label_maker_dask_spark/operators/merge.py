@@ -58,6 +58,10 @@ def merge_upsert(
     if update_cols is None:
         shared = set(target.columns) & set(source.columns)
         update_cols = [c for c in target.columns if c in shared and c not in keys]
+    if "_s_present" in source.columns:
+        raise ValueError(
+            "merge_upsert: source must not already carry a '_s_present' column"
+        )
     dup = source.groupBy(*keys).count().where(F.col("count") > 1)
     if dup.limit(1).count() > 0:
         raise ValueError(

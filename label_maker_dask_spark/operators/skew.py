@@ -43,6 +43,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_join: inputs must not already carry a '_salt' column"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(

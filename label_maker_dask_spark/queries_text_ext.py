@@ -190,3 +190,47 @@ def text_bpe_token_counts(spark, sf_dir):
         n_ws.alias("n_ws_tokens"),
         F.round(n_bpe / F.nullif(n_ws, F.lit(0)), 6).alias("tokens_per_word"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM freq)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(cnt::DOUBLE / total)), 6) AS avg_logprob
+    FROM tok JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Perplexity-style quality scoring from a corpus-trained unigram LM:
+    each document's mean token log-probability under the corpus's own
+    token distribution — the statistical complement of the heuristic
+    quality_score (low avg_logprob = rare-token soup; high = stopword
+    soup; curation keeps the middle band).
+
+    Scale shape: one explode feeding BOTH the frequency aggregate and the
+    scoring join (Spark reuses the exchange); the LM is vocabulary-sized —
+    Zipf-bounded, orders below corpus size — so the term join shuffles
+    vocab rows against tokens, then one doc_id agg.  The 1-row total is a
+    broadcast.  FP contract: ln noise between engines is <=2 ulp per term
+    (~1e-15 relative); the 6-dp round on a per-doc *mean* absorbs it."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
