@@ -67,6 +67,8 @@ HEADLINE = [
     "curation_semdedup_cluster_profiles",
     "agg_kmv_merged_weekly_users",
     "timeseries_multigrain_revenue",
+    "text_unigram_logprob",
+    "timeseries_twap_user_daily",
 ]
 
 

@@ -7,9 +7,9 @@ against a DuckDB oracle:
   shuffle (no per-group sort).
 - ``timeseries_multigrain_revenue`` — day/month/total revenue in one
   grouping-sets scan.
-- ``merge_upsert_orders_cdc`` — CDC MERGE (SCD-1 upsert + delete) applied
-  as one full-outer join (:func:`operators.merge.merge_upsert`), the plan
-  shape Delta/Iceberg MERGE lowers to.
+- ``merge_upsert_orders_cdc`` — CDC MERGE (SCD-1 upsert + delete) via
+  :func:`operators.merge.merge_upsert`: a target-streaming broadcast left
+  join for matches plus a keys-only anti join for inserts.
 - ``join_skew_salted_brand_revenue`` — the explicit salted-join
   skew-mitigation pattern (:func:`operators.skew.salted_join`); oracle is
   the plain join because salting must not change results.
@@ -111,8 +111,11 @@ def merge_upsert_orders_cdc(spark, sf_dir):
 
     The reprice goes through exact decimals (double*1.1 then round would be
     engine-rounding-sensitive; decimal(18,2)*decimal(2,1) is exact in both).
-    Scale shape: one full-outer join on the merge key with the change set
-    broadcast — the base table never shuffles."""
+    Scale shape: the matched path streams the base table against the
+    broadcast change batch (no target shuffle); inserts anti-join the
+    change batch against the base table's key column only.  The oracle
+    states the same semantics as one FULL JOIN — cheap at oracle scale,
+    and the hash-match proves the two formulations equivalent."""
     ords = _t(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
     upd = ords.where((key % 7 == 0) | (key % 97 == 0)).select(
@@ -414,4 +417,47 @@ def timeseries_multigrain_revenue(spark, sf_dir):
         GROUP BY GROUPING SETS ((date_trunc('day', o_orderdate)),
                                 (date_trunc('month', o_orderdate)), ())
         """
+    )
+
+
+_TWAP_ORACLE = """
+WITH x AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur
+  FROM events)
+SELECT user_id, day, count(*) AS n_events,
+       round(sum(value * dur) / sum(dur), 6) AS twap
+FROM x GROUP BY user_id, day
+"""
+
+
+@register("timeseries_twap_user_daily", _TWAP_ORACLE)
+def timeseries_twap_user_daily(spark, sf_dir):
+    """Time-weighted average value per (user, day): each observation holds
+    until the next one, weighted by its holding interval in microseconds
+    (the last observation of the day carries no weight) — the TWAP shape
+    every metering/pricing pipeline needs, which a plain avg() gets wrong
+    whenever sampling is irregular.
+
+    Scale shape: one shuffle on (user, day) shared by the lead window and
+    the final aggregate; weights are integer micros (exact, < 2^53 so the
+    double product is exact too), and the 6-dp round on the ratio absorbs
+    partial-merge float noise.  Single-observation groups yield NULL twap
+    (zero total weight) identically in both engines."""
+    from label_maker_dask_spark.functions.timeutil import epoch_micros
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    dur = F.lead(epoch_micros("ts")).over(w) - epoch_micros("ts")
+    x = ev.select(
+        "user_id", day.alias("day"), "value", dur.alias("dur")
+    )
+    return x.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6).alias(
+            "twap"
+        ),
     )
