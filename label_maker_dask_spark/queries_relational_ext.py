@@ -461,3 +461,82 @@ def timeseries_twap_user_daily(spark, sf_dir):
             "twap"
         ),
     )
+
+
+_TOPK_TIES_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC) AS rk
+  FROM orders)
+WHERE rk <= 3
+"""
+
+
+@register("window_top3_orders_with_ties", _TOPK_TIES_ORACLE)
+def window_top3_orders_with_ties(spark, sf_dir):
+    """Per-customer top-3 orders WITH TIES (rank, not row_number — the
+    SQL `FETCH FIRST 3 ROWS WITH TIES` semantics): equal-priced orders at
+    the boundary all survive, so the result is deterministic without any
+    id tie-break.  Complements `window_top3_orders_per_customer`, whose
+    row_number cut needs one.
+
+    Scale shape: same as any per-group top-k — one shuffle on the group
+    key with Spark's WindowGroupLimit pushing the rank cut below the
+    sort."""
+    ords = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        ords.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+_NULLSEM_ORACLE = """
+SELECT o_orderkey,
+       NULLIF(o_orderpriority, '3-MEDIUM') AS pri_or_null,
+       coalesce(NULLIF(o_orderpriority, '3-MEDIUM'), 'DEFAULT')
+         AS pri_coalesced,
+       (NULLIF(o_orderpriority, '3-MEDIUM') IS NOT DISTINCT FROM NULL)
+         AS nullsafe_is_null,
+       CASE WHEN o_totalprice > 100000 THEN NULL
+            ELSE round(o_totalprice, 2) END AS price_capped,
+       CAST((CASE WHEN o_totalprice > 100000 THEN NULL
+                  ELSE o_totalprice END > 50000) AS INT) AS cmp_three_valued
+FROM orders
+"""
+
+
+@register("scalar_null_semantics", _NULLSEM_ORACLE)
+def scalar_null_semantics(spark, sf_dir):
+    """SQL three-valued logic exercised end-to-end: NULLIF, coalesce,
+    null-safe equality (`<=>` / IS NOT DISTINCT FROM), and a comparison
+    whose NULL input propagates NULL (not false) into the output column.
+    This is the documented divergence from the reference's Python
+    semantics (SURVEY.md §7: missing-property comparisons) pinned as a
+    hash-matched catalog row, not just prose."""
+    ords = _t(spark, sf_dir, "orders")
+    pri_or_null = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    price_capped_raw = F.when(
+        F.col("o_totalprice") > 100000, F.lit(None)
+    ).otherwise(F.col("o_totalprice"))
+    return ords.select(
+        "o_orderkey",
+        pri_or_null.alias("pri_or_null"),
+        F.coalesce(pri_or_null, F.lit("DEFAULT")).alias("pri_coalesced"),
+        pri_or_null.eqNullSafe(F.lit(None).cast("string")).alias(
+            "nullsafe_is_null"
+        ),
+        F.round(price_capped_raw, 2).alias("price_capped"),
+        # NULL input propagates NULL through the comparison (three-valued
+        # logic); cast to INT because a NULL *boolean* renders differently
+        # in the two engines' pandas bridges (None vs NaN) and would fake
+        # a hash mismatch
+        (price_capped_raw > 50000).cast("int").alias("cmp_three_valued"),
+    )

@@ -110,6 +110,28 @@ def test_salted_join_rejects_unsupported_how(spark):
         salted_join(df, df, ["k"], how="full")
 
 
+def test_salted_join_plan_no_big_side_shuffle(spark):
+    """With the small side broadcast, the salted join itself must add NO
+    exchange on the big side — the salt column is pure projection math and
+    the join is a BroadcastHashJoin."""
+    big = spark.range(0, 5000).select((F.col("id") % 5).alias("k"), "id")
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(5)], "k long, label string"
+    )
+    out = salted_join(big, small, ["k"], n_salts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # only the broadcast exchange, never a shuffle exchange of the big side
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_salted_join_rejects_existing_salt_column(spark):
+    df = spark.range(1).select(F.col("id").alias("k"), F.lit(0).alias("_salt"))
+    ok = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, ok, ["k"])
+
+
 def test_salted_join_deterministic_salt(spark):
     # same inputs -> identical salted result twice (no rand() anywhere)
     big = spark.range(0, 500).select((F.col("id") % 3).alias("k"), "id")
