@@ -69,6 +69,8 @@ HEADLINE = [
     "timeseries_multigrain_revenue",
     "text_unigram_logprob",
     "timeseries_twap_user_daily",
+    "quality_expectations_orders",
+    "dedup_fuzzy_part_names",
 ]
 
 

@@ -540,3 +540,106 @@ def scalar_null_semantics(spark, sf_dir):
         # a hash mismatch
         (price_capped_raw > 50000).cast("int").alias("cmp_three_valued"),
     )
+
+
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS block,
+         count(*) AS n_parts
+  FROM part GROUP BY 1, 2)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@register("dedup_fuzzy_part_names", _FUZZY_ORACLE)
+def dedup_fuzzy_part_names(spark, sf_dir):
+    """Entity resolution by blocked edit distance: candidate part-name
+    pairs share a blocking key (the noun — the entity type), and survive
+    at levenshtein <= 4 — the classic fuzzy-matching shape where the
+    pairwise metric only ever runs WITHIN blocks of distinct values.
+
+    Scale shape: pairwise work is O(sum over blocks of distinct_names^2),
+    not corpus^2 — names dedupe + aggregate first (one shuffle), and the
+    self-join runs on the tiny distinct-name frame.  At 100 TB the same
+    plan holds as long as blocks bound distinct values (compose with the
+    MinHash path when they don't).  `levenshtein` is identically defined
+    in both engines, so no rounding is involved."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_name"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.block") == F.col("b.block"),
+            F.col("a.p_name") < F.col("b.p_name"),
+        ],
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return pairs.where(dist <= 4).select(
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        dist.alias("edit_dist"),
+        F.col("a.n_parts").alias("n_parts_a"),
+        F.col("b.n_parts").alias("n_parts_b"),
+    )
+
+
+_EXPECT_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+                  THEN 1 ELSE 0 END)::BIGINT AS v_price,
+         sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false)
+                  THEN 1 ELSE 0 END)::BIGINT AS v_status,
+         sum(CASE WHEN NOT coalesce(o_orderpriority IS NOT NULL, false)
+                  THEN 1 ELSE 0 END)::BIGINT AS v_priority,
+         sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01',
+                                    false)
+                  THEN 1 ELSE 0 END)::BIGINT AS v_date
+  FROM orders)
+SELECT 'totalprice_positive' AS rule, n AS n_rows, v_price AS n_violations,
+       round(v_price::DOUBLE / n, 6) AS violation_rate FROM agg
+UNION ALL
+SELECT 'status_known', n, v_status, round(v_status::DOUBLE / n, 6) FROM agg
+UNION ALL
+SELECT 'priority_nonnull', n, v_priority,
+       round(v_priority::DOUBLE / n, 6) FROM agg
+UNION ALL
+SELECT 'orderdate_in_range', n, v_date,
+       round(v_date::DOUBLE / n, 6) FROM agg
+"""
+
+
+@register("quality_expectations_orders", _EXPECT_ORACLE)
+def quality_expectations_orders(spark, sf_dir):
+    """Declarative ingest-gate constraint report over orders
+    (:func:`operators.quality.check_expectations`): four rules —
+    positivity, enum membership, non-null, date range — checked in ONE
+    scan (one conditional-sum per rule riding a single map-side-partial
+    aggregate), then unpivoted to a (rule, violations, rate) report.
+    NULL rule evaluations count as violations in both engines."""
+    from label_maker_dask_spark.operators.quality import check_expectations
+
+    ords = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        ords,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_nonnull": F.col("o_orderpriority").isNotNull(),
+            "orderdate_in_range": F.col("o_orderdate")
+            >= F.lit("1992-01-01").cast("timestamp"),
+        },
+    )

@@ -1,0 +1,79 @@
+"""Streaming CDC apply: change files drain into an upserted parquet table
+(batch compaction, merge, atomic swap, checkpointed restart)."""
+
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.streaming.upsert import (
+    compact_last_per_key,
+    stream_upsert_to_parquet,
+)
+
+SCHEMA = "k long, v string, seq long, is_del boolean"
+
+
+def _write_changes(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _drain(spark, changes_dir, base, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(changes_dir)
+    q = stream_upsert_to_parquet(
+        stream, base, ckpt, keys=["k"], seq_col="seq", delete_col="is_del"
+    )
+    q.awaitTermination(120)
+
+
+def test_compact_last_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, False), (1, "a2", 3, False), (1, "old", 2, False)], SCHEMA
+    )
+    out = compact_last_per_key(df, ["k"], "seq").collect()
+    assert len(out) == 1 and out[0].v == "a2"
+
+
+def test_stream_upsert_creates_then_maintains_base(spark, tmp_path):
+    changes = str(tmp_path / "changes")
+    base = str(tmp_path / "base")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: inserts + a same-batch second change for k=2
+    _write_changes(
+        spark,
+        changes,
+        [
+            (1, "a", 1, False),
+            (2, "b", 1, False),
+            (3, "c", 1, False),
+            (4, "d", 1, False),
+            (2, "b2", 2, False),
+        ],
+    )
+    _drain(spark, changes, base, ckpt)
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    # change-log metadata never lands in the table
+    assert set(spark.read.parquet(base).columns) == {"k", "v"}
+
+    # phase 2: restart from the checkpoint — only the NEW file applies
+    _write_changes(
+        spark,
+        changes,
+        [(3, "x", 3, True), (5, "e", 3, False), (1, "a2", 4, False)],
+    )
+    _drain(spark, changes, base, ckpt)
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a2", 2: "b2", 4: "d", 5: "e"}
+
+
+def test_stream_upsert_delete_before_base_exists(spark, tmp_path):
+    changes = str(tmp_path / "changes")
+    base = str(tmp_path / "base")
+    ckpt = str(tmp_path / "ckpt")
+    _write_changes(
+        spark, changes, [(1, "a", 1, False), (2, "dead", 1, True)]
+    )
+    _drain(spark, changes, base, ckpt)
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a"}
