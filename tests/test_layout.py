@@ -124,3 +124,25 @@ def test_zorder_key_is_locality_preserving(spark):
 
     # ranges (0,4) at bits=2 put value v in cell v exactly
     assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    from label_maker_dask_spark.sources.layout import compact_small_files
+
+    path = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 30
+    n = compact_small_files(spark, path, target_file_mb=128)
+    after = glob.glob(path + "/*.parquet")
+    assert n == 1 and len(after) == 1
+    # data intact
+    assert (
+        spark.read.parquet(path).agg({"id": "sum"}).first()[0]
+        == sum(range(4000))
+    )
+    # no leftover temp dir
+    assert not glob.glob(str(tmp_path) + "/*._compacting")
