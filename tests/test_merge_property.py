@@ -1,0 +1,63 @@
+"""Property-based check of merge_upsert against a pure-Python reference.
+
+For randomly generated target/source tables (unique keys per side, random
+update values, random delete flags), the distributed two-join merge must
+produce exactly what the obvious dict-based MERGE produces: source wins on
+matched update columns, unmatched source rows insert, deletes drop, and
+everything else passes through untouched.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from label_maker_dask_spark.operators.merge import merge_upsert
+
+_keys = st.integers(min_value=0, max_value=9)
+_vals = st.text(alphabet="abcxyz", min_size=0, max_size=4)
+
+_target_rows = st.dictionaries(_keys, _vals, max_size=8)
+_source_rows = st.dictionaries(
+    _keys.map(lambda k: k + 5),  # overlap ~half the key range
+    st.tuples(_vals, st.booleans()),
+    max_size=8,
+)
+
+
+def _reference_merge(target, source):
+    out = dict(target)
+    for k, (v, is_del) in source.items():
+        if is_del:
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=_target_rows, source=_source_rows)
+def test_merge_matches_reference(spark, target, source):
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [(None, None)],
+        "k long, v string",
+    )
+    if not target:
+        tgt = tgt.where("k IS NOT NULL")  # empty frame with schema
+    src = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in source.items()] or [(None, None, None)],
+        "k long, v string, is_del boolean",
+    )
+    if not source:
+        src = src.where("k IS NOT NULL")
+    got = {
+        r.k: r.v
+        for r in merge_upsert(tgt, src, ["k"], delete_col="is_del").collect()
+    }
+    assert got == _reference_merge(target, source)
