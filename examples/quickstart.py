@@ -1,0 +1,96 @@
+"""Runnable end-to-end tour of the engine — hermetic (no network, no
+optional deps), finishes in ~1 minute on a laptop.
+
+    PYTHONPATH=/path/to/repo python examples/quickstart.py [testdata_dir]
+
+Part 1 is the reference-parity pipeline (label-maker-dask's
+`LabelMakerJob`, re-expressed as one lazy Spark plan) over deterministic
+fake tile/imagery sources.  Part 2 is a training-data curation pass over
+the driver-style parquet tables: near-dup pruning, quality gating, a
+deterministic split, and semantic clustering.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("lmds-quickstart")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- Part 1: the reference pipeline, Spark-first --------------------
+    from label_maker_dask_spark import LabelMakerJob
+    from label_maker_dask_spark.sources.fake import (
+        fake_features,
+        fake_image_bytes,
+    )
+
+    job = LabelMakerJob(
+        spark,
+        zoom=15,
+        bounds=[-9.179, 38.708, -9.1195, 38.754],  # Lisbon, the README bbox
+        classes=[
+            {"name": "Roads", "filter": ["has", "highway"]},
+            {"name": "Buildings", "filter": ["has", "building"]},
+        ],
+        imagery="https://example.test/{z}/{x}/{y}.png",
+        label_source="https://example.test/{z}/{x}/{y}.pbf",
+        ml_type="classification",
+        tile_fetcher=fake_features,
+        image_fetcher=fake_image_bytes,
+    )
+    print(f"tiles at z15 over Lisbon: {job.n_tiles()}")
+    job.build_job()
+    job.execute_job()
+    sample = job.results[0]
+    print(
+        f"first result tile=({sample.z},{sample.x},{sample.y}) "
+        f"label={list(sample.label)}"
+    )
+
+    # ---- Part 2: dataset curation over the parquet tables ---------------
+    from label_maker_dask_spark.functions.text import quality_score
+    from label_maker_dask_spark.operators.clustering import spherical_kmeans
+    from label_maker_dask_spark.operators.dedup import minhash_neardup_pairs
+    from label_maker_dask_spark.operators.pipeline import split_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_neardup_pairs(docs, k=16, bands=4, threshold=0.12)
+    n_neardup = pairs.count()
+    survivors = (
+        docs.where(quality_score(F.col("text")) >= 0.6)
+        .withColumn("split", split_bucket(F.col("doc_id")))
+    )
+    split_counts = (
+        survivors.groupBy((F.col("split") < 80).alias("is_train"))
+        .count()
+        .collect()
+    )
+    print(f"near-dup candidate pairs: {n_neardup}")
+    print(f"quality-gated split: {[(r.is_train, r['count']) for r in split_counts]}")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clusters = spherical_kmeans(emb, k=4, iters=1, use_arrow=True)
+    sizes = sorted(
+        (r.cluster, r["count"])
+        for r in clusters.groupBy("cluster").count().collect()
+    )
+    print(f"semantic cluster sizes (k=4): {sizes}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
