@@ -643,3 +643,142 @@ def quality_expectations_orders(spark, sf_dir):
             >= F.lit("1992-01-01").cast("timestamp"),
         },
     )
+
+
+_PAGE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25 OFFSET 50
+"""
+
+
+@register("sort_limit_offset_page3", _PAGE_ORACLE)
+def sort_limit_offset_page3(spark, sf_dir):
+    """Keyset-free pagination (page 3 at 25/page): global ORDER BY +
+    LIMIT/OFFSET under a fully deterministic total order (price desc, key
+    asc tie-break).
+
+    Scale note: OFFSET is inherently top-(offset+limit) — Spark plans it
+    as a TakeOrdered of 75 rows then a driver-side skip, fine for UI
+    paging; deep paging at 100 TB should switch to keyset pagination
+    (WHERE (price, key) < last_seen ORDER BY ... LIMIT n), which this
+    same total order supports."""
+    ords = _t(spark, sf_dir, "orders")
+    return (
+        ords.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(50)
+        .limit(25)
+    )
+
+
+_FRAMES_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS latest_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       round(avg(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS trailing3_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_value_frames", _FRAMES_ORACLE)
+def window_value_frames(spark, sf_dir):
+    """The value-window family under explicit ROWS frames: first_value /
+    last_value / nth_value over the full partition (last_value under the
+    DEFAULT frame is the current row — the classic trap; the explicit
+    UNBOUNDED FOLLOWING frame is stated in both engines) plus a trailing
+    3-row moving average.  Order is (o_orderdate, o_orderkey): fully
+    deterministic, no peer ambiguity."""
+    ords = _t(spark, sf_dir, "orders")
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    trail = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ords.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.round(F.avg("o_totalprice").over(trail), 6).alias("trailing3_avg"),
+    )
+
+
+_ARRAY_ALGEBRA_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS pris,
+         list(round(o_totalprice, 2) ORDER BY o_totalprice DESC,
+              o_orderkey) AS prices
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+       len(pris) AS n_priorities,
+       pris[1] AS top_priority,
+       CAST(len(list_intersect(pris,
+            ['1-URGENT', '2-HIGH'])) > 0 AS INT) AS has_urgent_or_high,
+       prices[1] AS max_price,
+       round(list_reduce(list_transform(prices[1:3], x -> x),
+                         (a, b) -> a + b), 2) AS top3_price_sum
+FROM per_cust
+"""
+
+
+@register("scalar_array_algebra", _ARRAY_ALGEBRA_ORACLE)
+def scalar_array_algebra(spark, sf_dir):
+    """Array algebra end-to-end with scalar outputs: ordered distinct
+    collect, element access, set intersection, slice + sequential-fold
+    sum — the collect_list nondeterminism trap resolved by sorting inside
+    the aggregate (array_sort / ORDER BY list agg) before any element is
+    read.  Output columns stay scalar per the driver-hash contract."""
+    ords = _t(spark, sf_dir, "orders")
+    per_cust = ords.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("pris"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("o_totalprice")).alias("negp"),
+                        F.col("o_orderkey").alias("k"),
+                        F.round("o_totalprice", 2).alias("p"),
+                    )
+                )
+            ),
+            lambda s: s["p"],
+        ).alias("prices"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size("pris").alias("n_priorities"),
+        F.element_at("pris", 1).alias("top_priority"),
+        (
+            F.size(
+                F.array_intersect("pris", F.array(F.lit("1-URGENT"), F.lit("2-HIGH")))
+            )
+            > 0
+        )
+        .cast("int")
+        .alias("has_urgent_or_high"),
+        F.element_at("prices", 1).alias("max_price"),
+        F.round(
+            F.aggregate(
+                F.slice("prices", 1, 3), F.lit(0.0), lambda a, x: a + x
+            ),
+            2,
+        ).alias("top3_price_sum"),
+    )
