@@ -282,6 +282,28 @@ def sampled_percentiles(
     )
 
 
+def hash_unit(id_col: Column, salt: str = "wsample") -> Column:
+    """Deterministic uniform [0, 1) from the row id — the ``rand()``
+    replacement for Bernoulli/weighted sampling: stable across runs,
+    engines, retries, and repartitioning.  Same cube-scattered char fold
+    as the KMV sketch (the raw fold is too structured for thresholding)."""
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    raw = char_poly_hash(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+    h = (raw * raw % HASH_P) * raw % HASH_P
+    return h / F.lit(float(HASH_P))
+
+
+def weighted_sample(
+    df: DataFrame, id_col: Column, weight: Column, salt: str = "wsample"
+) -> DataFrame:
+    """Keep each row with probability ``weight`` (a [0,1] Column) —
+    importance sampling for curation (e.g. keep-probability = quality
+    score), decided per row by ``hash_unit(id) < weight``.  Pure narrow
+    filter: no shuffle, no state, exactly reproducible."""
+    return df.where(hash_unit(id_col, salt) < weight)
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,

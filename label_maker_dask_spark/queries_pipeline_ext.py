@@ -366,12 +366,15 @@ def window_ntile_length_deciles(spark, sf_dir):
     )
 
 
-def _curation_e2e_oracle(seq_len: int = 512, n_buckets: int = 32) -> str:
-    from label_maker_dask_spark.queries import _PUNCT_RE, _minhash_oracle
+def _quality_sql() -> str:
+    """DuckDB rendering of functions/text.quality_score over columns
+    ``text`` + ``toks`` — shared by every oracle that gates on quality so
+    the (FP-epsilon-shifted) band bounds exist in exactly one place."""
+    from label_maker_dask_spark.queries import _PUNCT_RE
     from label_maker_dask_spark.functions.text import STOPWORDS
 
     punct = _PUNCT_RE.replace("'", "''")
-    quality = f"""
+    return f"""
       ((CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
      + (CASE WHEN length(regexp_replace(text, '{punct}', '', 'g'))
                   ::DOUBLE / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
@@ -379,6 +382,12 @@ def _curation_e2e_oracle(seq_len: int = 512, n_buckets: int = 32) -> str:
                   ::DOUBLE / len(toks) BETWEEN 0.0100000001 AND 0.6999999999
              THEN 1.0 ELSE 0.0 END)) / 3.0
     """
+
+
+def _curation_e2e_oracle(seq_len: int = 512, n_buckets: int = 32) -> str:
+    from label_maker_dask_spark.queries import _minhash_oracle
+
+    quality = _quality_sql()
     split = split_bucket_sql("doc_id")
     pack_bucket = split_bucket_sql("doc_id", salt="pack")
     return f"""
@@ -493,3 +502,40 @@ def agg_kmv_merged_weekly_users(spark, sf_dir):
         "user_id",
     )
     return kmv_distinct_merged(ev, "user_id", ["week"], ["day"], k=64)
+
+
+def _weighted_sample_oracle() -> str:
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    fold = char_poly_hash_sql("('wsample:' || doc_id::VARCHAR)")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars, {_quality_sql()} AS q
+      FROM (SELECT doc_id, lang, n_chars, text, {_TOKS_SQL} AS toks
+            FROM documents)),
+    hashed AS (
+      SELECT doc_id, lang, n_chars, q, {fold} AS r FROM scored)
+    SELECT doc_id, lang, n_chars, round(q, 6) AS quality
+    FROM hashed
+    WHERE ((r * r % {HASH_P}) * r % {HASH_P})::DOUBLE / {HASH_P} < q
+    """
+
+
+@register("sample_weighted_by_quality", _weighted_sample_oracle())
+def sample_weighted_by_quality(spark, sf_dir):
+    """Importance sampling for curation: each document survives with
+    probability equal to its own quality score
+    (operators/pipeline.weighted_sample) — top-quality docs always kept,
+    zero-quality never, the middle kept proportionally.  The keep
+    decision is ``hash_unit(doc_id) < quality``: a pure narrow filter,
+    reproducible across runs/engines/partitionings (never ``rand()``,
+    whose per-task streams make retries non-deterministic)."""
+    from label_maker_dask_spark.functions.text import quality_score
+    from label_maker_dask_spark.operators.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    kept = weighted_sample(docs.withColumn("q", q), F.col("doc_id"), F.col("q"))
+    return kept.select(
+        "doc_id", "lang", "n_chars", F.round("q", 6).alias("quality")
+    )

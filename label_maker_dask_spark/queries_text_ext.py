@@ -211,10 +211,13 @@ def text_unigram_logprob(spark, sf_dir):
     quality_score (low avg_logprob = rare-token soup; high = stopword
     soup; curation keeps the middle band).
 
-    Scale shape: one explode feeding BOTH the frequency aggregate and the
-    scoring join (Spark reuses the exchange); the LM is vocabulary-sized —
-    Zipf-bounded, orders below corpus size — so the term join shuffles
-    vocab rows against tokens, then one doc_id agg.  The 1-row total is a
+    Scale shape: the token explode has three consumers (frequency agg,
+    its total, the scoring join), and Spark does NOT common them — the
+    lazy plan scans the corpus three times (verified: 3 parquet scans).
+    That is the right trade at catalog scale; a production run persists
+    the exploded (doc_id, term) frame once and cuts it to one scan +
+    two cheap re-reads.  The LM itself is vocabulary-sized
+    (Zipf-bounded, orders below corpus size) and the 1-row total is a
     broadcast.  FP contract: ln noise between engines is <=2 ulp per term
     (~1e-15 relative); the 6-dp round on a per-doc *mean* absorbs it."""
     docs = _t(spark, sf_dir, "documents")
