@@ -177,6 +177,29 @@ def test_kmv_distinct_is_exact_below_k_and_close_above(spark):
     assert abs(got["big"] - 500) / 500 < 0.35  # ~1/sqrt(64) error regime
 
 
+def test_hash_unit_uniform_and_weighted_sample_rate(spark):
+    """hash_unit must be uniform enough that weighted_sample's keep rate
+    tracks the weight (the whole point of hash-thresholded sampling)."""
+    from label_maker_dask_spark.operators.pipeline import (
+        hash_unit,
+        weighted_sample,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    units = df.select(hash_unit(F.col("id")).alias("u"))
+    stats = units.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("m")
+    ).first()
+    assert 0.0 <= stats.lo and stats.hi < 1.0
+    assert abs(stats.m - 0.5) < 0.03
+    kept = weighted_sample(df, F.col("id"), F.lit(0.3)).count()
+    assert abs(kept / 2000 - 0.3) < 0.04
+    # deterministic: same input -> identical sample
+    a = weighted_sample(df, F.col("id"), F.lit(0.3)).collect()
+    b = weighted_sample(df, F.col("id"), F.lit(0.3)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_kmv_merge_equals_direct_sketch(spark):
     """KMV mergeability is lossless: weekly estimates assembled from
     per-day bottom-k sketches must EQUAL the direct weekly sketch — not
