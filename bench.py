@@ -71,6 +71,8 @@ HEADLINE = [
     "timeseries_twap_user_daily",
     "quality_expectations_orders",
     "dedup_fuzzy_part_names",
+    "sample_weighted_by_quality",
+    "window_value_frames",
 ]
 
 

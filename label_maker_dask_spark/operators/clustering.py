@@ -24,7 +24,10 @@ Scale shape per iteration: one broadcast cross-join against k centroid
 rows folded to an argmax by map-side partial ``max(struct)`` (the shuffle
 carries one row per vector), then a (cluster, dim) integer-sum shuffle of
 k*d rows post-combine.  Nothing is collected to the driver; iterations
-deepen one lazy plan.
+deepen one lazy plan — which re-derives the unit vectors from the source
+on every pass, so multi-iteration runs over a large corpus should
+``embeddings.persist()`` (or checkpoint) upstream, exactly as any
+iterative algorithm on Spark caches its working set.
 """
 
 from __future__ import annotations
