@@ -323,13 +323,15 @@ def curation_semdedup_cluster_profiles(spark, sf_dir):
     lowest id), member count, and the centroid-similarity profile that
     drives keep/drop thresholds.
 
-    Composes :func:`operators.clustering.spherical_kmeans` with a
-    per-cluster argmax window — the window partitions on cluster id (k
-    groups), but its input is already one row per vector, so the sort is
-    k small sorts, not a fact-table sort.  avg/min similarities round at
-    6 dp (values are O(1) cosines; partial-merge noise is ~1e-13)."""
+    Composes :func:`operators.clustering.spherical_kmeans` (the Arrow
+    assignment path — bit-identical to the expression mirror, same
+    oracle) with a per-cluster argmax window — the window partitions on
+    cluster id (k groups), but its input is already one row per vector,
+    so the sort is k small sorts, not a fact-table sort.  avg/min
+    similarities round at 6 dp (values are O(1) cosines; partial-merge
+    noise is ~1e-13)."""
     emb = _t(spark, sf_dir, "embeddings")
-    clusters = spherical_kmeans(emb, k=8, iters=1)
+    clusters = spherical_kmeans(emb, k=8, iters=1, use_arrow=True)
     w = Window.partitionBy("cluster").orderBy(
         F.desc("sim"), F.asc("vec_id")
     )
