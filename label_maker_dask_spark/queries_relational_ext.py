@@ -784,3 +784,45 @@ def scalar_array_algebra(spark, sf_dir):
             2,
         ).alias("top3_price_sum"),
     )
+
+
+_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         AS days_since_92,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       quarter(o_orderdate) AS qtr,
+       isodow(o_orderdate) - 1 AS weekday_mon0,
+       (year(o_orderdate) - 1992) * 12 + (month(o_orderdate) - 1)
+         AS months_since_92,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m
+FROM orders
+"""
+
+
+@register("scalar_date_arithmetic", _DATE_ARITH_ORACLE)
+def scalar_date_arithmetic(spark, sf_dir):
+    """Date/time arithmetic breadth: day diffs, month-end, quarter,
+    Monday-based weekday, month arithmetic with end-of-month clamping
+    (`add_months` / `+ INTERVAL MONTH` both clamp Jan 31 + 1mo to the
+    last of February).  Weekday uses the Monday=0 convention stated
+    explicitly on both sides (Spark `weekday` vs DuckDB `isodow - 1`) —
+    the Sunday-based `dayofweek` numberings differ between engines and
+    are avoided.  Month distance is the integer boundary-count formula,
+    not fractional `months_between` (engine-specific day-fraction
+    rules).  DATE outputs are cast to TIMESTAMP on the Spark side: the
+    two engines' pandas bridges render bare dates differently (date
+    object vs datetime64 midnight) and would fake a hash mismatch."""
+    ords = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return ords.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1992-01-01").cast("date")).alias("days_since_92"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        (
+            (F.year("o_orderdate") - 1992) * 12 + (F.month("o_orderdate") - 1)
+        ).alias("months_since_92"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
+    )
