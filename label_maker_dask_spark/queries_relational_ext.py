@@ -826,3 +826,50 @@ def scalar_date_arithmetic(spark, sf_dir):
         ).alias("months_since_92"),
         F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
     )
+
+
+def _chunk_oracle() -> str:
+    from label_maker_dask_spark.queries import _TOKS_SQL
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ix AS (SELECT doc_id, toks,
+                  unnest(generate_series(1,
+                      CAST(ceil(len(toks) / 10.0) AS INT))) AS i
+           FROM t WHERE len(toks) > 0)
+    SELECT doc_id, i - 1 AS chunk_idx,
+           len(toks[(i - 1) * 10 + 1 : i * 10]) AS n_tokens,
+           array_to_string(toks[(i - 1) * 10 + 1 : i * 10], ' ')
+             AS chunk_text
+    FROM ix
+    """
+
+
+@register("udtf_chunk_documents", _chunk_oracle())
+def udtf_chunk_documents(spark, sf_dir):
+    """Python UDTF surface (the table-function quadrant of the UDF family,
+    alongside the scalar pandas / grouped-map / grouped-agg entries):
+    a lateral row-emitting chunker that splits each document into 10-token
+    chunks — one output row per chunk with its index, length, and text.
+
+    Row-at-a-time Python by DESIGN — this entry pins the UDTF mechanism
+    (lateral correlation, multi-row yield, schema declaration); the
+    vectorized chunking path for production volume is pack_sequences /
+    mapInPandas.  Tokenization is whitespace-split, identical to
+    functions/text.tokens and the oracle's string_split+filter."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk_text string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = text.split()
+            for i in range((len(toks) + 9) // 10):
+                chunk = toks[i * 10 : (i + 1) * 10]
+                yield doc_id, i, len(chunk), " ".join(chunk)
+
+    spark.udtf.register("lmds_chunk_doc", ChunkDoc)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT c.* FROM udtf_docs_v d, "
+        "LATERAL lmds_chunk_doc(d.doc_id, d.text) c"
+    )
