@@ -873,3 +873,50 @@ def udtf_chunk_documents(spark, sf_dir):
         "SELECT c.* FROM udtf_docs_v d, "
         "LATERAL lmds_chunk_doc(d.doc_id, d.text) c"
     )
+
+
+_SPATIAL_BIN_ORACLE = """
+WITH pts AS (
+  SELECT event_id,
+         (event_id * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (event_id * 104729 % 16000) / 100.0 - 80.0 AS lat
+  FROM events),
+t AS (
+  SELECT CAST(least(63.0, greatest(0.0,
+           floor((lon / 360.0 + 0.5) * 64.0))) AS INT) AS x,
+         CAST(least(63.0, greatest(0.0,
+           floor((0.5 - 0.25 * ln((1.0 + sin(radians(lat)))
+                                  / (1.0 - sin(radians(lat)))) / pi())
+                 * 64.0))) AS INT) AS y
+  FROM pts)
+SELECT x, y, count(*) AS n_points FROM t GROUP BY x, y
+"""
+
+
+@register("spatial_points_to_tiles_z6", _SPATIAL_BIN_ORACLE)
+def spatial_points_to_tiles_z6(spark, sf_dir):
+    """Spatial binning through the engine's OWN tile math
+    (:func:`tiles.lnglat_to_tile_cols`): deterministic synthetic points
+    (integer-arithmetic lon/lat derived from event ids) bucketed into
+    their containing z6 slippy tile, counted per tile.  The oracle
+    re-derives the inverse-Mercator formula term-for-term in SQL, so the
+    hash-match independently certifies the geo core the label-maker
+    pipeline stands on (tiles.py — the same math that enumerates job
+    tiles and bboxes).
+
+    Scale shape: point→tile is pure codegen column math (no UDF, no
+    join); the only shuffle is the (x, y) count — the standard
+    spatial-aggregation plan at any zoom."""
+    from label_maker_dask_spark.tiles import lnglat_to_tile_cols
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+    tile = lnglat_to_tile_cols(F.col("lon"), F.col("lat"), zoom=6)
+    return (
+        pts.select(tile.getField("x").alias("x"), tile.getField("y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

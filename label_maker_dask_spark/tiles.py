@@ -98,6 +98,24 @@ def tile_ul_lat_scalar(y: float, z: int) -> float:
     return math.degrees(math.atan(math.sinh(n)))
 
 
+def lnglat_to_tile_cols(lng: Column, lat: Column, zoom: int) -> Column:
+    """``struct(x, y)``: the tile containing a point at ``zoom`` — the
+    Column twin of :func:`lnglat_to_tile` (same sinlat formulation,
+    term-for-term, so the scalar, the expression, and a SQL oracle all
+    agree bit-for-bit).  Pure built-in math, no UDF: point→tile spatial
+    binning runs inside whole-stage codegen at any volume."""
+    z2 = float(1 << zoom)
+    x_frac = lng / 360.0 + 0.5
+    sinlat = F.sin(F.radians(lat))
+    y_frac = (
+        F.lit(0.5)
+        - F.lit(0.25) * F.log((1.0 + sinlat) / (1.0 - sinlat)) / math.pi
+    )
+    x = F.least(F.lit(z2 - 1), F.greatest(F.lit(0.0), F.floor(x_frac * z2)))
+    y = F.least(F.lit(z2 - 1), F.greatest(F.lit(0.0), F.floor(y_frac * z2)))
+    return F.struct(x.cast("int").alias("x"), y.cast("int").alias("y"))
+
+
 # --- tile -> geography, as Column expressions (no UDF) -----------------------
 
 

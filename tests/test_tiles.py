@@ -49,3 +49,30 @@ def test_tile_bounds_roundtrip():
         assert T.lnglat_to_tile(lng, lat, z) == (x, y)
     assert math.isclose(T.tile_ul_lng_scalar(0, 1), -180.0)
     assert math.isclose(T.tile_ul_lat_scalar(1, 1), 0.0, abs_tol=1e-9)
+
+
+def test_lnglat_to_tile_cols_matches_scalar(spark):
+    """The Column twin must reproduce the driver-side scalar tile math
+    bit-for-bit, including the pole/antimeridian clamps."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.tiles import lnglat_to_tile, lnglat_to_tile_cols
+
+    pts = [
+        (lng, lat)
+        for lng in [-180.0, -179.99, -9.1501, 0.0, 38.7, 179.99]
+        for lat in [-85.0, -38.71, 0.0, 38.7089, 84.99, 85.05]
+    ]
+    df = spark.createDataFrame(pts, "lng double, lat double")
+    for zoom in (1, 6, 15):
+        got = {
+            (r.lng, r.lat): (r.t.x, r.t.y)
+            for r in df.select(
+                "lng", "lat",
+                lnglat_to_tile_cols(F.col("lng"), F.col("lat"), zoom).alias("t"),
+            ).collect()
+        }
+        for lng, lat in pts:
+            assert got[(lng, lat)] == lnglat_to_tile(lng, lat, zoom), (
+                lng, lat, zoom,
+            )
