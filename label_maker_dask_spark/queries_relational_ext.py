@@ -920,3 +920,38 @@ def spatial_points_to_tiles_z6(spark, sf_dir):
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+_VARIANT_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n,
+       min(k) AS min_k, max(k) AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM x GROUP BY event_type
+"""
+
+
+@register("scalar_variant_extract", _VARIANT_ORACLE)
+def scalar_variant_extract(spark, sf_dir):
+    """Semi-structured access through Spark 4's VariantType: ``parse_json``
+    once into a variant, then typed ``try_variant_get`` extraction —
+    the open-schema path that replaces string re-parsing per access
+    (variant stores a parsed binary form; repeated field reads don't
+    re-tokenize the JSON).  The oracle reads the same field with DuckDB's
+    JSON extraction; aggregation keeps the outputs scalar."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
