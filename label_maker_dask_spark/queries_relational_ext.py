@@ -955,3 +955,44 @@ def scalar_variant_extract(spark, sf_dir):
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+_EXPLODE_OUTER_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         coalesce(list(l_linenumber ORDER BY l_linenumber)
+                    FILTER (WHERE l_returnflag = 'R'),
+                  CAST([] AS INTEGER[])) AS r_lines
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey),
+ex AS (
+  SELECT o_orderkey, unnest(r_lines) AS r_line FROM a WHERE len(r_lines) > 0
+  UNION ALL
+  SELECT o_orderkey, NULL FROM a WHERE len(r_lines) = 0)
+SELECT o_orderkey, r_line FROM ex
+"""
+
+
+@register("explode_outer_returned_lines", _EXPLODE_OUTER_ORACLE)
+def explode_outer_returned_lines(spark, sf_dir):
+    """explode_outer's defining edge: an order with NO returned lines
+    still yields one row (NULL element) — the semantics a plain explode
+    silently drops, and the classic source of disappearing-row bugs in
+    fan-out pipelines.  The oracle spells the same contract as
+    unnest-for-nonempty UNION null-for-empty."""
+    ords = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = (
+        ords.join(li, ords["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_linenumber"))
+                )
+            ).alias("r_lines")
+        )
+    )
+    return a.select(
+        "o_orderkey", F.explode_outer("r_lines").alias("r_line")
+    )
