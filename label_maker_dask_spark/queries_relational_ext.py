@@ -24,6 +24,19 @@ against a DuckDB oracle:
   bit-identical Arrow twin against the same unrolled SQL oracle.
 - ``curation_semdedup_cluster_profiles`` — the SemDeDup pruning-decision
   view composed on top of the clustering.
+
+Later round-5 additions (each documented on its entry):
+``timeseries_twap_user_daily`` (interval-weighted TWAP),
+``window_top3_orders_with_ties`` (rank / FETCH WITH TIES),
+``scalar_null_semantics`` (three-valued logic pinned as a catalog row),
+``dedup_fuzzy_part_names`` (blocked levenshtein entity resolution),
+``quality_expectations_orders`` (one-scan constraint report),
+``sort_limit_offset_page3`` (pagination), ``window_value_frames``
+(first/last/nth_value under explicit frames), ``scalar_array_algebra``,
+``scalar_date_arithmetic``, ``udtf_chunk_documents`` (Python UDTF +
+LATERAL), ``spatial_points_to_tiles_z6`` (codegen point→tile binning),
+``scalar_variant_extract`` (Spark 4 VariantType), and
+``explode_outer_returned_lines`` (empty-array row preservation).
 """
 
 from __future__ import annotations
