@@ -77,3 +77,66 @@ def test_stream_upsert_delete_before_base_exists(spark, tmp_path):
     _drain(spark, changes, base, ckpt)
     got = {r.k: r.v for r in spark.read.parquet(base).collect()}
     assert got == {1: "a"}
+
+
+def test_streaming_candles_maintained_by_upsert(spark, tmp_path):
+    """Continuous-aggregate maintenance: an update-mode OHLC aggregation
+    drains through the CDC upsert sink keyed on (event_type, window_start),
+    so a late event re-emits its group and the stored candle is REPLACED,
+    not duplicated — the materialized-view loop a plain append sink cannot
+    close."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.timeseries import ohlc_aggs
+    from label_maker_dask_spark.streaming.windows import tumbling_agg
+
+    ev_schema = "event_id long, ts timestamp, event_type string, value double"
+    changes = str(tmp_path / "events")
+    base = str(tmp_path / "candles")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(ev_schema).parquet(changes)
+        candles = tumbling_agg(
+            stream, "ts", "1 hour", ["event_type"],
+            ohlc_aggs("ts", "value", tie_break="event_id"),
+        ).withColumn("_seq", F.lit(0))
+        q = stream_upsert_to_parquet(
+            candles, base, ckpt,
+            keys=["event_type", "window_start"], seq_col="_seq",
+        )
+        q.awaitTermination(120)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        ).coalesce(1).write.mode("append").parquet(changes)
+
+    write(
+        [
+            (1, "2024-01-01 10:05:00", "A", 10.0),
+            (2, "2024-01-01 10:40:00", "A", 30.0),
+            (3, "2024-01-01 11:10:00", "A", 7.0),
+        ]
+    )
+    drain()
+    got = {
+        str(r.window_start): (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got["2024-01-01 10:00:00"] == (10.0, 30.0, 10.0, 30.0, 2)
+    assert got["2024-01-01 11:00:00"] == (7.0, 7.0, 7.0, 7.0, 1)
+
+    # a LATE event lands in the already-materialized 10:00 candle
+    write([(4, "2024-01-01 10:01:00", "A", 5.0)])
+    drain()
+    got = {
+        str(r.window_start): (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.read.parquet(base).collect()
+    }
+    assert len(got) == 2  # replaced, not duplicated
+    assert got["2024-01-01 10:00:00"] == (5.0, 30.0, 5.0, 30.0, 3)
+    assert got["2024-01-01 11:00:00"] == (7.0, 7.0, 7.0, 7.0, 1)
