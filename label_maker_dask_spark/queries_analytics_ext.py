@@ -296,3 +296,49 @@ def dedup_cluster_representatives(spark, sf_dir):
     ).select(
         F.col("component").alias("rep_doc_id"), "cluster_size", "max_doc_id"
     )
+
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events)
+SELECT f.cohort_week,
+       CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                      CAST(a.active_week AS DATE)) / 7 AS INT) AS week_index,
+       count(*) AS n_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_cohort_weekly_retention", _COHORT_ORACLE)
+def events_cohort_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by their first-seen week,
+    counted in every later week they were active — the product-analytics
+    retention matrix (cohort_week x week_index).
+
+    Scale shape: both inputs shuffle once on user_id (the first-seen agg
+    and the distinct-activity dedup share the key), the join is
+    user-keyed, and the final matrix aggregate carries cohort-sized
+    output.  week_index is an exact multiple of 7 days by construction,
+    so the integer division is engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    j = activity.join(first_seen, "user_id")
+    widx = (
+        F.datediff(
+            F.col("active_week").cast("date"), F.col("cohort_week").cast("date")
+        )
+        / 7
+    ).cast("int")
+    return j.groupBy("cohort_week", widx.alias("week_index")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
