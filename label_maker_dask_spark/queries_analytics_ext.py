@@ -342,3 +342,63 @@ def events_cohort_weekly_retention(spark, sf_dir):
     return j.groupBy("cohort_week", widx.alias("week_index")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+_COOCCUR_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events),
+n_baskets AS (
+  SELECT count(*) AS total
+  FROM (SELECT DISTINCT user_id, date_trunc('day', ts) FROM events)),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type)
+SELECT type_a, type_b, count(*) AS n_baskets,
+       round(count(*)::DOUBLE / (SELECT total FROM n_baskets), 6) AS support
+FROM pairs GROUP BY type_a, type_b
+"""
+
+
+@register("analytics_event_type_cooccurrence", _COOCCUR_ORACLE)
+def analytics_event_type_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: which event types happen together in
+    the same (user, day) basket, with support normalized by total basket
+    count — the association-mining primitive (frequent itemsets at
+    k = 2).
+
+    Scale shape: baskets dedupe first (one shuffle on the basket key), so
+    the self-join multiplies DISTINCT items per basket (bounded by the
+    event-type vocabulary, here <= 5 -> <= 10 pairs per basket), never raw
+    event rows.  The basket-count total is a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    baskets = ev.select(
+        "user_id", day.alias("day"), "event_type"
+    ).distinct()
+    total = baskets.select("user_id", "day").distinct().count()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.col("a.day") == F.col("b.day"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        ],
+    )
+    return (
+        pairs.select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_baskets"),
+            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias(
+                "support"
+            ),
+        )
+    )
