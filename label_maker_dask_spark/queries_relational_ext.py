@@ -1009,3 +1009,60 @@ def explode_outer_returned_lines(spark, sf_dir):
     return a.select(
         "o_orderkey", F.explode_outer("r_lines").alias("r_line")
     )
+
+
+_COGROUP_ORACLE = """
+WITH o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2)
+                       AS DOUBLE) AS order_value
+           FROM orders GROUP BY 1),
+e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+SELECT coalesce(o.user_id, e.user_id) AS user_id,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.order_value, 0.0) AS order_value,
+       coalesce(e.n_events, 0) AS n_events
+FROM o FULL JOIN e ON o.user_id = e.user_id
+"""
+
+
+@register("udf_cogroup_orders_events", _COGROUP_ORACLE)
+def udf_cogroup_orders_events(spark, sf_dir):
+    """The cogrouped-map quadrant of the pandas-UDF family (alongside
+    scalar / grouped-map / grouped-agg / UDTF): orders and events cogroup
+    on the customer key and a pandas function reconciles each pair of
+    group frames — the escape hatch for per-key logic that needs BOTH
+    sides as materialized frames (custom as-of merges, per-key model
+    scoring).  Here the reconcile is deliberately simple (counts + exact
+    decimal order value) so a full-join oracle can hash-match it.
+
+    Scale shape: cogroup shuffles each side once on the key — the same
+    exchanges a join would take — and group pairs stream through Arrow;
+    per-key frames must fit a worker (same contract as any
+    applyInPandas)."""
+    import pandas as pd
+
+    ords = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_totalprice").cast("decimal(28,8)").alias("price"),
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id")
+
+    def reconcile(key, odf, edf):
+        value = float(round(odf["price"].sum(), 2)) if len(odf) else 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(odf)],
+                "order_value": [value],
+                "n_events": [len(edf)],
+            }
+        )
+
+    return (
+        ords.groupBy("user_id")
+        .cogroup(ev.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_orders long, order_value double, n_events long",
+        )
+    )
