@@ -63,6 +63,7 @@ def _ship_package(spark: SparkSession) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ship_package(spark)
+    Q.session_defaults(spark)
     return Q.QUERIES["classification_labels_flagship"](
         spark, "/root/testdata/sf0.001"
     )
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ship_package(spark)
+            Q.session_defaults(spark)
             return fn(spark, sf_dir)
 
         run.__doc__ = fn.__doc__

@@ -21,14 +21,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def epoch_micros(col: Column | str) -> Column:
+def epoch_micros(col: Column | str, *, nanos_long: bool = False) -> Column:
     """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
 
     ``unix_micros(cast(c AS timestamp))`` — integer microseconds, never a
     double (epoch-micros exceed a double's 53-bit mantissa at nanosecond
     precision and row-dependent rounding would break oracle hash-matches).
+
+    NOT safe for an integral column: ``cast(LONG AS timestamp)`` reads the
+    value as epoch *seconds*, so a TIMESTAMP(NANOS) column read as long
+    under ``nanosAsLong`` would come out silently 1e9× wrong.  The catalog
+    loader (``queries._t``) converts that layout to a real timestamp at
+    read time; callers holding the raw long instead pass
+    ``nanos_long=True``, which truncates nanos→micros with *integer*
+    division (``div``, never ``/`` — see mantissa note above).
     """
     c = F.col(col) if isinstance(col, str) else col
+    if nanos_long:
+        return F.call_function("div", c.cast("long"), F.lit(1000))
     return F.unix_micros(c.cast("timestamp"))
 
 

@@ -24,10 +24,12 @@ Scale shape per iteration: one broadcast cross-join against k centroid
 rows folded to an argmax by map-side partial ``max(struct)`` (the shuffle
 carries one row per vector), then a (cluster, dim) integer-sum shuffle of
 k*d rows post-combine.  Nothing is collected to the driver; iterations
-deepen one lazy plan — which re-derives the unit vectors from the source
-on every pass, so multi-iteration runs over a large corpus should
-``embeddings.persist()`` (or checkpoint) upstream, exactly as any
-iterative algorithm on Spark caches its working set.
+deepen one lazy plan over the normalized working set, which is persisted
+once (``persist=True`` default) so the seed scan and every Lloyd pass read
+the cache instead of re-deriving unit vectors from the source — the
+standard iterative-algorithm working-set cache.  Pass ``persist=False``
+for a fully-lazy one-shot plan (e.g. when the caller already cached
+upstream or will never materialize twice).
 """
 
 from __future__ import annotations
@@ -146,6 +148,7 @@ def spherical_kmeans(
     vec_col: str = "embedding",
     quant: int = 1_000_000,
     use_arrow: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Cluster embeddings on the unit sphere; returns one row per vector:
     (``id_col``, ``cluster`` int, ``sim`` double = round(cosine-to-
@@ -161,10 +164,17 @@ def spherical_kmeans(
     the expression path is the oracle mirror and stays fully lazy; the
     Arrow path is the throughput path, at the cost of one driver-side
     k-row centroid collect per iteration (the classic distributed-k-means
-    driver state, k*d doubles)."""
+    driver state, k*d doubles).
+
+    ``persist`` caches the normalized working set (module docstring) —
+    values are identical either way; it only changes how many times the
+    source is scanned.  The cache is left in place because the returned
+    (lazy) result still reads it; Spark evicts LRU under pressure."""
     unitv = _unit(embeddings.select(id_col, vec_col), vec_col, "u").select(
         id_col, "u"
     )
+    if persist:
+        unitv = unitv.persist()
     w = Window.orderBy(id_col)
     cents = (
         unitv.orderBy(id_col)

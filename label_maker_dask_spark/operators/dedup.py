@@ -247,11 +247,22 @@ def minhash_doc_profiles(
 
 
 def jaccard_pairs(
-    shingled: DataFrame, threshold: float = 0.5
+    shingled: DataFrame, threshold: float = 0.5, max_rows: int = 2_000_000
 ) -> DataFrame:
     """Exact pairwise Jaccard over shingle sets: pairs sharing >=1 shingle,
-    ``|A ∩ B| / |A ∪ B| >= threshold``.  Exact-but-quadratic in the worst
-    case — the verification/oracle path (see module docstring)."""
+    ``|A ∩ B| / |A ∪ B| >= threshold``.  Exact-but-quadratic in shared-
+    shingle pairs — the verification/oracle path (see module docstring);
+    :func:`minhash_neardup_pairs` is the scale path.  Refuses shingle
+    tables above ``max_rows`` up front (``guards.ensure_small_input``)
+    rather than launching an all-pairs join over a large corpus."""
+    from label_maker_dask_spark.operators.guards import ensure_small_input
+
+    shingled = ensure_small_input(
+        shingled,
+        max_rows,
+        "jaccard_pairs",
+        "minhash_neardup_pairs (LSH candidates + jaccard_pairs_for_candidates)",
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingled.alias("a")
     b = shingled.alias("b")

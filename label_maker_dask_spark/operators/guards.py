@@ -1,0 +1,38 @@
+"""Fail-fast scale guards for deliberately-quadratic exactness baselines.
+
+The catalog keeps a few exact-but-O(n²) operators (all-pairs cosine,
+exact-Jaccard over shared shingles) because they are the verification and
+oracle mirrors of the scalable LSH/banded twins.  Correct at any size,
+affordable only at verification size — so, like the brute-force top-k's
+query-side cap (``similarity._collect_queries``), they refuse large inputs
+up front with an error naming the scale path, instead of silently
+launching a job that would run for days on a 100 TB corpus.
+
+The guard itself is cheap and collect-free: ``limit(max_rows + 1).count()``
+scans only until the limit is hit (no full count, no shuffle of data rows)
+and moves one scalar to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_small_input(
+    df: DataFrame, max_rows: int, op: str, scale_path: str
+) -> DataFrame:
+    """Raise unless ``df`` has at most ``max_rows`` rows; returns ``df``
+    unchanged for chaining.  ``scale_path`` names the operator to use
+    instead at scale — the error is a signpost, not a dead end."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: input exceeds max_rows={max_rows}. This is the exact "
+            "quadratic baseline, kept for verification/oracle use on small "
+            f"corpora; at scale use {scale_path}, or raise max_rows "
+            "explicitly if the quadratic cost is intended."
+        )
+    return df
+
+
+__all__ = ["ensure_small_input"]

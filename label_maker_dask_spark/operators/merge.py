@@ -40,6 +40,7 @@ def merge_upsert(
     delete_col: Optional[str] = None,
     broadcast_source: bool = False,
     action_col: Optional[str] = None,
+    assume_unique_source: bool = False,
 ) -> DataFrame:
     """Apply ``source`` onto ``target`` by ``keys``; returns the merged table.
 
@@ -51,9 +52,18 @@ def merge_upsert(
     'update'/'insert'/'keep' for audit sinks; deleted rows are filtered
     out either way.
 
+    ``assume_unique_source`` skips the eager duplicate-key guard (an extra
+    Spark job over the source before the merge plan runs).  Pass it when
+    key-uniqueness is already guaranteed upstream — e.g. after
+    ``streaming.upsert.compact_last_per_key``, which otherwise pays the
+    guard scan on every micro-batch.  With duplicates actually present the
+    matched path would fan out the target, so only set it when the
+    guarantee is structural, not hoped-for.
+
     100 TB posture: module docstring — broadcast left-join for matches,
     keys-only anti-join for inserts, nothing collected but the (small,
-    by MERGE contract) source's duplicate-key guard.
+    by MERGE contract) source's duplicate-key guard — and that guard is
+    skippable where uniqueness is structural.
     """
     if update_cols is None:
         shared = set(target.columns) & set(source.columns)
@@ -62,12 +72,13 @@ def merge_upsert(
         raise ValueError(
             "merge_upsert: source must not already carry a '_s_present' column"
         )
-    dup = source.groupBy(*keys).count().where(F.col("count") > 1)
-    if dup.limit(1).count() > 0:
-        raise ValueError(
-            "merge_upsert: source has duplicate merge keys; "
-            "MERGE semantics require at most one source row per key"
-        )
+    if not assume_unique_source:
+        dup = source.groupBy(*keys).count().where(F.col("count") > 1)
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                "merge_upsert: source has duplicate merge keys; "
+                "MERGE semantics require at most one source row per key"
+            )
 
     def _not_deleted(prefix: str = "") -> Column:
         if not delete_col:

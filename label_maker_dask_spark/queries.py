@@ -61,16 +61,43 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table.  The events table carries TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects by default — read nanos as long and
-    truncate to micros with integer arithmetic (``div``, not double division:
-    epoch-nanos exceed a double's 53-bit mantissa).  DuckDB truncates nanos
-    to its micro timestamps the same way, so the engines agree."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = None
-    if name == "events":
+#: Sessions already configured by :func:`session_defaults` (by id — a
+#: SparkSession is process-lived; id reuse after GC would only re-apply
+#: idempotent settings).
+_SESSIONS_CONFIGURED: set = set()
+
+
+def session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply the catalog's session configuration once per session — the
+    single place the engine mutates session state (queries themselves are
+    side-effect-free):
+
+    - UTC session timezone, so TIMESTAMP_NTZ epoch arithmetic matches
+      DuckDB's ``epoch_us`` on naive timestamps (functions/timeutil.py);
+    - ``nanosAsLong``, so a TIMESTAMP(NANOS) regeneration of the testdata
+      (which stock Spark refuses to read) degrades to a long column that
+      :func:`_t` converts explicitly instead of a read-time error.
+
+    Entry points (``__spark_entry__``, ``bench.py``, the test session
+    fixture) call this directly; :func:`_t` also routes through it so a
+    catalog query handed a fresh session still runs correctly."""
+    if id(spark) not in _SESSIONS_CONFIGURED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _SESSIONS_CONFIGURED.add(id(spark))
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table.  The events table has carried TIMESTAMP(NANOS)
+    across driver regenerations, which Spark's parquet reader rejects by
+    default — session_defaults reads nanos as long, and this loader
+    truncates to micros with integer arithmetic (``div``, not double
+    division: epoch-nanos exceed a double's 53-bit mantissa).  DuckDB
+    truncates nanos to its micro timestamps the same way, so the engines
+    agree."""
+    session_defaults(spark)
+    if name == "events":
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -872,11 +899,19 @@ def similarity_topk(spark, sf_dir):
 def similarity_neardup(spark, sf_dir):
     """All pairs with cosine >= 0.35 (threshold calibrated to the synthetic
     corpus) — brute-force variant so the oracle is exact; the SRP-bucketed
-    variant is the scale path (similarity.embedding_neardup_pairs)."""
+    variant is the scale path (similarity.embedding_neardup_pairs).
+    Guarded: refuses corpora above 100k vectors (O(n²) by construction)
+    with an error naming the SRP twin."""
     from label_maker_dask_spark.functions.vectors import dot
+    from label_maker_dask_spark.operators.guards import ensure_small_input
     from label_maker_dask_spark.operators.similarity import normalized
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = ensure_small_input(
+        _t(spark, sf_dir, "embeddings"),
+        100_000,
+        "similarity_neardup_cosine",
+        "similarity_neardup_srp_ann (similarity.embedding_neardup_pairs)",
+    )
     a = normalized(emb, "vec_id", "embedding", "id_a", "va")
     b = normalized(emb, "vec_id", "embedding", "id_b", "vb")
     return (

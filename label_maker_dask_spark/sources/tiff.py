@@ -152,6 +152,17 @@ class TiffFile:
             self._e = "<"
         elif head[:2] == b"MM":
             self._e = ">"
+        elif head.lstrip()[:1] == b"<" or head[:3] == b"\xef\xbb\xbf":
+            # GDAL VRT (an XML mosaic manifest, reference utils.py:100
+            # accepts it via rasterio) — the native reader parses real
+            # TIFF bytes only; name the optional dependency instead of
+            # failing with a cryptic byte-order error.
+            raise ValueError(
+                "input is an XML dataset (GDAL VRT mosaic?), not a TIFF. "
+                "The dependency-free reader handles GeoTIFF/COG bytes only "
+                "— install rio-tiler (or rasterio) for VRT support, or "
+                "point the job at the underlying GeoTIFF/COG files"
+            )
         else:
             raise ValueError("not a TIFF (bad byte-order mark)")
         magic, ifd_off = struct.unpack(self._e + "HI", head[2:8])
@@ -367,7 +378,17 @@ def tif_image_fetcher(imagery: str):
     bytes, channels-last (the reference transposes rio-tiler's output the
     same way, utils.py:55-62).  Local paths parse once per partition from
     a full read; ``http(s)://`` URLs parse lazily through range requests
-    (header + only the strips/tiles each task's window touches)."""
+    (header + only the strips/tiles each task's window touches).
+
+    VRT inputs (accepted by the reference via rasterio, utils.py:100) fail
+    fast at plan time here — by extension below, and by XML signature in
+    ``TiffFile`` for extensionless paths — naming the optional dependency."""
+    if imagery.lower().split("?")[0].endswith(".vrt"):
+        raise ValueError(
+            "VRT mosaics need rio-tiler (or rasterio) — the dependency-free "
+            "TIFF reader parses GeoTIFF/COG bytes only. Install rio-tiler, "
+            "or point the job at the underlying GeoTIFF/COG files"
+        )
     if imagery.startswith(("http://", "https://")):
         tif = TiffFile(HttpRangeSource(imagery))
     else:

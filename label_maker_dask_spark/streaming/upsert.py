@@ -5,9 +5,20 @@ that plain append sinks can't express.
 Each micro-batch is (1) compacted to its LAST change per key (a CDC batch
 legitimately carries several changes for one key; ``seq_col`` orders them),
 then (2) merged onto the base table with
-:func:`operators.merge.merge_upsert`, and (3) the merged table swaps in
-atomically via write-to-temp + rename — reading and overwriting the same
-path in one job would corrupt the base mid-scan.
+:func:`operators.merge.merge_upsert` (the batch is already key-unique, so
+the merge skips its duplicate-key scan), and (3) the merged table swaps in
+via write-to-temp + rename-aside — reading and overwriting the same path
+in one job would corrupt the base mid-scan.
+
+Crash safety: the swap is ``rename(base, base._old); rename(tmp, base);
+rmtree(._old)`` — the base directory is never deleted before its
+replacement exists.  ``_recover`` runs before every batch and finishes any
+interrupted swap: a leftover ``._old`` means the ``._applying`` write had
+completed (the base is only set aside *after* the write succeeds), so the
+tmp dir is promoted; a leftover ``._applying`` with no ``._old`` is an
+incomplete write and is discarded.  Without this, a crash between delete
+and rename would make the next batch see "no base table" and silently
+rebuild it from that one batch.
 
 Exactly-once: the sink is idempotent by construction — re-applying a batch
 after a failure merges the same keys to the same values — and the
@@ -45,6 +56,25 @@ def compact_last_per_key(
     )
 
 
+def _recover(base_path: str) -> None:
+    """Finish an interrupted base-table swap (idempotent; see module
+    docstring).  ``._old`` present means the tmp write had completed:
+    promote tmp if the swap died between the two renames, then drop the
+    set-aside copy.  A tmp dir with no ``._old`` is an incomplete write."""
+    tmp = base_path + "._applying"
+    old = base_path + "._old"
+    if os.path.exists(old):
+        if not os.path.exists(base_path):
+            if os.path.exists(tmp):
+                os.rename(tmp, base_path)
+            else:  # unreachable by the swap's ordering, but restore anyway
+                os.rename(old, base_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
 def stream_upsert_to_parquet(
     changes: DataFrame,
     base_path: str,
@@ -63,10 +93,12 @@ def stream_upsert_to_parquet(
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
+        _recover(base_path)
         spark = batch.sparkSession
         compacted = compact_last_per_key(batch, keys, seq_col).drop(seq_col)
         meta = [c for c in ([delete_col] if delete_col else [])]
         tmp = base_path + "._applying"
+        old = base_path + "._old"
         if os.path.exists(base_path):
             base = spark.read.parquet(base_path)
             merged = merge_upsert(
@@ -76,6 +108,7 @@ def stream_upsert_to_parquet(
                 update_cols=update_cols,
                 delete_col=delete_col,
                 broadcast_source=True,
+                assume_unique_source=True,  # compact_last_per_key guarantees it
             )
         else:
             first = compacted
@@ -85,9 +118,13 @@ def stream_upsert_to_parquet(
                 )
             merged = first.drop(*meta)
         merged.write.mode("overwrite").parquet(tmp)
+        # rename-aside swap: the base is only set aside once tmp is complete,
+        # so every crash point leaves a state _recover can finish.
         if os.path.exists(base_path):
-            shutil.rmtree(base_path)
+            os.rename(base_path, old)
         os.rename(tmp, base_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)
@@ -99,4 +136,4 @@ def stream_upsert_to_parquet(
     return writer.start()
 
 
-__all__ = ["compact_last_per_key", "stream_upsert_to_parquet"]
+__all__ = ["compact_last_per_key", "stream_upsert_to_parquet", "_recover"]

@@ -88,3 +88,18 @@ def test_kmeans_no_python_row_path(spark):
     # pure Catalyst: no Arrow/pandas eval nodes anywhere in the plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_persist_caches_working_set(spark):
+    """persist=True (default) routes every Lloyd pass through one cached
+    normalized working set — the plan reads InMemoryTableScan instead of
+    re-deriving unit vectors from the source; persist=False stays
+    cache-free; both produce identical assignments."""
+    cached = spherical_kmeans(_blobs(spark), k=3, iters=2)
+    # an independent frame: Spark's cache manager would otherwise serve the
+    # first call's cached subtree to the persist=False plan too
+    plain = spherical_kmeans(_blobs(spark), k=3, iters=2, persist=False)
+    assert "InMemoryTableScan" in cached._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plain._jdf.queryExecution().executedPlan().toString()
+    key = lambda df: sorted((r.vec_id, r.cluster, r.sim) for r in df.collect())  # noqa: E731
+    assert key(cached) == key(plain)

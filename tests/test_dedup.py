@@ -155,3 +155,19 @@ def test_simhash_arrow_matches_expression_path(spark):
         for r in D.simhash_signatures_df(docs, use_arrow=False).collect()
     )
     assert fast == slow and len(fast) == docs.count()
+
+
+def test_jaccard_pairs_refuses_large_input(spark):
+    """The exact-quadratic baseline fails fast above its row cap, naming
+    the scalable twin, instead of launching an all-pairs join."""
+    import pytest
+
+    from label_maker_dask_spark.operators.dedup import jaccard_pairs
+
+    sh = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("sh")
+    )
+    with pytest.raises(ValueError, match="minhash_neardup_pairs"):
+        jaccard_pairs(sh, threshold=0.1, max_rows=5).collect()
+    # under the cap the same call runs
+    jaccard_pairs(sh, threshold=0.1, max_rows=100).collect()

@@ -146,3 +146,39 @@ def test_compact_small_files(spark, tmp_path):
     )
     # no leftover temp dir
     assert not glob.glob(str(tmp_path) + "/*._compacting")
+
+
+def test_compaction_recovery_states(spark, tmp_path):
+    """Interrupted compact_small_files swaps are finishable: a leftover
+    ._old proves the ._compacting write completed (promote it when the
+    table path is missing); a tmp with no ._old is incomplete (discard)."""
+    import os
+    import shutil
+
+    from label_maker_dask_spark.sources.layout import (
+        _recover_compaction,
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).coalesce(1).write.parquet(path)
+
+    # torn between the two renames: table missing, completed tmp present
+    shutil.copytree(path, path + "._compacting")
+    os.rename(path, path + "._old")
+    _recover_compaction(path)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._compacting")
+
+    # incomplete tmp, intact table: tmp dropped, table untouched
+    shutil.copytree(path, path + "._compacting")
+    _recover_compaction(path)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "._compacting")
+
+    # compact_small_files itself recovers on entry from the torn state
+    shutil.copytree(path, path + "._compacting")
+    os.rename(path, path + "._old")
+    n = compact_small_files(spark, path, target_file_mb=128)
+    assert n >= 1 and spark.read.parquet(path).count() == 100

@@ -13,6 +13,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from label_maker_dask_spark.operators.merge import merge_upsert
 
 _keys = st.integers(min_value=0, max_value=9)
@@ -61,3 +63,45 @@ def test_merge_matches_reference(spark, target, source):
         for r in merge_upsert(tgt, src, ["k"], delete_col="is_del").collect()
     }
     assert got == _reference_merge(target, source)
+
+
+def test_assume_unique_source_builds_plan_without_jobs(spark):
+    """With assume_unique_source the duplicate-key guard is skipped, so
+    merge_upsert is pure plan construction — proven by handing it a source
+    whose key column detonates on ANY evaluation: the default path raises
+    at call time (the guard scans the source), the streaming path returns
+    a lazy plan untouched."""
+    import pytest
+
+    def _boom():
+        raise RuntimeError("source must not be evaluated at plan time")
+
+    bomb = F.udf(_boom, "long")
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    ghost = spark.range(1).select(
+        bomb().alias("k"), F.lit("x").alias("v")
+    )
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    with pytest.raises(Exception):  # eager guard scans the source
+        merge_upsert(target, ghost, keys=["k"])
+    merged = merge_upsert(
+        target, ghost, keys=["k"], assume_unique_source=True
+    )  # no job launched — constructing the plan must not touch the data
+    assert set(merged.columns) == {"k", "v"}
+
+
+def test_assume_unique_source_same_result_when_unique(spark):
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    expect = {(1, "a"), (2, "B"), (3, "C")}
+    for flag in (False, True):
+        got = {
+            (r.k, r.v)
+            for r in merge_upsert(
+                target, source, keys=["k"], assume_unique_source=flag
+            ).collect()
+        }
+        assert got == expect

@@ -261,3 +261,20 @@ def test_query_side_contract_stored_index(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="max_queries"):
         ivf_topk_stored(spark, path, big, k=2, max_queries=10)
+
+
+def test_neardup_cosine_guard_names_srp_twin(spark):
+    """The catalog's all-pairs cosine baseline refuses oversized corpora
+    with a signpost to the SRP-bucketed scale path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.guards import ensure_small_input
+
+    big = spark.range(50).select(F.col("id").alias("vec_id"))
+    with pytest.raises(ValueError, match="similarity_neardup_srp_ann"):
+        ensure_small_input(
+            big, 10, "similarity_neardup_cosine",
+            "similarity_neardup_srp_ann (similarity.embedding_neardup_pairs)",
+        )
+    assert ensure_small_input(big, 50, "op", "twin") is big

@@ -140,3 +140,87 @@ def test_streaming_candles_maintained_by_upsert(spark, tmp_path):
     assert len(got) == 2  # replaced, not duplicated
     assert got["2024-01-01 10:00:00"] == (5.0, 30.0, 5.0, 30.0, 3)
     assert got["2024-01-01 11:00:00"] == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+# --- crash-recovery of the rename-aside swap --------------------------------
+# Every interrupted-swap state the sink can crash into must be finishable:
+# the base is only set aside AFTER the tmp write completes, so a leftover
+# ._old proves tmp is a complete table.
+
+def _write_tbl(spark, path, rows):
+    spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(path)
+
+
+def test_recover_promotes_completed_tmp(spark, tmp_path):
+    """Crash between rename(base, ._old) and rename(tmp, base): the base
+    path is missing — without recovery the next batch would silently
+    rebuild the table from itself alone."""
+    from label_maker_dask_spark.streaming.upsert import _recover
+
+    base = str(tmp_path / "base")
+    _write_tbl(spark, base + "._old", [(1, "stale")])
+    _write_tbl(spark, base + "._applying", [(1, "merged")])
+    _recover(base)
+    assert [r.v for r in spark.read.parquet(base).collect()] == ["merged"]
+    import os
+
+    assert not os.path.exists(base + "._old")
+    assert not os.path.exists(base + "._applying")
+
+
+def test_recover_discards_incomplete_tmp(spark, tmp_path):
+    """Crash mid-write of ._applying (no ._old yet): the base is intact and
+    the half-written tmp must be dropped, not promoted."""
+    from label_maker_dask_spark.streaming.upsert import _recover
+
+    base = str(tmp_path / "base")
+    _write_tbl(spark, base, [(1, "good")])
+    _write_tbl(spark, base + "._applying", [(1, "partial")])
+    _recover(base)
+    assert [r.v for r in spark.read.parquet(base).collect()] == ["good"]
+    import os
+
+    assert not os.path.exists(base + "._applying")
+
+
+def test_recover_cleans_set_aside_after_swap(spark, tmp_path):
+    """Crash between rename(tmp, base) and rmtree(._old): both directories
+    exist; the NEW base must survive and the set-aside copy go."""
+    from label_maker_dask_spark.streaming.upsert import _recover
+
+    base = str(tmp_path / "base")
+    _write_tbl(spark, base, [(1, "new")])
+    _write_tbl(spark, base + "._old", [(1, "stale")])
+    _recover(base)
+    assert [r.v for r in spark.read.parquet(base).collect()] == ["new"]
+    import os
+
+    assert not os.path.exists(base + "._old")
+
+
+def test_stream_upsert_recovers_from_simulated_crash(spark, tmp_path):
+    """End-to-end: a crash state between the two renames is repaired by the
+    next batch's entry recovery — no previously-merged keys are lost (the
+    failure mode of the old rmtree-then-rename swap)."""
+    import os
+    import shutil
+
+    changes = str(tmp_path / "changes")
+    base = str(tmp_path / "base")
+    ckpt = str(tmp_path / "ckpt")
+    _write_changes(
+        spark, changes, [(1, "a", 1, False), (2, "b", 1, False)]
+    )
+    _drain(spark, changes, base, ckpt)
+
+    # simulate the torn swap: base set aside, completed tmp not yet renamed
+    shutil.copytree(base, base + "._applying")
+    os.rename(base, base + "._old")
+    assert not os.path.exists(base)
+
+    _write_changes(spark, changes, [(3, "c", 2, False)])
+    _drain(spark, changes, base, ckpt)
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # nothing dropped
+    assert not os.path.exists(base + "._old")
+    assert not os.path.exists(base + "._applying")

@@ -320,3 +320,19 @@ def test_http_fetcher_dispatch(http_tiff_server, source_array):
     np.testing.assert_array_equal(
         arr, _expected_resample(source_array, bounds, z, x, y)
     )
+
+
+def test_vrt_fails_fast_with_dependency_message(tmp_path):
+    """VRT (XML mosaic) inputs name the optional dependency instead of a
+    cryptic byte-order error — by extension and by content signature."""
+    import pytest
+
+    from label_maker_dask_spark.sources.tiff import TiffFile, tif_image_fetcher
+
+    with pytest.raises(ValueError, match="rio-tiler"):
+        tif_image_fetcher("/data/mosaic.vrt")
+
+    vrt = tmp_path / "mosaic.dat"  # extensionless: sniffed by content
+    vrt.write_bytes(b'<VRTDataset rasterXSize="512" rasterYSize="512"/>')
+    with pytest.raises(ValueError, match="rio-tiler"):
+        TiffFile(vrt.read_bytes())

@@ -57,3 +57,15 @@ def test_sessionize_identical_across_types(spark):
         _events(spark, "timestamp_ntz"), "ts", "user_id", 30, "event_id"
     ).select("event_id", "session_id")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_epoch_micros_nanos_long_branch(spark):
+    """An integral (nanos-as-long) column must go through the explicit
+    nanos_long path: plain cast('timestamp') would read the long as epoch
+    SECONDS and come out 1e9x wrong."""
+    nanos = 1_704_067_200_123_456_789  # 2024-01-01T00:00:00.123456789Z
+    df = spark.createDataFrame([(nanos,)], "ts_n long")
+    got = df.select(
+        epoch_micros(F.col("ts_n"), nanos_long=True).alias("us")
+    ).collect()[0].us
+    assert got == nanos // 1000  # integer truncation, no double rounding
