@@ -73,6 +73,10 @@ HEADLINE = [
     "dedup_fuzzy_part_names",
     "sample_weighted_by_quality",
     "window_value_frames",
+    # round-6 operators: transition-graph PageRank (quantized-integer
+    # iterations) and trailing z-score anomaly scoring
+    "graph_pagerank_transitions",
+    "anomaly_zscore_daily_events",
 ]
 
 

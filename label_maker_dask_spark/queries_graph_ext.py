@@ -1,0 +1,269 @@
+"""Graph and anomaly-detection catalog extensions.
+
+Three operators over the event stream, each with a hash-matched DuckDB
+oracle:
+
+- ``graph_event_transitions`` — the event-type transition graph: per-user
+  consecutive event pairs (lag window), counted per (src, dst) edge with
+  the row-normalized transition probability.
+- ``graph_pagerank_transitions`` — PageRank (damping 0.85, three unrolled
+  power iterations) over that transition graph.  Iterative float linear
+  algebra is normally un-oracle-able because summation order leaks ulps;
+  here ranks live as *integer* 1e-12 units (the spherical-k-means
+  quantization trick, operators/clustering.py): every per-edge
+  contribution is a scalar double expression — bit-identical across
+  engines — rounded to an integer BEFORE the aggregate, so the only
+  cross-engine-order-sensitive step (SUM) is order-free integer addition
+  and the DuckDB oracle replays all three iterations exactly.
+- ``anomaly_zscore_daily_events`` — per-type daily volumes scored against
+  their trailing 7-day window (mean/stddev over the *rounded* daily
+  values, so both engines window identical inputs); |z| > 2 flags.
+
+Scale shapes: the transition graph is one user-partitioned lag window
+(one shuffle) plus a (src, dst) count whose cardinality is #event-types²
+— the iterations that follow join only that tiny edge list and a
+k-row rank vector (persisted: three power steps must not re-derive the
+window), so PageRank cost is the edge build, not the iteration count.
+The z-score is a daily pre-aggregate (map-side partial) followed by a
+ROWS-frame window over #days rows per type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.functions.timeutil import epoch_micros
+from label_maker_dask_spark.queries import _t, register
+
+#: rank unit: 1e12 integer steps per unit of PageRank mass
+_PR_SCALE = 1_000_000_000_000.0
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+_EDGES_CTE = """
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS src
+  FROM events),
+edges AS (
+  SELECT src, event_type AS dst, count(*) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2)
+"""
+
+_TRANSITIONS_ORACLE = f"""
+WITH {_EDGES_CTE}
+SELECT src, dst, w,
+       round(w / (sum(w) OVER (PARTITION BY src)), 6) AS p
+FROM edges
+"""
+
+
+@register("graph_event_transitions", _TRANSITIONS_ORACLE)
+def graph_event_transitions(spark, sf_dir):
+    """Event-type transition graph: consecutive event pairs per user
+    (ordered by (ts, event_id) — the id tiebreak makes simultaneous
+    events deterministic), counted per directed edge, with the
+    row-normalized transition probability.
+
+    Scale shape: one shuffle on user_id for the lag window, then a hash
+    aggregate onto #event-types² keys (map-side partials collapse almost
+    everything); the probability is a window over the tiny edge list.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy(epoch_micros("ts"), "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(wseq).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wsrc = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        "w",
+        F.round(F.col("w") / F.sum("w").over(wsrc), 6).alias("p"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    base_lit = f"{(1.0 - _PR_DAMP) * _PR_SCALE!r}"
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT nd.node,
+         CAST(round({base_lit} / (SELECT n FROM nn)) AS BIGINT)
+           + coalesce(c.contrib, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(round({_PR_DAMP} * r.r * e.w / o.wout) AS BIGINT))
+                AS BIGINT) AS contrib
+    FROM r{k - 1} r JOIN edges e ON e.src = r.node
+                    JOIN wout o ON o.src = e.src
+    GROUP BY 1) c ON c.node = nd.node)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_EDGES_CTE},
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT count(*) AS n FROM nodes),
+wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node, CAST(round({_PR_SCALE!r} / (SELECT n FROM nn)) AS BIGINT) AS r
+  FROM nodes),
+{chain}
+SELECT node AS event_type, round(r / {_PR_SCALE!r}, 6) AS pagerank
+FROM r{_PR_ITERS}
+"""
+
+
+@register("graph_pagerank_transitions", _pagerank_oracle())
+def graph_pagerank_transitions(spark, sf_dir):
+    """PageRank over the event-type transition graph — damping 0.85,
+    three unrolled power iterations, integer-quantized ranks (module
+    docstring: the per-edge term ``round(d·r·w/W)`` is scalar double
+    arithmetic, identical in any engine; the cross-partition SUM is
+    integer, so partial-aggregation order cannot leak float noise and
+    the oracle replays every iteration bit-for-bit).
+
+    Dangling mass (a node with no out-edges) decays rather than
+    redistributing — identically in both engines; with per-user event
+    streams every observed type has out-transitions in practice.
+
+    Scale shape: the expensive part is building the edge list (one lag
+    window + tiny hash agg, as ``graph_event_transitions``); it and the
+    node set persist so the three iterations join k-row and k²-row
+    cached frames — per iteration one broadcast-able join + an integer
+    sum onto k keys, nothing proportional to the event volume.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy(epoch_micros("ts"), "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(wseq).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().persist()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+
+    def with_n(df):
+        return df.crossJoin(F.broadcast(nn))
+
+    ranks = with_n(nodes).select(
+        "node",
+        F.round(F.lit(_PR_SCALE) / F.col("n"), 0).cast("long").alias("r"),
+    )
+    base = (1.0 - _PR_DAMP) * _PR_SCALE
+    for _ in range(_PR_ITERS):
+        term = (
+            F.round(
+                F.lit(_PR_DAMP) * F.col("r") * F.col("w") / F.col("wout"), 0
+            )
+            .cast("long")
+        )
+        contrib = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(wout, "src")
+            .select(F.col("dst").alias("node"), term.alias("t"))
+            .groupBy("node")
+            .agg(F.sum("t").alias("contrib"))
+        )
+        ranks = (
+            with_n(nodes)
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.round(F.lit(base) / F.col("n"), 0).cast("long")
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.round(F.col("r") / F.lit(_PR_SCALE), 6).alias("pagerank"),
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, day, v,
+         avg(v) OVER w AS mu, stddev_samp(v) OVER w AS sd,
+         count(*) OVER w AS n_prior
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, v AS daily_value,
+       round(mu, 6) AS trailing_mean,
+       CASE WHEN n_prior >= 3 AND sd > 1e-9
+            THEN round((v - mu) / sd, 6) END AS zscore,
+       CASE WHEN n_prior >= 3 AND sd > 1e-9
+                 AND abs(round((v - mu) / sd, 6)) > 2.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+"""
+
+
+@register("anomaly_zscore_daily_events", _ZSCORE_ORACLE)
+def anomaly_zscore_daily_events(spark, sf_dir):
+    """Trailing z-score anomaly detection on per-type daily volumes: each
+    day is scored against the mean/stddev of its own type's preceding 7
+    days (never including itself), flagged at |z| > 2 with a 3-sample
+    minimum.  The window reads the *rounded* daily values, so both
+    engines feed identical doubles into mean/stddev, and the flag
+    compares the rounded z — boundary decisions can't straddle an ulp.
+
+    Scale shape: the daily rollup is a map-side-partial hash aggregate
+    (events collapse to #types × #days rows before any shuffle-heavy
+    work); the ROWS frame then scans #days rows per type.  This is the
+    volume-monitoring pattern a training-data ingest pipeline runs on
+    every source.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        F.col("v").alias("daily_value"),
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    ok = (F.col("n_prior") >= 3) & (F.col("sd") > 1e-9)
+    z = F.round((F.col("daily_value") - F.col("mu")) / F.col("sd"), 6)
+    return stats.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.round(F.col("mu"), 6).alias("trailing_mean"),
+        F.when(ok, z).alias("zscore"),
+        F.when(ok & (F.abs(z) > 2.0), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -107,6 +107,63 @@ def main() -> None:
             line += f" {growth:9.1f} {math.log10(max(growth, 1e-9)):5.2f}"
         print(line)
 
+    # streaming-upsert maintenance: not a catalog query (it drives a
+    # StreamingQuery + on-disk base table), probed bespoke below
+    ts = [_stream_upsert_probe(spark, d) for d in dirs]
+    line = f"{'stream_upsert_maintenance_3batch':38s} " + " ".join(
+        f"{t:8.2f}" for t in ts
+    )
+    if len(ts) == 4:
+        growth = ts[3] / max(ts[2], 1e-9)
+        line += f" {growth:9.1f} {math.log10(max(growth, 1e-9)):5.2f}"
+    print(line)
+
+
+def _stream_upsert_probe(spark, sf_dir: str) -> float:
+    """Seconds to drain a 3-micro-batch CDC stream into a parquet base
+    table: batch 0 creates the base from the full orders table, batches
+    1-2 each update ~10% of keys — so the timed work is dominated by the
+    per-batch base rewrite (the honest cost of upsert-on-parquet; a table
+    format would commit deltas but run the identical merge plan shape).
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.streaming.upsert import stream_upsert_to_parquet
+
+    d = tempfile.mkdtemp(prefix="lmds_probe_upsert_")
+    changes, base, ckpt = f"{d}/chg", f"{d}/base", f"{d}/ckpt"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # one file per change batch so maxFilesPerTrigger=1 maps files to
+    # micro-batches 1:1
+    orders.withColumn("seq", F.lit(0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(changes)
+    for i in (1, 2):
+        orders.where(F.col("o_orderkey") % 10 == i).withColumn(
+            "o_totalprice", F.col("o_totalprice") + i
+        ).withColumn("seq", F.lit(i)).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes)
+    t0 = _time.perf_counter()
+    stream = (
+        spark.readStream.schema("o_orderkey long, o_totalprice double, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes)
+    )
+    q = stream_upsert_to_parquet(
+        stream, base, ckpt, keys=["o_orderkey"], seq_col="seq"
+    )
+    q.awaitTermination(600)
+    dt = _time.perf_counter() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    return dt
+
 
 if __name__ == "__main__":
     main()
