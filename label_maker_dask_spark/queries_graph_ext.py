@@ -142,7 +142,14 @@ def graph_pagerank_transitions(spark, sf_dir):
     cached frames — per iteration one broadcast-able join + an integer
     sum onto k keys, nothing proportional to the event volume.
     """
-    ev = _t(spark, sf_dir, "events")
+    return pagerank_event_transitions(_t(spark, sf_dir, "events"))
+
+
+def pagerank_event_transitions(ev):
+    """Core PageRank plan over an events frame — see
+    :func:`graph_pagerank_transitions` (the catalog wrapper) for the
+    algorithm and replay contract; split out so property tests can drive
+    arbitrary event frames against a pure-Python reference."""
     wseq = Window.partitionBy("user_id").orderBy(epoch_micros("ts"), "event_id")
     edges = (
         ev.select(
@@ -154,14 +161,22 @@ def graph_pagerank_transitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
         .persist()
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct().persist()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    nn = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # node set with the count attached ONCE (one broadcast, reused by the
+    # seed and every iteration's base term — not re-joined per pass)
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .crossJoin(F.broadcast(nn))
+        .persist()
+    )
     wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
 
-    def with_n(df):
-        return df.crossJoin(F.broadcast(nn))
-
-    ranks = with_n(nodes).select(
+    ranks = nodes.select(
         "node",
         F.round(F.lit(_PR_SCALE) / F.col("n"), 0).cast("long").alias("r"),
     )
@@ -174,22 +189,18 @@ def graph_pagerank_transitions(spark, sf_dir):
             .cast("long")
         )
         contrib = (
-            ranks.join(edges, ranks["node"] == edges["src"])
-            .join(wout, "src")
+            ranks.join(F.broadcast(edges), ranks["node"] == edges["src"])
+            .join(F.broadcast(wout), "src")
             .select(F.col("dst").alias("node"), term.alias("t"))
             .groupBy("node")
             .agg(F.sum("t").alias("contrib"))
         )
-        ranks = (
-            with_n(nodes)
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.round(F.lit(base) / F.col("n"), 0).cast("long")
-                    + F.coalesce(F.col("contrib"), F.lit(0))
-                ).alias("r"),
-            )
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
+            "node",
+            (
+                F.round(F.lit(base) / F.col("n"), 0).cast("long")
+                + F.coalesce(F.col("contrib"), F.lit(0))
+            ).alias("r"),
         )
     return ranks.select(
         F.col("node").alias("event_type"),

@@ -72,3 +72,99 @@ def test_zscore_flags_known_spike(spark, tmp_path):
     # first three days: window has < 3 samples -> unscored
     assert out["2024-01-01"][0] is None
     assert out["2024-01-03"][0] is None
+
+
+# --- property: quantized PageRank vs a pure-Python reference ---------------
+# The replay contract says every arithmetic step is engine-independent:
+# scalar double expressions (IEEE, identical everywhere), HALF_UP rounds of
+# shortest-repr decimals (Spark's BigDecimal.valueOf == Python repr()), and
+# order-free integer sums.  A pure-Python replica must therefore match the
+# distributed result EXACTLY, not approximately.
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _rnd_int(x: float) -> int:
+    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _py_pagerank(rows, damp=0.85, scale=1e12, iters=3):
+    """rows: (event_id, user_id, ts_micros, event_type)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, uid, ts, et in rows:
+        by_user[uid].append((ts, eid, et))
+    edges = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            edges[(a, b)] += 1
+    nodes = sorted({et for _, _, _, et in rows})
+    n = len(nodes)
+    wout = defaultdict(int)
+    for (a, _b), w in edges.items():
+        wout[a] += w
+    r = {v: _rnd_int(scale / n) for v in nodes}
+    base_lit = (1.0 - damp) * scale
+    for _ in range(iters):
+        contrib = defaultdict(int)
+        for (a, b), w in edges.items():
+            contrib[b] += _rnd_int(damp * r[a] * w / wout[a])
+        r = {v: _rnd_int(base_lit / n) + contrib.get(v, 0) for v in nodes}
+    return {
+        v: float(
+            Decimal(repr(r[v] / scale)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for v in nodes
+    }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # user_id
+            st.integers(min_value=0, max_value=50),         # ts step
+            st.sampled_from(["a", "b", "c", "d"]),          # event_type
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_pagerank_matches_python_reference(spark, events):
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.queries_graph_ext import (
+        pagerank_event_transitions,
+    )
+
+    rows = [
+        (i, uid, ts * 1_000_000, et)
+        for i, (uid, ts, et) in enumerate(events)
+    ]
+    # need at least one transition, else the graph is empty and every node
+    # holds seed+base mass — still fine, the reference handles it the same
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    got = {
+        r.event_type: r.pagerank
+        for r in pagerank_event_transitions(df).collect()
+    }
+    want = _py_pagerank([(i, u, t, e) for i, u, t, e in rows])
+    assert got == want

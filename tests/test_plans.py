@@ -194,3 +194,28 @@ def test_gapfill_window_runs_on_date_spine_not_fact(spark):
     assert win_pos < first_scan, "window must sit above the fact scan"
     agg_between = tree[win_pos:first_scan]
     assert "HashAggregate" in agg_between or "SortAggregate" in agg_between
+
+
+def test_pagerank_iterations_reuse_cached_frames(spark):
+    """The three power iterations must join the cached edge/node frames
+    (InMemoryTableScan), with every tiny side broadcast — never a
+    per-iteration re-derivation of the lag window from the source."""
+    import re
+
+    plan = plan_of(Q.QUERIES["graph_pagerank_transitions"](spark, SF))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    # the lag window that builds the edge list feeds the caches — it may
+    # appear once per inlined cached relation (edges, nodes) but never
+    # once per iteration (3 iterations x 2 refs would show >= 3)
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
+
+
+def test_zscore_daily_rollup_is_partial_aggregated(spark):
+    """The events->daily rollup must partial-aggregate map-side (volume
+    collapses to #types x #days before its shuffle); one more Exchange
+    feeds the trailing window."""
+    plan = plan_of(Q.QUERIES["anomaly_zscore_daily_events"](spark, SF))
+    assert "partial" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") <= 2
