@@ -456,6 +456,17 @@ def write_ivf_index(
         "cell int, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
 
+    _assigned_cells(embeddings, cm, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path + "/data")
+
+
+def _assigned_cells(embeddings: DataFrame, cm, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cell) rows: each vector labeled with its nearest-centroid
+    Voronoi cell, via the same exact left-fold arithmetic every IVF path
+    uses (``_unit_exact``/``_dots_exact``)."""
+    import numpy as np
+
     id_type = embeddings.schema[id_col].dataType.simpleString()
     vec_type = embeddings.schema[vec_col].dataType.simpleString()
 
@@ -470,13 +481,45 @@ def write_ivf_index(
             out["cell"] = np.argmax(_dots_exact(xm, cm), axis=1).astype("int32")
             yield out
 
-    (
-        embeddings.select(id_col, vec_col)
-        .mapInPandas(assign, f"{id_col} {id_type}, {vec_col} {vec_type}, cell int")
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(path + "/data")
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_type}, {vec_col} {vec_type}, cell int"
     )
+
+
+def append_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a stored IVF index WITHOUT a rebuild:
+    new rows are assigned to cells under the index's *existing* coarse
+    quantizer (stored centroids are read, never recomputed — standard IVF
+    maintenance) and appended as new files inside their cell partitions.
+
+    Queries against the appended index are identical to queries against
+    an index rebuilt over the union with the same centroids, because cell
+    assignment and scoring depend only on the centroids — which this
+    operation never changes.  (A from-scratch ``write_ivf_index`` on the
+    union could pick different seed centroids and so different — equally
+    valid — probe sets; pin the quantizer by appending.)
+
+    100 TB posture: this is how an embedding index tracks a growing
+    corpus — per batch, one narrow Arrow pass over only the NEW vectors
+    plus a partitioned append; the existing data files are untouched, so
+    maintenance cost is proportional to the increment, not the index.
+    Over many appends, cell partitions accumulate small files — run
+    ``sources.layout.compact_small_files`` per cell directory as the
+    bin-packing maintenance job.
+    """
+    import numpy as np
+
+    spark = new_embeddings.sparkSession
+    cent = spark.read.parquet(path + "/centroids").orderBy("cell").toPandas()
+    cm = np.stack(cent["cv"].to_numpy()).astype(np.float64)
+    _assigned_cells(new_embeddings, cm, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(path + "/data")
 
 
 def ivf_topk_stored(

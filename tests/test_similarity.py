@@ -278,3 +278,44 @@ def test_neardup_cosine_guard_names_srp_twin(spark):
             "similarity_neardup_srp_ann (similarity.embedding_neardup_pairs)",
         )
     assert ensure_small_input(big, 50, "op", "twin") is big
+
+
+def test_ivf_append_equals_rebuild_under_same_quantizer(spark, tmp_path):
+    """Appending vectors to a stored IVF index (existing centroids, new
+    files in cell partitions) must answer queries identically to an index
+    built over the full corpus — the initial build holds the lowest-id
+    vectors, so a full rebuild seeds the same centroids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_stored,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo = emb.where(F.col("vec_id") < 100)   # contains the 16 lowest ids
+    hi = emb.where(F.col("vec_id") >= 100)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+
+    inc = str(tmp_path / "incremental")
+    write_ivf_index(lo, inc, n_cells=16)
+    n_files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(inc + "/data")
+    )
+    append_ivf_index(hi, inc)
+    n_files_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(inc + "/data")
+    )
+    assert n_files_after > n_files_before  # appended, not rewritten
+
+    full = str(tmp_path / "rebuilt")
+    write_ivf_index(emb, full, n_cells=16)
+
+    a = sorted(map(tuple, ivf_topk_stored(spark, inc, queries, k=5, n_probe=4).collect()))
+    b = sorted(map(tuple, ivf_topk_stored(spark, full, queries, k=5, n_probe=4).collect()))
+    assert a == b and len(a) > 0
