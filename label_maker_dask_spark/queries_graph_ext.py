@@ -253,6 +253,15 @@ def anomaly_zscore_daily_events(spark, sf_dir):
         )
         .agg(F.round(F.sum("value"), 6).alias("v"))
     )
+    return zscore_over_daily(daily)
+
+
+def zscore_over_daily(daily):
+    """Scoring stage over a ``(event_type, day, v)`` daily frame — split
+    from the rollup so the same view runs over a STORED daily table
+    maintained by the streaming CDC upsert sink (the continuous-aggregate
+    loop: `streaming/upsert.py` keeps the rollup current, this window
+    scores it; equals-batch tested)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

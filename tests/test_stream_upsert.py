@@ -224,3 +224,70 @@ def test_stream_upsert_recovers_from_simulated_crash(spark, tmp_path):
     assert got == {1: "a", 2: "b", 3: "c"}  # nothing dropped
     assert not os.path.exists(base + "._old")
     assert not os.path.exists(base + "._applying")
+
+
+def test_streaming_zscore_view_over_maintained_daily_table(spark, tmp_path):
+    """The anomaly operator closes the continuous-aggregate loop: the
+    per-type daily rollup drains through the CDC upsert sink (late events
+    REPLACE their day's stored row), and the z-score window over the
+    stored table equals the batch operator over the full event history."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.queries_graph_ext import zscore_over_daily
+    from label_maker_dask_spark.streaming.windows import tumbling_agg
+
+    ev_schema = "event_id long, ts timestamp, event_type string, value double"
+    changes = str(tmp_path / "events")
+    base = str(tmp_path / "daily")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(ev_schema).parquet(changes)
+        daily = (
+            tumbling_agg(
+                stream, "ts", "1 day", ["event_type"],
+                [F.round(F.sum("value"), 6).alias("v")],
+            )
+            .withColumnRenamed("window_start", "day")
+            .drop("window_end")
+            .withColumn("_seq", F.lit(0))
+        )
+        q = stream_upsert_to_parquet(
+            daily, base, ckpt, keys=["event_type", "day"], seq_col="_seq"
+        )
+        q.awaitTermination(120)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        ).coalesce(1).write.mode("append").parquet(changes)
+
+    all_rows = []
+    for d in range(1, 9):
+        all_rows.append((d, f"2024-01-{d:02d} 12:00:00", "A", 10.0 + d % 2))
+    write(all_rows)
+    drain()
+    # late spike lands in an ALREADY-materialized day and must replace it
+    late = [(100, "2024-01-08 13:00:00", "A", 500.0)]
+    write(late)
+    drain()
+    all_rows += late
+
+    streamed = zscore_over_daily(spark.read.parquet(base))
+    batch_daily = (
+        spark.createDataFrame(
+            all_rows, "event_id long, ts string, event_type string, value double"
+        )
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    batch = zscore_over_daily(batch_daily)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) == 8
+    flagged = [r for r in a if r[5] == 1]
+    assert len(flagged) == 1 and str(flagged[0][1])[:10] == "2024-01-08"
