@@ -89,6 +89,24 @@ def main() -> None:
     )
     print(f"semantic cluster sizes (k=4): {sizes}")
 
+    # ---- Part 3: stream analytics over the events table ------------------
+    from label_maker_dask_spark.queries_graph_ext import (
+        graph_pagerank_transitions,
+        anomaly_zscore_daily_events,
+    )
+
+    ranks = sorted(
+        (r.event_type, r.pagerank)
+        for r in graph_pagerank_transitions(spark, sf_dir).collect()
+    )
+    print(f"event-type PageRank (transition graph): {ranks}")
+    n_anom = (
+        anomaly_zscore_daily_events(spark, sf_dir)
+        .where(F.col("is_anomaly") == 1)
+        .count()
+    )
+    print(f"daily-volume anomalies (|z| > 2 vs trailing week): {n_anom}")
+
     spark.stop()
 
 

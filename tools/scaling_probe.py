@@ -40,6 +40,9 @@ PROBES = [
     "timeseries_ohlc_hourly_by_type",
     "embedding_kmeans_clusters_arrow",
     "agg_kmv_merged_weekly_users",
+    # round-6 operators
+    "graph_pagerank_transitions",
+    "anomaly_zscore_daily_events",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
