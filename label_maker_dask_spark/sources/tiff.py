@@ -154,14 +154,14 @@ class TiffFile:
             self._e = ">"
         elif head.lstrip()[:1] == b"<" or head[:3] == b"\xef\xbb\xbf":
             # GDAL VRT (an XML mosaic manifest, reference utils.py:100
-            # accepts it via rasterio) — the native reader parses real
-            # TIFF bytes only; name the optional dependency instead of
-            # failing with a cryptic byte-order error.
+            # accepts it via rasterio) — this class parses real TIFF
+            # bytes only; point at the VRT path instead of a cryptic
+            # byte-order error.
             raise ValueError(
                 "input is an XML dataset (GDAL VRT mosaic?), not a TIFF. "
-                "The dependency-free reader handles GeoTIFF/COG bytes only "
-                "— install rio-tiler (or rasterio) for VRT support, or "
-                "point the job at the underlying GeoTIFF/COG files"
+                "Pass the .vrt path to the imagery connector (the native "
+                "flat-mosaic VRT reader handles it), or install rio-tiler "
+                "(or rasterio) for full VRT support"
             )
         else:
             raise ValueError("not a TIFF (bad byte-order mark)")
@@ -380,15 +380,27 @@ def tif_image_fetcher(imagery: str):
     a full read; ``http(s)://`` URLs parse lazily through range requests
     (header + only the strips/tiles each task's window touches).
 
-    VRT inputs (accepted by the reference via rasterio, utils.py:100) fail
-    fast at plan time here — by extension below, and by XML signature in
-    ``TiffFile`` for extensionless paths — naming the optional dependency."""
+    Local ``.vrt`` mosaics (accepted by the reference via rasterio,
+    utils.py:100) route to the native flat-SimpleSource VRT reader
+    (``sources/vrt.py``); remote VRTs and VRT features beyond that scope
+    fail fast naming the optional dependency."""
     if imagery.lower().split("?")[0].endswith(".vrt"):
-        raise ValueError(
-            "VRT mosaics need rio-tiler (or rasterio) — the dependency-free "
-            "TIFF reader parses GeoTIFF/COG bytes only. Install rio-tiler, "
-            "or point the job at the underlying GeoTIFF/COG files"
+        if imagery.startswith(("http://", "https://")):
+            raise ValueError(
+                "remote VRT mosaics need rio-tiler (or rasterio) — the "
+                "native VRT reader handles local .vrt files; install "
+                "rio-tiler or point the job at the underlying COG URLs"
+            )
+        from label_maker_dask_spark.sources.vrt import open_vrt
+
+        vrt = open_vrt(
+            imagery[len("file://"):] if imagery.startswith("file://") else imagery
         )
+
+        def fetch_vrt(z: int, x: int, y: int) -> bytes:
+            return read_tile(vrt, z, x, y).tobytes()
+
+        return fetch_vrt
     if imagery.startswith(("http://", "https://")):
         tif = TiffFile(HttpRangeSource(imagery))
     else:

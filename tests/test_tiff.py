@@ -322,17 +322,98 @@ def test_http_fetcher_dispatch(http_tiff_server, source_array):
     )
 
 
-def test_vrt_fails_fast_with_dependency_message(tmp_path):
-    """VRT (XML mosaic) inputs name the optional dependency instead of a
-    cryptic byte-order error — by extension and by content signature."""
+def _write_vrt_mosaic(tmp_path, arr, bounds, n_split=2):
+    """Split ``arr`` into an n_split x n_split grid of real GeoTIFF tiles
+    plus the flat-SimpleSource VRT manifest gdalbuildvrt would emit."""
+    h, w, spp = arr.shape
+    west, south, east, north = bounds
+    sx, sy = (east - west) / w, (north - south) / h
+    th, tw = h // n_split, w // n_split
+    sources = []
+    for i in range(n_split):
+        for j in range(n_split):
+            sub = arr[i * th:(i + 1) * th, j * tw:(j + 1) * tw]
+            sub_bounds = (
+                west + j * tw * sx, north - (i + 1) * th * sy,
+                west + (j + 1) * tw * sx, north - i * th * sy,
+            )
+            name = f"part_{i}_{j}.tif"
+            (tmp_path / name).write_bytes(write_tiff(sub, sub_bounds))
+            for b in range(spp):
+                sources.append((b, name, j * tw, i * th, tw, th))
+    bands = []
+    for b in range(spp):
+        srcs = "".join(
+            f'''<SimpleSource>
+      <SourceFilename relativeToVRT="1">{name}</SourceFilename>
+      <SourceBand>{bb + 1}</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="{tw_}" ySize="{th_}"/>
+      <DstRect xOff="{dx}" yOff="{dy}" xSize="{tw_}" ySize="{th_}"/>
+    </SimpleSource>'''
+            for (bb, name, dx, dy, tw_, th_) in sources
+            if bb == b
+        )
+        bands.append(
+            f'<VRTRasterBand dataType="Byte" band="{b + 1}">{srcs}</VRTRasterBand>'
+        )
+    vrt = (
+        f'<VRTDataset rasterXSize="{w}" rasterYSize="{h}">'
+        f"<SRS>EPSG:4326</SRS>"
+        f"<GeoTransform>{west}, {sx}, 0, {north}, 0, {-sy}</GeoTransform>"
+        + "".join(bands)
+        + "</VRTDataset>"
+    )
+    path = tmp_path / "mosaic.vrt"
+    path.write_text(vrt)
+    return str(path)
+
+
+def test_vrt_mosaic_equals_monolithic_tiff(tmp_path, source_array):
+    """A 2x2 VRT mosaic of real GeoTIFF tiles must read pixel-identically
+    to the monolithic TIFF over the same extent, through the same
+    tif_image_fetcher plan-time dispatch the reference used rasterio for."""
+    z, x, y = 15, 16495, 10900
+    bounds = _tile_bounds_4326(z, x, y)
+    mono = read_tile(TiffFile(write_tiff(source_array, bounds)), z, x, y)
+
+    vrt_path = _write_vrt_mosaic(tmp_path, source_array, bounds)
+    fetch = tif_image_fetcher(vrt_path)
+    got = np.frombuffer(fetch(z, x, y), dtype=np.uint8).reshape(mono.shape)
+    assert np.array_equal(got, mono)
+
+
+def test_vrt_unsupported_features_fail_fast(tmp_path):
+    """Remote VRTs and out-of-scope VRT constructs name the optional
+    dependency; extensionless XML bytes handed to TiffFile point at the
+    VRT path instead of a cryptic byte-order error."""
     import pytest
 
-    from label_maker_dask_spark.sources.tiff import TiffFile, tif_image_fetcher
+    from label_maker_dask_spark.sources.vrt import VrtDataset
 
     with pytest.raises(ValueError, match="rio-tiler"):
-        tif_image_fetcher("/data/mosaic.vrt")
+        tif_image_fetcher("https://example.test/mosaic.vrt")
 
-    vrt = tmp_path / "mosaic.dat"  # extensionless: sniffed by content
-    vrt.write_bytes(b'<VRTDataset rasterXSize="512" rasterYSize="512"/>')
+    complex_src = (
+        '<VRTDataset rasterXSize="8" rasterYSize="8">'
+        "<GeoTransform>0, 1, 0, 8, 0, -1</GeoTransform>"
+        '<VRTRasterBand band="1"><ComplexSource/></VRTRasterBand>'
+        "</VRTDataset>"
+    )
     with pytest.raises(ValueError, match="rio-tiler"):
-        TiffFile(vrt.read_bytes())
+        VrtDataset(complex_src)
+
+    resampled = (
+        '<VRTDataset rasterXSize="8" rasterYSize="8">'
+        "<GeoTransform>0, 1, 0, 8, 0, -1</GeoTransform>"
+        '<VRTRasterBand band="1"><SimpleSource>'
+        "<SourceFilename>x.tif</SourceFilename>"
+        '<SrcRect xOff="0" yOff="0" xSize="4" ySize="4"/>'
+        '<DstRect xOff="0" yOff="0" xSize="8" ySize="8"/>'
+        "</SimpleSource></VRTRasterBand></VRTDataset>"
+    )
+    with pytest.raises(ValueError, match="rio-tiler"):
+        VrtDataset(resampled)
+
+    xml_as_tiff = b'<VRTDataset rasterXSize="512" rasterYSize="512"/>'
+    with pytest.raises(ValueError, match="rio-tiler"):
+        TiffFile(xml_as_tiff)
