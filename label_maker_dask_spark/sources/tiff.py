@@ -380,17 +380,11 @@ def tif_image_fetcher(imagery: str):
     a full read; ``http(s)://`` URLs parse lazily through range requests
     (header + only the strips/tiles each task's window touches).
 
-    Local ``.vrt`` mosaics (accepted by the reference via rasterio,
-    utils.py:100) route to the native flat-SimpleSource VRT reader
-    (``sources/vrt.py``); remote VRTs and VRT features beyond that scope
-    fail fast naming the optional dependency."""
+    ``.vrt`` mosaics, local or remote (accepted by the reference via
+    rasterio, utils.py:100), route to the native flat-SimpleSource VRT
+    reader (``sources/vrt.py``); VRT features beyond that scope fail
+    fast naming the optional dependency."""
     if imagery.lower().split("?")[0].endswith(".vrt"):
-        if imagery.startswith(("http://", "https://")):
-            raise ValueError(
-                "remote VRT mosaics need rio-tiler (or rasterio) — the "
-                "native VRT reader handles local .vrt files; install "
-                "rio-tiler or point the job at the underlying COG URLs"
-            )
         from label_maker_dask_spark.sources.vrt import open_vrt
 
         vrt = open_vrt(

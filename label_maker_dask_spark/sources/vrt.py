@@ -95,7 +95,12 @@ class VrtDataset:
                     raise ValueError("SimpleSource without SourceFilename")
                 fname = fn_el.text.strip()
                 if fn_el.attrib.get("relativeToVRT", "0") == "1":
-                    fname = os.path.join(base_dir, fname)
+                    if base_dir.startswith(("http://", "https://")):
+                        from urllib.parse import urljoin
+
+                        fname = urljoin(base_dir.rstrip("/") + "/", fname)
+                    else:
+                        fname = os.path.join(base_dir, fname)
                 sb_el = s.find("SourceBand")
                 src_band = int(sb_el.text) if sb_el is not None else 1
 
@@ -201,8 +206,16 @@ class VrtDataset:
 
 
 def open_vrt(path: str) -> VrtDataset:
-    """Parse a ``.vrt`` file from disk (relative sources resolve against
-    its directory)."""
+    """Parse a ``.vrt`` from disk or URL; relative sources resolve
+    against its directory (remote members read via HTTP range requests,
+    exactly as single remote COGs do)."""
+    if path.startswith(("http://", "https://")):
+        import requests
+
+        resp = requests.get(path, timeout=30)
+        resp.raise_for_status()
+        base = path.rsplit("/", 1)[0]
+        return VrtDataset(resp.text, base_dir=base)
     with open(path, "r", encoding="utf-8") as fh:
         text = fh.read()
     return VrtDataset(text, base_dir=os.path.dirname(os.path.abspath(path)))

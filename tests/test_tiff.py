@@ -383,15 +383,12 @@ def test_vrt_mosaic_equals_monolithic_tiff(tmp_path, source_array):
 
 
 def test_vrt_unsupported_features_fail_fast(tmp_path):
-    """Remote VRTs and out-of-scope VRT constructs name the optional
-    dependency; extensionless XML bytes handed to TiffFile point at the
-    VRT path instead of a cryptic byte-order error."""
+    """Out-of-scope VRT constructs name the optional dependency;
+    extensionless XML bytes handed to TiffFile point at the VRT path
+    instead of a cryptic byte-order error."""
     import pytest
 
     from label_maker_dask_spark.sources.vrt import VrtDataset
-
-    with pytest.raises(ValueError, match="rio-tiler"):
-        tif_image_fetcher("https://example.test/mosaic.vrt")
 
     complex_src = (
         '<VRTDataset rasterXSize="8" rasterYSize="8">'
@@ -417,3 +414,44 @@ def test_vrt_unsupported_features_fail_fast(tmp_path):
     xml_as_tiff = b'<VRTDataset rasterXSize="512" rasterYSize="512"/>'
     with pytest.raises(ValueError, match="rio-tiler"):
         TiffFile(xml_as_tiff)
+
+
+class _MultiFileRangeHandler(_RangeHandler):
+    """Serves self.server.files[path] with the same range support."""
+
+    def do_GET(self):  # noqa: N802 - http.server API
+        self.server.payload = self.server.files[self.path]
+        super().do_GET()
+
+
+def test_remote_vrt_mosaic_over_http(tmp_path, source_array):
+    """A VRT served over HTTP with relative member tiles must read
+    pixel-identically to the local mosaic — members fetched through the
+    same range-request source remote COGs use."""
+    import http.server
+    import threading
+
+    z, x, y = 15, 16495, 10900
+    bounds = _tile_bounds_4326(z, x, y)
+    mono = read_tile(TiffFile(write_tiff(source_array, bounds)), z, x, y)
+
+    vrt_path = _write_vrt_mosaic(tmp_path, source_array, bounds)
+    files = {"/mosaic.vrt": (tmp_path / "mosaic.vrt").read_bytes()}
+    for f in tmp_path.glob("part_*.tif"):
+        files[f"/{f.name}"] = f.read_bytes()
+
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _MultiFileRangeHandler
+    )
+    server.files = files
+    server.honor_range = True
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/mosaic.vrt"
+        fetch = tif_image_fetcher(url)
+        got = np.frombuffer(fetch(z, x, y), dtype=np.uint8).reshape(mono.shape)
+        assert np.array_equal(got, mono)
+    finally:
+        server.shutdown()
+        thread.join()
