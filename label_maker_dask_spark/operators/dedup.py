@@ -424,6 +424,54 @@ def jaccard_pairs_for_candidates(
     )
 
 
+def containment_pairs(
+    shingled: DataFrame, threshold: float = 0.5, max_rows: int = 2_000_000
+) -> DataFrame:
+    """Directional shingle containment: for pairs sharing >= 1 shingle,
+    ``cont_in_a = |A∩B| / |A|`` and ``cont_in_b = |A∩B| / |B|``, kept when
+    ``max(cont_in_a, cont_in_b) >= threshold``.  Containment is the dedup
+    metric Jaccard misses: a short document quoted wholesale inside a long
+    one has near-1 containment but low Jaccard (the union is dominated by
+    the long side) — the classic excerpt/boilerplate case.
+
+    Same shape, guard, and scale posture as :func:`jaccard_pairs` (the
+    exact small-corpus path; at scale, run the LSH candidates first and
+    compute containment with :func:`jaccard_verify_sets`-style set math
+    on candidates only)."""
+    from label_maker_dask_spark.operators.guards import ensure_small_input
+
+    shingled = ensure_small_input(
+        shingled,
+        max_rows,
+        "containment_pairs",
+        "minhash_neardup_pairs candidates + per-candidate set containment",
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ca = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    cb = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ca.alias("cont_in_a"),
+            cb.alias("cont_in_b"),
+            F.greatest(ca, cb).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 16

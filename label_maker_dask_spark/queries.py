@@ -786,6 +786,33 @@ def dedup_jaccard_exact(spark, sf_dir):
     return D.jaccard_pairs(sh, threshold=0.12)
 
 
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_shingle_cte()},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, cont_in_a, cont_in_b,
+           greatest(cont_in_a, cont_in_b) AS containment
+    FROM (
+      SELECT id_a, id_b,
+             round(n_inter / sa.n_sh, 6) AS cont_in_a,
+             round(n_inter / sb.n_sh, 6) AS cont_in_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b)
+    WHERE greatest(cont_in_a, cont_in_b) >= 0.25
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directional shingle containment (>= 0.25 either way) — catches the
+    excerpt/boilerplate case Jaccard misses (short doc inside long doc);
+    exact small-corpus path, guarded like the Jaccard baseline."""
+    sh = D.doc_shingles(_t(spark, sf_dir, "documents"))
+    return D.containment_pairs(sh, threshold=0.25)
+
+
 def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.12) -> str:
     coeffs = D.MINHASH_COEFFS[:k]
     mins = ", ".join(

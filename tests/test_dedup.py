@@ -171,3 +171,22 @@ def test_jaccard_pairs_refuses_large_input(spark):
         jaccard_pairs(sh, threshold=0.1, max_rows=5).collect()
     # under the cap the same call runs
     jaccard_pairs(sh, threshold=0.1, max_rows=100).collect()
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment ~1 in
+    the short direction while Jaccard stays low — the pair must surface
+    at a containment threshold that a same-threshold Jaccard misses."""
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short_text = " ".join(f"w{i}" for i in range(10, 20))  # inside long
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    sh = D.doc_shingles(docs)
+    cont = {(r.id_a, r.id_b): r for r in D.containment_pairs(sh, 0.9).collect()}
+    assert (1, 2) in cont
+    r = cont[(1, 2)]
+    assert r.cont_in_b == 1.0 and r.cont_in_a < 0.2  # directional
+    jac = {(r.id_a, r.id_b) for r in D.jaccard_pairs(sh, 0.9).collect()}
+    assert (1, 2) not in jac  # Jaccard at the same bar misses it
