@@ -68,3 +68,78 @@ def running_user_stats(df: DataFrame, user_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_SCHEMA = "src string, dst string, w long"
+_TRANS_STATE_SCHEMA = "last_et string"
+
+
+def _transition_counts_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Chain this micro-batch's events (sorted by (ts, event_id)) onto the
+    user's REMEMBERED last event type and emit per-(src, dst) transition
+    deltas.  The carried state is what a window ``lag`` cannot express on
+    a stream: the boundary transition between two micro-batches."""
+    from collections import Counter
+
+    (last_et,) = state.get if state.exists else (None,)
+    counts: Counter = Counter()
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        for et in pdf["event_type"]:
+            if last_et is not None:
+                counts[(last_et, et)] += 1
+            last_et = et
+    state.update((last_et,))
+    if counts:
+        srcs, dsts = zip(*counts.keys())
+        yield pd.DataFrame(
+            {"src": srcs, "dst": dsts, "w": list(counts.values())}
+        )
+
+
+def streaming_transition_counts(
+    df: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """Per-micro-batch event-type transition deltas with per-user carry
+    state — the streaming edge-builder for the transition graph
+    (``queries_graph_ext``): summing the emitted ``w`` deltas over all
+    batches reproduces the batch lag-window edge counts EXACTLY,
+    including transitions that straddle micro-batch boundaries (the case
+    a stateless per-batch lag silently drops; equals-batch tested).
+
+    Contract: the stream delivers each user's events in (ts, event_id)
+    order across batches (true for replayed logs and ordered CDC feeds);
+    within a batch the operator sorts, across batches it chains on the
+    stored last event type — one tiny state row per user, the same
+    posture as ``running_user_stats``.
+
+    On a batch frame the same semantics are the lag-window edge count, so
+    the operator stays oracle-checkable."""
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        from label_maker_dask_spark.functions.timeutil import epoch_micros
+
+        w = Window.partitionBy(user_col).orderBy(
+            epoch_micros("ts"), "event_id"
+        )
+        return (
+            df.select(
+                F.lag("event_type").over(w).alias("src"),
+                F.col("event_type").alias("dst"),
+            )
+            .where(F.col("src").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+    return df.groupBy(user_col).applyInPandasWithState(
+        _transition_counts_fn,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

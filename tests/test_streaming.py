@@ -310,3 +310,68 @@ def test_streaming_interval_join_equals_batch(spark, events_dir, events_batch):
     a = sorted(map(tuple, got.select(*cols).collect()))
     b = sorted(map(tuple, expected.select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_stateful_transition_counts_equal_batch(spark, tmp_path):
+    """Streaming transition deltas with per-user carry state: summing the
+    per-batch (src, dst, w) deltas over two TIME-SPLIT micro-batches must
+    equal the batch lag-window edge counts — including every transition
+    that straddles the batch boundary, which a stateless per-batch lag
+    would drop."""
+    import time as _time
+
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.streaming.stateful import (
+        streaming_transition_counts,
+    )
+
+    from label_maker_dask_spark.functions.timeutil import epoch_micros
+
+    ev = Q._t(spark, "/root/testdata/sf0.001", "events")
+    cut = ev.select(
+        F.percentile(epoch_micros("ts"), F.lit(0.5)).alias("c")
+    ).collect()[0].c
+    d = str(tmp_path / "stream")
+    ev.where(epoch_micros("ts") < cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    _time.sleep(1.1)  # distinct mtimes: the file source replays in order
+    ev.where(epoch_micros("ts") >= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_transition_counts(stream_in)
+        .writeStream.format("memory").queryName("t_transitions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.src, r.dst): r.total
+        for r in spark.table("t_transitions")
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("total"))
+        .collect()
+    }
+    batch = {
+        (r.src, r.dst): r.w
+        for r in streaming_transition_counts(ev).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    # the split genuinely crossed user histories: there must be at least
+    # one user whose events span both halves (else the test proves nothing)
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(epoch_micros("ts")).alias("lo"),
+            F.max(epoch_micros("ts")).alias("hi"),
+        )
+        .where((F.col("lo") < cut) & (F.col("hi") >= cut))
+        .count()
+    )
+    assert spans > 0
