@@ -98,7 +98,6 @@ def stream_upsert_to_parquet(
         compacted = compact_last_per_key(batch, keys, seq_col).drop(seq_col)
         meta = [c for c in ([delete_col] if delete_col else [])]
         tmp = base_path + "._applying"
-        old = base_path + "._old"
         if os.path.exists(base_path):
             base = spark.read.parquet(base_path)
             merged = merge_upsert(
@@ -118,13 +117,7 @@ def stream_upsert_to_parquet(
                 )
             merged = first.drop(*meta)
         merged.write.mode("overwrite").parquet(tmp)
-        # rename-aside swap: the base is only set aside once tmp is complete,
-        # so every crash point leaves a state _recover can finish.
-        if os.path.exists(base_path):
-            os.rename(base_path, old)
-        os.rename(tmp, base_path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        _swap_in(tmp, base_path)
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)
@@ -136,4 +129,136 @@ def stream_upsert_to_parquet(
     return writer.start()
 
 
-__all__ = ["compact_last_per_key", "stream_upsert_to_parquet", "_recover"]
+_BATCH_MARKER = "_lmds_applied_batch"
+
+
+def _swap_in(tmp: str, base_path: str) -> None:
+    """Rename-aside swap (see module docstring): the base is only set
+    aside once ``tmp`` is complete, so every crash point leaves a state
+    :func:`_recover` can finish."""
+    old = base_path + "._old"
+    if os.path.exists(base_path):
+        os.rename(base_path, old)
+    os.rename(tmp, base_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _applied_batch_id(base_path: str) -> int:
+    marker = os.path.join(base_path, _BATCH_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def accumulate_batch(
+    batch: DataFrame,
+    base_path: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    batch_id: int,
+) -> None:
+    """Apply one micro-batch of ADDITIVE deltas onto the parquet table at
+    ``base_path``: stored row = running sum of every delta seen per key.
+
+    Unlike last-write upsert, accumulation is NOT idempotent on replay —
+    re-adding a batch double-counts — so exactly-once needs more than the
+    checkpoint log (which only skips batches whose COMMIT completed): the
+    applied batch id rides inside the swapped table directory itself
+    (``_lmds_applied_batch``, written into the tmp dir before the swap).
+    A batch that applied but crashed before the checkpoint commit is
+    replayed by the engine and skipped here by the marker — the
+    table-and-marker pair changes atomically with the rename-aside swap.
+
+    Plan shape per batch: deltas pre-aggregate map-side to one row per
+    key, the matched path is a broadcast left join (base never shuffles),
+    inserts anti-join against the base's key columns only — the
+    merge_upsert posture, with addition instead of replacement.
+    """
+    spark = batch.sparkSession
+    if _applied_batch_id(base_path) >= batch_id:
+        return  # replay of an applied-but-uncommitted batch
+    agg = batch.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    if os.path.exists(base_path):
+        # the marker is an underscore-prefixed data file — Spark's parquet
+        # listing ignores it, like _SUCCESS
+        base = spark.read.parquet(base_path)
+        d = F.broadcast(agg).alias("d")
+        t = base.alias("t")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+        matched = t.join(d, on=cond, how="left").select(
+            *[F.col(f"t.{k}").alias(k) for k in keys],
+            *[
+                (
+                    F.col(f"t.{c}")
+                    + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                ).alias(c)
+                for c in sum_cols
+            ],
+        )
+        tk = base.select(*keys).alias("tk")
+        ins = (
+            agg.alias("i")
+            .join(
+                tk,
+                on=[F.col(f"i.{k}").eqNullSafe(F.col(f"tk.{k}")) for k in keys],
+                how="left_anti",
+            )
+        )
+        merged = matched.unionByName(ins.select(*keys, *sum_cols))
+    else:
+        merged = agg
+    tmp = base_path + "._applying"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _BATCH_MARKER), "w") as fh:
+        fh.write(str(batch_id))
+    _swap_in(tmp, base_path)
+
+
+def stream_accumulate_to_parquet(
+    deltas: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    available_now: bool = True,
+):
+    """Maintain a parquet table of per-key RUNNING SUMS from a stream of
+    additive deltas (counts, totals) — the sink for incrementally-built
+    aggregates like the stateful transition-graph edge list
+    (``streaming.stateful.streaming_transition_counts``): drain the edge
+    deltas through this and the stored table equals the batch edge
+    counts, ready for e.g. PageRank over a continuously-updated graph.
+
+    Exactly-once via the in-table batch marker (see
+    :func:`accumulate_batch`); same crash-recoverable swap as the upsert
+    sink."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        _recover(base_path)
+        accumulate_batch(batch, base_path, keys, sum_cols, batch_id)
+
+    # append mode: every delta row is emitted exactly once and then added
+    # into the base — matching the stateful edge-builder's output mode
+    writer = (
+        deltas.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+__all__ = [
+    "compact_last_per_key",
+    "stream_upsert_to_parquet",
+    "stream_accumulate_to_parquet",
+    "accumulate_batch",
+    "_recover",
+]

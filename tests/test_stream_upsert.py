@@ -291,3 +291,76 @@ def test_streaming_zscore_view_over_maintained_daily_table(spark, tmp_path):
     assert a == b and len(a) == 8
     flagged = [r for r in a if r[5] == 1]
     assert len(flagged) == 1 and str(flagged[0][1])[:10] == "2024-01-08"
+
+
+def test_accumulate_sink_maintains_edge_table_for_pagerank(spark, tmp_path):
+    """The full incremental graph pipeline: stateful streaming edge
+    deltas drain through the ADDITIVE sink; the stored edge table equals
+    the batch lag-window edges, so graph analytics run over a
+    continuously-maintained table."""
+    import time as _time
+
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.functions.timeutil import epoch_micros
+    from label_maker_dask_spark.streaming.stateful import (
+        streaming_transition_counts,
+    )
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_accumulate_to_parquet,
+    )
+
+    ev = Q._t(spark, "/root/testdata/sf0.001", "events")
+    cut = ev.select(
+        F.percentile(epoch_micros("ts"), F.lit(0.5)).alias("c")
+    ).collect()[0].c
+    d = str(tmp_path / "stream")
+    ev.where(epoch_micros("ts") < cut).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    ev.where(epoch_micros("ts") >= cut).coalesce(1).write.mode("append").parquet(d)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    edges_path = str(tmp_path / "edges")
+    q = stream_accumulate_to_parquet(
+        streaming_transition_counts(stream),
+        edges_path,
+        str(tmp_path / "ckpt"),
+        keys=["src", "dst"],
+        sum_cols=["w"],
+    )
+    q.awaitTermination(120)
+
+    stored = {
+        (r.src, r.dst): r.w for r in spark.read.parquet(edges_path).collect()
+    }
+    batch = {
+        (r.src, r.dst): r.w
+        for r in streaming_transition_counts(ev).collect()
+    }
+    assert stored == batch and len(stored) > 0
+
+
+def test_accumulate_batch_replay_is_skipped_by_marker(spark, tmp_path):
+    """Accumulation is not idempotent, so exactly-once needs the in-table
+    batch marker: re-applying the same batch id must be a no-op, the next
+    id must add."""
+    from label_maker_dask_spark.streaming.upsert import accumulate_batch
+
+    base = str(tmp_path / "counts")
+    b0 = spark.createDataFrame([("a", 2), ("b", 3)], "k string, w long")
+    accumulate_batch(b0, base, ["k"], ["w"], batch_id=0)
+    accumulate_batch(b0, base, ["k"], ["w"], batch_id=0)  # crash replay
+    got = {r.k: r.w for r in spark.read.parquet(base).collect()}
+    assert got == {"a": 2, "b": 3}  # not double-counted
+
+    b1 = spark.createDataFrame([("a", 5), ("c", 1)], "k string, w long")
+    accumulate_batch(b1, base, ["k"], ["w"], batch_id=1)
+    got = {r.k: r.w for r in spark.read.parquet(base).collect()}
+    assert got == {"a": 7, "b": 3, "c": 1}
