@@ -20,7 +20,6 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
-from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from label_maker_dask_spark.functions.vectors import cosine_rounded, dot, norm
+from label_maker_dask_spark.functions.vectors import dot, norm
 
 #: Brute-force / IVF operators ship the query set with the task closure, so
 #: it must stay driver- and executor-memory small.  At 64-dim float64 the

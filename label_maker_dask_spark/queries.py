@@ -35,7 +35,6 @@ from label_maker_dask_spark.functions.text import (
     punct_ratio,
     stopword_ratio,
     tokens,
-    word_shingles_sql,
 )
 from label_maker_dask_spark.labels import classification_labels
 from label_maker_dask_spark.operators import dedup as D

@@ -10,7 +10,7 @@ that go quiet.  Nothing here collects to the driver.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
