@@ -8,14 +8,18 @@ query-side cap (``similarity._collect_queries``), they refuse large inputs
 up front with an error naming the scale path, instead of silently
 launching a job that would run for days on a 100 TB corpus.
 
-The guard itself is cheap and collect-free: ``limit(max_rows + 1).count()``
-scans only until the limit is hit (no full count, no shuffle of data rows)
-and moves one scalar to the driver.
+The guard is cheap but not free: Spark plans ``limit(n).count()`` as a
+per-partition LocalLimit followed by a single-partition exchange feeding
+GlobalLimit, so up to ``n`` rows *per input partition* cross that
+exchange.  The guard therefore projects the input down to a single
+constant column first — the exchange then moves 1-byte rows, not
+full-width shingle/vector rows — and moves one scalar to the driver.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_small_input(
@@ -24,7 +28,7 @@ def ensure_small_input(
     """Raise unless ``df`` has at most ``max_rows`` rows; returns ``df``
     unchanged for chaining.  ``scale_path`` names the operator to use
     instead at scale — the error is a signpost, not a dead end."""
-    n = df.limit(max_rows + 1).count()
+    n = df.select(F.lit(1).alias("one")).limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
             f"{op}: input exceeds max_rows={max_rows}. This is the exact "

@@ -60,10 +60,16 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
-#: Sessions already configured by :func:`session_defaults` (by id — a
-#: SparkSession is process-lived; id reuse after GC would only re-apply
-#: idempotent settings).
-_SESSIONS_CONFIGURED: set = set()
+#: Sessions already configured by :func:`session_defaults`.  Keyed on the
+#: session object itself via a WeakSet, not ``id(spark)``: CPython reuses
+#: freed addresses, so an id-keyed set would silently SKIP configuring a
+#: new session allocated at a dead session's address — wrong timezone,
+#: wrong nanos handling, corrupted timestamp arithmetic.  The weak
+#: reference drops the entry when the session is GC'd, so a reused
+#: address always reconfigures.
+import weakref
+
+_SESSIONS_CONFIGURED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def session_defaults(spark: SparkSession) -> SparkSession:
@@ -80,10 +86,10 @@ def session_defaults(spark: SparkSession) -> SparkSession:
     Entry points (``__spark_entry__``, ``bench.py``, the test session
     fixture) call this directly; :func:`_t` also routes through it so a
     catalog query handed a fresh session still runs correctly."""
-    if id(spark) not in _SESSIONS_CONFIGURED:
+    if spark not in _SESSIONS_CONFIGURED:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _SESSIONS_CONFIGURED.add(id(spark))
+        _SESSIONS_CONFIGURED.add(spark)
     return spark
 
 

@@ -198,7 +198,16 @@ class VrtDataset:
                 sc0 = sx0 + (ic0 - dx)
                 sc1 = sx0 + (ic1 - dx)
                 win = tif.read_rows(sr0, sr1, sc0, sc1)
-                band_idx = min(s["band"] - 1, tif.spp - 1)
+                if s["band"] > tif.spp:
+                    raise ValueError(
+                        _UNSUPPORTED.format(
+                            what=(
+                                f"SourceBand {s['band']} of a "
+                                f"{tif.spp}-band source {s['file']!r}"
+                            )
+                        )
+                    )
+                band_idx = s["band"] - 1
                 out[ir0 - r0 : ir1 - r0, ic0:ic1, bi] = win[
                     :, sc0:sc1, band_idx
                 ]

@@ -33,8 +33,10 @@ file-level deltas instead of a full rewrite (the plan shape is identical).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -90,6 +92,10 @@ def stream_upsert_to_parquet(
     exist yet — the first batch creates it (minus ``seq_col``/
     ``delete_col``, which are change-log metadata, not table columns)."""
 
+    # the stored table's schema, cached after the first read/write so later
+    # batches skip the footer-inference job a bare read pays every time
+    base_schema = [None]
+
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -99,7 +105,10 @@ def stream_upsert_to_parquet(
         meta = [c for c in ([delete_col] if delete_col else [])]
         tmp = base_path + "._applying"
         if os.path.exists(base_path):
-            base = spark.read.parquet(base_path)
+            reader = spark.read
+            if base_schema[0] is not None:
+                reader = reader.schema(base_schema[0])
+            base = reader.parquet(base_path)
             merged = merge_upsert(
                 base,
                 compacted,
@@ -117,6 +126,7 @@ def stream_upsert_to_parquet(
                 )
             merged = first.drop(*meta)
         merged.write.mode("overwrite").parquet(tmp)
+        base_schema[0] = merged.schema
         _swap_in(tmp, base_path)
 
     writer = (
@@ -144,12 +154,48 @@ def _swap_in(tmp: str, base_path: str) -> None:
         shutil.rmtree(old)
 
 
-def _applied_batch_id(base_path: str) -> int:
+def _applied_state(base_path: str) -> tuple:
+    """Read the in-table marker → ``(run_id, batch_id)``.  The marker is
+    JSON ``{"run": ..., "batch": N}``; a legacy plain-int marker parses as
+    ``(None, N)``."""
     marker = os.path.join(base_path, _BATCH_MARKER)
     if os.path.exists(marker):
         with open(marker) as fh:
-            return int(fh.read().strip())
-    return -1
+            raw = fh.read().strip()
+        try:
+            state = json.loads(raw)
+            if isinstance(state, dict):
+                return state.get("run"), int(state.get("batch", -1))
+        except ValueError:
+            pass
+        return None, int(raw)
+    return None, -1
+
+
+def _write_marker(dir_path: str, run_id: Optional[str], batch_id: int) -> None:
+    with open(os.path.join(dir_path, _BATCH_MARKER), "w") as fh:
+        fh.write(json.dumps({"run": run_id, "batch": batch_id}))
+
+
+def ensure_run_id(checkpoint: str) -> str:
+    """The sink's run identity, stored inside the checkpoint directory so
+    base table and checkpoint age together.  Batch ids restart from 0
+    whenever a checkpoint is recreated — so a bare batch-id marker would
+    silently skip every delta of a fresh stream pointed at an existing
+    base table (or of two streams sharing one base).  A run id minted once
+    per checkpoint turns that silent data loss into a loud error at the
+    first batch."""
+    os.makedirs(checkpoint, exist_ok=True)
+    path = os.path.join(checkpoint, "_lmds_run_id")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return fh.read().strip()
+    run_id = uuid.uuid4().hex
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(run_id)
+    os.replace(tmp, path)
+    return run_id
 
 
 def accumulate_batch(
@@ -158,6 +204,7 @@ def accumulate_batch(
     keys: Sequence[str],
     sum_cols: Sequence[str],
     batch_id: int,
+    run_id: Optional[str] = None,
 ) -> None:
     """Apply one micro-batch of ADDITIVE deltas onto the parquet table at
     ``base_path``: stored row = running sum of every delta seen per key.
@@ -177,7 +224,17 @@ def accumulate_batch(
     merge_upsert posture, with addition instead of replacement.
     """
     spark = batch.sparkSession
-    if _applied_batch_id(base_path) >= batch_id:
+    stored_run, applied = _applied_state(base_path)
+    if run_id is not None and stored_run is not None and stored_run != run_id:
+        raise ValueError(
+            f"accumulate_batch: base table {base_path!r} was built by a "
+            f"different stream run ({stored_run!r}, this run {run_id!r}). "
+            "Batch ids are only comparable within one checkpoint lifetime; "
+            "applying this stream would silently drop or double-count "
+            "deltas. Recreate base table and checkpoint together, or point "
+            "this stream at a fresh base path."
+        )
+    if applied >= batch_id:
         return  # replay of an applied-but-uncommitted batch
     agg = batch.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
@@ -213,8 +270,7 @@ def accumulate_batch(
         merged = agg
     tmp = base_path + "._applying"
     merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, _BATCH_MARKER), "w") as fh:
-        fh.write(str(batch_id))
+    _write_marker(tmp, run_id if run_id is not None else stored_run, batch_id)
     _swap_in(tmp, base_path)
 
 
@@ -237,11 +293,15 @@ def stream_accumulate_to_parquet(
     :func:`accumulate_batch`); same crash-recoverable swap as the upsert
     sink."""
 
+    run_id = ensure_run_id(checkpoint)
+
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         _recover(base_path)
-        accumulate_batch(batch, base_path, keys, sum_cols, batch_id)
+        accumulate_batch(
+            batch, base_path, keys, sum_cols, batch_id, run_id=run_id
+        )
 
     # append mode: every delta row is emitted exactly once and then added
     # into the base — matching the stateful edge-builder's output mode
@@ -260,5 +320,6 @@ __all__ = [
     "stream_upsert_to_parquet",
     "stream_accumulate_to_parquet",
     "accumulate_batch",
+    "ensure_run_id",
     "_recover",
 ]
