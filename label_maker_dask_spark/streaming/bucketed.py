@@ -222,6 +222,11 @@ def _apply_bucketed(
         delta_work = delta.where(F.col(BUCKET_COL).isin(work)).drop(BUCKET_COL)
         merged = merge_fn(base_part, delta_work)
         out = merged.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+        # one shuffle of the touched rows (only — never the untouched base)
+        # so each bucket is written by exactly one task: without it every
+        # write task emits a file into every touched bucket, and the
+        # small-file count grows as tasks x buckets x batches
+        out = out.repartition(F.col(BUCKET_COL))
         scratch = base_path + "._scratch"
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(scratch)
 

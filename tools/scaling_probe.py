@@ -121,6 +121,81 @@ def main() -> None:
         line += f" {growth:9.1f} {math.log10(max(growth, 1e-9)):5.2f}"
     print(line)
 
+    _bucketed_maintenance_probe(spark)
+
+
+def _bucketed_maintenance_probe(spark) -> None:
+    """The bucket-pruning claim, measured: with a FIXED-size delta (2
+    micro-batches x 40 keys — the hot-key CDC shape), per-batch apply time
+    should stay ~flat for the bucketed sink while the base table grows
+    10x per row, whereas the plain sink's full rewrite grows with the
+    base.  Prints its own cell: seconds for the two delta batches at each
+    base size, per sink."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.streaming.bucketed import (
+        stream_upsert_to_parquet_bucketed,
+    )
+    from label_maker_dask_spark.streaming.upsert import stream_upsert_to_parquet
+
+    schema = "k long, v double, seq int"
+
+    def run(base_rows: int, bucketed: bool) -> float:
+        d = tempfile.mkdtemp(prefix="lmds_probe_bucketed_")
+        changes, base, ckpt = f"{d}/chg", f"{d}/base", f"{d}/ckpt"
+        full = spark.range(base_rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 0.5).alias("v"),
+            F.lit(0).alias("seq"),
+        )
+        full.coalesce(8).write.mode("append").parquet(changes)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(changes)
+            )
+            if bucketed:
+                q = stream_upsert_to_parquet_bucketed(
+                    stream, base, ckpt, keys=["k"], seq_col="seq",
+                    n_buckets=256,
+                )
+            else:
+                q = stream_upsert_to_parquet(
+                    stream, base, ckpt, keys=["k"], seq_col="seq"
+                )
+            q.awaitTermination(600)
+
+        drain()  # batch 0: create the base (untimed)
+        for i in (1, 2):  # two 40-key point-update batches, one file each
+            spark.range(40).select(
+                ((F.col("id") * 977 + i) % base_rows).alias("k"),
+                F.lit(float(i)).alias("v"),
+                F.lit(i).alias("seq"),
+            ).coalesce(1).write.mode("append").parquet(changes)
+        t0 = _time.perf_counter()
+        drain()  # timed: delta batches only
+        dt = _time.perf_counter() - t0
+        shutil.rmtree(d, ignore_errors=True)
+        return dt
+
+    sizes = [100_000, 1_000_000, 10_000_000]
+    for bucketed in (False, True):  # warm both code paths (JIT/codegen)
+        run(50_000, bucketed)
+    print()
+    print(
+        f"{'bucketed-maintenance (fixed 40-key delta x2)':46s} "
+        + " ".join(f"{n//1000:>7d}k" for n in sizes)
+    )
+    for label, bucketed in (("plain full-rewrite", False), ("bucket-pruned", True)):
+        ts = [run(n, bucketed) for n in sizes]
+        print(f"{label:46s} " + " ".join(f"{t:8.2f}" for t in ts))
+
 
 def _stream_upsert_probe(spark, sf_dir: str) -> float:
     """Seconds to drain a 3-micro-batch CDC stream into a parquet base
