@@ -91,6 +91,99 @@ def graph_event_transitions(spark, sf_dir):
     )
 
 
+def transition_edges_chunked(ev, chunk_seconds: int = 3600):
+    """Skew-tolerant per-user adjacent-pair edges: identical output to the
+    plain ``lag`` build, without any single task owning a hot user.
+
+    A window partitioned by ``user_id`` serializes each user into one
+    task; a bot-grade user owning 20% of a 100 TB event stream turns that
+    into a straggler that dominates the stage (measured: SCALE.md skew
+    probe).  This builder splits every user's timeline into fixed
+    time slices and works in two levels:
+
+    1. **within-slice** — ``lag`` over ``(user_id, slice)``: the hot
+       user's events spread over as many tasks as slices they span;
+    2. **across-slice** — only each slice's FIRST and LAST event (2 rows
+       per occupied slice, via ``min_by``/``max_by`` — a hash aggregate,
+       no window) enter a per-user window that stitches slice boundaries:
+       the predecessor of a slice's first event is exactly the previous
+       occupied slice's last event.  This boundary stream is ~2 rows per
+       user-slice — even the hot user contributes only #slices×2 rows, so
+       the per-user partition is trivially small.
+
+    Every consecutive pair is produced exactly once (within-slice pairs
+    at level 1, boundary pairs at level 2; equality with the plain build
+    is tested on skewed data in tests/test_graph.py).  The trade is one
+    extra hash aggregate + a tiny second window against bounded task
+    size; the same carried-boundary idea the stateful streaming builder
+    uses across micro-batches (streaming/stateful.py).
+    """
+    chunk_us = int(chunk_seconds) * 1_000_000
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        epoch_micros("ts").alias("_us"),
+    ).withColumn("_slice", F.floor(F.col("_us") / F.lit(chunk_us)))
+
+    wslice = Window.partitionBy("user_id", "_slice").orderBy("_us", "event_id")
+    within = (
+        e.withColumn("_src", F.lag("event_type").over(wslice))
+        .where(F.col("_src").isNotNull())
+        .select(F.col("_src").alias("src"), F.col("event_type").alias("dst"))
+    )
+
+    order_key = F.struct("_us", "event_id")
+    row = F.struct("_us", "event_id", "event_type")
+    bounds = e.groupBy("user_id", "_slice").agg(
+        F.min_by(row, order_key).alias("f"),
+        F.max_by(row, order_key).alias("l"),
+    )
+    # a single-event slice contributes the same event as both entries;
+    # _kind orders the 'last' entry after the 'first' so a first-event's
+    # lag is always the PREVIOUS slice's last event
+    boundary = bounds.select(
+        "user_id", F.col("f._us").alias("_us"),
+        F.col("f.event_id").alias("event_id"),
+        F.col("f.event_type").alias("event_type"),
+        F.lit(0).alias("_kind"),
+    ).unionByName(
+        bounds.select(
+            "user_id", F.col("l._us").alias("_us"),
+            F.col("l.event_id").alias("event_id"),
+            F.col("l.event_type").alias("event_type"),
+            F.lit(1).alias("_kind"),
+        )
+    )
+    wuser = Window.partitionBy("user_id").orderBy("_us", "event_id", "_kind")
+    across = (
+        boundary.withColumn("_src", F.lag("event_type").over(wuser))
+        .where((F.col("_kind") == 0) & F.col("_src").isNotNull())
+        .select(F.col("_src").alias("src"), F.col("event_type").alias("dst"))
+    )
+
+    return (
+        within.unionByName(across)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@register("graph_event_transitions_chunked", _TRANSITIONS_ORACLE)
+def graph_event_transitions_chunked(spark, sf_dir):
+    """The transition graph built by the skew-tolerant chunked path —
+    same oracle as ``graph_event_transitions``, so the driver's
+    hash-match is the proof the two builds agree."""
+    edges = transition_edges_chunked(_t(spark, sf_dir, "events"))
+    wsrc = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        "w",
+        F.round(F.col("w") / F.sum("w").over(wsrc), 6).alias("p"),
+    )
+
+
 def _pagerank_oracle() -> str:
     base_lit = f"{(1.0 - _PR_DAMP) * _PR_SCALE!r}"
     steps = []

@@ -74,6 +74,67 @@ def test_zscore_flags_known_spike(spark, tmp_path):
     assert out["2024-01-03"][0] is None
 
 
+def _plain_edges(ev):
+    from label_maker_dask_spark.functions.timeutil import epoch_micros
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(epoch_micros("ts"), "event_id")
+    return (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def test_chunked_edges_equal_plain_on_testdata(spark):
+    from label_maker_dask_spark.queries import _t
+    from label_maker_dask_spark.queries_graph_ext import (
+        transition_edges_chunked,
+    )
+
+    ev = _t(spark, SF, "events")
+    plain = {(r.src, r.dst): r.w for r in _plain_edges(ev).collect()}
+    # a 1-second slice forces MANY boundary stitches — the hostile case
+    chunked = {
+        (r.src, r.dst): r.w
+        for r in transition_edges_chunked(ev, chunk_seconds=1).collect()
+    }
+    assert plain == chunked and len(plain) > 0
+
+
+def test_chunked_edges_equal_plain_on_skewed_user(spark):
+    """One bot user owns ~20% of events (the straggler case the chunked
+    build exists for); edge counts must be identical to the plain lag."""
+    from label_maker_dask_spark.queries_graph_ext import (
+        transition_edges_chunked,
+    )
+
+    n, bot = 5000, 1000
+    rows = [(i, i % 37 + 2, i * 250_000, "abcde"[i % 5]) for i in range(n)]
+    rows += [(n + j, 1, j * 333_000, "abcde"[j % 3]) for j in range(bot)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    plain = {(r.src, r.dst): r.w for r in _plain_edges(df).collect()}
+    chunked = {
+        (r.src, r.dst): r.w
+        for r in transition_edges_chunked(df, chunk_seconds=30).collect()
+    }
+    assert plain == chunked
+    # every user contributes (events - 1) adjacent pairs: 37 regular
+    # users share the first n events, the bot owns the rest
+    assert sum(plain.values()) == (n - 37) + (bot - 1)
+
+
 # --- property: quantized PageRank vs a pure-Python reference ---------------
 # The replay contract says every arithmetic step is engine-independent:
 # scalar double expressions (IEEE, identical everywhere), HALF_UP rounds of

@@ -122,6 +122,76 @@ def main() -> None:
     print(line)
 
     _bucketed_maintenance_probe(spark)
+    _skewed_lag_probe(spark)
+
+
+def _skewed_lag_probe(spark) -> None:
+    """Hot-user straggler measurement: one bot user owns 20% of a 6M-row
+    event table.  The plain per-user lag window serializes that user's
+    1.2M rows into ONE task; the chunked build
+    (queries_graph_ext.transition_edges_chunked) time-slices the user
+    across tasks and stitches boundaries with a tiny second window.
+    Run with few shuffle partitions to make the straggler visible the way
+    it would be on a real cluster (one executor pinned while the rest
+    idle)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window, functions as F
+
+    from label_maker_dask_spark.queries_graph_ext import (
+        transition_edges_chunked,
+    )
+
+    d = tempfile.mkdtemp(prefix="lmds_probe_skew_")
+    n_reg, n_bot = 4_800_000, 1_200_000
+    reg = spark.range(n_reg).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 100_000 + 2).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 250_000).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias(
+            "event_type"
+        ),
+    )
+    bot = spark.range(n_bot).select(
+        (F.col("id") + n_reg).alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 200_000).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+    )
+    reg.unionByName(bot).repartition(32).write.parquet(f"{d}/events")
+    ev = spark.read.parquet(f"{d}/events")
+
+    def plain():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.select(
+                F.lag("event_type").over(w).alias("src"),
+                F.col("event_type").alias("dst"),
+            )
+            .where(F.col("src").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    print()
+    print("skewed-lag (6M events, one user owns 20%):")
+    for label, build in (
+        ("plain per-user window", plain),
+        ("chunked (1h slices)", lambda: transition_edges_chunked(
+            ev, chunk_seconds=3600
+        )),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        print(f"  {label:42s} {best:8.2f}")
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def _bucketed_maintenance_probe(spark) -> None:
