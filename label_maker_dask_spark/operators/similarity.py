@@ -522,6 +522,232 @@ def append_ivf_index(
     ).mode("append").parquet(path + "/data")
 
 
+def ivf_cell_stats(spark, path: str) -> dict:
+    """Cell-occupancy drift metrics for a stored IVF index.  After heavy
+    appends under a frozen quantizer (``append_ivf_index``), inserts
+    concentrate in the cells nearest the new data's distribution: probe
+    cost rises (a probed hot cell scans far more than corpus/n_cells
+    rows) and recall sags (one Voronoi region is doing the work of many).
+    Returns ``{"n_cells", "total", "mean", "max", "imbalance",
+    "oversized"}`` where ``imbalance`` = max/mean occupancy and
+    ``oversized`` lists cells above 2x mean — the signal to run
+    :func:`rebalance_ivf_index`.  Cost: one partition-column aggregate
+    (a metadata-cheap scan of cell ids only)."""
+    counts = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(path + "/data")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    mean = total / max(len(counts), 1)
+    mx = max(counts.values(), default=0)
+    return {
+        "n_cells": len(counts),
+        "total": total,
+        "mean": mean,
+        "max": mx,
+        "imbalance": mx / mean if mean else 0.0,
+        "oversized": sorted(c for c, n in counts.items() if n > 2 * mean),
+    }
+
+
+def recover_ivf_rebalance(path: str) -> None:
+    """Finish or roll back an interrupted :func:`rebalance_ivf_index`.
+    The rebalance stages everything under ``data._rebal`` (with a
+    ``_plan`` manifest naming the cells it touches) before renaming
+    anything, and drops a ``_committed`` marker into the staging dir the
+    moment the centroid sidecar swap lands.  A leftover staging dir
+    therefore decides the direction: marker present → roll FORWARD
+    (finish removing set-asides); absent → roll BACK (restore every
+    ``cell=N._old``, drop moved-in replacement dirs, restore the old
+    centroid sidecar) — either way the index ends consistent."""
+    import json as _json
+    import os
+    import shutil
+
+    staging = path + "/data._rebal"
+    cent_new = path + "/centroids._new"
+    cent_old = path + "/centroids._old"
+    if not os.path.isdir(staging):
+        return
+    committed = os.path.exists(os.path.join(staging, "_committed"))
+    plan_file = os.path.join(staging, "_plan")
+    plan = {}
+    if os.path.exists(plan_file):
+        with open(plan_file) as fh:
+            plan = _json.load(fh)
+    if committed:
+        for c in plan.get("split", []):
+            old = f"{path}/data/cell={c}._old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        if os.path.exists(cent_old):
+            shutil.rmtree(cent_old)
+    else:
+        new_cells = set(plan.get("new_cells", []))
+        for c in plan.get("split", []):
+            cur = f"{path}/data/cell={c}"
+            old = cur + "._old"
+            if os.path.exists(old):
+                if os.path.exists(cur):
+                    shutil.rmtree(cur)
+                os.rename(old, cur)
+        for c in new_cells:
+            cur = f"{path}/data/cell={c}"
+            if os.path.exists(cur):
+                shutil.rmtree(cur)
+        if os.path.exists(cent_old):
+            cur = path + "/centroids"
+            if os.path.exists(cur):
+                shutil.rmtree(cur)
+            os.rename(cent_old, cur)
+        if os.path.exists(cent_new):
+            shutil.rmtree(cent_new)
+    shutil.rmtree(staging)
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    threshold: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rounds: int = 4,
+) -> list:
+    """Split drifted IVF cells so occupancy returns to ~mean; touches ONLY
+    the oversized cells.  Returns the list of split cell ids across all
+    rounds (empty when the index is already balanced).  Runs up to
+    ``max_rounds`` split passes: one pass seeds sub-centroids from a
+    sample of the drifted cell, so a lopsided first cut can leave a
+    sub-cell still above threshold — the next round splits THAT, and each
+    round's cost again touches only its oversized cells.  (Coincident
+    vectors are unsplittable by any quantizer; the round cap bounds the
+    attempt.)
+
+    Each cell with more than ``threshold``x the mean occupancy is split
+    into ``ceil(n_cell / mean)`` sub-cells.  Sub-centroids are seeded
+    from a deterministic id-hash sample of THAT cell's rows (order by
+    ``xxhash64(id)``, take m) — a uniform sample of the drifted
+    distribution, where ``write_ivf_index``'s lowest-id seeding would
+    bias toward the original corpus and can leave the appended cluster
+    unsplit.  The cell's rows are then reassigned among its own
+    sub-centroids (one Arrow pass over only those rows — a
+    partition-pruned scan), and the centroid sidecar is rewritten (k
+    rows).  Untouched cells' data files are never read or written, so
+    maintenance cost follows the drift, not the index size.
+
+    The quantizer changes (that is the point), so post-rebalance queries
+    may return different — equally valid — ANN results; recall against
+    brute force is re-tested after skewed appends in
+    tests/test_similarity.py.  Crash safety: all replacement data is
+    staged under ``data._rebal`` with a manifest before any rename;
+    :func:`recover_ivf_rebalance` rolls a torn swap back to the
+    pre-rebalance index.  Run single-writer, like every maintenance op
+    here."""
+    all_split: list = []
+    for _ in range(max_rounds):
+        split = _rebalance_ivf_round(spark, path, threshold, id_col, vec_col)
+        if not split:
+            break
+        all_split.extend(split)
+    return all_split
+
+
+def _rebalance_ivf_round(
+    spark, path: str, threshold: float, id_col: str, vec_col: str
+) -> list:
+    """One split pass of :func:`rebalance_ivf_index`."""
+    import json as _json
+    import math
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    recover_ivf_rebalance(path)
+    data = spark.read.parquet(path + "/data")
+    counts = {
+        r["cell"]: r["n"]
+        for r in data.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    mean = total / max(len(counts), 1)
+    oversized = sorted(
+        c for c, n in counts.items() if n > threshold * mean
+    )
+    if not oversized:
+        return []
+
+    cent = spark.read.parquet(path + "/centroids").orderBy("cell").toPandas()
+    next_id = int(cent["cell"].max()) + 1
+    staging = path + "/data._rebal"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+
+    new_rows = []  # (cell, centroid vector) additions
+    new_cells = []
+    for c in oversized:
+        m = max(2, int(math.ceil(counts[c] / mean)))
+        cell_rows = data.where(F.col("cell") == c).drop("cell")
+        seeds = (
+            cell_rows.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(m)
+            .select(vec_col)
+            .toPandas()
+        )
+        sub_cm = _unit_exact(
+            np.stack(seeds[vec_col].to_numpy()).astype(np.float64)
+        )
+        # global ids: sub-cell 0 keeps id c, the rest are appended
+        ids = [c] + list(range(next_id, next_id + len(sub_cm) - 1))
+        next_id += len(sub_cm) - 1
+        assigned = _assigned_cells(cell_rows, sub_cm, id_col, vec_col)
+        mapping = F.create_map(
+            *[x for i, g in enumerate(ids) for x in (F.lit(i), F.lit(g))]
+        )
+        assigned.withColumn("cell", mapping[F.col("cell")]).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(staging)
+        for i, g in enumerate(ids):
+            new_rows.append((g, [float(x) for x in sub_cm[i]]))
+        new_cells.extend(ids[1:])
+
+    with open(os.path.join(staging, "_plan"), "w") as fh:
+        _json.dump({"split": oversized, "new_cells": new_cells}, fh)
+
+    # rewritten centroid sidecar: drop the split cells' old rows, add subs
+    keep = cent[~cent["cell"].isin(oversized)]
+    adds = pd.DataFrame(new_rows, columns=["cell", "cv"])
+    cent_new = path + "/centroids._new"
+    spark.createDataFrame(
+        pd.concat([keep, adds], ignore_index=True).sort_values("cell"),
+        "cell int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cent_new)
+
+    # swap, with the staging dir as the recover trigger and its
+    # _committed marker as the direction bit (see recover_ivf_rebalance):
+    # set aside old cell dirs, move replacements in, swap the centroid
+    # sidecar rename-aside, mark committed, THEN clean up
+    for c in oversized:
+        os.rename(f"{path}/data/cell={c}", f"{path}/data/cell={c}._old")
+    for name in os.listdir(staging):
+        if name.startswith("cell="):
+            os.rename(os.path.join(staging, name), f"{path}/data/{name}")
+    os.rename(path + "/centroids", path + "/centroids._old")
+    os.rename(cent_new, path + "/centroids")
+    with open(os.path.join(staging, "_committed"), "w") as fh:
+        fh.write("1")
+    for c in oversized:
+        shutil.rmtree(f"{path}/data/cell={c}._old")
+    shutil.rmtree(path + "/centroids._old")
+    shutil.rmtree(staging)
+    return oversized
+
+
 def ivf_topk_stored(
     spark,
     path: str,

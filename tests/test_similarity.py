@@ -319,3 +319,150 @@ def test_ivf_append_equals_rebuild_under_same_quantizer(spark, tmp_path):
     a = sorted(map(tuple, ivf_topk_stored(spark, inc, queries, k=5, n_probe=4).collect()))
     b = sorted(map(tuple, ivf_topk_stored(spark, full, queries, k=5, n_probe=4).collect()))
     assert a == b and len(a) > 0
+
+
+def _pseudo_uniform_vecs(spark, n, dim=8, offset=0):
+    """Deterministic pseudo-uniform vectors (no RNG: hash arithmetic)."""
+    rows = [
+        (offset + i, [((i * 37 + j * 11) % 97) / 97.0 - 0.5 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _clustered_vecs(spark, n, center, offset):
+    """n vectors packed around ``center`` (spread ~0.3 per dim, wide
+    enough that sub-centroids can split the cluster) — the skewed
+    append."""
+    rows = [
+        (
+            offset + i,
+            [
+                c + ((i * 13 + j * 7 + i * j) % 23) / 23.0 * 0.3 - 0.15
+                for j, c in enumerate(center)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_drift_metric_and_rebalance(spark, tmp_path):
+    """10x skewed appends under the frozen quantizer pile into few cells;
+    ivf_cell_stats exposes the drift, rebalance_ivf_index splits only the
+    oversized cells (untouched cell files are not rewritten), occupancy
+    returns to bounded imbalance, and ANN recall vs brute force still
+    holds the operator's bound."""
+    import os
+
+    from label_maker_dask_spark.operators.similarity import (
+        append_ivf_index,
+        cosine_topk,
+        ivf_cell_stats,
+        ivf_topk_stored,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    base = _pseudo_uniform_vecs(spark, 160)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, path, n_cells=8)
+
+    center = [((5 * 37 + j * 11) % 97) / 97.0 - 0.5 for j in range(8)]
+    append_ivf_index(_clustered_vecs(spark, 1600, center, offset=10_000), path)
+
+    drift = ivf_cell_stats(spark, path)
+    assert drift["total"] == 1760
+    assert drift["imbalance"] > 3.0 and drift["oversized"]
+
+    untouched = [
+        c for c in range(8) if c not in
+        {c for c in drift["oversized"]}
+    ]
+    before = {
+        c: sorted(os.listdir(f"{path}/data/cell={c}"))
+        for c in untouched
+        if os.path.isdir(f"{path}/data/cell={c}")
+    }
+
+    split = rebalance_ivf_index(spark, path, threshold=2.0)
+    # the first round splits exactly the drifted cells (later rounds may
+    # re-split lopsided sub-cells)
+    assert set(drift["oversized"]) <= set(split)
+
+    after_stats = ivf_cell_stats(spark, path)
+    assert after_stats["total"] == 1760  # no rows lost
+    assert after_stats["imbalance"] < drift["imbalance"]
+    assert not after_stats["oversized"]  # i.e. max <= 2x mean again
+    # only the split cells were rewritten
+    for c, files in before.items():
+        assert sorted(os.listdir(f"{path}/data/cell={c}")) == files
+
+    # recall bound (the ivf_topk test's bound) still holds post-rebalance
+    everything = base.unionByName(
+        _clustered_vecs(spark, 1600, center, offset=10_000)
+    )
+    queries = everything.where("vec_id % 251 = 0")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(everything, queries, k=4).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_stored(spark, path, queries, k=4, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_rebalance_noop_when_balanced(spark, tmp_path):
+    from label_maker_dask_spark.operators.similarity import (
+        ivf_cell_stats,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(_pseudo_uniform_vecs(spark, 200), path, n_cells=8)
+    assert rebalance_ivf_index(spark, path) == []
+    assert ivf_cell_stats(spark, path)["total"] == 200
+
+
+def test_recover_rolls_back_uncommitted_rebalance(spark, tmp_path):
+    """A crash after the set-aside renames but before the commit marker
+    must restore the pre-rebalance index exactly."""
+    import json
+    import os
+    import shutil
+
+    from label_maker_dask_spark.operators.similarity import (
+        ivf_topk_stored,
+        recover_ivf_rebalance,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    emb = _pseudo_uniform_vecs(spark, 200)
+    write_ivf_index(emb, path, n_cells=4)
+    queries = emb.where("vec_id % 53 = 0")
+    want = sorted(
+        map(tuple, ivf_topk_stored(spark, path, queries, k=3).collect())
+    )
+
+    # simulate the torn swap: cell 2 set aside, bogus replacement moved
+    # in, a new cell 9 moved in, plan staged, NO commit marker
+    staging = path + "/data._rebal"
+    os.makedirs(staging)
+    with open(staging + "/_plan", "w") as fh:
+        json.dump({"split": [2], "new_cells": [9]}, fh)
+    os.rename(f"{path}/data/cell=2", f"{path}/data/cell=2._old")
+    shutil.copytree(f"{path}/data/cell=0", f"{path}/data/cell=2")
+    shutil.copytree(f"{path}/data/cell=0", f"{path}/data/cell=9")
+
+    recover_ivf_rebalance(path)
+    assert not os.path.exists(staging)
+    assert not os.path.exists(f"{path}/data/cell=9")
+    got = sorted(
+        map(tuple, ivf_topk_stored(spark, path, queries, k=3).collect())
+    )
+    assert got == want
