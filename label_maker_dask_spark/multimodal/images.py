@@ -56,11 +56,11 @@ def decode_compressed(fmt: str = "jpeg"):
     """Decoder for compressed image bytes -> raw array.
 
     PNG decodes natively (``multimodal/png.py``, stdlib zlib) and JPEG
-    decodes natively too (``multimodal/jpeg.py``, baseline sequential DCT
-    in pure numpy — progressive/arithmetic streams raise with Pillow
-    named).  Other formats need PIL: the stage raises with the dependency
-    named unless it is importable; the Spark-side plumbing is identical
-    either way."""
+    decodes natively too (``multimodal/jpeg.py``, baseline + extended
+    sequential + progressive DCT in pure numpy — arithmetic-coded and
+    lossless streams raise with Pillow named).  Other formats need PIL:
+    the stage raises with the dependency named unless it is importable;
+    the Spark-side plumbing is identical either way."""
     if fmt.lower() == "png":
         from label_maker_dask_spark.multimodal.png import decode_png
 

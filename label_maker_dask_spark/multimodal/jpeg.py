@@ -1,23 +1,25 @@
-"""Native baseline JPEG decoder — pure numpy + stdlib, no PIL/libjpeg.
+"""Native JPEG decoder — pure numpy + stdlib, no PIL/libjpeg.
 
 Most real TMS/WMS imagery is JPEG (the reference decodes it through PIL,
 ``label_maker_dask/utils.py:52,62,95``); this module removes the engine's
-last imaging-library dependency for the common case.  Scope: baseline
-sequential DCT (SOF0) and extended sequential (SOF1), 8-bit, grayscale or
+last imaging-library dependency.  Scope: baseline sequential DCT (SOF0),
+extended sequential (SOF1) and progressive (SOF2, spectral selection +
+successive approximation per ITU T.81 Annex G), 8-bit, grayscale or
 YCbCr, any of the standard chroma samplings (4:4:4 / 4:2:2 / 4:2:0 and
-friends), restart markers, 8- and 16-bit quantization tables.  Progressive
-(SOF2) and arithmetic-coded streams raise ``NotImplementedError`` naming
-Pillow as the optional escape hatch — they are rare in tile servers, which
-favor baseline for incremental decode.
+friends), restart markers, 8- and 16-bit quantization tables.
+Arithmetic-coded and lossless/hierarchical streams raise
+``NotImplementedError`` naming Pillow as the optional escape hatch.
 
 Decode shape: marker parse -> Huffman entropy decode (the only per-symbol
-Python loop) -> batched dequant + IDCT over all blocks of a component at
-once (einsum, vectorized) -> np.repeat chroma upsampling -> vectorized
+Python loop; progressive repeats it per scan over the same coefficient
+store) -> batched dequant + IDCT over all blocks of a component at once
+(einsum, vectorized) -> np.repeat chroma upsampling -> vectorized
 YCbCr->RGB.  On a 256x256 tile the sequential part touches ~1.5k blocks,
 comfortably inside an Arrow batch budget; the heavy math is numpy.
 
 Verified against an independent implementation: the JVM's javax.imageio
-decoder (always present — Spark requires Java) in tests/test_jpeg.py.
+decoder (always present — Spark requires Java) in tests/test_jpeg.py,
+including progressive streams encoded by the JVM writer.
 """
 
 from __future__ import annotations
@@ -29,10 +31,10 @@ import numpy as np
 
 __all__ = ["decode_jpeg", "jpeg_info"]
 
-# SOF markers by coding process; only sequential-Huffman ones are in scope
+# SOF markers by coding process; sequential + progressive Huffman in scope
 _SOF_SEQUENTIAL = {0xC0, 0xC1}
+_SOF_PROGRESSIVE = 0xC2
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT",
     0xC3: "lossless sequential",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -205,6 +207,36 @@ class _Component:
         self.ac_id = 0
 
 
+def _parse_dqt(seg: bytes, qt: Dict[int, np.ndarray]) -> None:
+    j = 0
+    while j < len(seg):
+        pq, tq = seg[j] >> 4, seg[j] & 0x0F
+        j += 1
+        if pq == 0:
+            qt[tq] = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(
+                np.int32
+            )
+            j += 64
+        else:
+            qt[tq] = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(
+                np.int32
+            )
+            j += 128
+
+
+def _parse_dht(
+    seg: bytes, dc: Dict[int, "_Huffman"], ac: Dict[int, "_Huffman"]
+) -> None:
+    j = 0
+    while j < len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 0x0F
+        counts = [0] + list(seg[j + 1 : j + 17])
+        total = sum(counts)
+        symbols = seg[j + 17 : j + 17 + total]
+        (dc if tc == 0 else ac)[th] = _Huffman(counts, symbols)
+        j += 17 + total
+
+
 def _parse_headers(data: bytes):
     """Walk the marker stream up to (and including) the SOS header."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
@@ -216,6 +248,7 @@ def _parse_headers(data: bytes):
     size: Optional[Tuple[int, int]] = None
     restart_interval = 0
     adobe_transform: Optional[int] = None
+    progressive = False
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -228,32 +261,11 @@ def _parse_headers(data: bytes):
         seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
         seg = data[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT — may hold several tables
-            j = 0
-            while j < len(seg):
-                pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                j += 1
-                if pq == 0:
-                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(
-                        np.int32
-                    )
-                    j += 64
-                else:
-                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(
-                        np.int32
-                    )
-                    j += 128
-                qt[tq] = tbl
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT — may hold several tables
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 0x0F
-                counts = [0] + list(seg[j + 1 : j + 17])
-                total = sum(counts)
-                symbols = seg[j + 17 : j + 17 + total]
-                table = _Huffman(counts, symbols)
-                (dc if tc == 0 else ac)[th] = table
-                j += 17 + total
-        elif marker in _SOF_SEQUENTIAL:
+            _parse_dht(seg, dc, ac)
+        elif marker in _SOF_SEQUENTIAL or marker == _SOF_PROGRESSIVE:
+            progressive = marker == _SOF_PROGRESSIVE
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -280,11 +292,13 @@ def _parse_headers(data: bytes):
             adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = seg[0]
-            if ns != len(comps):
+            if ns != len(comps) and not progressive:
                 # a legal baseline file may split components across several
                 # scans (T.81 non-interleaved); decoding the first scan as if
                 # it were interleaved would return plausible garbage, so fail
                 # loudly like the other unsupported-variant branches
+                # (progressive scans are PER-BAND by design and take the
+                # multi-scan decoder below instead)
                 raise NotImplementedError(
                     f"non-interleaved JPEG scan ({ns} of {len(comps)} "
                     "components) unsupported by the native decoder; "
@@ -298,7 +312,7 @@ def _parse_headers(data: bytes):
                         comp.ac_id = tables & 0x0F
             return (
                 qt, dc, ac, comps, size, restart_interval,
-                adobe_transform, i + 2 + seg_len,
+                adobe_transform, i + 2 + seg_len, progressive,
             )
         elif marker == 0xD9:  # EOI before any scan
             break
@@ -309,16 +323,17 @@ def _parse_headers(data: bytes):
 def jpeg_info(data: bytes) -> Tuple[int, int, int]:
     """(height, width, n_components) from the frame header — a plan-time
     capability/shape check that does not entropy-decode anything."""
-    _, _, _, comps, size, _, _, _ = _parse_headers(data)
+    _, _, _, comps, size, _, _, _, _ = _parse_headers(data)
     if size is None:
         raise ValueError("corrupt JPEG: no SOF frame header")
     return size[0], size[1], len(comps)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to uint8 (H, W) gray or (H, W, 3) RGB."""
+    """Decode JPEG bytes (baseline, extended sequential, or progressive)
+    to uint8 (H, W) gray or (H, W, 3) RGB."""
     (qt, dc, ac, comps, size, restart_interval, adobe_transform,
-     scan_start) = _parse_headers(data)
+     scan_start, progressive) = _parse_headers(data)
     if size is None or not comps:
         raise ValueError("corrupt JPEG: no SOF frame header before scan")
     h_img, w_img = size
@@ -329,6 +344,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"{ncomp}-component JPEG (CMYK?) unsupported; install Pillow"
         )
+    if progressive:
+        return _decode_progressive(data)
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -382,7 +399,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             k += 1
             mcu_count += 1
 
-    # Batched dequantize + de-zigzag + IDCT per component (all numpy).
+    return _reconstruct(
+        coeff, comps, qt, h_img, w_img, hmax, vmax, adobe_transform
+    )
+
+
+def _reconstruct(
+    coeff, comps, qt, h_img, w_img, hmax, vmax, adobe_transform
+) -> np.ndarray:
+    """Batched dequantize + de-zigzag + IDCT per component (all numpy),
+    then chroma upsample, crop, and color-convert — shared by the
+    sequential and progressive paths (the two differ only in how the
+    coefficient store is filled)."""
     planes: List[np.ndarray] = []
     for ci, comp in enumerate(comps):
         blocks = coeff[ci]  # (R, C, 64) zigzag-ordered
@@ -399,7 +427,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         plane = _upsample(plane, hmax // comp.h, axis=1)
         planes.append(plane[:h_img, :w_img])
 
-    if ncomp == 1:
+    if len(comps) == 1:
         return planes[0].astype(np.uint8)
 
     y, cb, cr = planes
@@ -414,3 +442,285 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — ITU T.81 Annex G, Huffman coding.
+#
+# A progressive stream carries MANY scans over one shared coefficient
+# store: DC-first (the DC diffs, point-transformed right by Al), DC
+# refinement (one literal bit per block), AC-first (a spectral band
+# Ss..Se of one component, magnitudes shifted by Al, with EOB-run
+# coding across blocks), and AC refinement (one correction bit per
+# already-nonzero coefficient plus newly-significant +-1<<Al terms).
+# Once every scan is applied the coefficients are exactly a sequential
+# stream's and reconstruction is shared (_reconstruct).
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    qt: Dict[int, np.ndarray] = {}
+    dc: Dict[int, _Huffman] = {}
+    ac: Dict[int, _Huffman] = {}
+    comps: List[_Component] = []
+    size: Optional[Tuple[int, int]] = None
+    restart_interval = 0
+    adobe_transform: Optional[int] = None
+    coeff: Optional[List[np.ndarray]] = None
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+
+    i = 2
+    n = len(data)
+    while i + 2 <= n:
+        if data[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > n:
+            break
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xC4:
+            _parse_dht(seg, dc, ac)
+        elif marker == _SOF_PROGRESSIVE:
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"{seg[0]}-bit progressive JPEG unsupported; "
+                    "install Pillow"
+                )
+            h_img = struct.unpack(">H", seg[1:3])[0]
+            w_img = struct.unpack(">H", seg[3:5])[0]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+            size = (h_img, w_img)
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-w_img // (8 * hmax))
+            mcus_y = -(-h_img // (8 * vmax))
+            coeff = [
+                np.zeros((mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]
+        elif marker == 0xDA:
+            if coeff is None or size is None:
+                raise ValueError("corrupt JPEG: SOS before SOF frame header")
+            ns = seg[0]
+            scan_idx: List[int] = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                for idx, comp in enumerate(comps):
+                    if comp.cid == cs:
+                        comp.dc_id = tables >> 4
+                        comp.ac_id = tables & 0x0F
+                        scan_idx.append(idx)
+            if len(scan_idx) != ns:
+                raise ValueError("corrupt JPEG: scan names unknown component")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            segments, end = _split_entropy(data, i + 2 + seg_len)
+            _decode_prog_scan(
+                segments, coeff, comps, scan_idx, dc, ac, ss, se, ah, al,
+                restart_interval, mcus_x, mcus_y, hmax, vmax, size,
+            )
+            i = end
+            continue
+        i += 2 + seg_len
+
+    if coeff is None or size is None or not comps:
+        raise ValueError("corrupt JPEG: no SOF frame header")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK?) unsupported; install Pillow"
+        )
+    return _reconstruct(
+        coeff, comps, qt, size[0], size[1], hmax, vmax, adobe_transform
+    )
+
+
+def _comp_block_grid(
+    comp: _Component, size: Tuple[int, int], hmax: int, vmax: int
+) -> Tuple[int, int]:
+    """(block rows, block cols) of one component in a NON-interleaved
+    scan: the component's true sampled size, NOT padded to MCU
+    multiples (T.81 A.2.2)."""
+    h_img, w_img = size
+    cw = -(-w_img * comp.h // hmax)
+    ch = -(-h_img * comp.v // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(
+    segments: List[bytes],
+    coeff: List[np.ndarray],
+    comps: List[_Component],
+    scan_idx: List[int],
+    dc: Dict[int, _Huffman],
+    ac: Dict[int, _Huffman],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    hmax: int,
+    vmax: int,
+    size: Tuple[int, int],
+) -> None:
+    """Apply one progressive scan onto the shared coefficient store."""
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    state = {"eobrun": 0, "pred": [0] * len(comps)}
+
+    def _restart() -> None:
+        nonlocal br, seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("corrupt JPEG: missing restart segment")
+        br = _BitReader(segments[seg_idx])
+        state["eobrun"] = 0
+        state["pred"] = [0] * len(comps)
+
+    if ss == 0:
+        # ---- DC scan (se == 0 per spec) -------------------------------
+        def dc_block(ci: int, blk: np.ndarray) -> None:
+            if ah == 0:
+                t = _decode_symbol(br, dc[comps[ci].dc_id])
+                diff = _extend(br.receive(t), t)
+                state["pred"][ci] += diff
+                blk[0] = state["pred"][ci] << al
+            elif br.read_bit():
+                # refinement appends one bit of the two's-complement
+                # representation (the DC point transform is an arithmetic
+                # shift, so OR-ing the bit back is exact for negatives too)
+                blk[0] |= 1 << al
+
+        if len(scan_idx) > 1:
+            count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        _restart()
+                    for ci in scan_idx:
+                        comp = comps[ci]
+                        for by in range(comp.v):
+                            for bx in range(comp.h):
+                                dc_block(
+                                    ci,
+                                    coeff[ci][
+                                        my * comp.v + by, mx * comp.h + bx
+                                    ],
+                                )
+                    count += 1
+        else:
+            ci = scan_idx[0]
+            bh, bw = _comp_block_grid(comps[ci], size, hmax, vmax)
+            count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        _restart()
+                    dc_block(ci, coeff[ci][by, bx])
+                    count += 1
+        return
+
+    # ---- AC scan: exactly one component (T.81 G.1.1.1.1) --------------
+    if len(scan_idx) != 1:
+        raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+    ci = scan_idx[0]
+    ac_tbl = ac[comps[ci].ac_id]
+    bh, bw = _comp_block_grid(comps[ci], size, hmax, vmax)
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def ac_first(blk: np.ndarray) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(br, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    break
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC index past band end")
+                blk[k] = _extend(br.receive(s), s) << al
+                k += 1
+
+    def ac_refine(blk: np.ndarray) -> None:
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_symbol(br, ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.receive(r)
+                        break
+                    s_val = 0  # ZRL: advance over 16 zero-history coeffs
+                else:
+                    # s is 1 by spec: a newly-significant +-(1<<Al)
+                    s_val = p1 if br.read_bit() else m1
+                # advance r zero-history positions, emitting a correction
+                # bit at every nonzero-history coefficient passed over
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s_val and k <= se:
+                    blk[k] = s_val
+                k += 1
+        if state["eobrun"] > 0:
+            # EOB run: only correction bits for the rest of the band
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    step = ac_first if ah == 0 else ac_refine
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count and count % restart_interval == 0:
+                _restart()
+            step(coeff[ci][by, bx])
+            count += 1

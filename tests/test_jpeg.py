@@ -150,11 +150,55 @@ def test_uniform_color_round_trips_exactly(spark):
     np.testing.assert_array_equal(decode_jpeg(blob), decode_rgb(blob))
 
 
-def test_progressive_raises_naming_pillow(spark):
+def test_progressive_gray_bit_exact_vs_jvm(spark):
+    """Progressive grayscale: every scan applied, the coefficient store
+    equals a sequential stream's and the decode matches the independent
+    JVM decoder bit-for-bit (same criterion as the baseline gray test)."""
+    encode, _, decode_gray = _jvm_tools(spark)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    blob = encode(img, progressive=True)
+    # really a progressive stream: SOF2 marker present
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+    assert jpeg_info(blob) == (48, 64, 1)
+    ours = decode_jpeg(blob)
+    np.testing.assert_array_equal(ours, decode_gray(blob))
+
+
+def test_progressive_rgb_within_tolerance_vs_jvm(spark):
+    encode, decode_rgb, _ = _jvm_tools(spark)
+    img = _smooth_rgb(48, 64)
+    blob = encode(img, progressive=True)
+    assert b"\xff\xc2" in blob
+    ours = decode_jpeg(blob)
+    theirs = decode_rgb(blob)
+    d = np.abs(ours.astype(int) - theirs.astype(int))
+    assert d.max() <= 4 and d.mean() <= 1.0
+
+
+def test_progressive_equals_baseline_decode_of_same_pixels(spark):
+    """Progressive and baseline encodes of the SAME pixels must decode to
+    near-identical images (the formats differ only in scan order; any
+    drift here is an entropy-decode bug, not codec noise)."""
     encode, _, _ = _jvm_tools(spark)
-    blob = encode(_smooth_rgb(32, 32), progressive=True)
-    with pytest.raises(NotImplementedError, match="[Pp]illow"):
-        decode_jpeg(blob)
+    img = _smooth_rgb(45, 61)  # odd dims: exercises non-interleaved grids
+    seq = decode_jpeg(encode(img))
+    prog = decode_jpeg(encode(img, progressive=True))
+    assert prog.shape == seq.shape == (45, 61, 3)
+    d = np.abs(prog.astype(int) - seq.astype(int))
+    assert d.max() <= 4 and d.mean() <= 1.0
+
+
+def test_progressive_sharp_256_tile_vs_jvm(spark):
+    encode, decode_rgb, _ = _jvm_tools(spark)
+    yy, xx = np.mgrid[0:256, 0:256]
+    img = np.stack(
+        [(yy * 7) % 256, (xx * 3) % 256, (yy + 5) % 256], axis=-1
+    ).astype(np.uint8)
+    blob = encode(img, progressive=True)
+    ours = decode_jpeg(blob)
+    d = np.abs(ours.astype(int) - decode_rgb(blob).astype(int))
+    assert d.max() <= 8 and d.mean() <= 1.0
 
 
 def test_corrupt_input_raises():
