@@ -253,7 +253,14 @@ def jaccard_pairs(
     shingle pairs — the verification/oracle path (see module docstring);
     :func:`minhash_neardup_pairs` is the scale path.  Refuses shingle
     tables above ``max_rows`` up front (``guards.ensure_small_input``)
-    rather than launching an all-pairs join over a large corpus."""
+    rather than launching an all-pairs join over a large corpus.
+
+    The 2M default is sized for every scale the exact catalog entries are
+    replayed at: the correctness gate runs sf0.01 (~500 docs, ~50k
+    shingle rows) and the bench sf0.1 (~5k docs, ~500k rows) — both
+    comfortably under the cap; the sf1 scaling tier probes the LSH twin
+    instead, by design.  Raise ``max_rows`` explicitly only when the
+    quadratic cost is the point."""
     from label_maker_dask_spark.operators.guards import ensure_small_input
 
     shingled = ensure_small_input(
@@ -468,6 +475,61 @@ def containment_pairs(
             F.greatest(ca, cb).alias("containment"),
         )
         .where(F.col("containment") >= threshold)
+    )
+
+
+def containment_verify_sets(
+    sets: DataFrame, candidates: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Directional containment for candidate pairs from per-doc
+    shingle-set arrays (``doc_id, shs``) — the set-math verification stage
+    of :func:`containment_neardup_pairs`; same two-join shape as
+    :func:`jaccard_verify_sets`."""
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    ca = F.round(n_inter / F.size("shs_a"), 6)
+    cb = F.round(n_inter / F.size("shs_b"), 6)
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ca.alias("cont_in_a"),
+            cb.alias("cont_in_b"),
+            F.greatest(ca, cb).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def containment_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The scalable candidate path for :func:`containment_pairs`: LSH band
+    candidates (as :func:`minhash_neardup_pairs`) verified with exact set
+    containment instead of Jaccard.  The only shuffles are the band join
+    and the two candidate joins — no shared-shingle pair explosion, so
+    this is the 100 TB twin of the guarded all-pairs form.
+
+    Recall caveat, stated honestly: MinHash-LSH recalls pairs by
+    JACCARD similarity, so an extreme excerpt case (tiny doc inside a
+    huge one: containment ~1, Jaccard ~0) can miss candidacy.  For corpora
+    where that tail matters, lower the band width (more, narrower bands →
+    higher recall at low Jaccard) or partition long documents into
+    chunks before shingling so the excerpt's Jaccard against its source
+    chunk is high — both stay inside this operator's plan shape."""
+    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).persist()
+    candidates = lsh_candidate_pairs(prof.drop("shs"), bands)
+    return containment_verify_sets(
+        prof.select("doc_id", "shs"), candidates, threshold
     )
 
 

@@ -646,6 +646,34 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@register("events_sessionize_30m_chunked", ORACLES["events_sessionize_30m"])
+def events_sessionize_chunked(spark, sf_dir):
+    """Sessionization by the skew-tolerant chunked path
+    (``streaming.windows.sessionize_chunked_sessions``: local sessions per
+    time slice + per-user merge over slice-session summaries) — same
+    oracle as ``events_sessionize_30m``, so the hash-match is the proof
+    the two builds agree down to the session ordinals."""
+    from label_maker_dask_spark.streaming.windows import (
+        sessionize_chunked_sessions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_chunked_sessions(
+        ev, "ts", "user_id", gap_minutes=30, tie_break="event_id",
+        value_col="value", chunk_seconds=7200,
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "session_start",
+        "session_end",
+        F.round(F.col("session_value_dec"), 2)
+        .cast("double")
+        .alias("session_value"),
+    )
+
+
 # the GL filters exercised against the events table (props JSON acts as the
 # feature properties; event_type plays $type; event_id plays $id)
 _GL_FILTER_SELECT = ["all", [">=", "k", 50], ["!in", "$type", "error", "signup"]]
@@ -816,6 +844,64 @@ def dedup_containment(spark, sf_dir):
     exact small-corpus path, guarded like the Jaccard baseline."""
     sh = D.doc_shingles(_t(spark, sf_dir, "documents"))
     return D.containment_pairs(sh, threshold=0.25)
+
+
+def _lsh_candidate_cte(k: int = 16, bands: int = 4) -> str:
+    """The shared MinHash-LSH candidate pipeline (sig → bands → cand) used
+    by both the Jaccard and containment near-dup oracles."""
+    coeffs = D.MINHASH_COEFFS[:k]
+    mins = ", ".join(
+        f"min((sh * {a} + {b}) % {HASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    rows_per_band = k // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {concat} AS bsig FROM sig".format(
+            bi=bi,
+            concat="||'-'||".join(
+                f"mh{bi * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+    """
+
+
+@register(
+    "dedup_containment_lsh_pairs",
+    f"""
+    WITH {_shingle_cte()},
+    {_lsh_candidate_cte()},
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND a.sh = b.sh
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, cont_in_a, cont_in_b,
+           greatest(cont_in_a, cont_in_b) AS containment
+    FROM (
+      SELECT id_a, id_b,
+             round(n_inter / sa.n_sh, 6) AS cont_in_a,
+             round(n_inter / sb.n_sh, 6) AS cont_in_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b)
+    WHERE greatest(cont_in_a, cont_in_b) >= 0.25
+    """,
+)
+def dedup_containment_lsh(spark, sf_dir):
+    """Containment over MinHash-LSH candidates — the scalable twin of
+    ``dedup_containment_pairs`` (no shared-shingle pair explosion; the
+    oracle replays the identical LSH arithmetic in SQL)."""
+    return D.containment_neardup_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=4, threshold=0.25
+    )
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4, threshold: float = 0.12) -> str:

@@ -214,3 +214,96 @@ def stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_chunked_sessions(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_minutes: int = 30,
+    tie_break: str | None = None,
+    value_col: str | None = None,
+    chunk_seconds: int = 7200,
+) -> DataFrame:
+    """Skew-tolerant sessionization, aggregated to one row per session —
+    identical output (including the per-user session-id ORDINALS) to
+    aggregating :func:`sessionize_lag`, without any task owning a hot
+    user's full timeline.
+
+    Same two-level shape as the transition-graph chunked builder
+    (``queries_graph_ext.transition_edges_chunked``):
+
+    1. **within-slice** — gaps-and-islands over ``(user, time-slice)``:
+       a plain session's events inside one slice are a contiguous
+       no-gap run, so they form exactly one local session; the hot
+       user's events spread over as many tasks as slices they span;
+    2. **across-slice** — local sessions collapse to ONE summary row
+       each (count, start/end, mergeable decimal value sum); a per-user
+       window over those summaries re-runs gaps-and-islands on
+       (start, previous end) and merges boundary-crossing sessions.
+       Summary rows per user ≈ sessions + occupied slices — even a
+       continuously-active bot contributes ~timespan/chunk rows, not
+       #events.
+
+    Correctness does not depend on ``chunk_seconds`` vs the gap (only
+    efficiency does); merge ordinals equal the plain formulation's
+    because local-session start times are strictly increasing per user.
+    ``value_col`` adds an exact ``decimal(28,8)`` session sum
+    (mergeable across slices; round/cast at the call site).  Equality
+    with the plain build is tested on skewed data in
+    tests/test_streaming.py; the catalog twin hash-matches the same
+    oracle as ``events_sessionize_30m``."""
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    chunk_us = int(chunk_seconds) * 1_000_000
+    us = epoch_micros(ts_col)
+    e = df.withColumn("_us", us).withColumn(
+        "_slice", F.floor(F.col("_us") / F.lit(chunk_us))
+    )
+    order = ["_us"] + ([tie_break] if tie_break else [])
+    w1 = Window.partitionBy(user_col, "_slice").orderBy(*order)
+    flagged = e.withColumn(
+        "_new",
+        F.when(F.col("_us") - F.lag("_us").over(w1) > gap_us, 1).otherwise(0),
+    ).withColumn(
+        "_lsid",
+        F.sum("_new").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_us").alias("_start_us"),
+        F.max("_us").alias("_end_us"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(28,8)")).alias("_val")
+        )
+    local = flagged.groupBy(user_col, "_slice", "_lsid").agg(*aggs)
+
+    # start times of a user's local sessions are strictly increasing
+    # (within a slice they are >gap apart; across slices they live in
+    # disjoint time ranges), so this order is total and matches the
+    # event-order the plain formulation numbers sessions in
+    w2 = Window.partitionBy(user_col).orderBy("_start_us")
+    chained = local.withColumn(
+        "_chain_new",
+        F.when(
+            F.col("_start_us") - F.lag("_end_us").over(w2) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("_chain_new").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    out_aggs = [
+        F.sum("_n").alias("n_events"),
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+    ]
+    if value_col is not None:
+        out_aggs.append(F.sum("_val").alias("session_value_dec"))
+    return chained.groupBy(user_col, "session_id").agg(*out_aggs)

@@ -190,3 +190,32 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert r.cont_in_b == 1.0 and r.cont_in_a < 0.2  # directional
     jac = {(r.id_a, r.id_b) for r in D.jaccard_pairs(sh, 0.9).collect()}
     assert (1, 2) not in jac  # Jaccard at the same bar misses it
+
+
+def test_containment_lsh_twin_subset_and_values(spark):
+    """The scalable containment path (LSH candidates -> set containment)
+    must report a SUBSET of the exact all-pairs result with identical
+    values on the pairs it surfaces (ANN-style recall contract), and must
+    find near-duplicate pairs whose Jaccard is high enough to band."""
+    rows = []
+    base = " ".join(f"w{i}" for i in range(40))
+    for d in range(12):
+        rows.append((d, base + f" tail{d}"))  # near-dups of each other
+    rows.append((100, "completely different content " * 3))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = D.doc_shingles(docs)
+    exact = {
+        (r.id_a, r.id_b): (r.cont_in_a, r.cont_in_b, r.containment)
+        for r in D.containment_pairs(sh, 0.5).collect()
+    }
+    twin = {
+        (r.id_a, r.id_b): (r.cont_in_a, r.cont_in_b, r.containment)
+        for r in D.containment_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    assert len(twin) > 0
+    assert set(twin) <= set(exact)
+    for pair, vals in twin.items():
+        assert exact[pair] == vals  # identical set math on candidates
+    # the high-Jaccard near-dup cluster must band together
+    assert sum(1 for (a, b) in twin if a < 12 and b < 12) >= 10

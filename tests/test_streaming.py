@@ -375,3 +375,54 @@ def test_stateful_transition_counts_equal_batch(spark, tmp_path):
         .count()
     )
     assert spans > 0
+
+
+def test_sessionize_chunked_equals_plain_on_skewed_user(spark):
+    """One bot user owns half the events: the chunked sessionizer (local
+    sessions per time slice + per-user merge of slice summaries) must
+    reproduce the plain gaps-and-islands output exactly — session
+    ordinals, bounds, counts and value sums — while no task ever holds
+    the bot's full timeline."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.streaming.windows import (
+        sessionize_chunked_sessions,
+        sessionize_lag,
+    )
+
+    rows = []
+    # 40 regular users with gappy activity; slices (60s) « gaps sometimes
+    for i in range(2000):
+        uid = i % 40 + 2
+        ts = i * 7_000_000 + (i % 5) * 90_000_000  # irregular, some >30s gaps
+        rows.append((i, uid, ts, float(i % 13)))
+    for j in range(2000):  # the bot: periodic bursts with session breaks
+        ts = j * 11_000_000 + (j // 50) * 200_000_000
+        rows.append((10_000 + j, 1, ts, 1.5))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "value",
+    )
+
+    plain = (
+        sessionize_lag(df, "ts", "user_id", gap_minutes=1, tie_break="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(28,8)")).alias("v"),
+        )
+    )
+    chunked = sessionize_chunked_sessions(
+        df, "ts", "user_id", gap_minutes=1, tie_break="event_id",
+        value_col="value", chunk_seconds=60,  # tiny slices: hostile case
+    ).withColumnRenamed("session_value_dec", "v")
+
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, chunked.select(*plain.columns).collect()))
+    assert a == b and len(a) > 50

@@ -43,6 +43,10 @@ PROBES = [
     # round-6 operators
     "graph_pagerank_transitions",
     "anomaly_zscore_daily_events",
+    # round-7 operators
+    "dedup_containment_lsh_pairs",
+    "graph_event_transitions_chunked",
+    "events_sessionize_30m_chunked",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -111,9 +115,28 @@ def main() -> None:
         print(line)
 
     # streaming-upsert maintenance: not a catalog query (it drives a
-    # StreamingQuery + on-disk base table), probed bespoke below
-    ts = [_stream_upsert_probe(spark, d) for d in dirs]
+    # StreamingQuery + on-disk base table), probed bespoke below.
+    # Warm the streaming machinery first — an unwarmed first drain carries
+    # several seconds of one-time JIT/codegen that fakes a superlinear
+    # sf0.1 cell (observed: 6.1 s unwarmed vs 1.8 s warmed best-of-2)
+    _stream_upsert_probe(spark, dirs[0])
+    _stream_accumulate_probe(spark, dirs[0])
+    ts = [
+        min(_stream_upsert_probe(spark, d) for _ in range(2)) for d in dirs
+    ]
     line = f"{'stream_upsert_maintenance_3batch':38s} " + " ".join(
+        f"{t:8.2f}" for t in ts
+    )
+    if len(ts) == 4:
+        growth = ts[3] / max(ts[2], 1e-9)
+        line += f" {growth:9.1f} {math.log10(max(growth, 1e-9)):5.2f}"
+    print(line)
+
+    ts = [
+        min(_stream_accumulate_probe(spark, d) for _ in range(2))
+        for d in dirs
+    ]
+    line = f"{'stream_accumulate_maintenance_3batch':38s} " + " ".join(
         f"{t:8.2f}" for t in ts
     )
     if len(ts) == 4:
@@ -123,6 +146,100 @@ def main() -> None:
 
     _bucketed_maintenance_probe(spark)
     _skewed_lag_probe(spark)
+    _vrt_mosaic_probe()
+
+
+def _stream_accumulate_probe(spark, sf_dir: str) -> float:
+    """Seconds to drain a 3-micro-batch additive stream into the
+    accumulate sink: batch 0 creates the per-(user, event_type) count
+    table from the full events table, batches 1-2 each add deltas for
+    ~10% of events — the continuously-maintained aggregate shape
+    (`stream_accumulate_to_parquet`, in-table exactly-once marker)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_accumulate_to_parquet,
+    )
+
+    d = tempfile.mkdtemp(prefix="lmds_probe_accum_")
+    deltas, base, ckpt = f"{d}/chg", f"{d}/base", f"{d}/ckpt"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.select("user_id", "event_type", F.lit(1).alias("n")).coalesce(
+        1
+    ).write.mode("append").parquet(deltas)
+    for i in (1, 2):
+        ev.where(F.col("event_id") % 10 == i).select(
+            "user_id", "event_type", F.lit(1).alias("n")
+        ).coalesce(1).write.mode("append").parquet(deltas)
+    t0 = _time.perf_counter()
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, n int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltas)
+    )
+    q = stream_accumulate_to_parquet(
+        stream, base, ckpt, keys=["user_id", "event_type"], sum_cols=["n"]
+    )
+    q.awaitTermination(600)
+    dt = _time.perf_counter() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    return dt
+
+
+def _vrt_mosaic_probe() -> None:
+    """Native VRT read path vs mosaic size: read the same 25 map tiles
+    from a 4-file and a 1024-file mosaic of the same raster.  The
+    windowed reader opens only DstRect-intersecting members, so per-tile
+    latency must stay flat as the member count grows 256x — the property
+    that makes a continent-scale mosaic readable tile-by-tile."""
+    import pathlib
+    import sys as _sys
+    import tempfile
+    import time as _time
+
+    import numpy as np
+
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    from test_tiff import _write_vrt_mosaic  # the test-grade GeoTIFF writer
+
+    from label_maker_dask_spark.sources.tiff import (
+        _tile_bounds_4326,
+        tif_image_fetcher,
+    )
+
+    z0, x0, y0 = 10, 515, 340
+    bounds = _tile_bounds_4326(z0, x0, y0)
+    arr = (
+        (np.add.outer(np.arange(2048) * 3, np.arange(2048) * 7) % 251)
+        .astype(np.uint8)
+        .reshape(2048, 2048, 1)
+    )
+    print()
+    print("vrt-mosaic tile reads (same raster, 25 tiles @ z15):")
+    for n_split in (2, 32):  # 4 vs 1024 member files
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix="lmds_probe_vrt_"))
+        vrt_path = _write_vrt_mosaic(tmp, arr, bounds, n_split=n_split)
+        fetch = tif_image_fetcher(str(vrt_path))
+        zz = z0 + 5
+        t0 = _time.perf_counter()
+        n_read = 0
+        for dx in range(5):
+            for dy in range(5):
+                blob = fetch(zz, x0 * 32 + 3 + dx * 5, y0 * 32 + 3 + dy * 5)
+                n_read += len(blob)
+        dt = _time.perf_counter() - t0
+        print(f"  {n_split * n_split:5d} files {dt:8.2f}  ({n_read} bytes)")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _skewed_lag_probe(spark) -> None:
@@ -145,7 +262,11 @@ def _skewed_lag_probe(spark) -> None:
     )
 
     d = tempfile.mkdtemp(prefix="lmds_probe_skew_")
-    n_reg, n_bot = 4_800_000, 1_200_000
+    # the bot owns HALF the events: on local[32] the regular users' work
+    # spreads across all threads and finishes early, so the stage's wall
+    # time is the bot partition — the same situation a 1000-executor
+    # cluster is in as soon as the hot user's task outweighs the rest
+    n_reg, n_bot = 2_000_000, 2_000_000
     reg = spark.range(n_reg).select(
         F.col("id").alias("event_id"),
         (F.col("id") % 100_000 + 2).alias("user_id"),
@@ -157,7 +278,7 @@ def _skewed_lag_probe(spark) -> None:
     bot = spark.range(n_bot).select(
         (F.col("id") + n_reg).alias("event_id"),
         F.lit(1).alias("user_id"),
-        F.timestamp_micros(F.col("id") * 200_000).alias("ts"),
+        F.timestamp_micros(F.col("id") * 120_000).alias("ts"),
         F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
             "event_type"
         ),
@@ -178,7 +299,7 @@ def _skewed_lag_probe(spark) -> None:
         )
 
     print()
-    print("skewed-lag (6M events, one user owns 20%):")
+    print("skewed-lag (4M events, one user owns 50%):")
     for label, build in (
         ("plain per-user window", plain),
         ("chunked (1h slices)", lambda: transition_edges_chunked(
@@ -186,7 +307,7 @@ def _skewed_lag_probe(spark) -> None:
         )),
     ):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = _time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
