@@ -77,6 +77,11 @@ HEADLINE = [
     # iterations) and trailing z-score anomaly scoring
     "graph_pagerank_transitions",
     "anomaly_zscore_daily_events",
+    # round-7 operators: the scalable containment candidate path and the
+    # skew-tolerant chunked twins of the lag/sessionize windows
+    "dedup_containment_lsh_pairs",
+    "graph_event_transitions_chunked",
+    "events_sessionize_30m_chunked",
 ]
 
 

@@ -160,6 +160,42 @@ def read_maintained_table(
     return df if with_bucket else df.drop(BUCKET_COL)
 
 
+def key_lookup(spark: SparkSession, base_path: str, **key_values) -> DataFrame:
+    """Point lookup on a bucketed maintained table with PARTITION pruning:
+    the key's bucket is computed driver-side (same xxhash64 the writer
+    used, evaluated by a 1-row Spark expression so the hash is
+    bit-identical), and the scan filters on BOTH the bucket partition
+    column and the key — so only ONE bucket directory's files are listed
+    and read, no matter how many buckets the table has (asserted in
+    tests/test_plans.py).  A plain ``where(k = v)`` would still scan
+    every bucket: Spark cannot derive ``lmdsb = hash(k)`` on its own."""
+    meta = _read_table_meta(base_path)
+    if meta is None:
+        raise ValueError(f"{base_path!r} is not a bucketed maintained table")
+    keys = list(meta["keys"])
+    if sorted(key_values) != sorted(keys):
+        raise ValueError(
+            f"key_lookup needs exactly the table keys {keys}, "
+            f"got {sorted(key_values)}"
+        )
+    n = int(meta["n_buckets"])
+    # cast each literal to the STORED key type before hashing — xxhash64
+    # is type-sensitive, so hashing an int literal against a long column's
+    # buckets would silently land in the wrong (usually empty) bucket
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    ktype = {f.name: f.dataType for f in schema.fields}
+    typed = {
+        k: F.lit(key_values[k]).cast(ktype[k]) for k in keys
+    }
+    one = spark.range(1).select(*[typed[k].alias(k) for k in keys])
+    bucket = one.select(_bucket_expr(keys, n).alias("b")).collect()[0]["b"]
+    df = read_maintained_table(spark, base_path, with_bucket=True)
+    cond = F.col(BUCKET_COL) == int(bucket)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(typed[k])
+    return df.where(cond).drop(BUCKET_COL)
+
+
 def _apply_bucketed(
     delta: DataFrame,
     base_path: str,
@@ -388,6 +424,7 @@ def stream_accumulate_to_parquet_bucketed(
 __all__ = [
     "BUCKET_COL",
     "read_maintained_table",
+    "key_lookup",
     "stream_upsert_to_parquet_bucketed",
     "stream_accumulate_to_parquet_bucketed",
     "_recover_bucketed",

@@ -219,3 +219,47 @@ def test_zscore_daily_rollup_is_partial_aggregated(spark):
     plan = plan_of(Q.QUERIES["anomaly_zscore_daily_events"](spark, SF))
     assert "partial" in plan.lower()
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_key_lookup_prunes_to_one_bucket_dir(spark, tmp_path):
+    """key_lookup on a bucketed maintained table must reach the scan as a
+    PARTITION filter on the bucket column — only one bucket directory's
+    files are read, however many the table has."""
+    from label_maker_dask_spark.streaming.bucketed import (
+        BUCKET_COL,
+        key_lookup,
+        stream_upsert_to_parquet_bucketed,
+    )
+
+    changes = str(tmp_path / "chg")
+    base = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(k, f"v{k}", 0) for k in range(200)], "k long, v string, seq int"
+    ).coalesce(1).write.parquet(changes)
+    q = stream_upsert_to_parquet_bucketed(
+        spark.readStream.schema("k long, v string, seq int").parquet(changes),
+        base, str(tmp_path / "ck"), keys=["k"], seq_col="seq", n_buckets=16,
+    )
+    q.awaitTermination(120)
+
+    df = key_lookup(spark, base, k=7)
+    assert [r.v for r in df.collect()] == ["v7"]
+    plan = plan_of(df)
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_line and BUCKET_COL in part_line[0]
+    # the scan's file listing is the single pruned bucket directory
+    scan_files = [l for l in plan.splitlines() if "files read" in l.lower()]
+    if scan_files:  # Spark 4 formatted plans expose the file count
+        assert "1 files" in scan_files[0] or "files read: 1" in scan_files[0]
+
+
+def test_chunked_windows_never_plan_single_partition(spark):
+    """The skew-tolerant chunked twins exist to avoid one-task windows;
+    their plans must contain NO SinglePartition exchange anywhere."""
+    for name in (
+        "graph_event_transitions_chunked",
+        "events_sessionize_30m_chunked",
+    ):
+        plan = plan_of(Q.QUERIES[name](spark, SF))
+        assert "SinglePartition" not in plan, name
+        assert "Window" in plan  # the windows are there, just partitioned
