@@ -332,10 +332,13 @@ def _bucketed_maintenance_probe(spark) -> None:
         stream_upsert_to_parquet_bucketed,
     )
     from label_maker_dask_spark.streaming.upsert import stream_upsert_to_parquet
+    from label_maker_dask_spark.streaming.versioned import (
+        stream_upsert_to_versioned_table,
+    )
 
     schema = "k long, v double, seq int"
 
-    def run(base_rows: int, bucketed: bool) -> float:
+    def run(base_rows: int, mode: str) -> float:
         d = tempfile.mkdtemp(prefix="lmds_probe_bucketed_")
         changes, base, ckpt = f"{d}/chg", f"{d}/base", f"{d}/ckpt"
         full = spark.range(base_rows).select(
@@ -351,8 +354,13 @@ def _bucketed_maintenance_probe(spark) -> None:
                 .option("maxFilesPerTrigger", 8)
                 .parquet(changes)
             )
-            if bucketed:
+            if mode == "bucketed":
                 q = stream_upsert_to_parquet_bucketed(
+                    stream, base, ckpt, keys=["k"], seq_col="seq",
+                    n_buckets=256,
+                )
+            elif mode == "versioned":
+                q = stream_upsert_to_versioned_table(
                     stream, base, ckpt, keys=["k"], seq_col="seq",
                     n_buckets=256,
                 )
@@ -376,15 +384,20 @@ def _bucketed_maintenance_probe(spark) -> None:
         return dt
 
     sizes = [100_000, 1_000_000, 10_000_000]
-    for bucketed in (False, True):  # warm both code paths (JIT/codegen)
-        run(50_000, bucketed)
+    modes = (
+        ("plain full-rewrite", "plain"),
+        ("bucket-pruned", "bucketed"),
+        ("versioned (bucket + history)", "versioned"),
+    )
+    for _, mode in modes:  # warm all code paths (JIT/codegen)
+        run(50_000, mode)
     print()
     print(
         f"{'bucketed-maintenance (fixed 40-key delta x2)':46s} "
         + " ".join(f"{n//1000:>7d}k" for n in sizes)
     )
-    for label, bucketed in (("plain full-rewrite", False), ("bucket-pruned", True)):
-        ts = [run(n, bucketed) for n in sizes]
+    for label, mode in modes:
+        ts = [run(n, mode) for n in sizes]
         print(f"{label:46s} " + " ".join(f"{t:8.2f}" for t in ts))
 
 
