@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_containment_lsh_pairs",
     "graph_event_transitions_chunked",
     "events_sessionize_30m_chunked",
+    "similarity_ivf_join_topk_ann",
 ]
 
 

@@ -522,6 +522,110 @@ def append_ivf_index(
     ).mode("append").parquet(path + "/data")
 
 
+def ivf_topk_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN where BOTH sides are corpus-sized: nothing but the
+    ``n_cells`` centroid rows ever reaches the driver.
+
+    ``ivf_topk``/``ivf_topk_stored`` collect-and-broadcast the query set
+    (capped by ``max_queries``) — the right shape for "score these
+    probes".  This variant is the all-pairs-ANN shape (e.g. k-NN graph
+    construction over the whole corpus): corpus rows are labeled with
+    their cell, query rows explode to their ``n_probe`` probe cells, and
+    a plain shuffle JOIN on the cell id meets them — per-cell work, no
+    collect, both sides stream.  Scoring uses the same exact left-fold
+    arithmetic as every IVF path (unit vectors from ``_unit_exact``, the
+    fold ``dot`` expression), so results are bit-identical to
+    ``ivf_topk`` under the same centroids (tested) and the same DuckDB
+    oracle replays them.
+
+    100 TB posture: two narrow Arrow passes + one join shuffled on
+    ~n_probe/n_cells of the candidate volume + the per-query top-k
+    window.  Hot cells (drifted index) dominate the join — rebalance
+    with :func:`rebalance_ivf_index`'s splitting when
+    :func:`ivf_cell_stats` flags them."""
+    import numpy as np
+    import pandas as pd
+
+    cpd = embeddings.orderBy(id_col).limit(n_cells).select(vec_col).toPandas()
+    cm = _unit_exact(np.stack(cpd[vec_col].to_numpy()).astype(np.float64))
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
+    def corpus_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xm = _unit_exact(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cv": [[float(x) for x in row] for row in xm],
+                    "cell": np.argmax(_dots_exact(xm, cm), axis=1).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    corpus = embeddings.select(id_col, vec_col).mapInPandas(
+        corpus_gen, f"neighbor_id {id_type}, cv array<double>, cell int"
+    )
+
+    def query_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _unit_exact(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            probe = np.argsort(
+                -_dots_exact(qm, cm), kind="stable", axis=1
+            )[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            vecs = [
+                [float(x) for x in qm[j]]
+                for j in range(len(qm))
+                for _ in range(n_probe)
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids,
+                    "qv": vecs,
+                    "cell": probe.ravel().astype("int32"),
+                }
+            )
+
+    qprobe = queries.select(id_col, vec_col).mapInPandas(
+        query_gen, f"query_id {id_type}, qv array<double>, cell int"
+    )
+
+    scored = (
+        corpus.join(qprobe, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def ivf_cell_stats(spark, path: str) -> dict:
     """Cell-occupancy drift metrics for a stored IVF index.  After heavy
     appends under a frozen quantizer (``append_ivf_index``), inserts

@@ -2380,6 +2380,20 @@ def similarity_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
 
 
+@register("similarity_ivf_join_topk_ann", _ivf_oracle("vec_id % 21 = 0"))
+def similarity_ivf_join_topk(spark, sf_dir):
+    """Join-based IVF ANN (``similarity.ivf_topk_join``): query rows
+    explode to their probe cells and MEET the cell-labeled corpus in a
+    plain shuffle join — both sides corpus-sized, nothing collected but
+    the 16 centroid rows.  The all-pairs-ANN / k-NN-graph shape; same
+    exact-fold arithmetic, same oracle as the broadcast IVF path."""
+    from label_maker_dask_spark.operators.similarity import ivf_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 21 == 0)
+    return ivf_topk_join(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
 def _mm_resize_oracle() -> str:
     """4x4 -> 2x2 nearest resize picks source pixels floor((i+0.5)*4/2) =
     rows/cols {1,3}; with 4 channels in C-order that is these 16 flat

@@ -466,3 +466,24 @@ def test_recover_rolls_back_uncommitted_rebalance(spark, tmp_path):
         map(tuple, ivf_topk_stored(spark, path, queries, k=3).collect())
     )
     assert got == want
+
+
+def test_ivf_join_bit_identical_to_broadcast_ivf(spark):
+    """The join-based IVF (both sides corpus-sized, no query collect)
+    must return exactly the broadcast path's rows under the same
+    centroids — including when the query set IS the whole corpus (the
+    k-NN-graph shape the broadcast path would cap)."""
+    from label_maker_dask_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_join,
+    )
+    import label_maker_dask_spark.queries as Q
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, ivf_topk(
+        emb, emb, k=4, n_cells=8, n_probe=3, max_queries=100_000
+    ).collect()))
+    b = sorted(map(tuple, ivf_topk_join(
+        emb, emb, k=4, n_cells=8, n_probe=3
+    ).collect()))
+    assert a == b and len(b) > 0

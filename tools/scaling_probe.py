@@ -47,6 +47,7 @@ PROBES = [
     "dedup_containment_lsh_pairs",
     "graph_event_transitions_chunked",
     "events_sessionize_30m_chunked",
+    "similarity_ivf_join_topk_ann",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
