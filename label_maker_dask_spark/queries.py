@@ -977,6 +977,39 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_signatures_df(docs)
 
 
+def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    width = D.SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * width}) & {mask} AS bval FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({_simhash_oracle()}),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_neardup_pairs", _simhash_pairs_oracle())
+def dedup_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 over the 16-bit signature)
+    with EXACT recall by pigeonhole: 4 bands of 4 bits, any pair within 3
+    bit flips shares a whole band, so the band-bucket join cannot miss a
+    qualifying pair — banded/bucketed like MinHash-LSH but with a
+    guarantee instead of a probability."""
+    return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
 # --- similarity search -------------------------------------------------------
 
 def _topk_oracle(filter_sql_pred: str, k: int = 5) -> str:

@@ -219,3 +219,39 @@ def test_containment_lsh_twin_subset_and_values(spark):
         assert exact[pair] == vals  # identical set math on candidates
     # the high-Jaccard near-dup cluster must band together
     assert sum(1 for (a, b) in twin if a < 12 and b < 12) >= 10
+
+
+def test_simhash_neardup_exact_recall_by_pigeonhole(spark):
+    """The banded SimHash pair finder claims EXACT recall for
+    hamming <= bands-1: verify against brute-force hamming over every
+    signature pair, both directions (no missed pair, no extra pair)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely different content about spark plans"),
+            (5, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (6, "totally unrelated words in this one here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash_signatures_df(docs).collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_neardup_pairs(docs).collect()
+    }
+    assert got == want
+    assert (1, 5) in got and got[(1, 5)] == 0  # the exact dup pair
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exact recall"):
+        D.simhash_neardup_pairs(docs, max_hamming=5, bands=4)
