@@ -536,15 +536,22 @@ def containment_neardup_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 16
-SIMHASH_COEFFS: list[tuple[int, int]] = [
-    (6 * j + 5, 15485863 * (j + 1) % HASH_P) for j in range(SIMHASH_BITS)
-]
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
-    """16-bit SimHash from an already-computed token-hash array: per token,
-    pseudo-random bit j is ``((h*A_j + B_j) mod P) mod 2``; signature bit j
-    is the sign of the (+1/-1) sum over tokens."""
+def _simhash_coeffs(bits: int) -> list:
+    """Per-bit hash-plane coefficients (deterministic, index-derived — no
+    stored model, any engine can replay them)."""
+    return [(6 * j + 5, 15485863 * (j + 1) % HASH_P) for j in range(bits)]
+
+
+SIMHASH_COEFFS: list[tuple[int, int]] = _simhash_coeffs(SIMHASH_BITS)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """``bits``-wide SimHash from an already-computed token-hash array: per
+    token, pseudo-random bit j is ``((h*A_j + B_j) mod P) mod 2``;
+    signature bit j is the sign of the (+1/-1) sum over tokens.  Widths
+    up to 62 stay clear of the sign bit."""
 
     def bit_sum(A: int, B: int):
         # closure factory keeps the merge lambda at arity 2 (acc, h); extra
@@ -555,7 +562,7 @@ def simhash_from_hashes(hashes: Column) -> Column:
             lambda acc, h: acc + (((h * A + B) % HASH_P) % 2) * 2 - 1,
         )
 
-    bit_sums = [bit_sum(A, B) for (A, B) in SIMHASH_COEFFS]
+    bit_sums = [bit_sum(A, B) for (A, B) in _simhash_coeffs(bits)]
     sig = sum(
         (F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j, s in enumerate(bit_sums)),
         F.lit(0),
@@ -580,6 +587,7 @@ def simhash_signatures_df(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_arrow: bool = True,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Per-doc SimHash signatures.  Two identical-value implementations
     (same twin pattern as :func:`doc_shingles`):
@@ -604,14 +612,15 @@ def simhash_signatures_df(
         )
         with_h = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_th"))
         return with_h.select(
-            "doc_id", simhash_from_hashes(F.col("_th")).alias("simhash")
+            "doc_id",
+            simhash_from_hashes(F.col("_th"), bits).alias("simhash"),
         )
 
     import numpy as np
     import pandas as pd
 
     P = HASH_P
-    coeffs = SIMHASH_COEFFS
+    coeffs = _simhash_coeffs(bits)
 
     def gen(batches):
         for pdf in batches:
@@ -643,6 +652,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     use_arrow: bool = True,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """All document pairs whose SimHash signatures differ in at most
     ``max_hamming`` bits — with EXACT recall, not probabilistic: the
@@ -660,26 +670,27 @@ def simhash_neardup_pairs(
     of :func:`simhash_signatures_df`; then one self-join on (band,
     band-value) + a distinct — compact integer keys throughout.
 
-    Width caveat, stated honestly: the engine's oracle-replayable
-    signature is 16-bit (``SIMHASH_BITS``), whose 4-bit bands hold only
-    16 values — at corpus scale band buckets grow linearly and the
-    candidate join approaches quadratic (sf0.01 already yields ~25k
-    candidate pairs from 500 docs).  Production SimHash uses 64-bit
-    signatures (16-bit bands, 65k bucket values); widening is one
-    constant (plus 48 more hash planes) with the identical plan shape —
-    16 bits is kept because the DuckDB oracle replays all 16 per-bit
-    folds affordably."""
+    Width matters at scale: the default 16-bit signature's 4-bit bands
+    hold only 16 values, so band buckets grow linearly with the corpus
+    and the candidate join approaches quadratic (sf0.01 already yields
+    ~25k candidate pairs from 500 docs).  Pass ``bits=60`` (15-bit
+    bands, 32k values — clear of the sign bit) for corpus-scale
+    discrimination; the plan shape and the exactness guarantee are
+    identical, and both widths are oracle-replayed
+    (``dedup_simhash_neardup_pairs`` / ``dedup_simhash60_neardup_pairs``)."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
             f"bands for exact recall (got bands={bands}); raise bands or "
             "lower the threshold"
         )
-    if SIMHASH_BITS % bands:
-        raise ValueError(f"bands={bands} must divide {SIMHASH_BITS}")
-    width = SIMHASH_BITS // bands
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    if bits > 62:
+        raise ValueError("bits > 62 would reach the sign bit of LONG")
+    width = bits // bands
     mask = (1 << width) - 1
-    sigs = simhash_signatures_df(docs, text_col, id_col, use_arrow)
+    sigs = simhash_signatures_df(docs, text_col, id_col, use_arrow, bits)
     banded = sigs.select(
         id_col,
         "simhash",

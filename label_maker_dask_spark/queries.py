@@ -951,10 +951,10 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(bits: int = 16) -> str:
     fold = char_poly_hash_sql("t")
     bit_terms = []
-    for j, (A, B) in enumerate(D.SIMHASH_COEFFS):
+    for j, (A, B) in enumerate(D._simhash_coeffs(bits)):
         s = (
             f"list_sum(list_transform(hs, h -> ((h * {A} + {B}) % {HASH_P}) % 2 * 2 - 1))"
         )
@@ -977,8 +977,10 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_signatures_df(docs)
 
 
-def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
-    width = D.SIMHASH_BITS // bands
+def _simhash_pairs_oracle(
+    max_hamming: int = 3, bands: int = 4, bits: int = 16
+) -> str:
+    width = bits // bands
     mask = (1 << width) - 1
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
@@ -986,7 +988,7 @@ def _simhash_pairs_oracle(max_hamming: int = 3, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-    WITH sig AS ({_simhash_oracle()}),
+    WITH sig AS ({_simhash_oracle(bits)}),
     banded AS ({band_rows}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1008,6 +1010,20 @@ def dedup_simhash_neardup(spark, sf_dir):
     qualifying pair — banded/bucketed like MinHash-LSH but with a
     guarantee instead of a probability."""
     return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash60_neardup_pairs", _simhash_pairs_oracle(bits=60)
+)
+def dedup_simhash60_neardup(spark, sf_dir):
+    """The corpus-scale SimHash width: 60-bit signatures, 4 bands of 15
+    bits (32k bucket values, clear of the sign bit) — same pigeonhole
+    exactness for hamming <= 3, discrimination fit for a large corpus
+    where the 16-bit demonstrator's buckets saturate.  The oracle replays
+    all 60 per-bit folds."""
+    return D.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), bits=60
+    )
 
 
 # --- similarity search -------------------------------------------------------
