@@ -852,6 +852,144 @@ def _rebalance_ivf_round(
     return oversized
 
 
+def _ivf_state_read(path: str, name: str):
+    import json as _json
+    import os
+
+    p = os.path.join(path, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return _json.load(fh)
+
+
+def _ivf_state_write(path: str, name: str, state: dict) -> None:
+    import json as _json
+    import os
+
+    tmp = os.path.join(path, name + ".tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(state, fh)
+    os.replace(tmp, os.path.join(path, name))
+
+
+def _ivf_cell_inventory(path: str) -> dict:
+    import os
+
+    data = os.path.join(path, "data")
+    inv = {}
+    if os.path.isdir(data):
+        for name in os.listdir(data):
+            if name.startswith("cell="):
+                inv[name] = sorted(os.listdir(os.path.join(data, name)))
+    return inv
+
+
+def append_ivf_index_exactly_once(
+    new_embeddings: DataFrame,
+    path: str,
+    batch_id: int,
+    run_id: Optional[str] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """:func:`append_ivf_index` with replay safety — the building block of
+    the streaming index sink.  A bare append is NOT idempotent: replaying
+    a crashed micro-batch would append its vectors twice, silently
+    corrupting every subsequent query.  This wrapper brackets the append
+    with an intent record holding the PRE-append file inventory of every
+    cell: a replay that finds the intent deletes any file the inventory
+    doesn't list (the torn append's partials), then re-appends; a replay
+    of a fully-applied batch is skipped by the applied marker; a foreign
+    run id raises (batch ids reset with the checkpoint).  Returns True
+    when the batch was applied, False on an already-applied replay."""
+    import os
+    import shutil
+
+    applied = _ivf_state_read(path, "_lmds_applied") or {}
+    if (
+        run_id is not None
+        and applied.get("run") is not None
+        and applied.get("run") != run_id
+    ):
+        raise ValueError(
+            f"ivf append: index {path!r} was maintained by a different "
+            f"stream run ({applied.get('run')!r}, this run {run_id!r}); "
+            "recreate index and checkpoint together."
+        )
+    if int(applied.get("batch", -1)) >= batch_id:
+        return False
+    intent = _ivf_state_read(path, "_lmds_appending")
+    if intent is not None:
+        if int(intent.get("batch", -1)) == batch_id:
+            # torn append of THIS batch: remove its partial files
+            for cell, files in _ivf_cell_inventory(path).items():
+                keep = set(intent.get("existing", {}).get(cell, []))
+                cdir = os.path.join(path, "data", cell)
+                for f in files:
+                    if f not in keep:
+                        fp = os.path.join(cdir, f)
+                        (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
+                if not keep and not os.listdir(cdir):
+                    os.rmdir(cdir)
+        # a stale intent from an APPLIED batch (crash between the applied
+        # marker and the intent removal) carries no partial files
+        os.remove(os.path.join(path, "_lmds_appending"))
+    _ivf_state_write(
+        path,
+        "_lmds_appending",
+        {"run": run_id, "batch": batch_id,
+         "existing": _ivf_cell_inventory(path)},
+    )
+    append_ivf_index(new_embeddings, path, id_col, vec_col)
+    _ivf_state_write(path, "_lmds_applied", {"run": run_id, "batch": batch_id})
+    os.remove(os.path.join(path, "_lmds_appending"))
+    return True
+
+
+def stream_embeddings_to_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebalance_imbalance: Optional[float] = None,
+    available_now: bool = True,
+):
+    """Continuously grow a stored IVF index from an embedding stream: each
+    micro-batch appends under the frozen coarse quantizer
+    (exactly-once — :func:`append_ivf_index_exactly_once`), and when
+    ``rebalance_imbalance`` is set, any batch that leaves
+    ``ivf_cell_stats``'s max/mean occupancy above it triggers
+    :func:`rebalance_ivf_index` — the full index-maintenance loop
+    (ingest → drift watch → split) as one streaming sink."""
+    from label_maker_dask_spark.streaming.upsert import ensure_run_id
+
+    run_id = ensure_run_id(checkpoint)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if append_ivf_index_exactly_once(
+            batch, path, batch_id, run_id, id_col, vec_col
+        ) and rebalance_imbalance is not None:
+            stats = ivf_cell_stats(spark, path)
+            if stats["imbalance"] > rebalance_imbalance:
+                rebalance_ivf_index(
+                    spark, path, id_col=id_col, vec_col=vec_col
+                )
+
+    writer = (
+        new_embeddings.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ivf_topk_stored(
     spark,
     path: str,

@@ -237,3 +237,77 @@ def text_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+def chunk_sliding(
+    docs,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sliding-window document chunking with overlap — the RAG/pretraining
+    prep shape: each document yields ``ceil((n - overlap) / stride)``
+    chunks of up to ``max_tokens`` whitespace tokens, consecutive chunks
+    sharing ``overlap`` tokens so no span loses its context at a chunk
+    boundary.  Empty documents yield no chunks; a document shorter than a
+    window yields exactly one.
+
+    Entirely built-in expressions (tokenize → per-doc chunk-index
+    sequence → explode → slice → join): JVM-side, whole-stage codegen,
+    fan-out bounded by n/stride — contrast ``udtf_chunk_documents``,
+    which demonstrates the same shape through the Python-UDTF surface."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    t = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("_t"), F.size(t).alias("_n")
+    ).where(F.col("_n") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    exploded = base.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_t"), F.col("chunk_id") * stride + 1, max_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def _chunk_sliding_oracle(max_tokens: int = 64, overlap: int = 16) -> str:
+    stride = max_tokens - overlap
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, t,
+             unnest(range(greatest(1,
+               CAST(ceil((n - {overlap}) / {stride}.0) AS BIGINT)))) AS chunk_id
+      FROM sized)
+    SELECT doc_id, chunk_id,
+           array_to_string(
+             t[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}],
+             ' ') AS chunk_text,
+           len(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}])
+             AS n_tokens
+    FROM chunks
+    """
+
+
+@register("text_chunk_sliding_overlap", _chunk_sliding_oracle())
+def text_chunk_sliding_overlap(spark, sf_dir):
+    """64-token sliding chunks with 16-token overlap over every document
+    (``chunk_sliding``) — the expression-only chunker whose fan-out and
+    slicing the oracle replays with DuckDB list arithmetic."""
+    return chunk_sliding(_t(spark, sf_dir, "documents"))

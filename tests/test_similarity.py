@@ -487,3 +487,104 @@ def test_ivf_join_bit_identical_to_broadcast_ivf(spark):
         emb, emb, k=4, n_cells=8, n_probe=3
     ).collect()))
     assert a == b and len(b) > 0
+
+
+def test_streaming_ivf_maintenance_exactly_once(spark, tmp_path):
+    """The streaming index sink: batches append under the frozen
+    quantizer with replay safety, and the maintained index answers
+    queries identically to a one-shot append of the same vectors."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_stored,
+        stream_embeddings_to_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo = emb.where(F.col("vec_id") < 100)
+    mid = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 300))
+    hi = emb.where(F.col("vec_id") >= 300)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+
+    streamed = str(tmp_path / "streamed")
+    write_ivf_index(lo, streamed, n_cells=16)
+    feed = str(tmp_path / "feed")
+    mid.coalesce(1).write.mode("append").parquet(feed)
+    _time.sleep(1.1)
+    hi.coalesce(1).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stream_embeddings_to_ivf_index(
+        stream, streamed, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    oneshot = str(tmp_path / "oneshot")
+    write_ivf_index(lo, oneshot, n_cells=16)
+    append_ivf_index(mid.unionByName(hi), oneshot)
+
+    a = sorted(map(tuple, ivf_topk_stored(spark, streamed, queries, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk_stored(spark, oneshot, queries, k=5).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivf_append_replay_and_torn_append_recovery(spark, tmp_path):
+    """Replaying an applied batch is a no-op; a torn append (intent file
+    present, partial files on disk) is cleaned before the re-append, so
+    the index never holds a vector twice."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        _ivf_cell_inventory,
+        append_ivf_index_exactly_once,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb.where(F.col("vec_id") < 100), path, n_cells=8)
+    batch = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+
+    assert append_ivf_index_exactly_once(batch, path, 0, "r") is True
+    n = spark.read.parquet(path + "/data").count()
+    assert append_ivf_index_exactly_once(batch, path, 0, "r") is False
+    assert spark.read.parquet(path + "/data").count() == n  # no double add
+
+    # simulate the torn append of batch 1: intent written with the
+    # CURRENT inventory, then "partial" files appear (copy an existing
+    # parquet into two cells), then the crash replay runs
+    inv = _ivf_cell_inventory(path)
+    with open(path + "/_lmds_appending", "w") as fh:
+        json.dump({"run": "r", "batch": 1, "existing": inv}, fh)
+    cells = [c for c, files in inv.items() if any(
+        f.endswith(".parquet") for f in files)][:2]
+    for c in cells:
+        src = next(
+            f for f in inv[c] if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(path, "data", c, src),
+            os.path.join(path, "data", c, "part-torn.parquet"),
+        )
+    assert spark.read.parquet(path + "/data").count() > n  # corrupted now
+
+    nxt = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 160))
+    assert append_ivf_index_exactly_once(nxt, path, 1, "r") is True
+    assert spark.read.parquet(path + "/data").count() == n + 10
+    assert not os.path.exists(path + "/_lmds_appending")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="different stream run"):
+        append_ivf_index_exactly_once(nxt, path, 2, "other-run")
