@@ -678,6 +678,26 @@ def simhash_neardup_pairs(
     discrimination; the plan shape and the exactness guarantee are
     identical, and both widths are oracle-replayed
     (``dedup_simhash_neardup_pairs`` / ``dedup_simhash60_neardup_pairs``)."""
+    sigs = simhash_signatures_df(docs, text_col, id_col, use_arrow, bits)
+    return banded_hamming_pairs(
+        sigs, "doc_id", "simhash", bits, bands, max_hamming
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """All pairs of a ``(id, signature)`` frame within ``max_hamming``
+    bits, by band-bucket join — EXACT recall whenever
+    ``max_hamming <= bands - 1`` (pigeonhole: a pair with fewer flipped
+    bits than bands must agree on a whole band).  Shared by SimHash text
+    dedup and perceptual-hash image dedup: any fixed-width bit signature
+    gets the same guarantee and the same compact-integer-key plan."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
@@ -686,20 +706,19 @@ def simhash_neardup_pairs(
         )
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
-    if bits > 62:
-        raise ValueError("bits > 62 would reach the sign bit of LONG")
+    if bits > 63:
+        raise ValueError("bits > 63 would reach the sign bit of LONG")
     width = bits // bands
     mask = (1 << width) - 1
-    sigs = simhash_signatures_df(docs, text_col, id_col, use_arrow, bits)
     banded = sigs.select(
-        id_col,
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col(sig_col), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
@@ -707,14 +726,14 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", F.col("bb.band").alias("band"),
+    ).select("_id", "_sig", F.col("bb.band").alias("band"),
              F.col("bb.bval").alias("bval"))
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"),
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sa"),
         "band", "bval",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"),
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sb"),
         "band", "bval",
     )
     cand = (

@@ -2443,6 +2443,38 @@ def similarity_ivf_join_topk(spark, sf_dir):
     return ivf_topk_join(emb, queries, k=5, n_cells=16, n_probe=4)
 
 
+def _phash_sig_oracle() -> str:
+    from label_maker_dask_spark.multimodal.phash import (
+        gray8_pixels_sql,
+        phash63_sql,
+    )
+
+    return f"""
+    WITH {phash63_sql("vec_id", gray8_pixels_sql("embedding"), "embeddings")}
+    SELECT pid AS vec_id, phash FROM sig
+    """
+
+
+@register("multimodal_phash_signatures", _phash_sig_oracle())
+def multimodal_phash_signatures(spark, sf_dir):
+    """63-bit perceptual hashes (pHash) of every embedding rendered as an
+    8x8 grayscale image: quantize → separable 8x8 DCT → sign of each AC
+    coefficient vs their mean.  Every float multiply-add runs in a fixed
+    literal order generated from ONE coefficient table
+    (multimodal/phash.py), so the DuckDB oracle replays the whole DCT
+    pipeline bit-for-bit — the signature stage of perceptual image
+    dedup (pair search: ``operators.dedup.banded_hamming_pairs``, the
+    same pigeonhole-exact hamming machinery SimHash uses)."""
+    from label_maker_dask_spark.multimodal.phash import (
+        gray8_pixels,
+        phash63_columns,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    px = emb.select("vec_id", gray8_pixels(F.col("embedding")).alias("px"))
+    return phash63_columns(px, "px").select("vec_id", "phash")
+
+
 def _mm_resize_oracle() -> str:
     """4x4 -> 2x2 nearest resize picks source pixels floor((i+0.5)*4/2) =
     rows/cols {1,3}; with 4 channels in C-order that is these 16 flat

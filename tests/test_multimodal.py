@@ -84,3 +84,52 @@ def test_compressed_decode_is_gated(spark):
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_compressed("webp")
+
+
+def test_phash_neardup_pairs_on_perturbed_images(spark):
+    """Perceptual near-dup: copies of an image with a couple of pixels
+    nudged must land within a small hamming ball of the original, found
+    by the banded pair search with exact recall (verified against
+    brute-force hamming over all signatures); unrelated images stay far."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.multimodal.phash import (
+        gray8_pixels,
+        phash63_columns,
+    )
+    from label_maker_dask_spark.operators.dedup import banded_hamming_pairs
+
+    def img(seed):
+        return [((seed * 37 + i * 13) % 197) / 98.0 - 1.0 for i in range(64)]
+
+    rows = []
+    base = img(1)
+    rows.append((1, base))
+    for pid, (pos, delta) in [(2, (5, 0.02)), (3, (40, -0.02))]:
+        v = list(base)
+        v[pos] = max(-1.0, min(1.0, v[pos] + delta))
+        rows.append((pid, v))
+    rows += [(10 + s, img(s + 50)) for s in range(6)]  # unrelated
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    px = df.select("vec_id", gray8_pixels(F.col("embedding")).alias("px"))
+    sigs = phash63_columns(px, "px").select("vec_id", "phash")
+    sig_by_id = {r.vec_id: r.phash for r in sigs.collect()}
+
+    max_h, bands = 6, 7
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in banded_hamming_pairs(
+            sigs, "vec_id", "phash", 63, bands, max_h
+        ).collect()
+    }
+    ids = sorted(sig_by_id)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig_by_id[a] ^ sig_by_id[b]).count("1")
+            if h <= max_h:
+                want[(a, b)] = h
+    assert got == want            # exact recall, no extras
+    assert (1, 2) in got and (1, 3) in got  # the perturbed copies found
+    assert all(a < 10 and b < 10 for a, b in got)  # unrelated images far
