@@ -83,6 +83,10 @@ HEADLINE = [
     "graph_event_transitions_chunked",
     "events_sessionize_30m_chunked",
     "similarity_ivf_join_topk_ann",
+    "dedup_simhash_neardup_pairs",
+    "dedup_simhash60_neardup_pairs",
+    "text_chunk_sliding_overlap",
+    "multimodal_phash_signatures",
 ]
 
 
