@@ -380,3 +380,123 @@ def zscore_over_daily(daily):
             "is_anomaly"
         ),
     )
+
+
+_MAD_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT t.event_type, t.day, t.v, p.v AS pv
+  FROM daily t JOIN daily p
+    ON p.event_type = t.event_type
+   AND p.day >= t.day - INTERVAL 7 DAY AND p.day < t.day),
+med AS (
+  SELECT event_type, day, count(*) AS n_prior,
+         round(median(pv), 6) AS med
+  FROM pairs GROUP BY 1, 2),
+mad AS (
+  SELECT p.event_type, p.day,
+         round(median(abs(round(p.pv - m.med, 6))), 6) AS mad,
+         round(avg(abs(round(p.pv - m.med, 6))), 6) AS meanad
+  FROM pairs p JOIN med m
+    ON m.event_type = p.event_type AND m.day = p.day
+  GROUP BY 1, 2),
+scaled AS (
+  SELECT event_type, day, mad,
+         CASE WHEN mad > 1e-9 THEN round(mad * 1.4826, 6)
+              ELSE round(meanad * 1.2533, 6) END AS scale
+  FROM mad)
+SELECT d.event_type, d.day, d.v AS daily_value,
+       m.med AS trailing_median, a.mad AS trailing_mad,
+       CASE WHEN m.n_prior >= 3 AND a.scale > 1e-9
+            THEN round((d.v - m.med) / a.scale, 6) END
+         AS robust_z,
+       CASE WHEN m.n_prior >= 3 AND a.scale > 1e-9
+                 AND abs(round((d.v - m.med) / a.scale, 6)) > 3.5
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM daily d
+LEFT JOIN med m ON m.event_type = d.event_type AND m.day = d.day
+LEFT JOIN scaled a ON a.event_type = d.event_type AND a.day = d.day
+"""
+
+
+@register("anomaly_mad_daily_events", _MAD_ORACLE)
+def anomaly_mad_daily_events(spark, sf_dir):
+    """Robust trailing anomaly scoring: each day's per-type volume against
+    the MEDIAN and MAD (median absolute deviation, x1.4826 to match sigma
+    under normality) of its preceding 7 days, flagged at |robust z| > 3.5
+    (the standard Iglewicz-Hoaglin cut; when MAD degenerates to 0 — over
+    half the window exactly at its median, common on discrete counts —
+    the scale falls back to the mean absolute deviation x1.2533, the
+    usual modified-z fallback).  The mean/stddev z-score
+    (``anomaly_zscore_daily_events``) is itself dragged by the outliers
+    it is meant to flag — one extreme day inflates sigma and masks the
+    next; medians don't budge, the reason ingest monitoring prefers MAD.
+
+    The trailing frame needs the deviation |v_i - med_t| of every prior
+    day against the CURRENT day's median — a two-level dependence no
+    single window frame expresses — so the plan is a bounded range
+    self-join on the tiny daily rollup (#types x #days rows; the 7-day
+    bound keeps fan-out at <= 7) with two median aggregations.  Medians
+    interpolate identically in both engines over the rounded dailies."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    t = daily.alias("t")
+    p = daily.alias("p")
+    pairs = t.join(
+        p,
+        (F.col("p.event_type") == F.col("t.event_type"))
+        & (F.col("p.day") >= F.col("t.day") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("p.day") < F.col("t.day")),
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.col("t.day").alias("day"),
+        F.col("p.v").alias("pv"),
+    )
+    med = pairs.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.round(F.median("pv"), 6).alias("med"),
+    )
+    mad = (
+        pairs.join(med, ["event_type", "day"])
+        .select(
+            "event_type", "day",
+            F.abs(F.round(F.col("pv") - F.col("med"), 6)).alias("dev"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.median("dev"), 6).alias("mad"),
+            F.round(F.avg("dev"), 6).alias("meanad"),
+        )
+        .withColumn(
+            "scale",
+            F.when(
+                F.col("mad") > 1e-9, F.round(F.col("mad") * F.lit(1.4826), 6)
+            ).otherwise(F.round(F.col("meanad") * F.lit(1.2533), 6)),
+        )
+        .drop("meanad")
+    )
+    ok = (F.col("n_prior") >= 3) & (F.col("scale") > 1e-9)
+    rz = F.round((F.col("v") - F.col("med")) / F.col("scale"), 6)
+    return (
+        daily.join(med, ["event_type", "day"], "left")
+        .join(mad, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("v").alias("daily_value"),
+            F.col("med").alias("trailing_median"),
+            F.col("mad").alias("trailing_mad"),
+            F.when(ok, rz).alias("robust_z"),
+            F.when(ok & (F.abs(rz) > 3.5), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+    )

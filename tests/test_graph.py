@@ -229,3 +229,51 @@ def test_pagerank_matches_python_reference(spark, events):
     }
     want = _py_pagerank([(i, u, t, e) for i, u, t, e in rows])
     assert got == want
+
+
+def test_mad_anomaly_resists_outlier_masking(spark, tmp_path):
+    """Two spikes four days apart: the first inflates the mean/stddev
+    window so the classical z-score misses the second (masking); the
+    MAD score's medians don't budge, so BOTH spikes flag."""
+    import pandas as pd
+
+    from label_maker_dask_spark.queries_graph_ext import (
+        anomaly_mad_daily_events,
+    )
+
+    rows = []
+    # the second spike is large in MAD terms but sits inside the sigma
+    # the FIRST spike inflated — the classical masking failure
+    vals = {5: 900.0, 9: 300.0}
+    for d in range(1, 15):
+        # continuous base values: a discrete 10/11 alternation parks half
+        # the window exactly on the median and degenerates MAD to 0
+        rows.append((d, f"2024-01-{d:02d}", vals.get(d, 10.0 + (d % 7) * 0.37)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "day", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["day"]) + pd.Timedelta(hours=3)
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf[["event_id", "ts", "value"]]).withColumn(
+        "user_id", F.lit(1)
+    ).withColumn("event_type", F.lit("x")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(f"{sf}/events.parquet")
+
+    mad = {
+        str(r.day)[:10]: (r.robust_z, r.is_anomaly)
+        for r in anomaly_mad_daily_events(spark, sf).collect()
+    }
+    assert mad["2024-01-05"][1] == 1
+    assert mad["2024-01-09"][1] == 1  # caught despite the earlier spike
+    z = {
+        str(r.day)[:10]: r.is_anomaly
+        for r in __import__(
+            "label_maker_dask_spark.queries_graph_ext",
+            fromlist=["anomaly_zscore_daily_events"],
+        ).anomaly_zscore_daily_events(spark, sf).collect()
+    }
+    assert z["2024-01-05"] == 1
+    assert z["2024-01-09"] == 0  # the masking failure MAD exists to fix
+    # ordinary days stay quiet under MAD
+    quiet = [d for d, (_, f) in mad.items()
+             if f == 1 and d not in ("2024-01-05", "2024-01-09")]
+    assert quiet == []
