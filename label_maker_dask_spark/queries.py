@@ -1026,6 +1026,37 @@ def dedup_simhash60_neardup(spark, sf_dir):
     )
 
 
+def _simhash60_components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_simhash_pairs_oracle(bits=60)}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+    comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    csizes AS (SELECT component, count(*) AS component_size
+               FROM comps GROUP BY 1)
+    SELECT c.id AS doc_id, c.component, s.component_size
+    FROM comps c JOIN csizes s USING (component)
+    """
+
+
+@register("dedup_components_simhash60", _simhash60_components_oracle())
+def dedup_components_simhash60(spark, sf_dir):
+    """Dedup groups over the 60-bit SimHash pair graph (hamming <= 3,
+    exact recall) via connected components — the SimHash twin of
+    ``dedup_components_minhash``: MinHash groups by shared n-gram SETS,
+    SimHash by near-identical token DISTRIBUTIONS, and a curation
+    pipeline typically unions both pair sources before resolving."""
+    from label_maker_dask_spark.operators.dedup import duplicate_components
+
+    pairs = D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), bits=60)
+    return duplicate_components(pairs)
+
+
 # --- similarity search -------------------------------------------------------
 
 def _topk_oracle(filter_sql_pred: str, k: int = 5) -> str:
