@@ -448,6 +448,15 @@ def anomaly_mad_daily_events(spark, sf_dir):
         )
         .agg(F.round(F.sum("value"), 6).alias("v"))
     )
+    return mad_over_daily(daily)
+
+
+def mad_over_daily(daily):
+    """Scoring stage over a ``(event_type, day, v)`` daily frame — split
+    from the rollup so the same view runs over a STORED daily table
+    maintained by the streaming CDC upsert sink, exactly like
+    :func:`zscore_over_daily` (equals-batch tested in
+    tests/test_stream_upsert.py)."""
     t = daily.alias("t")
     p = daily.alias("p")
     pairs = t.join(

@@ -364,3 +364,69 @@ def test_accumulate_batch_replay_is_skipped_by_marker(spark, tmp_path):
     accumulate_batch(b1, base, ["k"], ["w"], batch_id=1)
     got = {r.k: r.w for r in spark.read.parquet(base).collect()}
     assert got == {"a": 7, "b": 3, "c": 1}
+
+
+def test_streaming_mad_view_over_maintained_daily_table(spark, tmp_path):
+    """The robust-anomaly twin of the z-score loop: the daily rollup is
+    maintained by the CDC upsert sink and the MAD scorer over the stored
+    table equals the batch operator over the full history — including a
+    late event that replaces an already-materialized day."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.queries_graph_ext import mad_over_daily
+    from label_maker_dask_spark.streaming.windows import tumbling_agg
+
+    ev_schema = "event_id long, ts timestamp, event_type string, value double"
+    changes = str(tmp_path / "events")
+    base = str(tmp_path / "daily")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(ev_schema).parquet(changes)
+        daily = (
+            tumbling_agg(
+                stream, "ts", "1 day", ["event_type"],
+                [F.round(F.sum("value"), 6).alias("v")],
+            )
+            .withColumnRenamed("window_start", "day")
+            .drop("window_end")
+            .withColumn("_seq", F.lit(0))
+        )
+        q = stream_upsert_to_parquet(
+            daily, base, ckpt, keys=["event_type", "day"], seq_col="_seq"
+        )
+        q.awaitTermination(120)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        ).coalesce(1).write.mode("append").parquet(changes)
+
+    all_rows = []
+    for d in range(1, 11):
+        all_rows.append((d, f"2024-01-{d:02d} 12:00:00", "A", 10.0 + (d % 7) * 0.37))
+    write(all_rows)
+    drain()
+    late = [(100, "2024-01-10 13:00:00", "A", 500.0)]
+    write(late)
+    drain()
+    all_rows += late
+
+    streamed = mad_over_daily(spark.read.parquet(base))
+    batch_daily = (
+        spark.createDataFrame(
+            all_rows, "event_id long, ts string, event_type string, value double"
+        )
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    batch = mad_over_daily(batch_daily)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) == 10
+    flagged = [r for r in a if r[6] == 1]
+    assert len(flagged) == 1 and str(flagged[0][1])[:10] == "2024-01-10"
