@@ -59,3 +59,117 @@ def asof_join(
         .where(F.col("__rn") == 1)
         .select(*left_cols, *right_cols)
     )
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    tie_break: str,
+    tolerance: str | None = None,
+    chunk_seconds: int | None = None,
+) -> DataFrame:
+    """Merge-style as-of join: identical semantics to :func:`asof_join`
+    (inner; latest right row with ``right_time <= left_time`` per left
+    row, ties to the largest ``tie_break``), built as union + ordered
+    carry instead of a range join.
+
+    Why it exists: the range-join formulation pairs every left row with
+    the key's whole eligible right history before the window cut — a hot
+    key with L left rows and R right rows materializes L x R joined rows.
+    Here both sides union into one stream per key, a single pass carries
+    the latest right payload forward, and each left row reads the carry:
+    O(L + R) rows per key, the classic sort-merge as-of.
+
+    ``chunk_seconds`` arms the same skew mitigation as the chunked
+    lag/sessionize builders: carry within ``(key, slice)``, then a
+    per-key window over ONE summary row per occupied slice computes each
+    slice's carry-in (the latest right payload of any earlier slice), so
+    no task's size depends on how hot a key is.  Output is identical
+    either way (tested, and the catalog twin shares the range-join
+    query's oracle).
+
+    ``tolerance`` bounds the lookback as in :func:`asof_join` — with a
+    carry the check is a post-filter on the carried row's time."""
+    rp_fields = [c for c in right.columns if c not in set(on)]
+    r = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tie_break).alias("_tie"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("_rp"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[tie_break].dataType).alias("_tie"),
+        F.lit(None).cast(
+            r.schema["_rp"].dataType
+        ).alias("_rp"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    rows = r.unionByName(l)
+    order = [F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_last()]
+
+    if chunk_seconds is None:
+        w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        carried = rows.withColumn(
+            "_carry", F.last("_rp", ignorenulls=True).over(w)
+        )
+    else:
+        from label_maker_dask_spark.functions.timeutil import epoch_micros
+
+        chunk_us = int(chunk_seconds) * 1_000_000
+        rows = rows.withColumn(
+            "_slice", F.floor(epoch_micros("_t") / F.lit(chunk_us))
+        )
+        w1 = (
+            Window.partitionBy(*on, "_slice")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = rows.withColumn(
+            "_local", F.last("_rp", ignorenulls=True).over(w1)
+        )
+        # one summary row per occupied (key, slice): the slice's LAST
+        # right payload (if any); then the carry-in of a slice is the
+        # latest summary of any STRICTLY earlier slice
+        summaries = (
+            rows.groupBy(*on, "_slice")
+            .agg(
+                F.max_by(
+                    F.when(F.col("_side") == 0, F.col("_rp")),
+                    F.when(F.col("_side") == 0, F.struct("_t", "_tie")),
+                ).alias("_slast")
+            )
+        )
+        w2 = (
+            Window.partitionBy(*on)
+            .orderBy("_slice")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = summaries.withColumn(
+            "_cin", F.last("_slast", ignorenulls=True).over(w2)
+        ).select(*on, "_slice", "_cin")
+        carried = local.join(carry_in, [*on, "_slice"]).withColumn(
+            "_carry", F.coalesce(F.col("_local"), F.col("_cin"))
+        )
+
+    out = carried.where(
+        (F.col("_side") == 1) & F.col("_carry").isNotNull()
+    )
+    if tolerance is not None:
+        out = out.where(
+            F.col(f"_carry.{right_time}") >= F.col("_t") - F.expr(tolerance)
+        )
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_carry.{c}").alias(c) for c in rp_fields],
+    )

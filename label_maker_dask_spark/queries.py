@@ -1401,6 +1401,34 @@ def join_asof(spark, sf_dir):
     ).select("event_id", "custkey", "o_orderkey", "shifted_date")
 
 
+@register("join_asof_latest_order_merge", ORACLES["join_asof_latest_order"])
+def join_asof_merge_chunked(spark, sf_dir):
+    """The as-of join by the merge path (union + ordered carry — O(L+R)
+    rows per key instead of the range join's L x R pairing) with the
+    skew-tolerant slice chunking armed; same oracle as the range-join
+    form, so the hash-match proves all three formulations agree."""
+    from label_maker_dask_spark.operators.asof import asof_join_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 26 YEAR")).alias("shifted_date"),
+            "o_orderkey",
+        )
+        .groupBy("custkey", "shifted_date")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join_merge(
+        ev, orders, on=["custkey"], left_time="ts",
+        right_time="shifted_date", tie_break="o_orderkey",
+        chunk_seconds=30 * 86400,
+    ).select("event_id", "custkey", "o_orderkey", "shifted_date")
+
+
 @register(
     "join_asof_tolerance_90d",
     """

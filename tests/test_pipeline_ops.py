@@ -274,3 +274,45 @@ def test_sampled_percentiles_exact_below_k_and_close_above(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_asof_merge_equals_range_join_incl_tolerance_and_skew(spark):
+    """The merge-style as-of (union + carry, O(L+R) per key) must equal
+    the range-join formulation row for row — plain, chunked, and with a
+    lookback tolerance — including under a hot key owning most rows."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.asof import asof_join, asof_join_merge
+
+    lrows = []
+    rrows = []
+    # hot key 1: 800 left rows, 200 right rows; keys 2..20 light
+    for i in range(800):
+        lrows.append((i, 1, i * 40_000_000))
+    for j in range(200):
+        rrows.append((10_000 + j, 1, j * 150_000_000 + 7))
+    for k in range(2, 21):
+        for i in range(10):
+            lrows.append((k * 1000 + i, k, i * 500_000_000 + k))
+        for j in range(4):
+            rrows.append((20_000 + k * 10 + j, k, j * 900_000_000 + k))
+    left = spark.createDataFrame(
+        lrows, "lid long, k long, t_us long"
+    ).select("lid", "k", F.timestamp_micros(F.col("t_us")).alias("lt"))
+    right = spark.createDataFrame(
+        rrows, "rid long, k long, t_us long"
+    ).select("rid", "k", F.timestamp_micros(F.col("t_us")).alias("rt"))
+
+    for tol in (None, "INTERVAL 90 SECOND"):
+        a = sorted(map(tuple, asof_join(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            left_key=["lid"], tie_break="rid", tolerance=tol,
+        ).select("lid", "k", "lt", "rid", "rt").collect()))
+        for chunk in (None, 60):
+            b = sorted(map(tuple, asof_join_merge(
+                left, right, on=["k"], left_time="lt", right_time="rt",
+                tie_break="rid", tolerance=tol, chunk_seconds=chunk,
+            ).select("lid", "k", "lt", "rid", "rt").collect()))
+            assert a == b, (tol, chunk)
+        # tolerance drops left rows outside the 90s lookback
+        assert len(a) > (700 if tol is None else 300)
