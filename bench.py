@@ -87,6 +87,9 @@ HEADLINE = [
     "dedup_simhash60_neardup_pairs",
     "text_chunk_sliding_overlap",
     "multimodal_phash_signatures",
+    "anomaly_mad_daily_events",
+    "join_asof_latest_order_merge",
+    "dedup_components_simhash60",
 ]
 
 

@@ -48,6 +48,8 @@ PROBES = [
     "graph_event_transitions_chunked",
     "events_sessionize_30m_chunked",
     "similarity_ivf_join_topk_ann",
+    "anomaly_mad_daily_events",
+    "join_asof_latest_order_merge",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
