@@ -72,11 +72,27 @@ def gray8_pixels_sql(vec_sql: str) -> str:
     )
 
 
-def phash63_columns(df: DataFrame, px_col: str, out_col: str = "phash") -> DataFrame:
+def phash63_columns(
+    df: DataFrame, px_col: str, out_col: str = "phash",
+    use_arrow: bool = True,
+) -> DataFrame:
     """Append ``out_col``: the 63-bit pHash of the 8x8 row-major pixel
-    array in ``px_col``.  Two separable DCT passes materialized as
-    intermediate projections (row pass → column pass → mean + sign
-    bits); every sum is a fixed left-to-right literal chain."""
+    array in ``px_col``.
+
+    Two identical-value implementations (the engine's twin pattern):
+
+    - ``use_arrow=True`` (default, the throughput path): one
+      ``mapInPandas`` pass whose numpy accumulations repeat the
+      expression form's left-fold order element-wise, so the hashes are
+      bit-identical (tested) — the ~9k-node expression tree of the pure
+      form exceeds whole-stage codegen and falls back to interpreted
+      evaluation, ~15x slower per row;
+    - ``use_arrow=False``: pure Catalyst expressions — two separable DCT
+      passes materialized as intermediate projections (row pass → column
+      pass → mean + sign bits), every sum a fixed left-to-right literal
+      chain.  This is the form the SQL oracle mirrors term for term."""
+    if use_arrow:
+        return _phash63_arrow(df, px_col, out_col)
     pix = [
         F.element_at(F.col(px_col), i + 1).cast("double") for i in range(64)
     ]
@@ -113,6 +129,50 @@ def phash63_columns(df: DataFrame, px_col: str, out_col: str = "phash") -> DataF
         + ["_mu"]
     )
     return step3.withColumn(out_col, sig).drop(*drop)
+
+
+def _phash63_arrow(df: DataFrame, px_col: str, out_col: str) -> DataFrame:
+    """Arrow twin of the expression pHash — identical accumulation order,
+    vectorized across the batch (see :func:`phash63_columns`)."""
+    import numpy as np
+    import pandas as pd
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            P = np.stack(pdf[px_col].to_numpy()).astype(np.float64)
+            # pass 1: r[:, x, v] left-folded over y, exactly as the
+            # expression chain (((m0*p0) + m1*p1) + ...)
+            r = np.empty((len(P), 8, 8))
+            for x in range(8):
+                for v in range(8):
+                    acc = DCT8[v][0] * P[:, x * 8]
+                    for y in range(1, 8):
+                        acc = acc + DCT8[v][y] * P[:, x * 8 + y]
+                    r[:, x, v] = acc
+            c = {}
+            for u, v in AC_ORDER:
+                acc = DCT8[u][0] * r[:, 0, v]
+                for x in range(1, 8):
+                    acc = acc + DCT8[u][x] * r[:, x, v]
+                c[(u, v)] = acc
+            mu = c[AC_ORDER[0]]
+            for k in AC_ORDER[1:]:
+                mu = mu + c[k]
+            mu = mu / 63.0
+            sig = np.zeros(len(P), dtype=np.int64)
+            for j, k in enumerate(AC_ORDER):
+                sig |= (c[k] > mu).astype(np.int64) << j
+            out = pdf.copy()
+            out[out_col] = sig
+            yield out
+
+    return df.mapInPandas(gen, f"{fields}, {out_col} long")
 
 
 def phash63_sql(id_sql: str, px_sql: str, table: str) -> str:

@@ -133,3 +133,26 @@ def test_phash_neardup_pairs_on_perturbed_images(spark):
     assert got == want            # exact recall, no extras
     assert (1, 2) in got and (1, 3) in got  # the perturbed copies found
     assert all(a < 10 and b < 10 for a, b in got)  # unrelated images far
+
+
+def test_phash_arrow_bit_identical_to_expression_form(spark):
+    """The Arrow pHash must reproduce the interpreted expression form
+    EXACTLY, or the SQL-oracle replay contract breaks."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.multimodal.phash import (
+        gray8_pixels,
+        phash63_columns,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    px = emb.select("vec_id", gray8_pixels(F.col("embedding")).alias("px"))
+    fast = {
+        r.vec_id: r.phash
+        for r in phash63_columns(px, "px", use_arrow=True).collect()
+    }
+    slow = {
+        r.vec_id: r.phash
+        for r in phash63_columns(px, "px", use_arrow=False).collect()
+    }
+    assert fast == slow and len(fast) == 500
