@@ -539,3 +539,48 @@ def sample_weighted_by_quality(spark, sf_dir):
     return kept.select(
         "doc_id", "lang", "n_chars", F.round("q", 6).alias("quality")
     )
+
+
+@register(
+    "sample_exact_k_per_lang",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {char_poly_hash_sql("('exactk:' || doc_id::VARCHAR)")} AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, hk,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY hk, doc_id) AS rn
+      FROM h)
+    SELECT lang, rn AS pick, doc_id FROM r WHERE rn <= 20
+    """,
+)
+def sample_exact_k_per_lang(spark, sf_dir):
+    """EXACT-k stratified sample: exactly 20 documents per language,
+    chosen by ranking a salted deterministic hash — the fixed-size
+    validation/eval-set builder.  The hash-threshold samplers
+    (``sample_weighted_by_quality``) give an *expected* rate per
+    stratum; eval sets need exact sizes, stable across runs, engines and
+    repartitioning (never ``rand()``).  Plan shape: one window per
+    stratum with WindowGroupLimit pushdown — each task keeps its own
+    top-k before the exchange, so the shuffle carries ~k rows per
+    (partition, stratum), never the corpus."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.functions.text import char_poly_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "lang",
+        char_poly_hash(
+            F.concat(F.lit("exactk:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= 20)
+        .select("lang", "pick", "doc_id")
+    )

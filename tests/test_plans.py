@@ -263,3 +263,33 @@ def test_chunked_windows_never_plan_single_partition(spark):
         plan = plan_of(Q.QUERIES[name](spark, SF))
         assert "SinglePartition" not in plan, name
         assert "Window" in plan  # the windows are there, just partitioned
+
+
+def test_asof_merge_plan_has_no_range_join_fanout(spark):
+    """The plain merge as-of must plan as union + window — ZERO join
+    operators, so no L x R pairing can exist for a hot key."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.asof import asof_join_merge
+
+    left = spark.range(10).select(
+        F.col("id").alias("lid"), (F.col("id") % 3).alias("k"),
+        F.timestamp_micros(F.col("id") * 1000).alias("lt"),
+    )
+    right = spark.range(10).select(
+        (F.col("id") + 100).alias("rid"), (F.col("id") % 3).alias("k"),
+        F.timestamp_micros(F.col("id") * 900).alias("rt"),
+    )
+    plan = plan_of(asof_join_merge(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        tie_break="rid",
+    ))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_exact_k_sample_gets_window_group_limit(spark):
+    """The exact-k stratified sampler's shuffle must carry ~k rows per
+    stratum per task, not the corpus: WindowGroupLimit pushdown."""
+    plan = plan_of(Q.QUERIES["sample_exact_k_per_lang"](spark, SF))
+    assert "WindowGroupLimit" in plan
