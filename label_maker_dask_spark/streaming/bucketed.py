@@ -267,7 +267,11 @@ def _apply_bucketed(
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(scratch)
 
         os.makedirs(base_path, exist_ok=True)
-        if meta is None:
+        # (re)write the metadata whenever the stored schema changes, not
+        # just at creation — a later batch that evolves the schema (new
+        # update column) would otherwise leave the cached read schema
+        # stale and silently drop the new column from every read
+        if meta is None or meta.get("schema") != merged.schema.json():
             _write_table_meta(
                 base_path,
                 {
