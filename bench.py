@@ -90,6 +90,7 @@ HEADLINE = [
     "anomaly_mad_daily_events",
     "join_asof_latest_order_merge",
     "dedup_components_simhash60",
+    "agg_kmv_trailing7_users",
 ]
 
 

@@ -390,3 +390,54 @@ def kmv_distinct_merged(
     )
     merged = fine_sketch.select(*coarse_cols, "h").distinct()
     return _kmv_estimate(merged, coarse_cols, k)
+
+
+def kmv_distinct_trailing(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    window_days: int = 7,
+    k: int = 64,
+) -> DataFrame:
+    """Per-day TRAILING-window distinct estimate from merged daily KMV
+    sketches — the "rolling 7-day uniques" dashboard query, answered
+    without ever rescanning the facts per window.
+
+    Daily bottom-k sketches are built once (k rows per day); each day of
+    the spine then merges the sketches of its trailing ``window_days``
+    (a bounded range self-join: <= window_days x k sketch rows per day)
+    and re-takes the bottom k.  Lossless by the same argument as the
+    grain rollup (``kmv_distinct_merged``): every member of the window
+    union's true bottom-k survives its own day's cut, so the merged
+    estimate EQUALS a direct sketch over the window — which is what the
+    catalog oracle computes.  Scale shape: the only fact-sized work is
+    the one distinct + per-day cut; everything after runs on k-row
+    sketches."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    raw = char_poly_hash(F.concat(F.lit("kmv:"), F.col(key_col).cast("string")))
+    h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
+    d = df.select(day_col, h).distinct()
+    wf = Window.partitionBy(day_col).orderBy("h")
+    daily = (
+        d.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= k)
+        .select(day_col, "h")
+    )
+    spine = d.select(day_col).distinct()
+    s, x = spine.alias("s"), daily.alias("x")
+    win = (
+        s.join(
+            x,
+            (F.col(f"x.{day_col}") <= F.col(f"s.{day_col}"))
+            & (
+                F.col(f"x.{day_col}")
+                > F.col(f"s.{day_col}") - F.expr(f"INTERVAL {window_days} DAY")
+            ),
+        )
+        .select(F.col(f"s.{day_col}").alias(day_col), F.col("x.h").alias("h"))
+        .distinct()
+    )
+    return _kmv_estimate(win, [day_col], k)

@@ -584,3 +584,46 @@ def sample_exact_k_per_lang(spark, sf_dir):
         .where(F.col("pick") <= 20)
         .select("lang", "pick", "doc_id")
     )
+
+
+def _kmv_trailing_oracle(window_days: int = 7, k: int = 64) -> str:
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    fold = char_poly_hash_sql("('kmv:' || user_id::VARCHAR)")
+    return f"""
+    WITH raw AS (SELECT DISTINCT date_trunc('day', ts) AS day, {fold} AS r
+                 FROM events),
+    h AS (SELECT DISTINCT day, (r * r % {HASH_P}) * r % {HASH_P} AS h
+          FROM raw),
+    days AS (SELECT DISTINCT day FROM h),
+    win AS (SELECT DISTINCT d.day AS day, x.h
+            FROM days d JOIN h x
+              ON x.day <= d.day
+             AND x.day > d.day - INTERVAL {window_days} DAY),
+    r AS (SELECT day, h,
+                 row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+          FROM win),
+    t AS (SELECT day, max(h) AS kth, count(*) AS n_seen
+          FROM r WHERE rn <= {k} GROUP BY 1)
+    SELECT day,
+           CASE WHEN n_seen < {k} THEN n_seen::DOUBLE
+                ELSE round({(k - 1) * HASH_P} / kth, 6) END AS approx_distinct
+    FROM t
+    """
+
+
+@register("agg_kmv_trailing7_users", _kmv_trailing_oracle())
+def agg_kmv_trailing7_users(spark, sf_dir):
+    """Rolling 7-day distinct-user estimates from merged daily KMV
+    sketches (operators/pipeline.kmv_distinct_trailing) — the sliding
+    twin of the weekly grain rollup: daily sketches are built once, each
+    day's window merges <= 7 x k sketch rows, and the oracle's DIRECT
+    per-window sketch hash-matches because the merge is lossless."""
+    from label_maker_dask_spark.operators.pipeline import (
+        kmv_distinct_trailing,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    return kmv_distinct_trailing(ev, "user_id", "day", window_days=7, k=64)

@@ -316,3 +316,42 @@ def test_asof_merge_equals_range_join_incl_tolerance_and_skew(spark):
             assert a == b, (tol, chunk)
         # tolerance drops left rows outside the 90s lookback
         assert len(a) > (700 if tol is None else 300)
+
+
+def test_kmv_trailing_exact_below_k(spark):
+    """With fewer than k distinct keys per window the trailing KMV
+    estimate is EXACT — verify against countDistinct over the same
+    trailing windows."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.pipeline import kmv_distinct_trailing
+
+    rows = [
+        (d, u)
+        for d in range(1, 15)
+        for u in range(d % 5 + 1)  # varying small daily populations
+    ]
+    df = spark.createDataFrame(rows, "dd long, user_id long").select(
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad(F.col("dd"), 2, "0"))
+        ).alias("day"),
+        "user_id",
+    )
+    got = {
+        str(r.day)[:10]: r.approx_distinct
+        for r in kmv_distinct_trailing(df, "user_id", "day", 7, k=64).collect()
+    }
+    s, x = df.alias("s"), df.alias("x")
+    exact = {
+        str(r.day)[:10]: r.n
+        for r in s.select("day").distinct()
+        .join(
+            x,
+            (F.col("x.day") <= F.col("s.day"))
+            & (F.col("x.day") > F.col("s.day") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy(F.col("s.day").alias("day"))
+        .agg(F.countDistinct("x.user_id").alias("n"))
+        .collect()
+    }
+    assert got == {d: float(n) for d, n in exact.items()} and len(got) == 14
