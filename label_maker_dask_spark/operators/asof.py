@@ -93,6 +93,15 @@ def asof_join_merge(
 
     ``tolerance`` bounds the lookback as in :func:`asof_join` — with a
     carry the check is a post-filter on the carried row's time."""
+    reserved = {"_t", "_side", "_tie", "_rp", "_slice", "_local", "_cin",
+                "_carry"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash or any(c.startswith("_l_") for c in right.columns):
+        raise ValueError(
+            f"asof_join_merge reserves column names {sorted(reserved)} and "
+            "the '_l_' prefix; rename the clashing input columns "
+            f"({sorted(clash)})"
+        )
     rp_fields = [c for c in right.columns if c not in set(on)]
     r = right.select(
         *on,

@@ -255,6 +255,14 @@ def sessionize_chunked_sessions(
     oracle as ``events_sessionize_30m``."""
     from pyspark.sql import Window
 
+    reserved = {"_us", "_slice", "_new", "_lsid", "_n", "_start_us",
+                "_end_us", "_val", "_chain_new", "session_id"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"sessionize_chunked_sessions reserves column names "
+            f"{sorted(clash)}; rename the clashing input columns"
+        )
     gap_us = gap_minutes * 60 * 1_000_000
     chunk_us = int(chunk_seconds) * 1_000_000
     us = epoch_micros(ts_col)
