@@ -441,3 +441,69 @@ def kmv_distinct_trailing(
         .distinct()
     )
     return _kmv_estimate(win, [day_col], k)
+
+
+def sampled_percentiles_trailing(
+    df: DataFrame,
+    value_col: str,
+    day_col: str,
+    id_col: str,
+    window_days: int = 7,
+    ps: tuple = (0.5, 0.9),
+    k: int = 256,
+    salt: str = "pct",
+) -> DataFrame:
+    """Per-day TRAILING-window percentiles from merged daily hash-samples
+    — the rolling-latency-p90 dashboard query without a per-window fact
+    rescan, the order-statistic twin of :func:`kmv_distinct_trailing`.
+
+    Daily bottom-k-by-hash row samples are built once; each spine day
+    merges its trailing days' samples (<= window_days x k rows) and
+    re-takes the bottom k.  Lossless: a row in the window union's true
+    bottom-k ranks at least as well within its own day, so it survived
+    the daily cut — the merged sample EQUALS the direct window sample
+    and the oracle computes the latter.  Exact interpolated percentiles
+    then touch k rows per day."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    raw = char_poly_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
+    wf = Window.partitionBy(day_col).orderBy("h", id_col)
+    daily = (
+        df.select(day_col, id_col, value_col, h)
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    spine = df.select(day_col).distinct()
+    s, x = spine.alias("s"), daily.alias("x")
+    win = s.join(
+        x,
+        (F.col(f"x.{day_col}") <= F.col(f"s.{day_col}"))
+        & (
+            F.col(f"x.{day_col}")
+            > F.col(f"s.{day_col}") - F.expr(f"INTERVAL {window_days} DAY")
+        ),
+    ).select(
+        F.col(f"s.{day_col}").alias(day_col),
+        F.col(f"x.{id_col}").alias(id_col),
+        F.col(f"x.{value_col}").alias(value_col),
+        F.col("x.h").alias("h"),
+    )
+    wd = Window.partitionBy(day_col).orderBy("h", id_col)
+    sample = win.withColumn("rn", F.row_number().over(wd)).where(
+        F.col("rn") <= k
+    )
+    aggs = [
+        F.round(F.percentile(value_col, p), 6).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in ps
+    ]
+    return sample.groupBy(day_col).agg(
+        F.count(F.lit(1)).alias("n_sampled"), *aggs
+    )

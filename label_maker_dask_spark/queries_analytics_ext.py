@@ -402,3 +402,55 @@ def analytics_event_type_cooccurrence(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts, value
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, ts AS touch_ts
+      FROM events WHERE event_type = 'click')
+    SELECT conv_id, user_id, conv_ts, value, touch_id, touch_ts
+    FROM (
+      SELECT c.conv_id, c.user_id, c.conv_ts, c.value,
+             t.touch_id, t.touch_ts,
+             row_number() OVER (
+               PARTITION BY c.conv_id
+               ORDER BY t.touch_ts DESC, t.touch_id DESC) AS rn
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_ts <= c.conv_ts
+       AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY)
+    WHERE rn = 1
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the user's
+    latest click within a 7-day lookback — the canonical marketing
+    query, expressed with the merge-style as-of join
+    (``operators.asof.asof_join_merge``: union + carry, O(L+R) per
+    user, slice-chunked so a bot user cannot serialize the stage).  The
+    oracle replays the range-join + window formulation — the hash-match
+    proves the merge path once more on a second real workload."""
+    from label_maker_dask_spark.operators.asof import asof_join_merge
+
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+    )
+    return asof_join_merge(
+        conv, touch, on=["user_id"], left_time="conv_ts",
+        right_time="touch_ts", tie_break="touch_id",
+        tolerance="INTERVAL 7 DAY", chunk_seconds=86400,
+    ).select("conv_id", "user_id", "conv_ts", "value", "touch_id", "touch_ts")

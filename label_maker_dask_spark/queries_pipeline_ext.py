@@ -627,3 +627,48 @@ def agg_kmv_trailing7_users(spark, sf_dir):
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     )
     return kmv_distinct_trailing(ev, "user_id", "day", window_days=7, k=64)
+
+
+def _trailing_pct_oracle(window_days: int = 7, k: int = 256) -> str:
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    fold = char_poly_hash_sql("('pct:' || event_id::VARCHAR)")
+    return f"""
+    WITH raw AS (SELECT date_trunc('day', ts) AS day, event_id, value,
+                        {fold} AS r FROM events),
+    h AS (SELECT day, event_id, value,
+                 (r * r % {HASH_P}) * r % {HASH_P} AS h FROM raw),
+    days AS (SELECT DISTINCT day FROM h),
+    win AS (SELECT d.day AS day, x.event_id, x.value, x.h
+            FROM days d JOIN h x
+              ON x.day <= d.day
+             AND x.day > d.day - INTERVAL {window_days} DAY),
+    rk AS (SELECT day, value,
+                  row_number() OVER (PARTITION BY day
+                                     ORDER BY h, event_id) AS rn
+           FROM win)
+    SELECT day, count(*) AS n_sampled,
+           round(quantile_cont(value, 0.5), 6) AS p5,
+           round(quantile_cont(value, 0.9), 6) AS p9
+    FROM rk WHERE rn <= {k} GROUP BY day
+    """
+
+
+@register("timeseries_trailing_p90_value", _trailing_pct_oracle())
+def timeseries_trailing_p90_value(spark, sf_dir):
+    """Rolling 7-day p50/p90 of event values from merged daily
+    hash-samples (operators/pipeline.sampled_percentiles_trailing) —
+    the order-statistic twin of the trailing KMV: daily samples built
+    once, each day's window merges <= 7 x k sample rows, and the oracle's
+    direct per-window sample hash-matches because bottom-k-by-hash
+    merging is lossless."""
+    from label_maker_dask_spark.operators.pipeline import (
+        sampled_percentiles_trailing,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_id", "value"
+    )
+    return sampled_percentiles_trailing(
+        ev, "value", "day", "event_id", window_days=7, ps=(0.5, 0.9), k=256
+    )
