@@ -91,6 +91,8 @@ HEADLINE = [
     "join_asof_latest_order_merge",
     "dedup_components_simhash60",
     "agg_kmv_trailing7_users",
+    "attribution_last_touch",
+    "timeseries_trailing_p90_value",
 ]
 
 
