@@ -50,6 +50,9 @@ PROBES = [
     "similarity_ivf_join_topk_ann",
     "anomaly_mad_daily_events",
     "join_asof_latest_order_merge",
+    "attribution_last_touch",
+    "timeseries_trailing_p90_value",
+    "agg_kmv_trailing7_users",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
