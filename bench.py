@@ -93,6 +93,7 @@ HEADLINE = [
     "agg_kmv_trailing7_users",
     "attribution_last_touch",
     "timeseries_trailing_p90_value",
+    "scd2_user_state_history",
 ]
 
 

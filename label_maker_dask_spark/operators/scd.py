@@ -1,0 +1,110 @@
+"""Slowly-changing-dimension type 2: history-keeping upsert.
+
+The engine's CDC merge (``operators/merge.py``) is SCD type 1 — the new
+value REPLACES the old.  Type 2 keeps every version with a validity
+interval, the shape dimension tables need for point-in-time joins ("what
+was this customer's segment when the order shipped?" — which then feeds
+``operators/asof.asof_join_merge``).
+
+Two forms, proven equal (tests/test_scd.py):
+
+- :func:`historize_changes` — batch: turn a full change log into the
+  complete history in one pass (per-key ``lead`` window: each change is
+  valid until the next one).
+- :func:`scd2_apply` — incremental: apply one change batch onto an
+  existing history table (close the affected keys' current rows, append
+  the new versions).  Applying batches in order equals historizing the
+  whole log at once, so a foreachBatch sink over ``scd2_apply`` +
+  a maintenance sink (e.g. the versioned bucketed table) maintains the
+  history continuously.
+
+Scale shape: historize is one window per key (the chunked trick applies
+if a key is pathologically hot — but dimension keys hold versions, not
+events, so cardinality per key is small by construction); ``scd2_apply``
+is the broadcast-merge shape — the history table never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def historize_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tie_break: str,
+) -> DataFrame:
+    """Full SCD-2 history from a change log: one row per change with
+    ``valid_from`` (its timestamp), ``valid_to`` (the NEXT change's
+    timestamp for the key, null while current), and ``is_current``.
+    ``tie_break`` (unique) orders simultaneous changes
+    deterministically."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, tie_break)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tie_break: str,
+) -> DataFrame:
+    """Apply one change batch onto an SCD-2 history table; returns the
+    new history.  Affected keys' current rows close at the batch's first
+    change for that key; the batch's own rows historize among themselves
+    and append.  The batch must be entirely LATER than each affected
+    key's current ``valid_from`` (enforced — out-of-order history repair
+    needs a rebuild via :func:`historize_changes`).
+
+    Plan shape: the (small) batch broadcasts twice — once to close
+    current rows (left join on key + first-change timestamp), once for
+    its own historization window — the big history side never shuffles.
+    """
+    b = historize_changes(batch, keys, ts_col, tie_break)
+    firsts = batch.groupBy(*keys).agg(F.min(ts_col).alias("_first_ts"))
+
+    guard = (
+        history.where(F.col("is_current"))
+        .join(F.broadcast(firsts), list(keys))
+        .where(F.col(ts_col) >= F.col("_first_ts"))
+        .limit(1)
+        .count()
+    )
+    if guard:
+        raise ValueError(
+            "scd2_apply: batch contains changes at or before an affected "
+            "key's current valid_from; out-of-order history repair needs "
+            "a rebuild (historize_changes over the full log)"
+        )
+
+    h = history.alias("h")
+    fx = F.broadcast(firsts).alias("f")
+    on = [F.col(f"h.{k}").eqNullSafe(F.col(f"f.{k}")) for k in keys]
+    hit = F.col("f._first_ts").isNotNull()
+    closed = h.join(fx, on, "left").select(
+        *[
+            F.when(
+                hit & F.col("h.is_current"), F.col("f._first_ts")
+            ).otherwise(F.col("h.valid_to")).alias(c)
+            if c == "valid_to"
+            else F.when(
+                hit & F.col("h.is_current"), F.lit(False)
+            ).otherwise(F.col("h.is_current")).alias(c)
+            if c == "is_current"
+            else F.col(f"h.{c}").alias(c)
+            for c in history.columns
+        ]
+    )
+    return closed.unionByName(b.select(*history.columns))
+
+
+__all__ = ["historize_changes", "scd2_apply"]

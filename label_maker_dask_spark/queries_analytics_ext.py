@@ -454,3 +454,30 @@ def attribution_last_touch(spark, sf_dir):
         right_time="touch_ts", tie_break="touch_id",
         tolerance="INTERVAL 7 DAY", chunk_seconds=86400,
     ).select("conv_id", "user_id", "conv_ts", "value", "touch_id", "touch_ts")
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state_history(spark, sf_dir):
+    """SCD type-2 historization of the event log: every per-user state
+    change becomes a validity interval (valid_from = its timestamp,
+    valid_to = the next change, open while current) — the
+    history-keeping counterpart of the SCD-1 CDC merge, and the table
+    shape point-in-time joins (`asof_join_merge`) consume.  Incremental
+    maintenance: ``operators.scd.scd2_apply`` (batch-equals tested)."""
+    from label_maker_dask_spark.operators.scd import historize_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("event_type").alias("state"), "ts"
+    )
+    return historize_changes(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "state", "valid_from", "valid_to", "is_current"
+    )

@@ -1,0 +1,64 @@
+"""SCD type-2: batch historization, incremental apply equality, and the
+out-of-order guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.operators.scd import historize_changes, scd2_apply
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "cid long, seq long, ts_us long, segment string"
+    ).select(
+        "cid", "seq",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "segment",
+    )
+
+
+def test_historize_intervals_and_current_flag(spark):
+    df = _chg(spark, [
+        (1, 1, 1_000_000, "bronze"),
+        (1, 2, 5_000_000, "silver"),
+        (1, 3, 9_000_000, "gold"),
+        (2, 4, 2_000_000, "bronze"),
+    ])
+    h = {(r.cid, r.seq): r for r in historize_changes(
+        df, ["cid"], "ts", "seq").collect()}
+    assert str(h[(1, 1)].valid_to) == str(h[(1, 2)].valid_from)
+    assert str(h[(1, 2)].valid_to) == str(h[(1, 3)].valid_from)
+    assert h[(1, 3)].valid_to is None and h[(1, 3)].is_current
+    assert not h[(1, 1)].is_current and not h[(1, 2)].is_current
+    assert h[(2, 4)].is_current
+
+
+def test_scd2_apply_equals_full_historize(spark):
+    """Applying change batches in order must equal historizing the whole
+    log at once — the equals-batch contract that lets a foreachBatch
+    sink maintain the history incrementally."""
+    all_rows = [
+        (k, i * 10 + k, (i * 50 + k) * 1_000_000, f"s{i % 4}")
+        for k in range(1, 8)
+        for i in range(6)
+    ]
+    full = historize_changes(_chg(spark, all_rows), ["cid"], "ts", "seq")
+
+    cut = 3
+    b0 = [r for r in all_rows if r[1] // 10 < cut]
+    b1 = [r for r in all_rows if r[1] // 10 >= cut]
+    hist = historize_changes(_chg(spark, b0), ["cid"], "ts", "seq")
+    hist = scd2_apply(hist, _chg(spark, b1), ["cid"], "ts", "seq")
+
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, hist.select(*full.columns).collect()))
+    assert a == b and len(a) == len(all_rows)
+
+
+def test_scd2_apply_rejects_out_of_order_batch(spark):
+    hist = historize_changes(
+        _chg(spark, [(1, 1, 5_000_000, "a")]), ["cid"], "ts", "seq"
+    )
+    late = _chg(spark, [(1, 2, 4_000_000, "b")])  # before current valid_from
+    with pytest.raises(ValueError, match="out-of-order"):
+        scd2_apply(hist, late, ["cid"], "ts", "seq")
