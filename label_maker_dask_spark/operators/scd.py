@@ -107,4 +107,32 @@ def scd2_apply(
     return closed.unionByName(b.select(*history.columns))
 
 
-__all__ = ["historize_changes", "scd2_apply"]
+__all__ = ["historize_changes", "scd2_apply", "pit_join"]
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    on: Sequence[str],
+    fact_time: str,
+    tie_break: str,
+) -> DataFrame:
+    """Point-in-time join: each fact row paired with the dimension
+    version valid AT its timestamp.  For a well-formed SCD-2 history
+    (contiguous intervals per key), the version containing ``t`` is
+    exactly the latest version with ``valid_from <= t`` — so this lowers
+    to the merge as-of join (``operators/asof.asof_join_merge``,
+    O(facts + versions) per key) instead of an interval-containment
+    range join; equality against the containment formulation is tested.
+    ``is_current``/``valid_to`` ride along, so callers can also see
+    whether the matched version is still live."""
+    from label_maker_dask_spark.operators.asof import asof_join_merge
+
+    return asof_join_merge(
+        facts,
+        history,
+        on=on,
+        left_time=fact_time,
+        right_time="valid_from",
+        tie_break=tie_break,
+    )

@@ -62,3 +62,43 @@ def test_scd2_apply_rejects_out_of_order_batch(spark):
     late = _chg(spark, [(1, 2, 4_000_000, "b")])  # before current valid_from
     with pytest.raises(ValueError, match="out-of-order"):
         scd2_apply(hist, late, ["cid"], "ts", "seq")
+
+
+def test_pit_join_equals_interval_containment(spark):
+    """The as-of lowering must equal the textbook interval-containment
+    join over a well-formed history — for every fact timestamp,
+    including ones exactly on version boundaries (valid_from inclusive,
+    valid_to exclusive)."""
+    changes = _chg(spark, [
+        (k, i * 10 + k, (i * 100 + k * 3) * 1_000_000, f"s{i}")
+        for k in range(1, 5)
+        for i in range(4)
+    ])
+    hist = historize_changes(changes, ["cid"], "ts", "seq")
+
+    facts = spark.createDataFrame(
+        [(j, j % 4 + 1, (j * 37 % 450) * 1_000_000) for j in range(200)],
+        "fid long, cid long, t_us long",
+    ).select("fid", "cid", F.timestamp_micros(F.col("t_us")).alias("ft"))
+
+    from label_maker_dask_spark.operators.scd import pit_join
+
+    a = sorted(map(tuple, pit_join(
+        facts, hist, on=["cid"], fact_time="ft", tie_break="seq"
+    ).select("fid", "cid", "seq", "segment").collect()))
+
+    h, f = hist.alias("h"), facts.alias("f")
+    contain = (
+        f.join(
+            h,
+            (F.col("h.cid") == F.col("f.cid"))
+            & (F.col("h.valid_from") <= F.col("f.ft"))
+            & (
+                F.col("h.valid_to").isNull()
+                | (F.col("h.valid_to") > F.col("f.ft"))
+            ),
+        )
+        .select("f.fid", "f.cid", "h.seq", "h.segment")
+    )
+    b = sorted(map(tuple, contain.collect()))
+    assert a == b and len(a) > 100
