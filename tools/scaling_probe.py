@@ -53,6 +53,7 @@ PROBES = [
     "attribution_last_touch",
     "timeseries_trailing_p90_value",
     "agg_kmv_trailing7_users",
+    "scd2_user_state_history",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
