@@ -107,7 +107,8 @@ def scd2_apply(
     return closed.unionByName(b.select(*history.columns))
 
 
-__all__ = ["historize_changes", "scd2_apply", "pit_join"]
+__all__ = ["historize_changes", "scd2_apply", "pit_join",
+           "stream_scd2_to_parquet"]
 
 
 def pit_join(
@@ -136,3 +137,72 @@ def pit_join(
         right_time="valid_from",
         tie_break=tie_break,
     )
+
+
+def stream_scd2_to_parquet(
+    changes: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    ts_col: str,
+    tie_break: str,
+    available_now: bool = True,
+):
+    """Maintain an SCD-2 history table from a change stream: each
+    micro-batch runs :func:`scd2_apply` and swaps the updated history in
+    with the crash-recoverable rename-aside dance the other maintenance
+    sinks use.  History growth is append-only plus closing updates, and
+    ``scd2_apply`` REJECTS replays of already-applied changes (they sit
+    at or before the affected keys' current ``valid_from``), so
+    exactly-once needs the in-table marker: an applied-but-uncommitted
+    batch is skipped by batch id on replay, and a fresh checkpoint
+    against an existing history raises via the run id
+    (``streaming.upsert`` contract)."""
+    from label_maker_dask_spark.streaming.upsert import (
+        _applied_state,
+        _recover,
+        _swap_in,
+        _write_marker,
+        ensure_run_id,
+    )
+
+    run_id = ensure_run_id(checkpoint)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch.isEmpty():
+            return
+        _recover(base_path)
+        spark = batch.sparkSession
+        stored_run, applied = _applied_state(base_path)
+        if (
+            stored_run is not None
+            and run_id is not None
+            and stored_run != run_id
+        ):
+            raise ValueError(
+                f"stream_scd2_to_parquet: history {base_path!r} was built "
+                f"by a different stream run ({stored_run!r}, this run "
+                f"{run_id!r}); recreate history and checkpoint together."
+            )
+        if applied >= batch_id:
+            return  # replay of an applied-but-uncommitted batch
+        if os.path.exists(base_path):
+            history = spark.read.parquet(base_path)
+            merged = scd2_apply(history, batch, keys, ts_col, tie_break)
+        else:
+            merged = historize_changes(batch, keys, ts_col, tie_break)
+        tmp = base_path + "._applying"
+        merged.write.mode("overwrite").parquet(tmp)
+        _write_marker(tmp, run_id, batch_id)
+        _swap_in(tmp, base_path)
+
+    writer = (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

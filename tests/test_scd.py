@@ -102,3 +102,61 @@ def test_pit_join_equals_interval_containment(spark):
     )
     b = sorted(map(tuple, contain.collect()))
     assert a == b and len(a) > 100
+
+
+def test_stream_scd2_equals_full_historize(spark, tmp_path):
+    """The streaming SCD-2 sink drained over two micro-batches must
+    produce exactly the full historization of the whole change log,
+    and a restart with no new data must not disturb it."""
+    import time as _time
+
+    from label_maker_dask_spark.operators.scd import stream_scd2_to_parquet
+
+    all_rows = [
+        (k, i * 10 + k, (i * 50 + k) * 1_000_000, f"s{i % 3}")
+        for k in range(1, 6)
+        for i in range(4)
+    ]
+    b0 = [r for r in all_rows if r[1] // 10 < 2]
+    b1 = [r for r in all_rows if r[1] // 10 >= 2]
+
+    d = str(tmp_path / "chg")
+    base = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ck")
+    schema = "cid long, seq long, ts_us long, segment string"
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    _time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        ).select(
+            "cid", "seq",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "segment",
+        )
+        q = stream_scd2_to_parquet(
+            stream, base, ckpt, keys=["cid"], ts_col="ts", tie_break="seq"
+        )
+        q.awaitTermination(120)
+
+    drain()
+    full = historize_changes(_chg(spark, all_rows), ["cid"], "ts", "seq")
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(
+        tuple, spark.read.parquet(base).select(*full.columns).collect()
+    ))
+    assert a == b and len(a) == len(all_rows)
+
+    drain()  # restart, nothing new: history unchanged
+    c = sorted(map(
+        tuple, spark.read.parquet(base).select(*full.columns).collect()
+    ))
+    assert c == a
