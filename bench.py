@@ -94,6 +94,13 @@ HEADLINE = [
     "attribution_last_touch",
     "timeseries_trailing_p90_value",
     "scd2_user_state_history",
+    # round-7 scale-technique additions: runtime bloom join pruning,
+    # k-hop BFS over the transition graph, cents-exact interpolation,
+    # and the one-scan column profiler
+    "join_bloom_pruned_order_revenue",
+    "graph_khop_reachability",
+    "timeseries_gapfill_interpolated",
+    "profile_orders_columns",
 ]
 
 

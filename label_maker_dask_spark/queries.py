@@ -2657,3 +2657,4 @@ from label_maker_dask_spark import queries_pipeline_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_analytics_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_relational_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_graph_ext  # noqa: E402,F401
+from label_maker_dask_spark import queries_scale_ext  # noqa: E402,F401

@@ -1,0 +1,93 @@
+"""Unit tests for the round-7 scale-technique extensions
+(queries_scale_ext.py): k-hop BFS on a known graph, interpolation
+arithmetic on a hand-checked series, and the profiler's one-scan shape.
+(The catalog-level oracle equivalence for all four queries is covered by
+tools/check_oracle.py / the driver gate.)
+"""
+
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.queries_scale_ext import khop_reachability
+
+
+def test_khop_known_graph(spark):
+    # a -> b -> c -> d, plus a -> c shortcut and a d -> a back-edge
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a")],
+        "src: string, dst: string",
+    )
+    got = {
+        r["dst"]: (r["min_hops"], r["n_paths"])
+        for r in khop_reachability(edges, "a", max_hops=3).collect()
+    }
+    # paths from a within 3 hops:
+    #  b: [a-b] -> (1, 1)
+    #  c: [a-c], [a-b-c] -> (1, 2)
+    #  d: [a-c-d], [a-b-c-d] -> (2, 2)
+    #  a: [a-c-d-a] -> (3, 1)
+    assert got == {"b": (1, 1), "c": (1, 2), "d": (2, 2), "a": (3, 1)}
+
+
+def test_khop_unreachable_and_empty_frontier(spark):
+    edges = spark.createDataFrame(
+        [("x", "y")], "src: string, dst: string"
+    )
+    assert khop_reachability(edges, "zzz", max_hops=3).count() == 0
+
+
+def test_interpolation_arithmetic(spark, tmp_path):
+    # hand-checkable series: observations at day 0 (100.00) and day 4
+    # (500.00); gap days must interpolate to 200, 300, 400 (in cents:
+    # 10000 .. 50000 stepping 10000)
+    import datetime
+
+    rows = [
+        (1, 1, "O", 450001.0 + 0.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 450001.0 + 400.0, datetime.datetime(2024, 1, 5), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+        "o_totalprice: double, o_orderdate: timestamp, "
+        "o_orderpriority: string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/orders.parquet")
+    from label_maker_dask_spark.queries_scale_ext import (
+        timeseries_gapfill_interpolated,
+    )
+
+    out = {
+        r["day"].day: (r["revenue_interp_cents"], r["observed"])
+        for r in timeseries_gapfill_interpolated(spark, sf_dir).collect()
+    }
+    lo = 45000100
+    hi = 45040100
+    step = (hi - lo) // 4
+    assert out[1] == (lo, 1)
+    assert out[5] == (hi, 1)
+    assert out[2] == (lo + step, 0)
+    assert out[3] == (lo + 2 * step, 0)
+    assert out[4] == (lo + 3 * step, 0)
+
+
+def test_profiler_single_scan(spark):
+    """The profiler must aggregate the table exactly once: its physical
+    plan contains one scan of the orders parquet, not one per column."""
+    from label_maker_dask_spark.queries_scale_ext import profile_orders_columns
+
+    df = profile_orders_columns(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = {r["col_name"]: r for r in df.collect()}
+    assert set(rows) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    r = rows["o_orderkey"]
+    assert r["n_rows"] == r["n_nonnull"] == r["n_distinct"]
+    assert rows["o_orderstatus"]["mean_value"] is None
