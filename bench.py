@@ -101,6 +101,7 @@ HEADLINE = [
     "graph_khop_reachability",
     "timeseries_gapfill_interpolated",
     "profile_orders_columns",
+    "timeseries_rolling_corr_views_purchases",
 ]
 
 

@@ -18,6 +18,14 @@ DuckDB oracle:
   null counts, exact distinct counts, canonical min/max strings, and
   rounded means, emitted one row per column via ``stack`` so the fact
   table is aggregated exactly once.
+- ``timeseries_rolling_corr_views_purchases`` — trailing 14-day Pearson
+  correlation between two daily series, computed from EXACT INTEGER
+  window sums (n, Sx, Sy, Sxx, Syy, Sxy) with the corr formula applied
+  as one scalar double expression — the same determinism discipline as
+  the quantized PageRank: the only order-sensitive step (the window
+  SUM) is order-free integer addition, so DuckDB replays it
+  bit-for-bit, where a native streaming ``corr`` aggregate (Welford
+  updates) would leak summation order into the ulps.
 
 None of these exist in the reference (`/root/reference/` has no joins,
 graphs, time series, or table statistics — main.py:90-97 is a per-tile
@@ -392,4 +400,89 @@ def profile_orders_columns(spark, sf_dir):
         "min_value",
         "max_value",
         "mean_value",
+    )
+
+
+_ROLLCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1),
+sums AS (
+  SELECT day, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT day, x AS views, y AS purchases, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n >= 14
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round(
+              CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS rolling_corr
+FROM sums
+"""
+
+
+@register("timeseries_rolling_corr_views_purchases", _ROLLCORR_ORACLE)
+def timeseries_rolling_corr_views_purchases(spark, sf_dir):
+    """Trailing 14-day Pearson correlation between daily view and
+    purchase volumes, from exact integer window sums.
+
+    A native windowed ``corr`` aggregate accumulates doubles in
+    window-iteration order (Welford/moment updates), so its low bits
+    differ between engines — un-oracle-able.  Here the window computes
+    only INTEGER sums (n, Sx, Sy, Sxx, Syy, Sxy — order-free, exact),
+    and the correlation  (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx²)(n*Syy -
+    Sy²))  is one scalar double expression over those exact integers:
+    bit-identical across engines, rounded at 6.  Guards: emitted only
+    for full 14-day windows with nonzero variance on both sides.
+
+    Scale shape: the event scan collapses map-side to one row per day
+    (two conditional counts in one pass); the window runs over
+    date-cardinality rows.  The bigint moments hold exactly up to ~1e8
+    events/day (Sx² < 2**63); beyond that, widen to double before the
+    products — the formula is unchanged.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    sums = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    cov = n * F.col("sxy") - sx * sy
+    corr = F.round(
+        cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+    )
+    return sums.select(
+        "day",
+        F.col("x").alias("views"),
+        F.col("y").alias("purchases"),
+        n.cast("long").alias("n_days"),
+        F.when((n >= 14) & (vx > 0) & (vy > 0), corr).alias("rolling_corr"),
     )
