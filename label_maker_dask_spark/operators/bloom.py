@@ -27,10 +27,11 @@ one aggregation over the (small) build side: positions -> nibble index
 driver, bounded by the filter size, never by data volume.
 
 Hash functions are ``xxhash64(key, seed_i)`` — k independent seeds, all
-JVM-side.  Sizing: ``m >= bits_per_key * n_keys`` rounded up to a power
-of two (default 16 bits/key with k=3 gives ~2-3% false-positive rate),
-capped so the plan literal stays small.  At the cap the filter degrades
-gracefully (higher fpp = less pruning, same results).
+JVM-side.  Sizing is automatic: the build hashes at the maximum size and
+the driver folds the sparse bitset down (OR-ing halves) until the fill
+fraction reaches the design point (~1/4 at k=3 → ~1.6% false-positive
+rate), so no separate distinct-count job is needed.  At the cap the
+filter degrades gracefully (higher fpp = less pruning, same results).
 
 No counterpart exists in the reference (`/root/reference/` has no joins
 at all, main.py:90-97); this is Part-B engine surface.
@@ -48,28 +49,32 @@ _MAX_BITS = 1 << 22
 _MIN_BITS = 1 << 10
 
 
+#: fold the driver-side bitset down while the fill fraction stays under
+#: this bound — folding roughly doubles fill, so stopping at 1/8 keeps
+#: the final fill <= ~1/4 (fpp ~ fill**k ~ 1.6% at k=3)
+_FOLD_FILL = 0.125
+
+
 def build_bloom_hex(
     build_side: DataFrame,
     key: str,
     num_hashes: int = 3,
-    bits_per_key: int = 16,
 ) -> Tuple[str, int]:
     """Build a bloom filter over ``build_side[key]``; returns
     ``(hex_bits, m)`` for :func:`bloom_might_contain`.
 
-    Runs two Spark jobs on the build side (a distinct-count to size the
-    filter, then the nibble aggregation) — runtime filters are inherently
-    build-then-probe, and the build side is the *small* side by contract.
-    Driver traffic is at most ``m/4`` (nibble_idx, mask) rows, bounded by
-    the cap regardless of input size.
+    ONE Spark job on the build side: positions are hashed at the maximum
+    filter size and aggregated to (nibble, mask) rows — at most
+    ``3 * n_keys`` of them, tiny for a dim — then the driver FOLDS the
+    sparse bitset down by OR-ing halves (``bits[i % m] |= bits[i]``,
+    valid because every smaller m divides the power-of-two maximum)
+    until the fill fraction would exceed the design point.  Folding
+    needs no second pass over the data, so sizing requires no separate
+    distinct-count job — runtime filters should cost the probe side
+    nothing and the build side one aggregation.
     """
-    n_keys = build_side.select(key).distinct().count()
-    m = _MIN_BITS
-    while m < bits_per_key * max(n_keys, 1) and m < _MAX_BITS:
-        m <<= 1
-
     pos = [
-        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m))
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_MAX_BITS))
         for i in range(num_hashes)
     ]
     nibbles = (
@@ -97,9 +102,21 @@ def build_bloom_hex(
         )
         .collect()
     )
+    sparse = {row["nib"]: row["mask"] for row in nibbles}
+    m = _MAX_BITS
+    while m > _MIN_BITS:
+        half = m // 2
+        folded: dict = {}
+        for nib, mask in sparse.items():
+            j = nib % (half // 4)
+            folded[j] = folded.get(j, 0) | mask
+        fill = sum(bin(v).count("1") for v in folded.values()) / half
+        if fill > _FOLD_FILL:
+            break
+        sparse, m = folded, half
     chars = ["0"] * (m // 4)
-    for row in nibbles:
-        chars[row["nib"]] = format(row["mask"], "x")
+    for nib, mask in sparse.items():
+        chars[nib] = format(mask, "x")
     return "".join(chars), m
 
 
@@ -119,7 +136,13 @@ def bloom_might_contain(
         nib = F.conv(
             F.substring(lit_bits, (pos / 4).cast("int") + 1, 1), 16, 10
         ).cast("int")
-        mask = F.pow(F.lit(2.0), F.pmod(pos, F.lit(4))).cast("int")
+        bit = F.pmod(pos, F.lit(4))
+        mask = (
+            F.when(bit == 0, 1)
+            .when(bit == 1, 2)
+            .when(bit == 2, 4)
+            .otherwise(8)
+        )
         hit = nib.bitwiseAND(mask) != 0
         pred = hit if pred is None else (pred & hit)
     return pred
@@ -132,7 +155,6 @@ def bloom_pruned_join(
     build_key: str,
     how: str = "inner",
     num_hashes: int = 3,
-    bits_per_key: int = 16,
 ) -> DataFrame:
     """Equi-join ``probe`` to ``build`` with a bloom pre-filter on the
     probe side.  Result-invariant vs the plain join for ``inner`` and
@@ -144,7 +166,7 @@ def bloom_pruned_join(
             "under a probe-side pre-filter; use 'inner' or 'left_semi'."
         )
     hex_bits, m = build_bloom_hex(
-        build, build_key, num_hashes=num_hashes, bits_per_key=bits_per_key
+        build, build_key, num_hashes=num_hashes
     )
     if probe_key == build_key:
         raise ValueError(

@@ -57,7 +57,7 @@ def test_false_positive_rate_near_design_point(spark):
     # probe 20k keys guaranteed absent (disjoint range)
     absent = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
     fp = absent.where(bloom_might_contain(hex_bits, m, F.col("k"))).count()
-    # 16 bits/key, k=3 → fpp ≈ 2-3%; allow generous slack
+    # fold stops at fill ≤ 1/4, k=3 → fpp ≈ fill³ ≤ ~2%; generous slack
     assert fp / 20_000 < 0.10
 
 

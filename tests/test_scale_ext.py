@@ -71,14 +71,16 @@ def test_interpolation_arithmetic(spark, tmp_path):
     assert out[4] == (lo + 3 * step, 0)
 
 
-def test_profiler_single_scan(spark):
-    """The profiler must aggregate the table exactly once: its physical
-    plan contains one scan of the orders parquet, not one per column."""
+def test_profiler_two_bounded_passes(spark):
+    """The profiler pays exactly two scans of the table (the stats
+    aggregation and the KMV hash pass) — never one per column — and the
+    planner's Expand+SortAggregate multi-distinct rewrite is absent."""
     from label_maker_dask_spark.queries_scale_ext import profile_orders_columns
 
     df = profile_orders_columns(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" not in plan, plan
     rows = {r["col_name"]: r for r in df.collect()}
     assert set(rows) == {
         "o_orderkey",
@@ -89,5 +91,9 @@ def test_profiler_single_scan(spark):
         "o_orderpriority",
     }
     r = rows["o_orderkey"]
-    assert r["n_rows"] == r["n_nonnull"] == r["n_distinct"]
+    assert r["n_rows"] == r["n_nonnull"]
+    # orderkey is unique: the KMV estimate must land within ~4/sqrt(k)
+    assert abs(r["n_distinct_kmv"] / r["n_rows"] - 1.0) < 0.25
+    # low-cardinality columns are exact (below k=256 distinct values)
+    assert rows["o_orderstatus"]["n_distinct_kmv"] == 3.0
     assert rows["o_orderstatus"]["mean_value"] is None

@@ -54,6 +54,12 @@ PROBES = [
     "timeseries_trailing_p90_value",
     "agg_kmv_trailing7_users",
     "scd2_user_state_history",
+    # round-7 scale-technique operators
+    "join_bloom_pruned_order_revenue",
+    "graph_khop_reachability",
+    "timeseries_gapfill_interpolated",
+    "profile_orders_columns",
+    "timeseries_rolling_corr_views_purchases",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
