@@ -39,10 +39,11 @@ at all, main.py:90-97); this is Part-B engine surface.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: hard cap on filter bits: 2**22 bits = 1 MiB hex literal in the plan
 _MAX_BITS = 1 << 22
@@ -55,10 +56,41 @@ _MIN_BITS = 1 << 10
 _FOLD_FILL = 0.125
 
 
+#: integral types that may be hashed under a common ``bigint`` cast:
+#: Spark widens them losslessly, so probe/build sides agree on the hash
+#: input even when their declared widths differ (int fk vs bigint pk).
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _hash_cast(probe_type: T.DataType, build_type: T.DataType) -> Optional[str]:
+    """Common type both key columns must be cast to *before hashing*.
+
+    ``xxhash64`` is type-sensitive: int 5 and bigint 5 hash to different
+    values, so hashing mismatched key dtypes raw would turn every true
+    match into a bloom false negative — silently wrong results, while the
+    plain join still matches via implicit cast.  Returns ``None`` when the
+    dtypes already agree (no cast needed), a cast target when they can be
+    reconciled losslessly (integral family -> ``bigint``), and raises for
+    anything else.
+    """
+    if probe_type == build_type:
+        return None
+    if isinstance(probe_type, _INTEGRAL) and isinstance(build_type, _INTEGRAL):
+        return "bigint"
+    raise ValueError(
+        "bloom_pruned_join: probe/build key dtypes differ "
+        f"({probe_type.simpleString()} vs {build_type.simpleString()}) and "
+        "cannot be reconciled for hashing; xxhash64 is type-sensitive, so "
+        "mismatched dtypes would produce bloom false negatives. Cast the "
+        "keys to a common type first."
+    )
+
+
 def build_bloom_hex(
     build_side: DataFrame,
     key: str,
     num_hashes: int = 3,
+    hash_cast: Optional[str] = None,
 ) -> Tuple[str, int]:
     """Build a bloom filter over ``build_side[key]``; returns
     ``(hex_bits, m)`` for :func:`bloom_might_contain`.
@@ -72,9 +104,16 @@ def build_bloom_hex(
     needs no second pass over the data, so sizing requires no separate
     distinct-count job — runtime filters should cost the probe side
     nothing and the build side one aggregation.
+
+    ``hash_cast``: cast the key to this type before hashing (must match
+    the cast used in :func:`bloom_might_contain` — xxhash64 is
+    type-sensitive).
     """
+    key_col = F.col(key)
+    if hash_cast is not None:
+        key_col = key_col.cast(hash_cast)
     pos = [
-        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_MAX_BITS))
+        F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(_MAX_BITS))
         for i in range(num_hashes)
     ]
     nibbles = (
@@ -121,16 +160,25 @@ def build_bloom_hex(
 
 
 def bloom_might_contain(
-    hex_bits: str, m: int, key: Column, num_hashes: int = 3
+    hex_bits: str, m: int, key: Column, num_hashes: int = 3,
+    hash_cast: Optional[str] = None,
 ) -> Column:
     """Probe predicate: True iff ``key`` *might* be in the filter (never
     a false negative).  Pure column algebra — ``substring`` into the
     hex literal, ``conv`` nibble -> int, bitwise test — so it runs inside
     whole-stage codegen in the probe side's scan stage, before any
-    exchange.  NULL keys probe to NULL, which ``filter`` drops — matching
-    the inner equi-join, which drops NULL keys too."""
+    exchange.
+
+    NULL keys: Spark's ``xxhash64`` *skips* null children, so
+    ``xxhash64(NULL, seed)`` is a non-null constant — all NULL keys would
+    hash to the same positions and could pass the bit test.  The
+    predicate therefore carries an explicit ``isNotNull`` conjunct so
+    NULL probe rows are pruned pre-shuffle, matching the inner equi-join
+    (which drops NULL keys anyway)."""
     lit_bits = F.lit(hex_bits)
-    pred = None
+    if hash_cast is not None:
+        key = key.cast(hash_cast)
+    pred = key.isNotNull()
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m))
         nib = F.conv(
@@ -144,7 +192,7 @@ def bloom_might_contain(
             .otherwise(8)
         )
         hit = nib.bitwiseAND(mask) != 0
-        pred = hit if pred is None else (pred & hit)
+        pred = pred & hit
     return pred
 
 
@@ -165,16 +213,23 @@ def bloom_pruned_join(
             f"bloom_pruned_join: how={how!r} is not result-invariant "
             "under a probe-side pre-filter; use 'inner' or 'left_semi'."
         )
-    hex_bits, m = build_bloom_hex(
-        build, build_key, num_hashes=num_hashes
-    )
     if probe_key == build_key:
         raise ValueError(
             "bloom_pruned_join: probe_key and build_key must be distinct "
             "names so the join condition resolves unambiguously."
         )
+    # dtype reconciliation BEFORE the (job-running) build, so a bad call
+    # fails fast without wasting a build-side aggregation
+    cast = _hash_cast(
+        probe.schema[probe_key].dataType, build.schema[build_key].dataType
+    )
+    hex_bits, m = build_bloom_hex(
+        build, build_key, num_hashes=num_hashes, hash_cast=cast
+    )
     pruned = probe.where(
-        bloom_might_contain(hex_bits, m, F.col(probe_key), num_hashes)
+        bloom_might_contain(
+            hex_bits, m, F.col(probe_key), num_hashes, hash_cast=cast
+        )
     )
     return pruned.join(
         build, F.col(probe_key) == F.col(build_key), how

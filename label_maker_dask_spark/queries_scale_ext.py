@@ -359,11 +359,14 @@ def _profile_oracle() -> str:
         + "ndv AS (SELECT col_name, max(h) AS kth, count(*) AS n_seen "
         + f"FROM ranked WHERE rn <= {_KMV_K} GROUP BY col_name) "
         + "SELECT t.col_name, t.n_rows, t.n_nonnull, "
-        + f"CASE WHEN n.n_seen < {_KMV_K} THEN CAST(n.n_seen AS DOUBLE) "
-        + f"ELSE round({(_KMV_K - 1) * HASH_P} / n.kth, 6) END "
+        # LEFT join + coalesce: a column whose values are all NULL has no
+        # vals/ndv rows; it must still profile (ndv 0.0), not vanish
+        + f"coalesce(CASE WHEN n.n_seen < {_KMV_K} "
+        + "THEN CAST(n.n_seen AS DOUBLE) "
+        + f"ELSE round({(_KMV_K - 1) * HASH_P} / n.kth, 6) END, 0.0) "
         + "AS n_distinct_kmv, "
         + "t.min_value, t.max_value, t.mean_value "
-        + "FROM stacked t JOIN ndv n USING (col_name)"
+        + "FROM stacked t LEFT JOIN ndv n USING (col_name)"
     )
 
 
@@ -376,129 +379,159 @@ def profile_orders_columns(spark, sf_dir):
     doubles, date form for timestamps — both engines print these
     identically), and the rounded mean for numeric columns.
 
-    Scale shape: two bounded passes.  Pass 1 is ONE hash-aggregation
-    computing every count/min/max/mean (all partial-aggregable; the
-    per-column rows are unpivoted from the single result row with
-    ``stack``).  Pass 2 computes NDV without the planner's
-    multi-`count(distinct)` rewrite — that rewrite Expands the scan
-    #columns-fold and then SORT-aggregates the expanded rows on every
-    profiled column at once (measured 6 s at sf0.1 vs 0.6 s for this
-    shape).  Instead each value hashes through the cross-engine
-    polynomial fold (``functions/text.py``), collapses map-side via
-    ``distinct``, and keeps the k smallest hashes per column in two
-    phases — bottom-k per (column, salt bucket), then bottom-k of the
-    <= 64k survivors — so no single task ever owns a column's whole
-    distinct set (bottom-k of a set is partition-invariant, so the
-    two-phase result is identical to a global sort).  The estimate
+    Scale shape: ONE scan of the fact table.  Each row explodes into one
+    (column, canonical value, typed ordering value) struct per profiled
+    column; everything downstream is a single two-stage aggregation
+    tree over that unpivot:
+
+    - stage 1 groups by (column, salt = hash % 1024) and computes the
+      partial counts/min/max/sums PLUS the bottom-k of the distinct
+      value hashes in that salt bucket (``slice(array_sort(
+      collect_set(h)), 1, k)``) — bottom-k of a set is
+      partition-invariant, and the salt bound means no task ever owns a
+      column's whole distinct set (<= NDV/1024 hashes per group buffer);
+    - stage 2 merges per-bucket partials per column: sums of counts,
+      min-of-mins, and the global bottom-k as the bottom-k of the
+      <= 1024*k flattened survivors (exact, because a hash lands in
+      exactly one salt bucket, so the per-bucket sets partition the
+      distinct set).
+
+    The value hash is the cross-engine polynomial fold
+    (``functions/text.py``) squared-and-folded mod P; the estimate
     ``(k-1) * P / kth_smallest`` is the same formula as
-    ``operators/pipeline.kmv_distinct`` — a pure function of the data,
-    replayed bit-for-bit by the DuckDB oracle, err ~ 1/sqrt(k) ~ 6%.
+    ``operators/pipeline.kmv_distinct`` — a pure function of the data
+    (EXACT below k=256 distinct values), replayed bit-for-bit by the
+    DuckDB oracle, err ~ 1/sqrt(k) ~ 6%.  This shape avoids the
+    planner's multi-`count(distinct)` Expand rewrite (measured 6 s at
+    sf0.1 vs 0.6 s) AND the previous two-pass form's second scan.
+
+    A column whose values are all NULL still profiles (NULL min/max,
+    ndv 0.0) — the unpivot emits its struct unconditionally, so the
+    one-row-per-column contract holds with no join at all.
     """
     from label_maker_dask_spark.functions.text import HASH_P, char_poly_hash
 
     orders = _t(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    canon = []
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_t = F.lit(None).cast("timestamp")
+    null_s = F.lit(None).cast("string")
+    structs = []
     for name, kind in _PROFILE_COLS:
         c = F.col(name)
-        aggs.append(F.count(c).alias(f"nn_{name}"))
         if kind == "long":
-            aggs.append(F.min(c).cast("string").alias(f"lo_{name}"))
-            aggs.append(F.max(c).cast("string").alias(f"hi_{name}"))
-            aggs.append(F.round(F.avg(c), 4).alias(f"mean_{name}"))
-            canon.append(c.cast("string"))
+            val = c.cast("string")
         elif kind == "double":
-            aggs.append(
-                F.min(c).cast("decimal(14,2)").cast("string").alias(
-                    f"lo_{name}"
-                )
-            )
-            aggs.append(
-                F.max(c).cast("decimal(14,2)").cast("string").alias(
-                    f"hi_{name}"
-                )
-            )
-            aggs.append(F.round(F.avg(c), 4).alias(f"mean_{name}"))
-            canon.append(c.cast("decimal(14,2)").cast("string"))
+            val = c.cast("decimal(14,2)").cast("string")
         elif kind == "timestamp":
-            aggs.append(
-                F.min(c).cast("date").cast("string").alias(f"lo_{name}")
-            )
-            aggs.append(
-                F.max(c).cast("date").cast("string").alias(f"hi_{name}")
-            )
-            aggs.append(F.lit(None).cast("double").alias(f"mean_{name}"))
-            canon.append(c.cast("string"))
+            val = c.cast("string")
         else:
-            aggs.append(F.min(c).alias(f"lo_{name}"))
-            aggs.append(F.max(c).alias(f"hi_{name}"))
-            aggs.append(F.lit(None).cast("double").alias(f"mean_{name}"))
-            canon.append(c)
-    stats = orders.agg(*aggs)
-    parts = []
-    for name, _ in _PROFILE_COLS:
-        parts.append(
-            f"'{name}', nn_{name}, lo_{name}, hi_{name}, mean_{name}"
+            val = c
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                val.alias("val"),
+                (c if kind == "long" else null_l).alias("ord_l"),
+                (c if kind == "double" else null_d).alias("ord_d"),
+                (c if kind == "timestamp" else null_t).alias("ord_t"),
+                (c if kind == "string" else null_s).alias("ord_s"),
+            )
         )
-    stacked = stats.selectExpr(
-        "n_rows",
-        f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS "
-        "(col_name, n_nonnull, min_value, max_value, mean_value)",
-    )
-
-    pairs = (
-        orders.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(name).alias("col_name"),
-                            expr.alias("val"),
-                        )
-                        for (name, _), expr in zip(_PROFILE_COLS, canon)
-                    ]
-                )
-            ).alias("p")
-        )
-        .select("p.col_name", "p.val")
-        .where(F.col("val").isNotNull())
-    )
+    pairs = orders.select(
+        F.explode(F.array(*structs)).alias("p")
+    ).select("p.*")
     raw = char_poly_hash(F.concat(F.lit("kmv:"), F.col("val")))
     h = (raw * raw % HASH_P) * raw % HASH_P
-    hashed = pairs.select("col_name", h.alias("h")).distinct()
-    # two-phase bottom-k: per (column, salt) then per column — identical
-    # to a global bottom-k, but no task sees a whole column's hash set
-    w1 = Window.partitionBy("col_name", F.pmod(F.col("h"), F.lit(64))).orderBy(
-        "h"
-    )
-    survivors = (
-        hashed.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= _KMV_K)
-        .drop("rn")
-    )
-    w2 = Window.partitionBy("col_name").orderBy("h")
-    ndv = (
-        survivors.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= _KMV_K)
-        .groupBy("col_name")
-        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_seen"))
-        .select(
-            "col_name",
-            F.when(F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double"))
-            .otherwise(
-                F.round(F.lit((_KMV_K - 1) * HASH_P) / F.col("kth"), 6)
-            )
-            .alias("n_distinct_kmv"),
+    stage1 = (
+        pairs.withColumn("h", h)
+        .groupBy("col_name", F.pmod(F.col("h"), F.lit(1024)).alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("val").alias("nn"),
+            F.min("ord_l").alias("lo_l"),
+            F.max("ord_l").alias("hi_l"),
+            F.sum("ord_l").alias("sum_l"),
+            F.min("ord_d").alias("lo_d"),
+            F.max("ord_d").alias("hi_d"),
+            F.sum("ord_d").alias("sum_d"),
+            F.min("ord_t").alias("lo_t"),
+            F.max("ord_t").alias("hi_t"),
+            F.min("ord_s").alias("lo_s"),
+            F.max("ord_s").alias("hi_s"),
+            F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("bk"),
         )
     )
-    return stacked.join(F.broadcast(ndv), "col_name").select(
+    merged = stage1.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum("nn").alias("n_nonnull"),
+        F.min("lo_l").alias("lo_l"),
+        F.max("hi_l").alias("hi_l"),
+        F.sum("sum_l").alias("sum_l"),
+        F.min("lo_d").alias("lo_d"),
+        F.max("hi_d").alias("hi_d"),
+        F.sum("sum_d").alias("sum_d"),
+        F.min("lo_t").alias("lo_t"),
+        F.max("hi_t").alias("hi_t"),
+        F.min("lo_s").alias("lo_s"),
+        F.max("hi_s").alias("hi_s"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("bk"))), 1, _KMV_K
+        ).alias("bk"),
+    )
+    def _case(per_kind):
+        expr = None
+        for name, kind in _PROFILE_COLS:
+            branch = per_kind[kind]
+            cond = F.col("col_name") == name
+            expr = (
+                F.when(cond, branch)
+                if expr is None
+                else expr.when(cond, branch)
+            )
+        return expr
+
+    min_value = _case(
+        {
+            "long": F.col("lo_l").cast("string"),
+            "double": F.col("lo_d").cast("decimal(14,2)").cast("string"),
+            "timestamp": F.col("lo_t").cast("date").cast("string"),
+            "string": F.col("lo_s"),
+        }
+    )
+    max_value = _case(
+        {
+            "long": F.col("hi_l").cast("string"),
+            "double": F.col("hi_d").cast("decimal(14,2)").cast("string"),
+            "timestamp": F.col("hi_t").cast("date").cast("string"),
+            "string": F.col("hi_s"),
+        }
+    )
+    # exact integer sums stay < 2^53 here, so sum/count reproduces
+    # avg() bit-for-bit in both engines
+    mean_value = _case(
+        {
+            "long": F.round(
+                F.col("sum_l").cast("double") / F.col("n_nonnull"), 4
+            ),
+            "double": F.round(F.col("sum_d") / F.col("n_nonnull"), 4),
+            "timestamp": null_d,
+            "string": null_d,
+        }
+    )
+    n_seen = F.least(F.size("bk"), F.lit(_KMV_K))
+    kth = F.get(F.col("bk"), F.size("bk") - 1)
+    ndv = (
+        F.when(n_seen < _KMV_K, n_seen.cast("double"))
+        .otherwise(F.round(F.lit((_KMV_K - 1) * HASH_P) / kth, 6))
+    )
+    return merged.select(
         "col_name",
         "n_rows",
         "n_nonnull",
-        "n_distinct_kmv",
-        "min_value",
-        "max_value",
-        "mean_value",
+        ndv.alias("n_distinct_kmv"),
+        min_value.alias("min_value"),
+        max_value.alias("max_value"),
+        mean_value.alias("mean_value"),
     )
 
 

@@ -87,6 +87,43 @@ def test_null_probe_keys_are_dropped_like_inner_join(spark):
     assert [(r["fk"], r["nm"]) for r in got] == [(1, "a")]
 
 
+def test_mixed_integral_key_widths_match_plain_join(spark):
+    # int fk vs bigint k: xxhash64 is type-sensitive, so without a common
+    # hash cast every true match would be a bloom false negative
+    fact = spark.createDataFrame(
+        [(i,) for i in range(100)], "fk: int"
+    )
+    dim = spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 100, 2)], "k: bigint, v: bigint"
+    )
+    got = bloom_pruned_join(fact, dim, "fk", "k").count()
+    want = fact.join(dim, fact["fk"] == dim["k"]).count()
+    assert got == want == 50
+
+
+def test_irreconcilable_key_dtypes_raise_before_build(spark):
+    fact = spark.createDataFrame([("1",)], "fk: string")
+    dim = spark.createDataFrame([(1, "a")], "k: bigint, nm: string")
+    try:
+        bloom_pruned_join(fact, dim, "fk", "k")
+    except ValueError as e:
+        assert "dtypes differ" in str(e)
+    else:
+        raise AssertionError("string-vs-bigint keys must be rejected")
+
+
+def test_null_probe_keys_pruned_pre_join(spark):
+    # xxhash64 skips null children, so NULLs hash to a constant; the
+    # explicit isNotNull conjunct must drop them at the filter itself
+    dim = _dim(spark, 10)
+    hex_bits, m = build_bloom_hex(dim, "k")
+    probe = spark.createDataFrame(
+        [(None,), (3,), (None,)], "k: bigint"
+    )
+    kept = probe.where(bloom_might_contain(hex_bits, m, F.col("k"))).collect()
+    assert [r["k"] for r in kept] == [3]
+
+
 def test_rejects_non_invariant_join_types(spark):
     fact = spark.range(5).select(F.col("id").alias("fk"))
     dim = _dim(spark, 5)

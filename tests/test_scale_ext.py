@@ -71,15 +71,16 @@ def test_interpolation_arithmetic(spark, tmp_path):
     assert out[4] == (lo + 3 * step, 0)
 
 
-def test_profiler_two_bounded_passes(spark):
-    """The profiler pays exactly two scans of the table (the stats
-    aggregation and the KMV hash pass) — never one per column — and the
-    planner's Expand+SortAggregate multi-distinct rewrite is absent."""
+def test_profiler_single_scan(spark):
+    """The profiler pays exactly ONE scan of the table (stats and KMV
+    NDV share the explode-once unpivot) — never one per column — and
+    the planner's Expand+SortAggregate multi-distinct rewrite is
+    absent."""
     from label_maker_dask_spark.queries_scale_ext import profile_orders_columns
 
     df = profile_orders_columns(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
     assert "Expand" not in plan, plan
     rows = {r["col_name"]: r for r in df.collect()}
     assert set(rows) == {
@@ -97,3 +98,40 @@ def test_profiler_two_bounded_passes(spark):
     # low-cardinality columns are exact (below k=256 distinct values)
     assert rows["o_orderstatus"]["n_distinct_kmv"] == 3.0
     assert rows["o_orderstatus"]["mean_value"] is None
+
+
+def test_profiler_all_null_column_still_profiles(spark, tmp_path):
+    """A column whose values are ALL NULL must keep its row (n_nonnull
+    0, NULL min/max/mean, ndv 0.0) — in both the Spark plan and the
+    DuckDB oracle (left join + coalesce), so the one-row-per-column
+    contract survives degenerate data."""
+    import duckdb
+
+    from label_maker_dask_spark.queries_scale_ext import (
+        _profile_oracle,
+        profile_orders_columns,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    nulled = base.withColumn(
+        "o_orderpriority", F.lit(None).cast("string")
+    )
+    nulled.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        r["col_name"]: r
+        for r in profile_orders_columns(spark, str(tmp_path)).collect()
+    }
+    r = rows["o_orderpriority"]
+    assert r["n_nonnull"] == 0
+    assert r["n_distinct_kmv"] == 0.0
+    assert r["min_value"] is None and r["max_value"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * REPLACE (CAST(NULL AS VARCHAR) "
+        "AS o_orderpriority) FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    odf = con.execute(_profile_oracle()).df().set_index("col_name")
+    assert len(odf) == 6
+    assert odf.loc["o_orderpriority", "n_distinct_kmv"] == 0.0
