@@ -535,7 +535,13 @@ def containment_neardup_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-SIMHASH_BITS = 16
+#: default signature width: 60 bits = 4 pigeonhole bands of 15 bits
+#: (32k bucket values, clear of LONG's sign bit).  Narrow widths like 16
+#: are a corpus-scale trap — 4-bit bands hold only 16 values, so bucket
+#: occupancy grows ~n/16 and the candidate join approaches quadratic;
+#: the 16-bit form survives only as a guarded verification twin
+#: (``dedup_simhash16_neardup_pairs``).
+SIMHASH_BITS = 60
 
 
 def _simhash_coeffs(bits: int) -> list:
@@ -571,11 +577,12 @@ def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash(text: Column) -> Column:
-    """16-bit SimHash of a text column — single-Column convenience form.
+    """``SIMHASH_BITS``-wide SimHash of a text column — single-Column
+    convenience form.
 
-    NOTE the interpreted char fold is referenced by all 16 per-bit
-    aggregates and higher-order expressions get no CSE, so this form pays
-    16x the fold cost.  The hot path is :func:`simhash_signatures_df`,
+    NOTE the interpreted char fold is referenced by every per-bit
+    aggregate and higher-order expressions get no CSE, so this form pays
+    bits× the fold cost.  The hot path is :func:`simhash_signatures_df`,
     which materializes the token hashes once in a separate projection."""
     return simhash_from_hashes(
         F.transform(tokens(text), lambda t: char_poly_hash_col(t))
@@ -594,11 +601,11 @@ def simhash_signatures_df(
 
     - ``use_arrow=True`` (default, the 100 TB path): one Arrow-batched
       ``mapInPandas`` pass — tokens char-folded once with the vectorized
-      ``_token_fold`` (Horner over a padded byte matrix), then all 16 bit
-      sums come from one ``np.bincount`` per plane over the flat token-hash
+      ``_token_fold`` (Horner over a padded byte matrix), then every bit
+      sum comes from one ``np.bincount`` per plane over the flat token-hash
       array.  Entirely narrow: one row in, one (doc_id, simhash) row out.
     - ``use_arrow=False``: Catalyst expressions with the token-hash array
-      materialized ONCE in its own projection (the 16 per-bit aggregates
+      materialized ONCE in its own projection (the per-bit aggregates
       then reference the stored array — Catalyst's CollapseProject keeps
       multiply-referenced expensive expressions materialized, the same
       trick as similarity.normalized).  This form mirrors the DuckDB
@@ -656,10 +663,10 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """All document pairs whose SimHash signatures differ in at most
     ``max_hamming`` bits — with EXACT recall, not probabilistic: the
-    16-bit signature splits into ``bands`` equal bands, and by pigeonhole
+    signature splits into ``bands`` equal bands, and by pigeonhole
     any pair within ``bands - 1`` bit flips must agree on at least one
     whole band, so the band-bucket join surfaces every qualifying pair
-    (require ``max_hamming <= bands - 1``; the default 4x4-bit banding
+    (require ``max_hamming <= bands - 1``; the default 4x15-bit banding
     covers hamming <= 3).  Verification is one ``bit_count(sig XOR sig)``
     per candidate.
 
@@ -670,14 +677,15 @@ def simhash_neardup_pairs(
     of :func:`simhash_signatures_df`; then one self-join on (band,
     band-value) + a distinct — compact integer keys throughout.
 
-    Width matters at scale: the default 16-bit signature's 4-bit bands
-    hold only 16 values, so band buckets grow linearly with the corpus
-    and the candidate join approaches quadratic (sf0.01 already yields
-    ~25k candidate pairs from 500 docs).  Pass ``bits=60`` (15-bit
-    bands, 32k values — clear of the sign bit) for corpus-scale
-    discrimination; the plan shape and the exactness guarantee are
-    identical, and both widths are oracle-replayed
-    (``dedup_simhash_neardup_pairs`` / ``dedup_simhash60_neardup_pairs``)."""
+    Width matters at scale — hence the 60-bit default (15-bit bands, 32k
+    bucket values, clear of the sign bit).  A narrow signature like
+    ``bits=16`` has 4-bit bands holding only 16 values, so band buckets
+    grow linearly with the corpus and the candidate join approaches
+    quadratic (sf0.01 already yields ~25k candidate pairs from 500
+    docs); it survives only as a verification twin behind
+    ``ensure_small_input`` (``dedup_simhash16_neardup_pairs``).  The
+    plan shape and the exactness guarantee are width-independent, and
+    both widths are oracle-replayed."""
     sigs = simhash_signatures_df(docs, text_col, id_col, use_arrow, bits)
     return banded_hamming_pairs(
         sigs, "doc_id", "simhash", bits, bands, max_hamming

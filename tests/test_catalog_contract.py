@@ -35,6 +35,73 @@ def test_every_oracle_key_has_a_query():
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 
 
+# The driver's correctness gate checks exactly the first 50 registered
+# queries; queries.py curates that window explicitly (_DRIVER_WINDOW).
+# This pin makes any reordering an INTENTIONAL edit of both lists, never
+# a side effect of moving a registration between modules.
+PINNED_DRIVER_WINDOW = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_left_order_item_counts",
+    "join_asof_latest_order",
+    "join_asof_tolerance_90d",
+    "join_range_orders_near_event",
+    "join_skew_salted_brand_revenue",
+    "join_bloom_pruned_order_revenue",
+    "agg_rollup_region_nation",
+    "agg_grouping_sets",
+    "agg_kmv_trailing7_users",
+    "window_running_order_total",
+    "window_top3_orders_per_customer",
+    "set_intersect_customer_supplier_nations",
+    "scalar_string_date_funcs",
+    "scalar_array_map_json",
+    "sort_limit_global_top50",
+    "events_tumbling_hourly",
+    "events_sessionize_30m",
+    "glfilter_select_events",
+    "classification_labels_flagship",
+    "detection_pixel_bbox_math",
+    "segmentation_raster_class_areas",
+    "dedup_exact_sha256",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_neardup_pairs",
+    "dedup_components_simhash60",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk_ann",
+    "similarity_ivf_join_topk_ann",
+    "text_stats_per_doc",
+    "text_lang_id",
+    "text_tfidf_top_terms",
+    "multimodal_image_channel_stats",
+    "multimodal_phash_neardup_pairs",
+    "split_hash_train_val_test",
+    "contamination_3gram_overlap",
+    "curation_end_to_end",
+    "timeseries_ohlc_hourly_by_type",
+    "timeseries_gapfill_interpolated",
+    "udf_grouped_median",
+    "graph_pagerank_transitions",
+    "anomaly_mad_daily_events",
+    "profile_orders_columns",
+    "scd2_user_state_history",
+]
+
+
+def test_driver_window_is_pinned():
+    assert list(Q.QUERIES)[:50] == PINNED_DRIVER_WINDOW
+
+
+def test_driver_window_entries_all_have_value_hash_oracles():
+    # rows-only entries would waste a driver-gate slot
+    assert all(n in Q.ORACLES for n in PINNED_DRIVER_WINDOW)
+
+
 def test_catalog_outputs_are_scalar_and_oracle_columns_match(spark, oracle_con):
     failures = []
     for name in sorted(Q.QUERIES):

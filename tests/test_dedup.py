@@ -75,7 +75,7 @@ def test_simhash_properties(spark):
     df = _docs(spark).select("doc_id", D.simhash(F.col("text")).alias("sig"))
     sigs = {r.doc_id: r.sig for r in df.collect()}
     assert sigs[1] == sigs[2]                  # identical text, identical hash
-    assert 0 <= sigs[1] < (1 << 16)
+    assert 0 <= sigs[1] < (1 << D.SIMHASH_BITS)
     # near-dup differs in few bits; different text differs in more
     def hamming(a, b):
         return bin(a ^ b).count("1")
