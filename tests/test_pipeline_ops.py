@@ -136,6 +136,52 @@ def test_duplicate_components_long_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_duplicate_components_matches_union_find(spark):
+    """Batched 2-step propagation vs a driver-side union-find reference
+    on a deterministic pseudo-random graph (stars, cliques, paths, and
+    isolated pairs mixed)."""
+    edges = []
+    for i in range(60):  # hash-derived pseudo-random pairs, no rand()
+        a = (i * 7919) % 97
+        b = (i * 6271 + 13) % 97
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    edges += [(200 + i, 201 + i) for i in range(15)]  # a 16-node path
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_comp = {x: find(x) for x in parent}
+    from collections import Counter
+
+    want_sizes = Counter(want_comp.values())
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = duplicate_components(pairs).collect()
+    assert {r["doc_id"]: r["component"] for r in got} == want_comp
+    assert all(
+        r["component_size"] == want_sizes[r["component"]] for r in got
+    )
+
+
+def test_duplicate_components_raises_past_max_iter(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_iter=4)
+
+
 def test_pack_sequences_layout_invariants(spark):
     from label_maker_dask_spark.operators.pipeline import pack_sequences
 
