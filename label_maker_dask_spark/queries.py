@@ -46,8 +46,40 @@ from label_maker_dask_spark.streaming.windows import (
     tumbling_agg,
 )
 
-QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: Dict[str, str] = {}
+class _CuratedRegistry(dict):
+    """Registry dict whose ITERATION ORDER puts the curated driver
+    window (``_DRIVER_WINDOW``, end of this module) first — the
+    driver's correctness gate checks exactly the first 50 names it
+    sees, so the window must be a deliberate choice, not an accident
+    of module layout.  Ordering is applied dynamically at iteration
+    (not by rebuilding the dict at import) so a partially-initialized
+    registry — an ext module imported directly, mid-circular-import —
+    stays consistent; names outside the window keep registration
+    order.  Lookup/insert are plain dict operations."""
+
+    def _order(self):
+        window = globals().get("_DRIVER_WINDOW", ())
+        present = [n for n in window if dict.__contains__(self, n)]
+        w = set(present)
+        return present + [n for n in dict.keys(self) if n not in w]
+
+    def __iter__(self):
+        return iter(self._order())
+
+    def keys(self):  # noqa: D102 - dict API
+        return list(self._order())
+
+    def items(self):  # noqa: D102 - dict API
+        return [(n, dict.__getitem__(self, n)) for n in self._order()]
+
+    def values(self):  # noqa: D102 - dict API
+        return [dict.__getitem__(self, n) for n in self._order()]
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = (
+    _CuratedRegistry()
+)
+ORACLES: Dict[str, str] = _CuratedRegistry()
 
 
 def register(name: str, oracle: Optional[str] = None):
@@ -2838,7 +2870,12 @@ _DRIVER_WINDOW = [
 ]
 
 
-def _curate_registration_order() -> None:
+def validate_driver_window() -> None:
+    """Assert the curated window is fully registered and fully
+    hash-gated.  Called from tests (test_catalog_contract), NOT at
+    import: an ext module imported directly makes the registry
+    legitimately partial mid-import, and the registry's dynamic
+    iteration order already tolerates that."""
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
     if missing:
         raise RuntimeError(f"driver window names not registered: {missing}")
@@ -2847,14 +2884,3 @@ def _curate_registration_order() -> None:
         raise RuntimeError(
             f"driver window entries without a value-hash oracle: {no_oracle}"
         )
-    window = set(_DRIVER_WINDOW)
-    order = list(_DRIVER_WINDOW) + [n for n in QUERIES if n not in window]
-    reordered = {n: QUERIES[n] for n in order}
-    QUERIES.clear()
-    QUERIES.update(reordered)
-    oracles = {n: ORACLES[n] for n in order if n in ORACLES}
-    ORACLES.clear()
-    ORACLES.update(oracles)
-
-
-_curate_registration_order()

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from label_maker_dask_spark.functions.timeutil import epoch_micros
 from label_maker_dask_spark.queries import ORACLES, QUERIES, _t, register
-from label_maker_dask_spark.queries_pipeline_ext import _components_oracle
+from label_maker_dask_spark.queries_shared import (
+    components_oracle as _components_oracle,
+)
 
 _GAPFILL_ORACLE = """
 WITH daily AS (

@@ -41,16 +41,7 @@ _PR_SCALE = 1_000_000_000_000.0
 _PR_DAMP = 0.85
 _PR_ITERS = 3
 
-_EDGES_CTE = """
-seq AS (
-  SELECT user_id, event_type,
-         lag(event_type) OVER (
-           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS src
-  FROM events),
-edges AS (
-  SELECT src, event_type AS dst, count(*) AS w
-  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2)
-"""
+from label_maker_dask_spark.queries_shared import EDGES_CTE as _EDGES_CTE
 
 _TRANSITIONS_ORACLE = f"""
 WITH {_EDGES_CTE}

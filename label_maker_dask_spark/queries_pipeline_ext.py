@@ -191,24 +191,9 @@ def text_repetition_bigrams(spark, sf_dir):
     return repetition_scores(docs)
 
 
-def _components_oracle() -> str:
-    from label_maker_dask_spark.queries import _minhash_oracle
-
-    return f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT s AS id FROM edges),
-    reach(id, comp) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
-    comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
-    csizes AS (SELECT component, count(*) AS component_size
-               FROM comps GROUP BY 1)
-    SELECT c.id AS doc_id, c.component, s.component_size
-    FROM comps c JOIN csizes s USING (component)
-    """
+from label_maker_dask_spark.queries_shared import (  # noqa: E402
+    components_oracle as _components_oracle,
+)
 
 
 @register("dedup_components_minhash", _components_oracle())

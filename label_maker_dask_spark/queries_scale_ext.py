@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from label_maker_dask_spark.functions.timeutil import epoch_micros
 from label_maker_dask_spark.operators.bloom import bloom_pruned_join
 from label_maker_dask_spark.queries import _t, register
-from label_maker_dask_spark.queries_graph_ext import _EDGES_CTE
+from label_maker_dask_spark.queries_shared import EDGES_CTE as _EDGES_CTE
 
 _BLOOM_JOIN_ORACLE = """
 SELECT c.c_custkey,

@@ -1,0 +1,50 @@
+"""Oracle-SQL fragments shared between query-catalog ext modules.
+
+Lives in its own module (importing nothing from the catalog) so ext
+modules can share fragments without importing each other: ext modules
+are imported at the bottom of ``queries.py``, and a cross-ext
+from-import creates a circular hole whenever the importing module
+happens to be loaded first (e.g. a test importing one ext module
+directly).
+"""
+
+#: lag-window edge list over the event stream — the transition-graph
+#: base shared by the graph queries (queries_graph_ext) and the k-hop
+#: BFS (queries_scale_ext)
+EDGES_CTE = """
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS src
+  FROM events),
+edges AS (
+  SELECT src, event_type AS dst, count(*) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2)
+"""
+
+
+def components_oracle() -> str:
+    """Recursive-CTE connected components over the MinHash-LSH pair
+    graph — shared by ``dedup_components_minhash`` (queries_pipeline_ext)
+    and ``dedup_cluster_representatives`` (queries_analytics_ext).
+
+    The ``queries`` import is deliberately lazy: ``_minhash_oracle`` is
+    defined above the ext-module imports in queries.py, so it exists by
+    the time any ext module evaluates its oracles, even mid-import."""
+    from label_maker_dask_spark.queries import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+    comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    csizes AS (SELECT component, count(*) AS component_size
+               FROM comps GROUP BY 1)
+    SELECT c.id AS doc_id, c.component, s.component_size
+    FROM comps c JOIN csizes s USING (component)
+    """

@@ -206,9 +206,29 @@ def _apply_bucketed(
     merge_fn: Callable[[Optional[DataFrame], DataFrame], DataFrame],
 ) -> None:
     """Merge one (key-unique or key-aggregated) delta into the bucketed
-    base, rewriting only touched buckets.  ``merge_fn(base_part, delta)``
-    returns the replacement rows for the touched buckets; ``base_part``
-    is None when none of them exist yet."""
+    base, rewriting only touched buckets, under the single-writer lock
+    (see :func:`streaming.upsert.writer_lock`: a second concurrent
+    writer raises instead of interleaving bucket swaps).
+    ``merge_fn(base_part, delta)`` returns the replacement rows for the
+    touched buckets; ``base_part`` is None when none of them exist
+    yet."""
+    from label_maker_dask_spark.streaming.upsert import writer_lock
+
+    with writer_lock(base_path, run_id):
+        _apply_bucketed_locked(
+            delta, base_path, keys, n_buckets, batch_id, run_id, merge_fn
+        )
+
+
+def _apply_bucketed_locked(
+    delta: DataFrame,
+    base_path: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    batch_id: int,
+    run_id: Optional[str],
+    merge_fn: Callable[[Optional[DataFrame], DataFrame], DataFrame],
+) -> None:
     if BUCKET_COL in delta.columns:
         raise ValueError(
             f"bucketed maintenance reserves column name {BUCKET_COL!r}"

@@ -37,12 +37,93 @@ import json
 import os
 import shutil
 import uuid
-from typing import Optional, Sequence
+import contextlib
+from typing import Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.operators.merge import merge_upsert
+
+_LOCK_NAME = "_lmds_writer_lock"
+
+
+def break_writer_lock(base_path: str) -> bool:
+    """Manually remove a maintained table's writer lock.  ONLY for
+    operator intervention after verifying the writer named in the lock
+    file is dead — breaking a live writer's lock reintroduces exactly
+    the concurrent-publish corruption the lock exists to prevent.
+    Returns True if a lock was removed."""
+    path = os.path.join(base_path, _LOCK_NAME)
+    if os.path.exists(path):
+        os.remove(path)
+        return True
+    return False
+
+
+@contextlib.contextmanager
+def writer_lock(base_path: str, run_id: Optional[str]) -> Iterator[None]:
+    """Single-writer guard for maintained tables (bucketed / versioned
+    maintenance): a create-exclusive lock file under the table root so a
+    SECOND CONCURRENT WRITER fails fast instead of corrupting a publish
+    (two interleaved apply calls could rename bucket directories over
+    each other and publish manifests that reference half of each).
+
+    The run-id markers catch checkpoint resets *between* batches; they
+    cannot catch two writers racing *within* one — hence the lock.
+
+    Semantics:
+
+    - acquisition is ``open(path, 'x')`` — atomic on a local/POSIX
+      filesystem (on object stores, a table format's optimistic commit
+      protocol replaces this file);
+    - a lock left behind by OUR OWN run (same non-None ``run_id``) is
+      reclaimed: a run has exactly one writer by construction
+      (``foreachBatch`` executes batches serially), so a matching lock
+      can only be a crash leftover from an earlier batch;
+    - any other lock raises, naming the holder and the
+      :func:`break_writer_lock` escape hatch for a verified-dead
+      holder.  With ``run_id=None`` (direct batch calls) every leftover
+      lock is treated as foreign — fail-loud beats guessing."""
+    os.makedirs(base_path, exist_ok=True)
+    path = os.path.join(base_path, _LOCK_NAME)
+    token = {"run": run_id, "pid": os.getpid(), "nonce": uuid.uuid4().hex}
+    payload = json.dumps(token)
+    try:
+        with open(path, "x") as fh:
+            fh.write(payload)
+    except FileExistsError:
+        try:
+            with open(path) as fh:
+                holder = json.loads(fh.read() or "{}")
+        except (OSError, ValueError):
+            holder = {}
+        if run_id is not None and holder.get("run") == run_id:
+            # our own run's crash leftover — reclaim
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+        else:
+            raise ValueError(
+                f"writer_lock: table {base_path!r} is locked by another "
+                f"writer (holder {holder!r}). Concurrent maintenance of "
+                "one base table is not supported — stop the other "
+                "writer, or if it is verified dead, remove the lock "
+                "with streaming.upsert.break_writer_lock()."
+            )
+    try:
+        yield
+    finally:
+        # release only if we still hold it (a broken+re-acquired lock
+        # belongs to someone else now)
+        try:
+            with open(path) as fh:
+                holder = json.loads(fh.read() or "{}")
+            if holder.get("nonce") == token["nonce"]:
+                os.remove(path)
+        except (OSError, ValueError):
+            pass
 
 
 def compact_last_per_key(

@@ -58,6 +58,7 @@ from label_maker_dask_spark.streaming.bucketed import (
 from label_maker_dask_spark.streaming.upsert import (
     compact_last_per_key,
     ensure_run_id,
+    writer_lock,
 )
 
 _VERSION_COL = "lmdsv"
@@ -165,9 +166,25 @@ def _apply_versioned(
     run_id: Optional[str],
     merge_fn,
 ) -> Optional[int]:
-    """Publish one delta as the table's next version, rewriting only the
-    touched buckets; returns the new version (None on an applied
-    replay)."""
+    """Publish one delta as the table's next version under the
+    single-writer lock (see :func:`streaming.upsert.writer_lock`: a
+    second concurrent writer raises instead of corrupting a publish);
+    returns the new version (None on an applied replay)."""
+    with writer_lock(table, run_id):
+        return _apply_versioned_locked(
+            delta, table, keys, n_buckets, batch_id, run_id, merge_fn
+        )
+
+
+def _apply_versioned_locked(
+    delta: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    batch_id: int,
+    run_id: Optional[str],
+    merge_fn,
+) -> Optional[int]:
     if BUCKET_COL in delta.columns:
         raise ValueError(
             f"versioned maintenance reserves column name {BUCKET_COL!r}"

@@ -245,6 +245,33 @@ def test_plain_accumulate_fresh_checkpoint_raises(spark, tmp_path):
         drain(str(tmp_path / "ck2"))
 
 
+def test_bucketed_concurrent_writer_raises(spark, tmp_path):
+    from label_maker_dask_spark.streaming.bucketed import (
+        _additive_merge,
+        _apply_bucketed,
+    )
+    from label_maker_dask_spark.streaming.upsert import writer_lock
+
+    base = str(tmp_path / "base")
+
+    def apply(batch_id, run_id):
+        delta = spark.createDataFrame([(1, 1)], "k long, w long")
+        _apply_bucketed(
+            delta, base, ["k"], 4, batch_id, run_id,
+            lambda b, dd: dd if b is None else _additive_merge(
+                b, dd, ["k"], ["w"]
+            ),
+        )
+
+    apply(0, "run-a")
+    with writer_lock(base, "run-b"):
+        with pytest.raises(ValueError, match="locked by another writer"):
+            apply(1, "run-a")
+    apply(1, "run-a")  # lock released — next batch proceeds
+    got = {r.k: r.w for r in read_maintained_table(spark, base).collect()}
+    assert got == {1: 2}
+
+
 def test_recover_bucketed_promotes_and_discards(spark, tmp_path):
     """Torn per-bucket swap: set-aside dir present + base bucket missing
     → promote from scratch; leftover scratch is discarded."""

@@ -95,6 +95,7 @@ PINNED_DRIVER_WINDOW = [
 
 def test_driver_window_is_pinned():
     assert list(Q.QUERIES)[:50] == PINNED_DRIVER_WINDOW
+    Q.validate_driver_window()
 
 
 def test_driver_window_entries_all_have_value_hash_oracles():

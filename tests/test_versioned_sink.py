@@ -174,6 +174,60 @@ def test_versioned_rollback_then_replay_heals_exactly_once(spark, tmp_path):
     assert got == want  # added exactly once
 
 
+def test_versioned_concurrent_writer_raises(spark, tmp_path):
+    """Two interleaved apply calls on one base: the second fails fast
+    under the writer lock instead of corrupting the publish."""
+    from label_maker_dask_spark.streaming.bucketed import _additive_merge
+    from label_maker_dask_spark.streaming.versioned import _apply_versioned
+    from label_maker_dask_spark.streaming.upsert import writer_lock
+
+    table = str(tmp_path / "counts")
+
+    def apply(batch_id, run_id):
+        agg = spark.createDataFrame([(1, 1)], "k long, w long")
+        return _apply_versioned(
+            agg, table, ["k"], 4, batch_id, run_id,
+            lambda b, dd: dd if b is None else _additive_merge(
+                b, dd, ["k"], ["w"]
+            ),
+        )
+
+    assert apply(0, "run-a") == 1
+    # writer B holds the lock mid-apply; writer A's interleaved apply
+    # must raise, and B's own apply inside the lock must also refuse
+    # (its run id differs from the holder's)
+    with writer_lock(table, "run-b"):
+        with pytest.raises(ValueError, match="locked by another writer"):
+            apply(1, "run-a")
+    # lock released on exit: A proceeds
+    assert apply(1, "run-a") == 2
+
+
+def test_versioned_same_run_crash_leftover_lock_is_reclaimed(
+    spark, tmp_path
+):
+    import json
+
+    from label_maker_dask_spark.streaming.bucketed import _additive_merge
+    from label_maker_dask_spark.streaming.versioned import _apply_versioned
+    from label_maker_dask_spark.streaming.upsert import _LOCK_NAME
+
+    table = str(tmp_path / "counts")
+    os.makedirs(table)
+    # a crash left our own run's lock behind
+    with open(os.path.join(table, _LOCK_NAME), "w") as fh:
+        fh.write(json.dumps({"run": "run-a", "pid": 0, "nonce": "dead"}))
+    agg = spark.createDataFrame([(1, 1)], "k long, w long")
+    v = _apply_versioned(
+        agg, table, ["k"], 4, 0, "run-a",
+        lambda b, dd: dd if b is None else _additive_merge(
+            b, dd, ["k"], ["w"]
+        ),
+    )
+    assert v == 1
+    assert not os.path.exists(os.path.join(table, _LOCK_NAME))
+
+
 def test_versioned_fresh_checkpoint_raises(spark, tmp_path):
     from pyspark.errors import StreamingQueryException
 
