@@ -250,6 +250,87 @@ def test_decode_compressed_jpeg_in_mapinpandas(spark):
     assert got == pytest.approx(expected, abs=1e-9)
 
 
+def _fixture_gray(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 90 * np.sin(xx / 5.0) * np.cos(yy / 4.0)).astype(int)
+    return np.clip(base + rng.integers(-20, 20, (h, w)), 0, 255).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_restart_interval_streams_match_jvm(spark, interval):
+    """Real DRI/RSTn streams (javax.imageio's writer can't emit them, so
+    tests/jpeg_fixtures.py encodes them): DC-predictor resets, RSTn
+    cycling, and 1-padded segment boundaries, decoded against the JVM's
+    independent decoder.  Tolerance is ±1 per sample: the fixture's flat
+    quant table passes large high-frequency coefficients where the two
+    correct decoders' IDCTs (float vs integer-approximation) differ by
+    one count — a restart-machinery bug (wrong predictor reset, wrong
+    segment split) would desynchronize the entropy stream and produce
+    block-sized garbage, not ±1 (and the exact twin below pins the
+    restart path to the no-restart path bit-for-bit)."""
+    from jpeg_fixtures import encode_gray_baseline
+
+    _, _, decode_gray = _jvm_tools(spark)
+    img = _fixture_gray(40, 24)
+    blob = encode_gray_baseline(img, restart_interval=interval)
+    want = decode_gray(blob)
+    got = decode_jpeg(blob)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_restart_stream_equals_no_restart_stream(spark):
+    """Restart markers change the entropy segmentation, never the
+    pixels: both encodings of the same image must decode identically."""
+    from jpeg_fixtures import encode_gray_baseline
+
+    img = _fixture_gray(24, 40, seed=11)
+    a = decode_jpeg(encode_gray_baseline(img, restart_interval=0))
+    b = decode_jpeg(encode_gray_baseline(img, restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_fixture_encoder_no_restart_sanity_vs_jvm(spark):
+    # the fixture encoder itself is validated against the JVM decoder
+    # on a plain stream before its restart streams are trusted (±1: see
+    # test_restart_interval_streams_match_jvm)
+    from jpeg_fixtures import encode_gray_baseline
+
+    _, _, decode_gray = _jvm_tools(spark)
+    img = _fixture_gray(16, 16, seed=5)
+    blob = encode_gray_baseline(img)
+    d = decode_jpeg(blob).astype(int) - decode_gray(blob).astype(int)
+    assert np.abs(d).max() <= 1
+
+
+def test_progressive_truncated_scan_stream(spark):
+    """A progressive stream cut after its early scans (spectral
+    selection / successive approximation still in flight) + EOI is the
+    classic partial-render shape: the decoder must return a full-size
+    image from the coefficients decoded so far — approximating the full
+    image, not raising — because progressive JPEG's whole point is that
+    every scan prefix is renderable."""
+    encode, _, decode_gray = _jvm_tools(spark)
+    img = _fixture_gray(32, 32, seed=9)
+    blob = encode(img, progressive=True)
+    # find SOS offsets, skipping entropy data (length-prefixed segments
+    # only up to the first SOS; after that, scan for FFDA two-byte runs)
+    sos = [i for i in range(2, len(blob) - 1)
+           if blob[i] == 0xFF and blob[i + 1] == 0xDA]
+    assert len(sos) >= 3  # the JVM default scan script is multi-scan
+    full = decode_jpeg(blob)
+    truncated = blob[: sos[2]] + b"\xff\xd9"
+    partial = decode_jpeg(truncated)
+    assert partial.shape == full.shape
+    # the prefix scans carry the DC + coarse AC information: the partial
+    # render must already be a close approximation of the full decode
+    d = np.abs(partial.astype(int) - full.astype(int))
+    assert d.mean() < 16.0, d.mean()
+
+
 def test_non_interleaved_scan_raises_naming_pillow():
     # hand-built 3-component baseline file whose first SOS covers only one
     # component (legal T.81 multi-scan layout): decoding it as interleaved
