@@ -160,3 +160,69 @@ def test_stream_scd2_equals_full_historize(spark, tmp_path):
         tuple, spark.read.parquet(base).select(*full.columns).collect()
     ))
     assert c == a
+
+
+def test_stream_scd2_bucketed_equals_full_historize(spark, tmp_path):
+    """SCD-2 over a BUCKETED history base (per-batch cost O(delta +
+    touched buckets), never the whole history): three micro-batches
+    drained through the bucket-pruned sink must equal the one-pass
+    historization of the full change log; a restart with nothing new
+    must not disturb it."""
+    import time as _time
+
+    from label_maker_dask_spark.operators.scd import (
+        stream_scd2_to_parquet_bucketed,
+    )
+    from label_maker_dask_spark.streaming.bucketed import (
+        read_maintained_table,
+    )
+
+    all_rows = [
+        (k, i * 10 + k, (i * 50 + k) * 1_000_000, f"s{i % 3}")
+        for k in range(1, 9)
+        for i in range(6)
+    ]
+    batches = [
+        [r for r in all_rows if r[1] // 10 in (0, 1)],
+        [r for r in all_rows if r[1] // 10 in (2, 3)],
+        [r for r in all_rows if r[1] // 10 in (4, 5)],
+    ]
+    d = str(tmp_path / "chg")
+    base = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ck")
+    schema = "cid long, seq long, ts_us long, segment string"
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.1)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        ).select(
+            "cid", "seq",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "segment",
+        )
+        q = stream_scd2_to_parquet_bucketed(
+            stream, base, ckpt, keys=["cid"], ts_col="ts",
+            tie_break="seq", n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    full = historize_changes(_chg(spark, all_rows), ["cid"], "ts", "seq")
+    a = sorted(map(tuple, full.collect()))
+    got = read_maintained_table(spark, base).select(*full.columns)
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and len(a) == len(all_rows)
+
+    drain()  # restart, nothing new
+    c = sorted(map(
+        tuple,
+        read_maintained_table(spark, base).select(*full.columns).collect(),
+    ))
+    assert c == a

@@ -158,6 +158,7 @@ def main() -> None:
     print(line)
 
     _bucketed_maintenance_probe(spark)
+    _scd2_bucketed_probe(spark)
     _skewed_lag_probe(spark)
     _vrt_mosaic_probe()
 
@@ -410,6 +411,109 @@ def _bucketed_maintenance_probe(spark) -> None:
         + " ".join(f"{n//1000:>7d}k" for n in sizes)
     )
     for label, mode in modes:
+        ts = [run(n, mode) for n in sizes]
+        print(f"{label:46s} " + " ".join(f"{t:8.2f}" for t in ts))
+
+
+def _scd2_bucketed_probe(spark) -> None:
+    """Streaming SCD-2 x bucketed composition (round-8): maintain an
+    SCD-2 history as a BUCKETED base.  With a FIXED 40-key change batch
+    (x2) applied after a base history that grows 10x per column, the
+    bucket-pruned sink's per-batch wall time should stay ~flat (only
+    touched buckets re-historize) while a full-rewrite SCD-2 sink grows
+    with the history.  Also asserts, at the smallest size, that the
+    bucketed history equals the one-pass historization of the full
+    change log (the correctness twin of tests/test_scd.py at probe
+    scale)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.scd import (
+        historize_changes,
+        stream_scd2_to_parquet,
+        stream_scd2_to_parquet_bucketed,
+    )
+    from label_maker_dask_spark.streaming.bucketed import (
+        read_maintained_table,
+    )
+
+    schema = "k long, seq long, ts_us long, v double"
+
+    def run(base_rows: int, mode: str, check: bool = False) -> float:
+        d = tempfile.mkdtemp(prefix="lmds_probe_scd2_")
+        changes, base, ckpt = f"{d}/chg", f"{d}/hist", f"{d}/ckpt"
+        spark.range(base_rows).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("long").alias("seq"),
+            (F.col("id") % 1000).cast("long").alias("ts_us"),
+            (F.col("id") * 0.5).alias("v"),
+        ).coalesce(8).write.mode("append").parquet(changes)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(changes)
+            ).select(
+                "k", "seq",
+                F.timestamp_micros(F.col("ts_us")).alias("ts"), "v",
+            )
+            if mode == "bucketed":
+                q = stream_scd2_to_parquet_bucketed(
+                    stream, base, ckpt, keys=["k"], ts_col="ts",
+                    tie_break="seq", n_buckets=256,
+                )
+            else:
+                q = stream_scd2_to_parquet(
+                    stream, base, ckpt, keys=["k"], ts_col="ts",
+                    tie_break="seq",
+                )
+            q.awaitTermination(600)
+
+        drain()  # batch 0: create the history (untimed)
+        for i in (1, 2):  # two 40-key change batches, one file each
+            spark.range(40).select(
+                ((F.col("id") * 977 + i) % base_rows).alias("k"),
+                F.lit(i).cast("long").alias("seq"),
+                F.lit(10_000_000 * i).cast("long").alias("ts_us"),
+                F.lit(float(i)).alias("v"),
+            ).coalesce(1).write.mode("append").parquet(changes)
+        t0 = _time.perf_counter()
+        drain()  # timed: delta batches only
+        dt = _time.perf_counter() - t0
+        if check:
+            full = historize_changes(
+                spark.read.parquet(changes).select(
+                    "k", "seq",
+                    F.timestamp_micros(F.col("ts_us")).alias("ts"), "v",
+                ),
+                ["k"], "ts", "seq",
+            )
+            a = sorted(map(tuple, full.collect()))
+            got = read_maintained_table(spark, base).select(*full.columns)
+            b = sorted(map(tuple, got.collect()))
+            assert a == b, (
+                f"scd2-bucketed probe: history != full historize "
+                f"({len(a)} vs {len(b)} rows)"
+            )
+        shutil.rmtree(d, ignore_errors=True)
+        return dt
+
+    run(50_000, "bucketed", check=True)  # warm + equals-full-historize
+    run(50_000, "plain")
+    sizes = [100_000, 1_000_000, 10_000_000]
+    print()
+    print(
+        f"{'scd2-maintenance (fixed 40-key delta x2)':46s} "
+        + " ".join(f"{n//1000:>7d}k" for n in sizes)
+    )
+    for label, mode in (
+        ("plain full-rewrite scd2", "plain"),
+        ("bucket-pruned scd2 (history slice only)", "bucketed"),
+    ):
         ts = [run(n, mode) for n in sizes]
         print(f"{label:46s} " + " ".join(f"{t:8.2f}" for t in ts))
 
