@@ -108,8 +108,14 @@ HEADLINE = [
     "timeseries_gapfill_interpolated",
     "profile_orders_columns",
     "timeseries_rolling_corr_views_purchases",
-    # round-8: image near-dup end-to-end (pHash + banded hamming join)
+    # round-8: image near-dup end-to-end (pHash + banded hamming join),
+    # exact heavy hitters at sketch shuffle cost, rolling OLS slope,
+    # behavioral path trigrams, co-purchase triangle counting
     "multimodal_phash_neardup_pairs",
+    "agg_heavy_hitters_users",
+    "timeseries_rolling_slope_daily_revenue",
+    "analytics_event_path_trigrams",
+    "graph_triangle_copurchase",
 ]
 
 

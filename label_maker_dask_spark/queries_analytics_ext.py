@@ -483,3 +483,59 @@ def scd2_user_state_history(spark, sf_dir):
     return historize_changes(ev, ["user_id"], "ts", "event_id").select(
         "user_id", "event_id", "state", "valid_from", "valid_to", "is_current"
     )
+
+
+_TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS prev1,
+         lag(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+tri AS (
+  SELECT prev2 || '>' || prev1 || '>' || event_type AS path,
+         count(*) AS n
+  FROM seq WHERE prev2 IS NOT NULL GROUP BY 1),
+total AS (SELECT sum(n) AS t FROM tri)
+SELECT path, n, round(n / t, 6) AS share
+FROM tri, total
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+
+@register("analytics_event_path_trigrams", _TRIGRAM_ORACLE)
+def analytics_event_path_trigrams(spark, sf_dir):
+    """Top-20 behavioral paths: 3-grams of each user's time-ordered
+    event-type sequence, globally counted with their share — the
+    path-analysis step between the pairwise transition graph
+    (``graph_event_transitions``) and full funnel queries.
+
+    Scale shape: TWO lags in ONE per-user window (a single sort, no
+    self-joins — Spark evaluates both lag frames in the same window
+    exec), then a hash agg onto at most |event_types|³ keys, which
+    partial-aggregates map-side; the total for the share column is a
+    broadcast scalar, and the top-20 goes through the global
+    sort-limit (TakeOrdered, no full sort).  Per-user skew is bounded
+    by the same argument as the transition graph — the window carries
+    only 2 rows of state; a pathologically hot user would use the
+    chunked twin's time-slice trick (``transition_edges_chunked``).
+    Deterministic: ordering ties break on the unique ``event_id``, and
+    the top-20 order is (count desc, path asc)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_micros("ts"), "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.col("event_type"),
+    ).where(F.col("prev2").isNotNull())
+    tri = seq.groupBy(
+        F.concat_ws(">", "prev2", "prev1", "event_type").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = tri.agg(F.sum("n").alias("t"))
+    return (
+        tri.crossJoin(F.broadcast(total))
+        .select("path", "n", F.round(F.col("n") / F.col("t"), 6).alias("share"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

@@ -500,3 +500,138 @@ def mad_over_daily(daily):
             .alias("is_anomaly"),
         )
     )
+
+
+_TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE year(o.o_orderdate) = 1995),
+e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a
+  JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+wedge AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       t AS n_triangles,
+       round(3.0 * t / w, 6) AS global_clustering
+FROM tri, wedge
+"""
+
+
+@register("graph_triangle_copurchase", _TRIANGLE_ORACLE)
+def graph_triangle_copurchase(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph (parts are adjacent when they share a 1995
+    order) — the canonical whole-graph analytics kernel, and
+    deliberately on a REAL derived graph (~180k edges at sf0.1), not
+    the tiny event-type transition graph.  The year slice bounds the
+    m^1.5 kernel to bench scale; the full-graph variant is the same
+    plan with the orders filter dropped (measured 1.2M edges /
+    1.88M triangles / ~30 s at sf0.1 on local[32]).
+
+    Scale shape — compact-forward with DEGREE ORIENTATION: every edge
+    is oriented from its lower-(degree, id) endpoint to the higher, so
+    wedge candidates enumerate per node over OUT-degree only; out-
+    degree under this orientation is bounded by ~sqrt(2m) regardless of
+    raw hub degree, which turns the sum-of-degree-squared wedge
+    explosion (the thing that kills naive triangle counting on skewed
+    graphs) into the theoretical-optimal m^1.5 bound.  All three legs
+    are plain shuffle joins on integer keys; the orientation changes
+    candidate volume only — the COUNT is orientation-invariant, which
+    is why the oracle can replay the naive a<b formulation and still
+    hash-match.  The edge list materializes once (localCheckpoint) and
+    feeds the degree pass, the wedge join, and the closing join; the
+    clustering coefficient is exact-integer arithmetic (3T / sum
+    C(deg,2)) with one rounded division at the end."""
+    orders_1995 = (
+        _t(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1995)
+        .select("o_orderkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(orders_1995, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge low-(degree,id) -> high-(degree,id)
+    ed = (
+        e.join(deg.withColumnRenamed("node", "pa").withColumnRenamed("d", "da"), "pa")
+        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("d", "db"), "pb")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | (
+                (F.col("o1.dv") == F.col("o2.dv"))
+                & (F.col("o1.v") < F.col("o2.v"))
+            )
+        ),
+    ).select(
+        F.least(F.col("o1.v"), F.col("o2.v")).alias("pa"),
+        F.greatest(F.col("o1.v"), F.col("o2.v")).alias("pb"),
+    )
+    tri = wedges.join(e, ["pa", "pb"]).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("w"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )

@@ -618,3 +618,109 @@ def timeseries_rolling_corr_views_purchases(spark, sf_dir):
         n.cast("long").alias("n_days"),
         F.when((n >= 14) & (vx > 0) & (vy > 0), corr).alias("rolling_corr"),
     )
+
+
+_ROLLSLOPE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1),
+xy AS (
+  SELECT day, rev_cents,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x,
+         rev_cents AS y
+  FROM daily),
+sums AS (
+  SELECT day, rev_cents,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+  FROM xy
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT CAST(day AS TIMESTAMP) AS day, rev_cents,
+       CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n >= 14 AND (n * sxx - sx * sx) > 0
+            THEN round(
+              CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope_cents_per_day
+FROM sums
+"""
+
+
+@register("timeseries_rolling_slope_daily_revenue", _ROLLSLOPE_ORACLE)
+def timeseries_rolling_slope_daily_revenue(spark, sf_dir):
+    """Trailing 14-day ordinary-least-squares revenue trend (cents/day),
+    from exact integer window sums — the regression sibling of
+    ``timeseries_rolling_corr_views_purchases`` and the same determinism
+    discipline: a native streaming ``regr_slope`` accumulates doubles in
+    window order (un-oracle-able low bits); here the window computes
+    only integer sums (n, Sx, Sy, Sxx, Sxy over x = epoch-day, y =
+    cents) and the slope (n*Sxy - Sx*Sy) / (n*Sxx - Sx²) is one scalar
+    double expression over exact integers, rounded at 6.
+
+    Scale shape: the orders scan collapses map-side to one row per day;
+    the window runs over date-cardinality rows.  The bigint moments
+    hold exactly to ~1e9 cents/day x 20k epoch-days x 14 (< 2^63);
+    widen to double before the products past that.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    x = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    xy = daily.select("day", "rev_cents", x.alias("x"),
+                      F.col("rev_cents").alias("y"))
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    sums = xy.select(
+        "day",
+        "rev_cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    den = n * F.col("sxx") - sx * sx
+    num = n * F.col("sxy") - sx * sy
+    slope = F.round(num.cast("double") / den.cast("double"), 6)
+    return sums.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "rev_cents",
+        n.cast("long").alias("n_days"),
+        F.when((n >= 14) & (den > 0), slope).alias("slope_cents_per_day"),
+    )
+
+
+_HEAVY_ORACLE = """
+WITH total AS (SELECT count(*) AS t FROM events)
+SELECT user_id AS item, count(*) AS n_rows, max(t) AS total_rows
+FROM events, total
+GROUP BY user_id
+HAVING count(*) * 120 > max(t)
+"""
+
+
+@register("agg_heavy_hitters_users", _HEAVY_ORACLE)
+def agg_heavy_hitters_users(spark, sf_dir):
+    """Users generating more than 1/120 of all events — EXACT heavy
+    hitters at a sketch's shuffle cost (``operators/heavy.py``): an
+    Arrow-batched Misra-Gries-style candidate pass shuffles only
+    per-chunk survivors (O(chunks x k), never O(distinct users) — the
+    pigeonhole guarantees no true heavy hitter is missed), then one
+    exact counting pass over the candidate-filtered fact.  The
+    threshold test is integer arithmetic (n*k > total), so the plain
+    exact-SQL oracle matches bit-for-bit."""
+    from label_maker_dask_spark.operators.heavy import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=120).withColumnRenamed(
+        "item", "item"
+    )

@@ -60,6 +60,11 @@ PROBES = [
     "timeseries_gapfill_interpolated",
     "profile_orders_columns",
     "timeseries_rolling_corr_views_purchases",
+    # round-8 operators
+    "multimodal_phash_neardup_pairs",
+    "agg_heavy_hitters_users",
+    "analytics_event_path_trigrams",
+    "graph_triangle_copurchase",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
