@@ -116,6 +116,9 @@ HEADLINE = [
     "timeseries_rolling_slope_daily_revenue",
     "analytics_event_path_trigrams",
     "graph_triangle_copurchase",
+    "multimodal_audio_zcr_windows",
+    "join_asof_forward_next_event",
+    "analytics_chi2_event_type_by_hour",
 ]
 
 

@@ -51,6 +51,8 @@ def char_poly_hash_sql(expr: str) -> str:
     )
 
 
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings; fewer than n tokens ->
     empty array.

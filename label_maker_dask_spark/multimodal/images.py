@@ -229,3 +229,50 @@ def audio_rms_windows(
                 yield pd.DataFrame(rows)
 
     return df.mapInPandas(scan, schema=schema)
+
+
+def audio_zcr_windows(
+    df: DataFrame,
+    window_samples: int = 1024,
+    audio_col: str = "audio",
+    key_cols: Tuple[str, ...] = ("clip_id",),
+) -> DataFrame:
+    """Zero-crossing rate per fixed-size window over raw PCM int16 mono
+    audio — the standard voiced/unvoiced + noisiness feature next to RMS
+    energy.  A crossing is a sign change between adjacent samples with
+    sign(s) = +1 for s >= 0 else -1 (the >= 0 convention keeps zeros
+    deterministic); zcr = crossings / (window - 1).  Integer crossing
+    counts divided by an integer make the rounded rate exact across
+    engines."""
+    schema = (
+        ", ".join(f"{k} long" for k in key_cols)
+        + ", window_idx int, zcr double"
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            key_arrays = [pdf[k].to_numpy() for k in key_cols]
+            for ridx, blob in enumerate(pdf[audio_col].to_numpy()):
+                pcm = np.frombuffer(blob, dtype=np.int16)
+                n = len(pcm) // window_samples
+                if n == 0:
+                    continue
+                w = pcm[: n * window_samples].reshape(n, window_samples)
+                sign = np.where(w >= 0, 1, -1)
+                crossings = (sign[:, 1:] != sign[:, :-1]).sum(axis=1)
+                keys = {k: arr[ridx] for k, arr in zip(key_cols, key_arrays)}
+                for i, c in enumerate(crossings):
+                    rows.append(
+                        {
+                            **keys,
+                            "window_idx": i,
+                            "zcr": round(
+                                int(c) / (window_samples - 1), 6
+                            ),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(scan, schema=schema)

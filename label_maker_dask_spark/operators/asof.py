@@ -27,23 +27,39 @@ def asof_join(
     tie_break: str,
     how: str = "inner",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Latest right row with ``right_time <= left_time`` per left row.
+    """Latest right row with ``right_time <= left_time`` per left row
+    (``direction="backward"``, the default), or the EARLIEST right row
+    with ``right_time >= left_time`` (``direction="forward"`` — "next
+    event after", e.g. first fill after an order, first quote after a
+    trade).
 
     ``left_key`` is the left side's unique key (window partition);
     ``tie_break`` a unique right-side column so equal right timestamps
-    resolve deterministically (largest wins).  ``tolerance`` (an INTERVAL
-    expression string, e.g. ``"INTERVAL 30 DAY"``) bounds the lookback:
-    matches older than ``left_time - tolerance`` are ignored — pandas
-    ``merge_asof(tolerance=...)`` semantics.  Bounding the lookback also
-    bounds the join fan-out at scale: without it, one left row can pair
-    with the key's entire right-side history before the window cut.
+    resolve deterministically (largest wins backward, smallest wins
+    forward).  ``tolerance`` (an INTERVAL expression string, e.g.
+    ``"INTERVAL 30 DAY"``) bounds the lookback/lookahead: matches
+    beyond ``left_time ∓ tolerance`` are ignored — pandas
+    ``merge_asof(tolerance=..., direction=...)`` semantics.  Bounding
+    it also bounds the join fan-out at scale: without it, one left row
+    can pair with the key's entire right-side history before the
+    window cut.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction={direction!r} (backward|forward)"
+        )
     lt = F.col(f"__l.{left_time}")
     rt = F.col(f"__r.{right_time}")
-    cond = rt <= lt
-    if tolerance is not None:
-        cond = cond & (rt >= lt - F.expr(tolerance))
+    if direction == "backward":
+        cond = rt <= lt
+        if tolerance is not None:
+            cond = cond & (rt >= lt - F.expr(tolerance))
+    else:
+        cond = rt >= lt
+        if tolerance is not None:
+            cond = cond & (rt <= lt + F.expr(tolerance))
     for k in on:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
     joined = left.alias("__l").join(right.alias("__r"), cond, how)
@@ -51,8 +67,13 @@ def asof_join(
     right_cols = [
         F.col(f"__r.{c}").alias(c) for c in right.columns if c not in set(on)
     ]
+    order = (
+        [rt.desc(), F.col(f"__r.{tie_break}").desc()]
+        if direction == "backward"
+        else [rt.asc(), F.col(f"__r.{tie_break}").asc()]
+    )
     w = Window.partitionBy(*[F.col(f"__l.{c}") for c in left_key]).orderBy(
-        rt.desc(), F.col(f"__r.{tie_break}").desc()
+        *order
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))

@@ -1523,6 +1523,57 @@ def join_asof_tolerance(spark, sf_dir):
 
 
 @register(
+    "join_asof_forward_next_event",
+    """
+    WITH os AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             o_orderdate + INTERVAL 26 YEAR AS sd
+      FROM orders),
+    ev AS (
+      SELECT event_id, ts, (user_id % 150) + 1 AS custkey FROM events)
+    SELECT o_orderkey, custkey, event_id AS next_event_id, ts AS next_ts
+    FROM (
+      SELECT os.o_orderkey, os.custkey, ev.event_id, ev.ts,
+             row_number() OVER (
+               PARTITION BY os.o_orderkey
+               ORDER BY ev.ts ASC, ev.event_id ASC) AS rn
+      FROM os JOIN ev
+        ON ev.custkey = os.custkey
+       AND ev.ts >= os.sd
+       AND ev.ts <= os.sd + INTERVAL 30 DAY)
+    WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (direction='forward'): for each order, the
+    FIRST event at or after its (shifted) date for the same customer,
+    within a 30-day lookahead — "next fill after the order", the
+    mirror of the backward latest-state lookup, same banded-join +
+    window plan with the inequalities and the window order flipped
+    (ties break on the unique event id, smallest wins)."""
+    from label_maker_dask_spark.operators.asof import asof_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 26 YEAR")).alias("sd"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
+    )
+    return asof_join(
+        orders, ev, on=["custkey"], left_time="sd", right_time="ts",
+        left_key=["o_orderkey"], tie_break="event_id",
+        tolerance="INTERVAL 30 DAY", direction="forward",
+    ).select(
+        "o_orderkey",
+        "custkey",
+        F.col("event_id").alias("next_event_id"),
+        F.col("ts").alias("next_ts"),
+    )
+
+
+@register(
     "join_range_orders_near_event",
     """
     SELECT e.event_id, count(o.o_orderkey) AS n_orders_in_window
@@ -2763,6 +2814,66 @@ def multimodal_audio_rms_windows(spark, sf_dir):
         encode, "clip_id long, audio binary"
     )
     return audio_rms_windows(clips, window_samples=16)
+
+
+def _mm_zcr_oracle(window: int = 16) -> str:
+    """Sign convention +1 for s >= 0 else -1; integer crossing counts /
+    (window-1) make the rounded rate engine-exact."""
+    pcm = (
+        "list_transform(embedding, x -> CAST(greatest(-32768.0, least(32767.0, "
+        "floor(x::DOUBLE * 1000))) AS BIGINT))"
+    )
+    n_windows = 64 // window
+    return f"""
+    WITH base AS (SELECT vec_id AS clip_id, {pcm} AS pcm FROM embeddings),
+    w AS (SELECT clip_id, unnest(generate_series(0, {n_windows - 1})) AS j, pcm
+          FROM base)
+    SELECT clip_id, CAST(j AS INT) AS window_idx,
+           round(list_reduce(
+                   list_transform(generate_series(2, {window}),
+                     i -> CASE WHEN (CASE WHEN pcm[j * {window} + i] >= 0
+                                          THEN 1 ELSE -1 END)
+                            != (CASE WHEN pcm[j * {window} + i - 1] >= 0
+                                     THEN 1 ELSE -1 END)
+                               THEN 1 ELSE 0 END),
+                   (a, b) -> a + b)::DOUBLE / {window - 1}, 6) AS zcr
+    FROM w
+    """
+
+
+@register("multimodal_audio_zcr_windows", _mm_zcr_oracle())
+def multimodal_audio_zcr_windows(spark, sf_dir):
+    """Windowed zero-crossing rate over the same synthetic int16 PCM as
+    the RMS query, through the real ``audio_zcr_windows`` Arrow stage —
+    energy (RMS) plus noisiness (ZCR) are the two first-line audio
+    curation features.  Integer crossing counts over an integer window
+    length keep the rounded rate exact in both engines."""
+    import numpy as np
+    import pandas as pd
+
+    from label_maker_dask_spark.multimodal.images import audio_zcr_windows
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pcm = np.clip(np.floor(mats * 1000.0), -32768, 32767).astype(
+                np.int16
+            )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["vec_id"].to_numpy(),
+                    "audio": [row.tobytes() for row in pcm],
+                }
+            )
+
+    clips = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "clip_id long, audio binary"
+    )
+    return audio_zcr_windows(clips, window_samples=16)
 
 
 # Extension registrations (import side-effect populates QUERIES/ORACLES;

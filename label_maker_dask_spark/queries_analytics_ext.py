@@ -539,3 +539,94 @@ def analytics_event_path_trigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, hour(ts) AS hr, count(*) AS n_ij
+  FROM events GROUP BY 1, 2),
+rows_ AS (SELECT event_type, sum(n_ij) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT hr, sum(n_ij) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(n_ij) AS n FROM cells),
+contrib AS (
+  SELECT CAST(round(
+           ((ce.n_ij - (r.r * co.c / t.n))
+            * (ce.n_ij - (r.r * co.c / t.n))
+            / (r.r * co.c / t.n)) * 1000000.0, 0) AS BIGINT) AS micro
+  FROM cells ce
+  JOIN rows_ r USING (event_type)
+  JOIN cols_ co USING (hr)
+  CROSS JOIN tot t),
+dims AS (
+  SELECT (SELECT count(*) FROM rows_) AS nr,
+         (SELECT count(*) FROM cols_) AS nc,
+         (SELECT n FROM tot) AS n)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       round(sum(micro) / 1000000.0, 4) AS chi2,
+       round(sqrt((sum(micro) / 1000000.0)
+                  / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+FROM contrib, dims
+GROUP BY n, nr, nc
+"""
+
+
+@register("analytics_chi2_event_type_by_hour", _CHI2_ORACLE)
+def analytics_chi2_event_type_by_hour(spark, sf_dir):
+    """Chi-square test of association between event type and hour of
+    day, with Cramér's V effect size — the one-pass categorical
+    dependence check a feature-engineering pipeline runs before keeping
+    a crossed feature.
+
+    Determinism discipline (the PageRank trick): each cell's chi-square
+    contribution (O-E)²/E is ONE scalar double expression —
+    bit-identical in both engines — quantized to integer micro-units
+    BEFORE the sum, so the only order-sensitive step is order-free
+    integer addition.  Scale shape: the event scan collapses map-side
+    onto |types| x 24 cells; everything after runs on that tiny frame
+    (row/col totals broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_ij"))
+    cells = cells.localCheckpoint(eager=True)
+    rows_ = cells.groupBy("event_type").agg(F.sum("n_ij").alias("r"))
+    cols_ = cells.groupBy("hr").agg(F.sum("n_ij").alias("c"))
+    tot = cells.agg(F.sum("n_ij").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    micro = F.round(
+        ((F.col("n_ij") - e) * (F.col("n_ij") - e) / e) * 1_000_000.0, 0
+    ).cast("long")
+    contrib = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(micro.alias("micro"), "n")
+    )
+    dims = rows_.crossJoin(cols_).agg(
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("hr").alias("nc"),
+    )
+    chi2 = F.sum("micro") / 1_000_000.0
+    return (
+        contrib.groupBy("n")
+        .agg(F.sum("micro").alias("sum_micro"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round(F.col("sum_micro") / 1_000_000.0, 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (F.col("sum_micro") / 1_000_000.0)
+                    / (
+                        F.col("n")
+                        * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

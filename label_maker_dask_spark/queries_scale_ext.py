@@ -1,6 +1,6 @@
-"""Scale-technique catalog extensions (round 7).
+"""Scale-technique catalog extensions.
 
-Four operators a 100 TB pipeline reaches for, each with a hash-matched
+Operators a 100 TB pipeline reaches for, each with a hash-matched
 DuckDB oracle:
 
 - ``join_bloom_pruned_order_revenue`` — runtime bloom-filter join
@@ -26,6 +26,10 @@ DuckDB oracle:
   SUM) is order-free integer addition, so DuckDB replays it
   bit-for-bit, where a native streaming ``corr`` aggregate (Welford
   updates) would leak summation order into the ulps.
+- ``timeseries_rolling_slope_daily_revenue`` — trailing 14-day OLS
+  trend from the same exact-integer-window-sums discipline.
+- ``agg_heavy_hitters_users`` — exact frequent items at a sketch's
+  shuffle cost (``operators/heavy.py``).
 
 None of these exist in the reference (`/root/reference/` has no joins,
 graphs, time series, or table statistics — main.py:90-97 is a per-tile
@@ -290,16 +294,6 @@ _PROFILE_COLS = [
 _KMV_K = 256
 
 
-def _canon_sql(name: str, kind: str) -> str:
-    if kind == "long":
-        return f"CAST({name} AS VARCHAR)"
-    if kind == "double":
-        return f"CAST(CAST({name} AS DECIMAL(14,2)) AS VARCHAR)"
-    if kind == "timestamp":
-        return f"CAST({name} AS VARCHAR)"
-    return name
-
-
 def _profile_oracle() -> str:
     from label_maker_dask_spark.functions.text import (
         HASH_P,
@@ -340,11 +334,23 @@ def _profile_oracle() -> str:
             f"lo_{name} AS min_value, hi_{name} AS max_value, "
             f"mean_{name} AS mean_value FROM s"
         )
+        # KMV hash input mirrors the Spark side: integer arithmetic for
+        # numeric/temporal kinds, char fold only for strings
+        if kind == "long":
+            raw = f"(({name} % {HASH_P}) + {HASH_P}) % {HASH_P}"
+        elif kind == "double":
+            raw = (
+                f"((CAST(round({name} * 100, 0) AS BIGINT) % {HASH_P}) "
+                f"+ {HASH_P}) % {HASH_P}"
+            )
+        elif kind == "timestamp":
+            raw = f"((epoch_us({name}) % {HASH_P}) + {HASH_P}) % {HASH_P}"
+        else:
+            raw = char_poly_hash_sql(name)
         vals.append(
-            f"SELECT '{name}' AS col_name, {_canon_sql(name, kind)} AS val "
+            f"SELECT '{name}' AS col_name, {raw} AS raw "
             f"FROM orders WHERE {name} IS NOT NULL"
         )
-    fold = char_poly_hash_sql("'kmv:' || val")
     return (
         "WITH s AS (SELECT count(*) AS n_rows, "
         + ", ".join(aggs)
@@ -352,8 +358,9 @@ def _profile_oracle() -> str:
         + "stacked AS (" + " UNION ALL ".join(selects) + "), "
         + "vals AS (" + " UNION ALL ".join(vals) + "), "
         + "hashed AS (SELECT DISTINCT col_name, "
-        + f"(raw * raw % {HASH_P}) * raw % {HASH_P} AS h "
-        + f"FROM (SELECT col_name, {fold} AS raw FROM vals)), "
+        + f"(m * m % {HASH_P}) * m % {HASH_P} AS h FROM "
+        + f"(SELECT col_name, (raw * 236887691 + 1013904223) % {HASH_P} "
+        + "AS m FROM vals)), "
         + "ranked AS (SELECT col_name, h, row_number() OVER "
         + "(PARTITION BY col_name ORDER BY h) AS rn FROM hashed), "
         + "ndv AS (SELECT col_name, max(h) AS kth, count(*) AS n_seen "
@@ -379,159 +386,163 @@ def profile_orders_columns(spark, sf_dir):
     doubles, date form for timestamps — both engines print these
     identically), and the rounded mean for numeric columns.
 
-    Scale shape: ONE scan of the fact table.  Each row explodes into one
-    (column, canonical value, typed ordering value) struct per profiled
-    column; everything downstream is a single two-stage aggregation
-    tree over that unpivot:
+    Scale shape: two bounded passes over the fact table, both inside
+    whole-stage codegen.
 
-    - stage 1 groups by (column, salt = hash % 1024) and computes the
-      partial counts/min/max/sums PLUS the bottom-k of the distinct
-      value hashes in that salt bucket (``slice(array_sort(
-      collect_set(h)), 1, k)``) — bottom-k of a set is
-      partition-invariant, and the salt bound means no task ever owns a
-      column's whole distinct set (<= NDV/1024 hashes per group buffer);
-    - stage 2 merges per-bucket partials per column: sums of counts,
-      min-of-mins, and the global bottom-k as the bottom-k of the
-      <= 1024*k flattened survivors (exact, because a hash lands in
-      exactly one salt bucket, so the per-bucket sets partition the
-      distinct set).
+    - Pass 1 is ONE hash aggregation computing every count/min/max/mean
+      (all partial-aggregable), unpivoted to one row per column with
+      ``stack``.
+    - Pass 2 computes NDV: each value hashes with pure INTEGER
+      arithmetic for numeric/temporal columns (value / cents /
+      epoch-micros mod P, squared-and-folded) and the cross-engine char
+      fold (``functions/text.py``) only for genuinely-string columns;
+      hashes collapse map-side via ``distinct`` (codegen hash agg),
+      then the k smallest per column emerge in two window phases —
+      bottom-k per (column, salt bucket), then bottom-k of the <= 64k
+      survivors — so no task ever owns a column's whole distinct set
+      (bottom-k of a set is partition-invariant, so the two-phase
+      result equals a global sort).
 
-    The value hash is the cross-engine polynomial fold
-    (``functions/text.py``) squared-and-folded mod P; the estimate
-    ``(k-1) * P / kth_smallest`` is the same formula as
-    ``operators/pipeline.kmv_distinct`` — a pure function of the data
-    (EXACT below k=256 distinct values), replayed bit-for-bit by the
-    DuckDB oracle, err ~ 1/sqrt(k) ~ 6%.  This shape avoids the
-    planner's multi-`count(distinct)` Expand rewrite (measured 6 s at
-    sf0.1 vs 0.6 s) AND the previous two-pass form's second scan.
+    Shapes measured and rejected at sf0.1 (the docstring is the lab
+    notebook; this shape runs 3.9 s warm, noop-sink action): the
+    planner's multi-``count(distinct)`` Expand rewrite (6 s —
+    SortAggregate over the expanded fan-out); a shared-scan variant
+    folding pass 2's bottom-k into pass 1's unpivot via ``collect_set``
+    per (column, salt) — ONE FileScan, but the ``collect_set`` drags
+    all 13 aggregates into interpreted ObjectHashAggregate over the
+    9M-row unpivot (6.1 s; the parquet scan it saves costs ~0.2 s); an
+    unrolled substring/ascii Horner chain for the string hashes (UTF8
+    ``substring`` is O(position), so 16 slots re-scan the string —
+    2.9 s vs 2.0 s for the interpreted fold on the two string columns).
+    Hashing the four numeric/temporal columns as canonical STRINGS was
+    the original sin (4.6 s total) — their integer folds are ~0.3 s;
+    the two genuinely-string columns' interpreted char folds are the
+    remaining floor.
 
+    The estimate ``(k-1) * P / kth_smallest`` is the same formula as
+    ``operators/pipeline.kmv_distinct`` — a pure function of the data,
+    replayed bit-for-bit by the DuckDB oracle, err ~ 1/sqrt(k) ~ 6%.
     A column whose values are all NULL still profiles (NULL min/max,
-    ndv 0.0) — the unpivot emits its struct unconditionally, so the
-    one-row-per-column contract holds with no join at all.
+    ndv 0.0): pass 2 has no row for it, and the final join is LEFT +
+    coalesce — the one-row-per-column contract survives degenerate
+    data.
     """
     from label_maker_dask_spark.functions.text import HASH_P, char_poly_hash
 
     orders = _t(spark, sf_dir, "orders")
-    null_l = F.lit(None).cast("long")
-    null_d = F.lit(None).cast("double")
-    null_t = F.lit(None).cast("timestamp")
-    null_s = F.lit(None).cast("string")
-    structs = []
+
+    A, B = 236_887_691, 1_013_904_223
+
+    def fold(raw):
+        # affine premix then cube mod P: the premix equidistributes
+        # structured inputs (sequential keys, cents, epoch micros —
+        # whose raw cubes are monotone for small values and would skew
+        # the KMV bottom-k), and both maps are BIJECTIONS mod P
+        # (gcd(3, P-1) = 1), so distinct values keep distinct hashes;
+        # identical integer arithmetic in both engines
+        raw = (raw * A + B) % HASH_P
+        return (raw * raw % HASH_P) * raw % HASH_P
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    hv_structs = []
     for name, kind in _PROFILE_COLS:
         c = F.col(name)
+        aggs.append(F.count(c).alias(f"nn_{name}"))
         if kind == "long":
-            val = c.cast("string")
+            aggs.append(F.min(c).cast("string").alias(f"lo_{name}"))
+            aggs.append(F.max(c).cast("string").alias(f"hi_{name}"))
+            aggs.append(F.round(F.avg(c), 4).alias(f"mean_{name}"))
+            hv = fold(F.pmod(c, F.lit(HASH_P)))
         elif kind == "double":
-            val = c.cast("decimal(14,2)").cast("string")
+            aggs.append(
+                F.min(c).cast("decimal(14,2)").cast("string").alias(
+                    f"lo_{name}"
+                )
+            )
+            aggs.append(
+                F.max(c).cast("decimal(14,2)").cast("string").alias(
+                    f"hi_{name}"
+                )
+            )
+            aggs.append(F.round(F.avg(c), 4).alias(f"mean_{name}"))
+            hv = fold(
+                F.pmod(F.round(c * 100, 0).cast("long"), F.lit(HASH_P))
+            )
         elif kind == "timestamp":
-            val = c.cast("string")
+            aggs.append(
+                F.min(c).cast("date").cast("string").alias(f"lo_{name}")
+            )
+            aggs.append(
+                F.max(c).cast("date").cast("string").alias(f"hi_{name}")
+            )
+            aggs.append(F.lit(None).cast("double").alias(f"mean_{name}"))
+            hv = fold(F.pmod(epoch_micros(name), F.lit(HASH_P)))
         else:
-            val = c
-        structs.append(
+            aggs.append(F.min(c).alias(f"lo_{name}"))
+            aggs.append(F.max(c).alias(f"hi_{name}"))
+            aggs.append(F.lit(None).cast("double").alias(f"mean_{name}"))
+            # the interpreted per-char fold measured FASTER than an
+            # unrolled substring/ascii Horner chain (UTF8 substring is
+            # O(position), so 16 substrings re-scan the string) — 2.0 s
+            # vs 2.9 s for the two string columns at sf0.1
+            hv = fold(char_poly_hash(c))
+        hv_structs.append(
             F.struct(
                 F.lit(name).alias("col_name"),
-                val.alias("val"),
-                (c if kind == "long" else null_l).alias("ord_l"),
-                (c if kind == "double" else null_d).alias("ord_d"),
-                (c if kind == "timestamp" else null_t).alias("ord_t"),
-                (c if kind == "string" else null_s).alias("ord_s"),
+                hv.cast("long").alias("h"),
             )
         )
-    pairs = orders.select(
-        F.explode(F.array(*structs)).alias("p")
-    ).select("p.*")
-    raw = char_poly_hash(F.concat(F.lit("kmv:"), F.col("val")))
-    h = (raw * raw % HASH_P) * raw % HASH_P
-    stage1 = (
-        pairs.withColumn("h", h)
-        .groupBy("col_name", F.pmod(F.col("h"), F.lit(1024)).alias("salt"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count("val").alias("nn"),
-            F.min("ord_l").alias("lo_l"),
-            F.max("ord_l").alias("hi_l"),
-            F.sum("ord_l").alias("sum_l"),
-            F.min("ord_d").alias("lo_d"),
-            F.max("ord_d").alias("hi_d"),
-            F.sum("ord_d").alias("sum_d"),
-            F.min("ord_t").alias("lo_t"),
-            F.max("ord_t").alias("hi_t"),
-            F.min("ord_s").alias("lo_s"),
-            F.max("ord_s").alias("hi_s"),
-            F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("bk"),
+    stats = orders.agg(*aggs)
+    parts = []
+    for name, _ in _PROFILE_COLS:
+        parts.append(
+            f"'{name}', nn_{name}, lo_{name}, hi_{name}, mean_{name}"
         )
+    stacked = stats.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS "
+        "(col_name, n_nonnull, min_value, max_value, mean_value)",
     )
-    merged = stage1.groupBy("col_name").agg(
-        F.sum("cnt").alias("n_rows"),
-        F.sum("nn").alias("n_nonnull"),
-        F.min("lo_l").alias("lo_l"),
-        F.max("hi_l").alias("hi_l"),
-        F.sum("sum_l").alias("sum_l"),
-        F.min("lo_d").alias("lo_d"),
-        F.max("hi_d").alias("hi_d"),
-        F.sum("sum_d").alias("sum_d"),
-        F.min("lo_t").alias("lo_t"),
-        F.max("hi_t").alias("hi_t"),
-        F.min("lo_s").alias("lo_s"),
-        F.max("hi_s").alias("hi_s"),
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("bk"))), 1, _KMV_K
-        ).alias("bk"),
-    )
-    def _case(per_kind):
-        expr = None
-        for name, kind in _PROFILE_COLS:
-            branch = per_kind[kind]
-            cond = F.col("col_name") == name
-            expr = (
-                F.when(cond, branch)
-                if expr is None
-                else expr.when(cond, branch)
-            )
-        return expr
 
-    min_value = _case(
-        {
-            "long": F.col("lo_l").cast("string"),
-            "double": F.col("lo_d").cast("decimal(14,2)").cast("string"),
-            "timestamp": F.col("lo_t").cast("date").cast("string"),
-            "string": F.col("lo_s"),
-        }
+    hashed = (
+        orders.select(F.explode(F.array(*hv_structs)).alias("p"))
+        .select("p.col_name", "p.h")
+        .where(F.col("h").isNotNull())
+        .distinct()
     )
-    max_value = _case(
-        {
-            "long": F.col("hi_l").cast("string"),
-            "double": F.col("hi_d").cast("decimal(14,2)").cast("string"),
-            "timestamp": F.col("hi_t").cast("date").cast("string"),
-            "string": F.col("hi_s"),
-        }
+    # two-phase bottom-k: per (column, salt) then per column — identical
+    # to a global bottom-k, but no task sees a whole column's hash set
+    w1 = Window.partitionBy("col_name", F.pmod(F.col("h"), F.lit(64))).orderBy(
+        "h"
     )
-    # exact integer sums stay < 2^53 here, so sum/count reproduces
-    # avg() bit-for-bit in both engines
-    mean_value = _case(
-        {
-            "long": F.round(
-                F.col("sum_l").cast("double") / F.col("n_nonnull"), 4
-            ),
-            "double": F.round(F.col("sum_d") / F.col("n_nonnull"), 4),
-            "timestamp": null_d,
-            "string": null_d,
-        }
+    survivors = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
     )
-    n_seen = F.least(F.size("bk"), F.lit(_KMV_K))
-    kth = F.get(F.col("bk"), F.size("bk") - 1)
+    w2 = Window.partitionBy("col_name").orderBy("h")
     ndv = (
-        F.when(n_seen < _KMV_K, n_seen.cast("double"))
-        .otherwise(F.round(F.lit((_KMV_K - 1) * HASH_P) / kth, 6))
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("col_name")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_seen"))
+        .select(
+            "col_name",
+            F.when(F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double"))
+            .otherwise(
+                F.round(F.lit((_KMV_K - 1) * HASH_P) / F.col("kth"), 6)
+            )
+            .alias("n_distinct_kmv"),
+        )
     )
-    return merged.select(
+    return stacked.join(F.broadcast(ndv), "col_name", "left").select(
         "col_name",
         "n_rows",
         "n_nonnull",
-        ndv.alias("n_distinct_kmv"),
-        min_value.alias("min_value"),
-        max_value.alias("max_value"),
-        mean_value.alias("mean_value"),
+        F.coalesce("n_distinct_kmv", F.lit(0.0)).alias("n_distinct_kmv"),
+        "min_value",
+        "max_value",
+        "mean_value",
     )
 
 

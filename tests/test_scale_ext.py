@@ -71,17 +71,20 @@ def test_interpolation_arithmetic(spark, tmp_path):
     assert out[4] == (lo + 3 * step, 0)
 
 
-def test_profiler_single_scan(spark):
-    """The profiler pays exactly ONE scan of the table (stats and KMV
-    NDV share the explode-once unpivot) — never one per column — and
-    the planner's Expand+SortAggregate multi-distinct rewrite is
-    absent."""
+def test_profiler_two_codegen_passes(spark):
+    """The profiler pays exactly TWO scans of the table (the stats
+    aggregation and the KMV hash pass) — never one per column — with
+    both passes in codegen: no Expand+SortAggregate multi-distinct
+    rewrite, and no ObjectHashAggregate (the rejected shared-scan
+    collect_set shape dragged every aggregate into interpreted object
+    mode; see the query docstring's measurements)."""
     from label_maker_dask_spark.queries_scale_ext import profile_orders_columns
 
     df = profile_orders_columns(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
     assert "Expand" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
     rows = {r["col_name"]: r for r in df.collect()}
     assert set(rows) == {
         "o_orderkey",

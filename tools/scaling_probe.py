@@ -65,6 +65,8 @@ PROBES = [
     "agg_heavy_hitters_users",
     "analytics_event_path_trigrams",
     "graph_triangle_copurchase",
+    "join_asof_forward_next_event",
+    "analytics_chi2_event_type_by_hour",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
