@@ -4,9 +4,10 @@ Most real TMS/WMS imagery is JPEG (the reference decodes it through PIL,
 ``label_maker_dask/utils.py:52,62,95``); this module removes the engine's
 last imaging-library dependency.  Scope: baseline sequential DCT (SOF0),
 extended sequential (SOF1) and progressive (SOF2, spectral selection +
-successive approximation per ITU T.81 Annex G), 8-bit, grayscale or
-YCbCr, any of the standard chroma samplings (4:4:4 / 4:2:2 / 4:2:0 and
-friends), restart markers, 8- and 16-bit quantization tables.
+successive approximation per ITU T.81 Annex G), 8-bit (plus 12-bit
+extended sequential -> uint16 output), grayscale or YCbCr, any of the
+standard chroma samplings (4:4:4 / 4:2:2 / 4:2:0 and friends), restart
+markers, 8- and 16-bit quantization tables.
 Arithmetic-coded and lossless/hierarchical streams raise
 ``NotImplementedError`` naming Pillow as the optional escape hatch.
 
@@ -249,6 +250,7 @@ def _parse_headers(data: bytes):
     restart_interval = 0
     adobe_transform: Optional[int] = None
     progressive = False
+    precision = 8
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -267,10 +269,21 @@ def _parse_headers(data: bytes):
         elif marker in _SOF_SEQUENTIAL or marker == _SOF_PROGRESSIVE:
             progressive = marker == _SOF_PROGRESSIVE
             precision = seg[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(
-                    f"{precision}-bit JPEG unsupported (8-bit baseline only); "
-                    "install Pillow for exotic precisions"
+                    f"{precision}-bit JPEG unsupported (8- and 12-bit "
+                    "only); install Pillow for exotic precisions"
+                )
+            if precision == 12 and marker == 0xC0:
+                raise ValueError(
+                    "corrupt JPEG: 12-bit sample precision is illegal in "
+                    "baseline SOF0 (T.81 B.2.2 — use extended sequential "
+                    "SOF1 or progressive SOF2)"
+                )
+            if precision == 12 and progressive:
+                raise NotImplementedError(
+                    "12-bit progressive JPEG unsupported (12-bit extended "
+                    "sequential is); install Pillow to decode it"
                 )
             h_img = struct.unpack(">H", seg[1:3])[0]
             w_img = struct.unpack(">H", seg[3:5])[0]
@@ -312,7 +325,7 @@ def _parse_headers(data: bytes):
                         comp.ac_id = tables & 0x0F
             return (
                 qt, dc, ac, comps, size, restart_interval,
-                adobe_transform, i + 2 + seg_len, progressive,
+                adobe_transform, i + 2 + seg_len, progressive, precision,
             )
         elif marker == 0xD9:  # EOI before any scan
             break
@@ -323,7 +336,7 @@ def _parse_headers(data: bytes):
 def jpeg_info(data: bytes) -> Tuple[int, int, int]:
     """(height, width, n_components) from the frame header — a plan-time
     capability/shape check that does not entropy-decode anything."""
-    _, _, _, comps, size, _, _, _, _ = _parse_headers(data)
+    _, _, _, comps, size, _, _, _, _, _ = _parse_headers(data)
     if size is None:
         raise ValueError("corrupt JPEG: no SOF frame header")
     return size[0], size[1], len(comps)
@@ -333,7 +346,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode JPEG bytes (baseline, extended sequential, or progressive)
     to uint8 (H, W) gray or (H, W, 3) RGB."""
     (qt, dc, ac, comps, size, restart_interval, adobe_transform,
-     scan_start, progressive) = _parse_headers(data)
+     scan_start, progressive, precision) = _parse_headers(data)
     if size is None or not comps:
         raise ValueError("corrupt JPEG: no SOF frame header before scan")
     h_img, w_img = size
@@ -400,17 +413,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             mcu_count += 1
 
     return _reconstruct(
-        coeff, comps, qt, h_img, w_img, hmax, vmax, adobe_transform
+        coeff, comps, qt, h_img, w_img, hmax, vmax, adobe_transform,
+        precision,
     )
 
 
 def _reconstruct(
-    coeff, comps, qt, h_img, w_img, hmax, vmax, adobe_transform
+    coeff, comps, qt, h_img, w_img, hmax, vmax, adobe_transform,
+    precision: int = 8,
 ) -> np.ndarray:
     """Batched dequantize + de-zigzag + IDCT per component (all numpy),
     then chroma upsample, crop, and color-convert — shared by the
     sequential and progressive paths (the two differ only in how the
-    coefficient store is filled)."""
+    coefficient store is filled).  ``precision`` parameterizes the
+    level shift / clamp / output dtype: 8-bit -> uint8 in [0, 255],
+    12-bit -> uint16 in [0, 4095] with a 2048 level shift (T.81 A.3.1
+    defines the shift as 2^(P-1) for any P)."""
+    mid = 1 << (precision - 1)
+    top = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
     planes: List[np.ndarray] = []
     for ci, comp in enumerate(comps):
         blocks = coeff[ci]  # (R, C, 64) zigzag-ordered
@@ -421,27 +442,27 @@ def _reconstruct(
         freq = nat.reshape(rr, cc, 8, 8).astype(np.float64)
         spatial = np.einsum("ik,rcij,jl->rckl", _IDCT_M, freq, _IDCT_M)
         plane = spatial.transpose(0, 2, 1, 3).reshape(rr * 8, cc * 8)
-        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        plane = np.clip(np.round(plane + float(mid)), 0, top)
         # upsample subsampled chroma to full resolution, then crop
         plane = _upsample(plane, vmax // comp.v, axis=0)
         plane = _upsample(plane, hmax // comp.h, axis=1)
         planes.append(plane[:h_img, :w_img])
 
     if len(comps) == 1:
-        return planes[0].astype(np.uint8)
+        return planes[0].astype(out_dtype)
 
     y, cb, cr = planes
     if adobe_transform == 0:
         # Adobe APP14 transform=0: components are already RGB
         rgb = np.stack([y, cb, cr], axis=-1)
-        return np.clip(rgb, 0, 255).astype(np.uint8)
-    cb = cb - 128.0
-    cr = cr - 128.0
+        return np.clip(rgb, 0, top).astype(out_dtype)
+    cb = cb - float(mid)
+    cr = cr - float(mid)
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, top).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,6 @@
-"""Minimal baseline JPEG ENCODER for test fixtures — grayscale, 8-bit,
-with DRI/RSTn restart-interval support.
+"""Minimal JPEG ENCODER for test fixtures — grayscale, 8-bit baseline
+or 12-bit extended sequential (SOF1), with DRI/RSTn restart-interval
+support.
 
 Exists because javax.imageio's writer exposes no restart-interval
 control, so the decoder's restart-marker path (ITU T.81 §B.2.1.2,
@@ -100,11 +101,19 @@ def _canonical_table(symbols: List[int]) -> Tuple[bytes, Dict[int, Tuple[int, in
 
 
 def encode_gray_baseline(
-    img: np.ndarray, restart_interval: int = 0
+    img: np.ndarray, restart_interval: int = 0, precision: int = 8
 ) -> bytes:
-    """Encode an (h, w) uint8 grayscale image as a baseline JPEG with
-    the given restart interval (0 = no restart markers)."""
-    assert img.ndim == 2 and img.dtype == np.uint8
+    """Encode an (h, w) grayscale image as a baseline (8-bit, SOF0) or
+    extended sequential (12-bit, SOF1) JPEG with the given restart
+    interval (0 = no restart markers).  12-bit input is uint16 in
+    [0, 4095] with a 2048 level shift (T.81 A.3.1)."""
+    assert img.ndim == 2
+    assert precision in (8, 12)
+    if precision == 8:
+        assert img.dtype == np.uint8
+    else:
+        assert img.dtype == np.uint16 and int(img.max()) <= 4095
+    mid = float(1 << (precision - 1))
     h, w = img.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -114,7 +123,7 @@ def encode_gray_baseline(
     for by in range(ph // 8):
         for bx in range(pw // 8):
             b = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            coef = _dct2d(b.astype(np.float64) - 128.0)
+            coef = _dct2d(b.astype(np.float64) - mid)
             q = np.round(coef.ravel()[ZIGZAG] / _QUANT).astype(np.int64)
             blocks.append(q)
 
@@ -205,8 +214,9 @@ def encode_gray_baseline(
 
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in _QUANT))
     sof = seg(
-        0xC0,
-        bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+        0xC0 if precision == 8 else 0xC1,
+        bytes([precision]) + struct.pack(">HH", h, w)
+        + bytes([1, 1, 0x11, 0]),
     )
     dht = seg(0xC4, bytes([0x00]) + dc_dht) + seg(
         0xC4, bytes([0x10]) + ac_dht

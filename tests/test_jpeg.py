@@ -344,3 +344,49 @@ def test_non_interleaved_scan_raises_naming_pillow():
     blob = b"\xff\xd8" + b"\xff\xc0" + sof + b"\xff\xda" + sos + b"\xff\xd9"
     with pytest.raises(NotImplementedError, match="non-interleaved"):
         decode_jpeg(blob)
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """12-bit extended sequential (SOF1): the native decoder returns
+    uint16 in [0, 4095].  No independent 12-bit oracle exists in this
+    container (javax.imageio and most libjpeg builds are 8-bit), so the
+    check is a round-trip against the fixture encoder — which shares no
+    transform code with the decoder (separate DCT construction) — with
+    the quantization-error bound as the tolerance."""
+    from jpeg_fixtures import encode_gray_baseline
+
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = (2048 + 1500 * np.sin(xx / 6.0) * np.cos(yy / 5.0)).astype(int)
+    img = np.clip(base + rng.integers(-200, 200, (24, 32)), 0, 4095).astype(
+        np.uint16
+    )
+    blob = encode_gray_baseline(img, precision=12)
+    out = decode_jpeg(blob)
+    assert out.dtype == np.uint16 and out.shape == img.shape
+    assert int(out.max()) > 255  # genuinely 12-bit range
+    d = np.abs(out.astype(int) - img.astype(int))
+    # flat quant table of 17 bounds per-coefficient error at 8.5; the
+    # worst-case pixel error is sum(|basis| * q/2) ~ 60, typical far less
+    assert d.max() <= 64 and d.mean() <= 8.0
+
+
+def test_12bit_with_restart_markers_matches_plain():
+    from jpeg_fixtures import encode_gray_baseline
+
+    img = (np.arange(16 * 16, dtype=np.uint16).reshape(16, 16) * 16) % 4096
+    a = decode_jpeg(encode_gray_baseline(img, precision=12))
+    b = decode_jpeg(
+        encode_gray_baseline(img, precision=12, restart_interval=2)
+    )
+    assert np.array_equal(a, b)
+
+
+def test_12bit_baseline_sof0_rejected():
+    # hand-build an SOF0 header claiming 12-bit: illegal per T.81 B.2.2
+    import struct as _s
+
+    sof = _s.pack(">HBHHB", 8 + 3, 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob = b"\xff\xd8" + b"\xff\xc0" + sof + b"\xff\xd9"
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg(blob)
