@@ -14,10 +14,10 @@ DuckDB oracle:
 - ``timeseries_gapfill_interpolated`` — linear interpolation on a dense
   date spine between sparse observations (prev/next located with
   IGNORE NULLS window frames), with forward/backward fill at the edges.
-- ``profile_orders_columns`` — one-scan column profiler: per-column
-  null counts, exact distinct counts, canonical min/max strings, and
-  rounded means, emitted one row per column via ``stack`` so the fact
-  table is aggregated exactly once.
+- ``profile_orders_columns`` — column profiler: per-column null
+  counts, KMV distinct estimates, canonical min/max strings, and
+  rounded means in two whole-stage-codegen passes (stats + hash; the
+  query docstring records the slower shapes measured and rejected).
 - ``timeseries_rolling_corr_views_purchases`` — trailing 14-day Pearson
   correlation between two daily series, computed from EXACT INTEGER
   window sums (n, Sx, Sy, Sxx, Syy, Sxy) with the corr formula applied
