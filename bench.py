@@ -119,6 +119,8 @@ HEADLINE = [
     "multimodal_audio_zcr_windows",
     "join_asof_forward_next_event",
     "analytics_chi2_event_type_by_hour",
+    "join_asof_nearest_order_event",
+    "agg_winsorized_mean_price",
 ]
 
 

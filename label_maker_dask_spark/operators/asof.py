@@ -30,10 +30,13 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Latest right row with ``right_time <= left_time`` per left row
-    (``direction="backward"``, the default), or the EARLIEST right row
+    (``direction="backward"``, the default), the EARLIEST right row
     with ``right_time >= left_time`` (``direction="forward"`` — "next
     event after", e.g. first fill after an order, first quote after a
-    trade).
+    trade), or the closest row on EITHER side within the tolerance band
+    (``direction="nearest"`` — exact-distance ties prefer the backward
+    candidate, pandas semantics; tolerance is mandatory since the band
+    is what bounds the two-sided fan-out).
 
     ``left_key`` is the left side's unique key (window partition);
     ``tie_break`` a unique right-side column so equal right timestamps
@@ -46,9 +49,10 @@ def asof_join(
     can pair with the key's entire right-side history before the
     window cut.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction={direction!r} (backward|forward)"
+            f"asof_join: direction={direction!r} "
+            "(backward|forward|nearest)"
         )
     lt = F.col(f"__l.{left_time}")
     rt = F.col(f"__r.{right_time}")
@@ -56,10 +60,22 @@ def asof_join(
         cond = rt <= lt
         if tolerance is not None:
             cond = cond & (rt >= lt - F.expr(tolerance))
-    else:
+    elif direction == "forward":
         cond = rt >= lt
         if tolerance is not None:
             cond = cond & (rt <= lt + F.expr(tolerance))
+    else:
+        # nearest: candidates on BOTH sides; an unbounded lookaround
+        # would pair every left row with the key's whole right history,
+        # so the tolerance band is mandatory here
+        if tolerance is None:
+            raise ValueError(
+                "asof_join: direction='nearest' requires a tolerance "
+                "(the band is what bounds the two-sided join fan-out)"
+            )
+        cond = (rt >= lt - F.expr(tolerance)) & (
+            rt <= lt + F.expr(tolerance)
+        )
     for k in on:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
     joined = left.alias("__l").join(right.alias("__r"), cond, how)
@@ -67,11 +83,29 @@ def asof_join(
     right_cols = [
         F.col(f"__r.{c}").alias(c) for c in right.columns if c not in set(on)
     ]
-    order = (
-        [rt.desc(), F.col(f"__r.{tie_break}").desc()]
-        if direction == "backward"
-        else [rt.asc(), F.col(f"__r.{tie_break}").asc()]
-    )
+    if direction == "backward":
+        order = [rt.desc(), F.col(f"__r.{tie_break}").desc()]
+    elif direction == "forward":
+        order = [rt.asc(), F.col(f"__r.{tie_break}").asc()]
+    else:
+        # smallest |Δt| wins; an exact-distance tie prefers the
+        # backward candidate (pandas merge_asof(direction='nearest')
+        # semantics), then the unique tie_break.  Timestamp-typed time
+        # columns difference as integer epoch micros (TIMESTAMP_NTZ
+        # cannot cast to double, and integer micros keep the ordering
+        # exact); other orderable types difference as double.
+        from label_maker_dask_spark.functions.timeutil import epoch_micros
+
+        r_type = right.schema[right_time].dataType.simpleString()
+        if r_type.startswith("timestamp"):
+            dist = F.abs(epoch_micros(rt) - epoch_micros(lt))
+        else:
+            dist = F.abs(rt.cast("double") - lt.cast("double"))
+        order = [
+            dist.asc(),
+            (rt > lt).cast("int").asc(),
+            F.col(f"__r.{tie_break}").desc(),
+        ]
     w = Window.partitionBy(*[F.col(f"__l.{c}") for c in left_key]).orderBy(
         *order
     )

@@ -1574,6 +1574,62 @@ def join_asof_forward(spark, sf_dir):
 
 
 @register(
+    "join_asof_nearest_order_event",
+    """
+    WITH os AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             o_orderdate + INTERVAL 26 YEAR AS sd
+      FROM orders),
+    ev AS (
+      SELECT event_id, ts, (user_id % 150) + 1 AS custkey FROM events)
+    SELECT o_orderkey, custkey, event_id AS nearest_event_id,
+           ts AS nearest_ts
+    FROM (
+      SELECT os.o_orderkey, os.custkey, ev.event_id, ev.ts,
+             row_number() OVER (
+               PARTITION BY os.o_orderkey
+               ORDER BY abs(epoch_us(ev.ts) - epoch_us(os.sd)) ASC,
+                        CASE WHEN ev.ts > os.sd THEN 1 ELSE 0 END ASC,
+                        ev.event_id DESC) AS rn
+      FROM os JOIN ev
+        ON ev.custkey = os.custkey
+       AND ev.ts >= os.sd - INTERVAL 10 DAY
+       AND ev.ts <= os.sd + INTERVAL 10 DAY)
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join (direction='nearest'): for each order, the
+    closest event on EITHER side of its (shifted) date for the same
+    customer within a ±10-day band — completing the as-of family
+    (backward latest-state, forward next-fill, nearest closest-reading,
+    the three pandas merge_asof directions).  Exact-distance ties
+    prefer the backward candidate, then the unique event id; the
+    tolerance band is mandatory since it alone bounds the two-sided
+    join fan-out."""
+    from label_maker_dask_spark.operators.asof import asof_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 26 YEAR")).alias("sd"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
+    )
+    return asof_join(
+        orders, ev, on=["custkey"], left_time="sd", right_time="ts",
+        left_key=["o_orderkey"], tie_break="event_id",
+        tolerance="INTERVAL 10 DAY", direction="nearest",
+    ).select(
+        "o_orderkey",
+        "custkey",
+        F.col("event_id").alias("nearest_event_id"),
+        F.col("ts").alias("nearest_ts"),
+    )
+
+
+@register(
     "join_range_orders_near_event",
     """
     SELECT e.event_id, count(o.o_orderkey) AS n_orders_in_window

@@ -396,3 +396,77 @@ def unpivot_lineitem_metrics(spark, sf_dir):
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "n_items"], "metric", "value"
     )
+
+
+@register(
+    "agg_winsorized_mean_price",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           round(avg(l.l_extendedprice), 4) AS mean_raw,
+           CAST(round(sum(CAST(greatest(c.lo, least(c.hi,
+                  l.l_extendedprice)) AS DECIMAL(28,8)))
+                / count(*), 4) AS DOUBLE) AS mean_winsorized,
+           count(*) FILTER (WHERE l.l_extendedprice < c.lo
+                               OR l.l_extendedprice > c.hi) AS n_clipped
+    FROM lineitem l JOIN cuts c USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_mean_price(spark, sf_dir):
+    """Winsorized mean per group: clip values to the group's exact
+    [p01, p99] band, then average — the outlier-robust mean a feature
+    pipeline uses where a plain mean is hostage to a fat tail.
+
+    Determinism discipline: the cut points come from the exact
+    interpolated percentile (one scalar expression over the sorted
+    group, identical in both engines), clipping is a pure comparison,
+    and the clipped sum accumulates as DECIMAL(28,8) — exact addition,
+    so partial-agg merge order cannot leak ulps where a double sum of
+    600k 2-decimal values sits within rounding distance of the 4th
+    decimal.  ``mean_raw`` rides along for the contrast and
+    ``n_clipped`` quantifies the tail that was tamed.
+
+    Scale shape: the percentile pass is the exactness baseline (full
+    sort per group — see ``agg_exact_percentiles``'s note; at scale the
+    cuts would come from ``approx_percentile``); the cut table is
+    group-cardinality rows, broadcast back onto the fact scan, and the
+    winsorized aggregate is a plain partial-aggregable hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.01), F.lit(0.99))
+    )
+    cuts = (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.col("_p").getItem(0).alias("lo"),
+            F.col("_p").getItem(1).alias("hi"),
+        )
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), x))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(x), 4).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(28,8)"))
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("mean_winsorized"),
+            F.count(
+                F.when((x < F.col("lo")) | (x > F.col("hi")), 1)
+            ).alias("n_clipped"),
+        )
+    )

@@ -67,6 +67,8 @@ PROBES = [
     "graph_triangle_copurchase",
     "join_asof_forward_next_event",
     "analytics_chi2_event_type_by_hour",
+    "join_asof_nearest_order_event",
+    "agg_winsorized_mean_price",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
