@@ -514,7 +514,9 @@ def analytics_event_path_trigrams(spark, sf_dir):
     Scale shape: TWO lags in ONE per-user window (a single sort, no
     self-joins — Spark evaluates both lag frames in the same window
     exec), then a hash agg onto at most |event_types|³ keys, which
-    partial-aggregates map-side; the total for the share column is a
+    partial-aggregates map-side and materializes once (it feeds both
+    the share's total and the output rows — unmaterialized, the fact
+    window would run twice); the total for the share column is a
     broadcast scalar, and the top-20 goes through the global
     sort-limit (TakeOrdered, no full sort).  Per-user skew is bounded
     by the same argument as the transition graph — the window carries
@@ -532,6 +534,9 @@ def analytics_event_path_trigrams(spark, sf_dir):
     tri = seq.groupBy(
         F.concat_ws(">", "prev2", "prev1", "event_type").alias("path")
     ).agg(F.count(F.lit(1)).alias("n"))
+    # cache: tri is referenced twice (rows + total) and is at most
+    # |event_types|^3 rows — uncached, the fact window would run twice
+    tri = tri.persist()
     total = tri.agg(F.sum("n").alias("t"))
     return (
         tri.crossJoin(F.broadcast(total))

@@ -293,3 +293,58 @@ def test_exact_k_sample_gets_window_group_limit(spark):
     stratum per task, not the corpus: WindowGroupLimit pushdown."""
     plan = plan_of(Q.QUERIES["sample_exact_k_per_lang"](spark, SF))
     assert "WindowGroupLimit" in plan
+
+
+def test_heavy_hitters_verify_pass_broadcasts_candidates(spark):
+    """The exact counting pass must semi-join the fact against the
+    BROADCAST candidate set (bounding aggregate state to candidates),
+    and the join must be the semi form — no full-width fact join."""
+    plan = plan_of(Q.QUERIES["agg_heavy_hitters_users"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_triangle_count_never_plans_cartesian(spark):
+    """Every DATA-SIZED leg of the triangle kernel is an equi-join on
+    integer keys; a cartesian anywhere means the wedge join lost its
+    equi conditions.  (The final single-row stat combine is two
+    broadcast nested-loop joins over 1-row frames BY DESIGN — allowed,
+    but only those two.)"""
+    import re
+
+    plan = plan_of(Q.QUERIES["graph_triangle_copurchase"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2, plan
+
+
+def test_winsorized_mean_broadcasts_cut_table(spark):
+    """The [p01, p99] cut table is group-cardinality rows and must ride
+    a broadcast back onto the fact — the fact never shuffles for the
+    clip."""
+    plan = plan_of(Q.QUERIES["agg_winsorized_mean_price"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_trigrams_single_window_then_partial_agg(spark):
+    """Both lags share ONE per-user window (one sort, one exchange for
+    the fact); the trigram count is partial-aggregable (HashAggregate,
+    not SortAggregate over an Expand)."""
+    import re
+
+    plan = plan_of(Q.QUERIES["analytics_event_path_trigrams"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "Expand" not in plan, plan
+    # the trigram table is cached and reused by both branches — the
+    # single Window above proves the fact pipeline isn't duplicated
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_chi2_collapses_fact_before_joins(spark):
+    """The event scan must collapse to |types| x 24 cells in ONE
+    partial-aggregated pass before any join; row/col totals broadcast."""
+    plan = plan_of(
+        Q.QUERIES["analytics_chi2_event_type_by_hour"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan, plan
+    # exactly one scan of events feeds the cells; totals derive from
+    # the checkpointed cells, not fresh scans
+    assert plan.count("Scan parquet") <= 1, plan
