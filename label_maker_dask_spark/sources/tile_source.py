@@ -1,0 +1,158 @@
+"""Slippy-map tile set as a Spark Python DataSource (Spark 4 connector
+API): ``spark.read.format("slippy_tiles")`` with ``bounds``/``zoom``
+options, partition-parallel generation, and FILTER PUSHDOWN — x/y/z
+range predicates prune tile ROWS *and* whole partitions before any task
+launches.
+
+Two source forms for the same tile set, by design:
+
+- :func:`tiles.tiles_df` (``spark.range`` + arithmetic) is the hot
+  path — pure codegen, zero Python in the row loop.  Catalog queries
+  and the job facade use it.
+- this module is the CONNECTOR form: it demonstrates that the engine's
+  sources plug into Spark's own DataSource V2 Python API (usable from
+  ``spark.read.format(...)`` by name, SQL ``CREATE TABLE ... USING``,
+  and any tool that speaks options), and it carries the pushdown
+  contract a real external tile catalog connector would need.  The
+  reference has no pluggable source at all — tiles are a driver-side
+  mercantile list (reference main.py:89).
+
+NOTE: ``pushFilters`` requires ``spark.sql.python.filterPushdown.enabled=true``
+(off by default in Spark 4.1); without it Spark refuses a reader that
+implements the method, loudly.
+
+Partitioning: one :class:`InputPartition` per band of tile ROWS (y
+ranges) — bands are equal-size, so a continent bbox spreads evenly;
+``numPartitions`` option caps the band count.  Pushdown: EqualTo /
+LessThan(OrEqual) / GreaterThan(OrEqual) on x/y/z tighten the generated
+index ranges exactly (they are ACCEPTED, i.e. not re-evaluated by
+Spark); any other filter is returned to Spark to evaluate post-scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from label_maker_dask_spark.tiles import tile_range
+
+
+class _Band(InputPartition):
+    def __init__(self, zoom, xmin, xmax, ymin, ymax):
+        self.zoom, self.xmin, self.xmax = zoom, xmin, xmax
+        self.ymin, self.ymax = ymin, ymax
+
+
+class SlippyTileDataSource(DataSource):
+    """``format("slippy_tiles")``: options ``bounds`` ("w,s,e,n" WGS84),
+    ``zoom`` (int), ``numPartitions`` (int, default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "slippy_tiles"
+
+    def schema(self) -> str:
+        return "z int, x bigint, y bigint"
+
+    def reader(self, schema: StructType) -> "SlippyTileReader":
+        return SlippyTileReader(self.options)
+
+
+class SlippyTileReader(DataSourceReader):
+    def __init__(self, options):
+        bounds_s = options.get("bounds")
+        zoom_s = options.get("zoom")
+        if bounds_s is None or zoom_s is None:
+            raise ValueError(
+                "slippy_tiles requires options bounds='w,s,e,n' and zoom"
+            )
+        bounds = [float(v) for v in str(bounds_s).split(",")]
+        if len(bounds) != 4:
+            raise ValueError(
+                f"slippy_tiles bounds must be 'w,s,e,n' (got {bounds_s!r})"
+            )
+        self.zoom = int(zoom_s)
+        self.n_parts = max(1, int(options.get("numpartitions", 8)))
+        self.xmin, self.ymin, self.xmax, self.ymax = tile_range(
+            bounds, self.zoom
+        )
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        """Tighten the generated x/y ranges (and short-circuit on a z
+        mismatch) from supported comparison filters; yield back the
+        rest for Spark to evaluate.  An accepted filter makes the range
+        EXACT, so Spark need not re-check it."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            v = getattr(f, "value", None)
+            ok = isinstance(v, int) and not isinstance(v, bool)
+            if col == "x" and ok:
+                if isinstance(f, EqualTo):
+                    self.xmin, self.xmax = max(self.xmin, v), min(self.xmax, v)
+                elif isinstance(f, LessThan):
+                    self.xmax = min(self.xmax, v - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self.xmax = min(self.xmax, v)
+                elif isinstance(f, GreaterThan):
+                    self.xmin = max(self.xmin, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.xmin = max(self.xmin, v)
+                else:
+                    yield f
+            elif col == "y" and ok:
+                if isinstance(f, EqualTo):
+                    self.ymin, self.ymax = max(self.ymin, v), min(self.ymax, v)
+                elif isinstance(f, LessThan):
+                    self.ymax = min(self.ymax, v - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self.ymax = min(self.ymax, v)
+                elif isinstance(f, GreaterThan):
+                    self.ymin = max(self.ymin, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.ymin = max(self.ymin, v)
+                else:
+                    yield f
+            elif col == "z" and ok and isinstance(f, EqualTo):
+                if v != self.zoom:
+                    self.ymax = self.ymin - 1  # empty range
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        ny = self.ymax - self.ymin + 1
+        nx = self.xmax - self.xmin + 1
+        if ny <= 0 or nx <= 0:
+            return [_Band(self.zoom, 0, -1, 0, -1)]
+        bands = min(self.n_parts, ny)
+        out = []
+        for b in range(bands):
+            lo = self.ymin + (ny * b) // bands
+            hi = self.ymin + (ny * (b + 1)) // bands - 1
+            out.append(_Band(self.zoom, self.xmin, self.xmax, lo, hi))
+        return out
+
+    def read(self, part: _Band):
+        for y in range(part.ymin, part.ymax + 1):
+            for x in range(part.xmin, part.xmax + 1):
+                yield (part.zoom, x, y)
+
+
+def register_tile_source(spark) -> None:
+    """Idempotently register the connector on a session."""
+    spark.dataSource.register(SlippyTileDataSource)
+
+
+__all__ = ["SlippyTileDataSource", "SlippyTileReader", "register_tile_source"]
