@@ -735,3 +735,36 @@ def agg_heavy_hitters_users(spark, sf_dir):
     return heavy_hitters(ev, "user_id", k=120).withColumnRenamed(
         "item", "item"
     )
+
+
+@register("agg_hll_sketch_weekly_users")  # no SQL oracle: see docstring
+def agg_hll_sketch_weekly_users(spark, sf_dir):
+    """Weekly distinct users from MERGED DAILY HLL SKETCHES — the
+    native DataSketches twin of ``agg_kmv_merged_weekly_users``: daily
+    ``hll_sketch_agg`` sketches union losslessly to any coarser grain
+    (``hll_union_agg``) without rescanning the fact, the production
+    pattern for maintained distinct-count rollups (store the daily
+    sketch column; answer any window by merging).
+
+    Registered WITHOUT a DuckDB oracle by design: HLL register layouts
+    are implementation-defined (Spark's DataSketches vs DuckDB's own
+    HLL differ bitwise), so no cross-engine hash can exist — this is
+    precisely the class of operator the deterministic KMV twin exists
+    for, and the KMV entry IS hash-gated.  Correctness here is tested
+    in-repo instead (tests/test_scale_ext.py): the merged weekly
+    estimate must sit within the sketch's documented error band of the
+    exact distinct count, and must EQUAL the direct weekly-sketch
+    estimate (merge losslessness)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("distinct_users_hll"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -138,3 +138,44 @@ def test_profiler_all_null_column_still_profiles(spark, tmp_path):
     odf = con.execute(_profile_oracle()).df().set_index("col_name")
     assert len(odf) == 6
     assert odf.loc["o_orderpriority", "n_distinct_kmv"] == 0.0
+
+
+def test_hll_weekly_rollup_accuracy_and_losslessness(spark):
+    """The merged-daily-sketch weekly estimate must (a) equal the
+    direct weekly-sketch estimate (union is lossless) and (b) sit
+    within the default HLL error band (~2.3% at lgK=12; allow 5%) of
+    the exact distinct count."""
+    from label_maker_dask_spark.queries import _t
+    from label_maker_dask_spark.queries_scale_ext import (
+        agg_hll_sketch_weekly_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    merged = {
+        r["week"]: r["distinct_users_hll"]
+        for r in agg_hll_sketch_weekly_users(spark, sf).collect()
+    }
+    ev = _t(spark, sf, "events")
+    direct = {
+        r["week"]: r["est"]
+        for r in ev.groupBy(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # lossless union
+    for wk, n in exact.items():
+        assert abs(merged[wk] - n) / max(n, 1) < 0.05
