@@ -67,6 +67,7 @@ class LabelMakerJob:
         self.image_fetcher = image_fetcher
         self.plan: Optional[DataFrame] = None
         self.results = None
+        self.metrics: Optional[Dict[str, Any]] = None
 
     # -- plan construction ----------------------------------------------------
 
@@ -117,11 +118,30 @@ class LabelMakerJob:
     def execute_job(self, path: Optional[str] = None, mode: str = "overwrite"):
         """Run the plan.  With ``path``: distributed parquet write (the scale
         path).  Without: collect to the driver (reference-parity convenience
-        for small jobs; the reference always gathered, main.py:111)."""
+        for small jobs; the reference always gathered, main.py:111).
+
+        Either way, the run records row-level metrics via ``observe``
+        (Spark's accumulator-backed observation API — collected DURING
+        the action, no second scan): ``self.metrics`` holds
+        ``rows_written`` plus, when an imagery column exists,
+        ``tiles_with_image`` — the at-a-glance check that a fetcher
+        didn't silently return empties for half the job."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         if self.plan is None:
             self.build_job()
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("rows_written")]
+        if "image" in self.plan.columns:
+            metrics.append(
+                F.count(F.col("image")).alias("tiles_with_image")
+            )
+        observed = self.plan.observe(obs, *metrics)
         if path is not None:
-            self.plan.write.mode(mode).parquet(path)
+            observed.write.mode(mode).parquet(path)
+            self.metrics = obs.get
             return None
-        self.results = self.plan.collect()
+        self.results = observed.collect()
+        self.metrics = obs.get
         return self.results

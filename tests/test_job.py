@@ -46,6 +46,21 @@ def test_classification_end_to_end(spark):
         assert len(r.image) == 256 * 256 * 3
 
 
+def test_execute_records_observed_metrics(spark, tmp_path):
+    """execute_job records accumulator-backed observe() metrics during
+    the action (no second scan): row count and non-null image count —
+    on both the write path and the collect path."""
+    job = _job(spark)
+    rows = job.execute_job()
+    assert job.metrics == {
+        "rows_written": len(rows),
+        "tiles_with_image": len(rows),
+    }
+    job2 = _job(spark)
+    job2.execute_job(path=str(tmp_path / "out"))
+    assert job2.metrics["rows_written"] == job2.n_tiles()
+
+
 def test_object_detection_end_to_end(spark):
     job = _job(spark, "object-detection")
     rows = job.execute_job()

@@ -312,6 +312,78 @@ def test_streaming_interval_join_equals_batch(spark, events_dir, events_batch):
     assert a == b and len(a) > 0
 
 
+def test_streaming_left_outer_interval_join_equals_batch(
+    spark, events_dir, events_batch
+):
+    """LEFT OUTER stream-stream interval join: clicks with no purchase
+    inside the window must still emit (null-padded) — the outer side is
+    the part watermarks exist for (a row can only be declared
+    unmatched once the other side's watermark passes its bound).
+
+    The equality target is watermark-exact, not naive: MATCHED rows
+    emit on match and must all be present, but an UNMATCHED left row
+    only emits once the global watermark (min of both sides' max event
+    time, minus the delay) passes ``l.ts + upper`` — so unmatched rows
+    inside that final horizon are legitimately withheld forever in a
+    finite stream (here: the last click IS the left maximum, so its
+    own null row can never emit).  The test computes the emittable set
+    from the batch result + the watermark arithmetic and requires the
+    stream to produce exactly it — which both pins Spark's semantics
+    and documents the horizon callers must design for."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="10 minutes",
+            left_watermark="1 hour", right_watermark="1 hour",
+            how="left_outer",
+        )
+
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    q = (
+        build(stream_in)
+        .writeStream.format("memory")
+        .queryName("t_louter_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_louter_interval_join")
+    expected = build(events_batch)
+    cols = ["user_id", "ts", "event_id", "r_ts", "r_event_id", "r_value"]
+    a = sorted(map(tuple, got.select(*cols).collect()), key=str)
+    rows_b = expected.select(*cols).collect()
+
+    import datetime
+
+    wm_final = min(
+        events_batch.where(F.col("event_type") == t)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+        for t in ("click", "purchase")
+    ) - datetime.timedelta(hours=1)
+    horizon = wm_final - datetime.timedelta(minutes=10)
+    emittable = [
+        t
+        for t in map(tuple, rows_b)
+        if t[3] is not None or t[1] < horizon
+    ]
+    b = sorted(emittable, key=str)
+    assert a == b and len(a) > 0
+    # the outer semantics are actually exercised both ways: some rows
+    # are unmatched-and-emitted, and at least one sits past the horizon
+    assert any(t[3] is None for t in a)
+    assert len(emittable) < len(rows_b)
+
+
 def test_stateful_transition_counts_equal_batch(spark, tmp_path):
     """Streaming transition deltas with per-user carry state: summing the
     per-batch (src, dst, w) deltas over two TIME-SPLIT micro-batches must
