@@ -121,6 +121,7 @@ HEADLINE = [
     "analytics_chi2_event_type_by_hour",
     "join_asof_nearest_order_event",
     "agg_winsorized_mean_price",
+    "spatial_grid_bbox_join",
 ]
 
 

@@ -41,6 +41,8 @@ LATERAL), ``spatial_points_to_tiles_z6`` (codegen point→tile binning),
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1064,5 +1066,132 @@ def udf_cogroup_orders_events(spark, sf_dir):
         .applyInPandas(
             reconcile,
             "user_id long, n_orders long, order_value double, n_events long",
+        )
+    )
+
+
+_SPATIAL_GRID_JOIN_ORACLE = """
+WITH pts AS (
+  SELECT event_id,
+         (event_id * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (event_id * 104729 % 16000) / 100.0 - 80.0 AS lat,
+         value
+  FROM events),
+r AS (
+  SELECT n_nationkey, n_name,
+         (n_nationkey * 37 % 300) - 170.0 AS west,
+         (n_nationkey * 53 % 130) - 75.0 AS south
+  FROM nation)
+SELECT r.n_nationkey, r.n_name,
+       count(p.lon) AS n_points,
+       CAST(coalesce(sum(CAST(round(p.value * 100, 0) AS BIGINT)), 0)
+         AS BIGINT) AS value_cents
+FROM r LEFT JOIN pts p
+  ON p.lon >= r.west AND p.lon <= r.west + 14.0
+ AND p.lat >= r.south AND p.lat <= r.south + 9.0
+GROUP BY 1, 2
+"""
+
+
+@register("spatial_grid_bbox_join", _SPATIAL_GRID_JOIN_ORACLE)
+def spatial_grid_bbox_join(spark, sf_dir):
+    """Spatial join via GRID BUCKETING: points (synthetic lon/lat from
+    event ids — the same derivation the z6 binning query certifies)
+    joined to 25 bbox regions (derived from ``nation``) — but as an
+    EQUI-join on z5 tile keys, not a theta containment join.
+
+    The scale problem: a bbox containment join is a range theta join —
+    Spark plans it as a broadcast nested loop, every point tested
+    against every region (fine at 25 regions, quadratic death at 25k).
+    The grid fix: each region explodes to its covering tile range
+    (bounded: a few tiles per region at a zoom matched to region
+    size), each point maps to its ONE containing tile (pure codegen
+    Mercator math, ``tiles.lnglat_to_tile_cols``), candidates meet in
+    a plain equi-join on (x, y), and the exact bbox predicate runs
+    post-join on candidates only.  Correct by monotonicity: the
+    point→tile map and the range endpoints evaluate the SAME
+    double-precision formula, and floor of a monotone map keeps every
+    in-bbox point inside the corner tiles' range — so recall is exact,
+    and the oracle can be the plain theta join (result invariance is
+    the whole claim).  A point lands in exactly one tile, so no
+    dedup is needed.
+
+    Scale shape: the region-tiles side is O(regions x tiles-per-
+    region), broadcast; points never shuffle for the join; per-region
+    totals are one partial-aggregable hash agg; empty regions survive
+    via the final left join onto the (broadcast) region dim.  Value
+    totals ride as integer cents, so the sums are order-free exact."""
+    from label_maker_dask_spark.tiles import lnglat_to_tile_cols
+
+    Z = 5
+    z2 = float(1 << Z)
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 16000) / 100.0 - 80.0).alias("lat"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    tile = lnglat_to_tile_cols(F.col("lon"), F.col("lat"), zoom=Z)
+    pts = pts.select(
+        "lon", "lat", "cents",
+        tile.getField("x").alias("x"), tile.getField("y").alias("y"),
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    regions = nation.select(
+        "n_nationkey", "n_name",
+        ((F.col("n_nationkey") * 37 % 300) - 170.0).alias("west"),
+        ((F.col("n_nationkey") * 53 % 130) - 75.0).alias("south"),
+    ).withColumn("east", F.col("west") + 14.0).withColumn(
+        "north", F.col("south") + 9.0
+    )
+
+    def tx(lng):
+        return F.least(
+            F.lit(z2 - 1),
+            F.greatest(F.lit(0.0), F.floor((lng / 360.0 + 0.5) * z2)),
+        ).cast("int")
+
+    def ty(lat):
+        sinlat = F.sin(F.radians(lat))
+        yf = (
+            F.lit(0.5)
+            - F.lit(0.25)
+            * F.log((1.0 + sinlat) / (1.0 - sinlat))
+            / math.pi
+        )
+        return F.least(
+            F.lit(z2 - 1), F.greatest(F.lit(0.0), F.floor(yf * z2))
+        ).cast("int")
+
+    region_tiles = regions.select(
+        "n_nationkey", "west", "south", "east", "north",
+        F.explode(
+            F.sequence(tx(F.col("west")), tx(F.col("east")))
+        ).alias("x"),
+        F.sequence(ty(F.col("north")), ty(F.col("south"))).alias("_ys"),
+    ).select(
+        "n_nationkey", "west", "south", "east", "north", "x",
+        F.explode("_ys").alias("y"),
+    )
+
+    cand = pts.join(F.broadcast(region_tiles), ["x", "y"])
+    matched = cand.where(
+        (F.col("lon") >= F.col("west"))
+        & (F.col("lon") <= F.col("east"))
+        & (F.col("lat") >= F.col("south"))
+        & (F.col("lat") <= F.col("north"))
+    ).groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("cents").alias("value_cents"),
+    )
+    return (
+        regions.select("n_nationkey", "n_name")
+        .join(F.broadcast(matched), "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
         )
     )

@@ -69,6 +69,7 @@ PROBES = [
     "analytics_chi2_event_type_by_hour",
     "join_asof_nearest_order_event",
     "agg_winsorized_mean_price",
+    "spatial_grid_bbox_join",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
