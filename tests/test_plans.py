@@ -348,3 +348,13 @@ def test_chi2_collapses_fact_before_joins(spark):
     # exactly one scan of events feeds the cells; totals derive from
     # the checkpointed cells, not fresh scans
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_spatial_grid_join_is_hash_not_nested_loop(spark):
+    """The grid-bucketed spatial join's whole point: the containment
+    theta join is replaced by broadcast HASH joins on tile keys — no
+    nested-loop anywhere in the plan."""
+    plan = plan_of(Q.QUERIES["spatial_grid_bbox_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
