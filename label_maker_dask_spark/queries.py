@@ -2977,13 +2977,15 @@ _DRIVER_WINDOW = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q10_returned_items",
-    # join forms
+    # join forms (round 8: the plain range join's slot upgraded to its
+    # grid-bucketed spatial form — the stronger instance of the same
+    # banded-join family; the plain range join stays in the local replay)
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "join_left_order_item_counts",
     "join_asof_latest_order",
     "join_asof_tolerance_90d",
-    "join_range_orders_near_event",
+    "spatial_grid_bbox_join",
     "join_skew_salted_brand_revenue",
     "join_bloom_pruned_order_revenue",
     # aggregation

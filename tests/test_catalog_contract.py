@@ -50,7 +50,7 @@ PINNED_DRIVER_WINDOW = [
     "join_left_order_item_counts",
     "join_asof_latest_order",
     "join_asof_tolerance_90d",
-    "join_range_orders_near_event",
+    "spatial_grid_bbox_join",
     "join_skew_salted_brand_revenue",
     "join_bloom_pruned_order_revenue",
     "agg_rollup_region_nation",
