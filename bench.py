@@ -122,6 +122,7 @@ HEADLINE = [
     "join_asof_nearest_order_event",
     "agg_winsorized_mean_price",
     "spatial_grid_bbox_join",
+    "timeseries_ema30_daily_revenue",
 ]
 
 

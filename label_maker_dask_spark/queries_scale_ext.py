@@ -768,3 +768,81 @@ def agg_hll_sketch_weekly_users(spark, sf_dir):
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+def _ema_oracle(span: int = 30, alpha: float = 2.0 / 31.0) -> str:
+    terms = []
+    for j in range(span):
+        w = repr(alpha * (1.0 - alpha) ** j)
+        terms.append(f"{w} * coalesce(lag(rev_cents, {j}) OVER w, 0)")
+    wsum = []
+    for j in range(span):
+        wsum.append(
+            f"{alpha * (1.0 - alpha) ** j!r}"
+            f" * (CASE WHEN lag(rev_cents, {j}) OVER w IS NULL"
+            " THEN 0.0 ELSE 1.0 END)"
+        )
+    num = " + ".join(terms)
+    den = " + ".join(wsum)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1),
+    e AS (
+      SELECT CAST(day AS TIMESTAMP) AS day, rev_cents,
+             ({num}) AS num, ({den}) AS den
+      FROM daily
+      WINDOW w AS (ORDER BY day))
+    SELECT day, rev_cents,
+           round(num / den / 100.0, 4) AS ema30_revenue
+    FROM e
+    """
+
+
+@register("timeseries_ema30_daily_revenue", _ema_oracle())
+def timeseries_ema30_daily_revenue(spark, sf_dir):
+    """30-term truncated exponential moving average of daily revenue —
+    the smoothing curve every ops dashboard draws, computed so two
+    engines agree bit-for-bit where a native recursive EMA cannot:
+
+    - the recursion EMA_t = a*y_t + (1-a)*EMA_{t-1} unrolls into 30
+      EXPLICIT lag terms whose weights a(1-a)^j are PYTHON-COMPUTED
+      literals embedded identically in both the Column expression and
+      the SQL — so every per-row product multiplies the same two
+      doubles, and the 30-term sum is a fixed left-to-right chain in
+      both engines (never an unordered aggregate);
+    - inputs are integer cents (the daily rollup), so the only floats
+      are the weights themselves;
+    - early rows renormalize by the sum of PRESENT weights (the
+      standard adjusted-EMA convention), built from the same literals.
+
+    Scale shape: the fact scan collapses map-side to one row per day;
+    the 30 lags share ONE date-ordered window over date-cardinality
+    rows.  Truncation error vs the infinite recursion is (1-a)^30 ~
+    14% of weight redistributed by the renormalization — the adjusted
+    form pandas ``ewm(adjust=True)`` uses for finite histories."""
+    span, alpha = 30, 2.0 / 31.0
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(span):
+        wj = alpha * (1.0 - alpha) ** j
+        lagged = F.lag("rev_cents", j).over(w)
+        num = num + F.lit(wj) * F.coalesce(lagged, F.lit(0))
+        den = den + F.lit(wj) * F.when(
+            lagged.isNull(), F.lit(0.0)
+        ).otherwise(F.lit(1.0))
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "rev_cents",
+        F.round(num / den / 100.0, 4).alias("ema30_revenue"),
+    )

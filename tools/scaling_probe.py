@@ -70,6 +70,7 @@ PROBES = [
     "join_asof_nearest_order_event",
     "agg_winsorized_mean_price",
     "spatial_grid_bbox_join",
+    "timeseries_ema30_daily_revenue",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
