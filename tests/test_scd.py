@@ -226,3 +226,60 @@ def test_stream_scd2_bucketed_equals_full_historize(spark, tmp_path):
         read_maintained_table(spark, base).select(*full.columns).collect(),
     ))
     assert c == a
+
+
+def test_scd2_bucketed_partial_crash_replay_exactly_once(spark, tmp_path):
+    """Crash mid-batch on the bucketed SCD-2 base: some buckets swapped
+    (marker advanced), one restored to its pre-batch state.  Replaying
+    the SAME batch must re-historize ONLY the unswapped bucket —
+    scd2_apply rejects already-applied changes loudly (they sit at or
+    before the affected keys' current valid_from), so this drill proves
+    the per-bucket markers keep the replay off the applied buckets
+    entirely."""
+    import os
+    import shutil
+
+    from label_maker_dask_spark.streaming.bucketed import (
+        BUCKET_COL,
+        _apply_bucketed,
+        read_maintained_table,
+    )
+    from label_maker_dask_spark.operators.scd import scd2_apply
+
+    base = str(tmp_path / "hist")
+    schema = "k long, seq long, ts timestamp, v double"
+
+    def merge_fn(b, dd):
+        if b is None:
+            return historize_changes(dd, ["k"], "ts", "seq")
+        return scd2_apply(b, dd, ["k"], "ts", "seq")
+
+    def apply(rows, batch_id):
+        delta = spark.createDataFrame(rows, "k long, seq long, ts_us long, v double").select(
+            "k", "seq", F.timestamp_micros(F.col("ts_us")).alias("ts"), "v"
+        )
+        _apply_bucketed(delta, base, ["k"], 8, batch_id, "run-a", merge_fn)
+
+    apply([(k, 0, 1_000_000, 0.0) for k in range(16)], 0)
+    victim = next(
+        n for n in sorted(os.listdir(base)) if n.startswith(BUCKET_COL + "=")
+    )
+    saved = str(tmp_path / "savedbucket")
+    shutil.copytree(os.path.join(base, victim), saved)
+    batch1 = [(k, 1, 60_000_000, 1.0) for k in range(16)]
+    apply(batch1, 1)
+    shutil.rmtree(os.path.join(base, victim))
+    shutil.copytree(saved, os.path.join(base, victim))
+
+    apply(batch1, 1)  # replay after the "crash"
+    hist = read_maintained_table(spark, base)
+    per_key = {
+        r["k"]: (r["n"], r["n_cur"])
+        for r in hist.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_current").cast("int")).alias("n_cur"),
+        ).collect()
+    }
+    # exactly two versions per key, exactly one current — no key was
+    # historized twice, none skipped
+    assert per_key == {k: (2, 1) for k in range(16)}
