@@ -147,6 +147,21 @@ def main() -> None:
         f"rolled back to v1 it holds {before} — history intact"
     )
 
+    # ---- Part 5 (round 8): image near-dup + exact heavy hitters ----------
+    # pHash signatures + the pigeonhole-exact banded hamming join find
+    # perceptual duplicates (brightness-shifted variants collide at
+    # hamming ~0); heavy hitters come back EXACT at a sketch's shuffle
+    # cost (per-chunk Misra-Gries candidates + one verify pass).
+    import label_maker_dask_spark.queries as Q
+
+    pairs = Q.QUERIES["multimodal_phash_neardup_pairs"](spark, sf_dir)
+    print(f"image near-dup pairs (pHash + banded hamming): {pairs.count()}")
+    hh = Q.QUERIES["agg_heavy_hitters_users"](spark, sf_dir).collect()
+    print(
+        "exact heavy-hitter users (> 1/120 of events): "
+        f"{sorted((r.item, r.n_rows) for r in hh)}"
+    )
+
     spark.stop()
 
 
