@@ -123,6 +123,7 @@ HEADLINE = [
     "agg_winsorized_mean_price",
     "spatial_grid_bbox_join",
     "timeseries_ema30_daily_revenue",
+    "agg_mode_priority_by_status",
 ]
 
 

@@ -1195,3 +1195,47 @@ def spatial_grid_bbox_join(spark, sf_dir):
             F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
         )
     )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus,
+       o_orderpriority AS mode_priority,
+       n AS mode_count
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY n DESC, o_orderpriority ASC) AS rn
+  FROM c)
+WHERE rn = 1
+"""
+
+
+@register("agg_mode_priority_by_status", _MODE_ORACLE)
+def agg_mode_priority_by_status(spark, sf_dir):
+    """Deterministic MODE per group: the most frequent order priority
+    per status, ties broken by value (count desc, value asc) — Spark's
+    native ``mode()`` aggregate is explicitly non-deterministic on
+    ties, so the catalog form is the two-stage shape that IS: a
+    partial-aggregable (group, value) count, then a rank-1 window over
+    group-cardinality rows (WindowGroupLimit pushes the top-1 into the
+    shuffle).  The same shape yields top-k modes by changing the rank
+    bound."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

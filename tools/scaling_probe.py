@@ -71,6 +71,7 @@ PROBES = [
     "agg_winsorized_mean_price",
     "spatial_grid_bbox_join",
     "timeseries_ema30_daily_revenue",
+    "agg_mode_priority_by_status",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
