@@ -90,15 +90,23 @@ def asof_join(
     else:
         # smallest |Δt| wins; an exact-distance tie prefers the
         # backward candidate (pandas merge_asof(direction='nearest')
-        # semantics), then the unique tie_break.  Timestamp-typed time
-        # columns difference as integer epoch micros (TIMESTAMP_NTZ
-        # cannot cast to double, and integer micros keep the ordering
-        # exact); other orderable types difference as double.
+        # semantics), then the unique tie_break.  Temporal time columns
+        # difference as integer epoch micros (TIMESTAMP_NTZ cannot cast
+        # to double, DATE cannot either, and integer micros keep the
+        # ordering exact); DATE casts losslessly to timestamp first.
+        # Only genuinely numeric time columns take the raw double cast.
         from label_maker_dask_spark.functions.timeutil import epoch_micros
 
+        def _as_micros(col, typ):
+            if typ == "date":
+                return epoch_micros(col.cast("timestamp"))
+            return epoch_micros(col)
+
         r_type = right.schema[right_time].dataType.simpleString()
-        if r_type.startswith("timestamp"):
-            dist = F.abs(epoch_micros(rt) - epoch_micros(lt))
+        l_type = left.schema[left_time].dataType.simpleString()
+        temporal = ("timestamp", "date")
+        if r_type.startswith(temporal) and l_type.startswith(temporal):
+            dist = F.abs(_as_micros(rt, r_type) - _as_micros(lt, l_type))
         else:
             dist = F.abs(rt.cast("double") - lt.cast("double"))
         order = [

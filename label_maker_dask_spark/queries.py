@@ -55,7 +55,12 @@ class _CuratedRegistry(dict):
     (not by rebuilding the dict at import) so a partially-initialized
     registry — an ext module imported directly, mid-circular-import —
     stays consistent; names outside the window keep registration
-    order.  Lookup/insert are plain dict operations."""
+    order.  Lookup/insert are plain dict operations.  C-level iteration
+    (``dict(reg)``, ``json.dumps``, ``**`` unpacking) bypasses these
+    overrides and reads raw storage order — ``_finalize_registry_order``
+    (bottom of this module) rebuilds the storage in curated order after
+    all ext modules import, so both paths agree once the package is
+    fully importable."""
 
     def _order(self):
         window = globals().get("_DRIVER_WINDOW", ())
@@ -3037,6 +3042,25 @@ _DRIVER_WINDOW = [
     "profile_orders_columns",
     "scd2_user_state_history",
 ]
+
+
+def _finalize_registry_order() -> None:
+    """Rebuild the registries' UNDERLYING dict storage in curated order.
+
+    ``_CuratedRegistry`` orders Python-level iteration dynamically, but
+    C-level consumers (``dict(QUERIES)``, ``json.dumps``, ``**``
+    unpacking) read the raw insertion order directly — without this
+    rebuild the same mapping would expose two different orders depending
+    on how it is consumed.  Runs once here, after every ext module has
+    registered and ``_DRIVER_WINDOW`` exists, so both views agree from
+    the moment the package is importable."""
+    for reg in (QUERIES, ORACLES):
+        ordered = [(n, dict.__getitem__(reg, n)) for n in reg._order()]
+        dict.clear(reg)
+        dict.update(reg, ordered)
+
+
+_finalize_registry_order()
 
 
 def validate_driver_window() -> None:

@@ -534,9 +534,12 @@ def analytics_event_path_trigrams(spark, sf_dir):
     tri = seq.groupBy(
         F.concat_ws(">", "prev2", "prev1", "event_type").alias("path")
     ).agg(F.count(F.lit(1)).alias("n"))
-    # cache: tri is referenced twice (rows + total) and is at most
-    # |event_types|^3 rows — uncached, the fact window would run twice
-    tri = tri.persist()
+    # materialize once: tri is referenced twice (rows + total) and is
+    # at most |event_types|^3 rows — unmaterialized, the fact window
+    # would run twice.  localCheckpoint (the repo's materialize-once
+    # convention, same as the chi2 sibling) needs no matching
+    # unpersist, so long-lived library sessions don't leak cache blocks.
+    tri = tri.localCheckpoint(eager=True)
     total = tri.agg(F.sum("n").alias("t"))
     return (
         tri.crossJoin(F.broadcast(total))

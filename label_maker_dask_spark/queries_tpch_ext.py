@@ -408,7 +408,8 @@ def unpivot_lineitem_metrics(spark, sf_dir):
       FROM lineitem GROUP BY l_returnflag)
     SELECT l.l_returnflag,
            count(*) AS n_rows,
-           round(avg(l.l_extendedprice), 4) AS mean_raw,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(28,8)))
+                / count(*), 4) AS DOUBLE) AS mean_raw,
            CAST(round(sum(CAST(greatest(c.lo, least(c.hi,
                   l.l_extendedprice)) AS DECIMAL(28,8)))
                 / count(*), 4) AS DOUBLE) AS mean_winsorized,
@@ -429,8 +430,11 @@ def agg_winsorized_mean_price(spark, sf_dir):
     and the clipped sum accumulates as DECIMAL(28,8) — exact addition,
     so partial-agg merge order cannot leak ulps where a double sum of
     600k 2-decimal values sits within rounding distance of the 4th
-    decimal.  ``mean_raw`` rides along for the contrast and
-    ``n_clipped`` quantifies the tail that was tamed.
+    decimal.  ``mean_raw`` rides along for the contrast, accumulated
+    through the SAME exact decimal sum (a plain double avg rounded to 4
+    decimals sits in exactly the merge-order hazard the winsorized
+    column avoids), and ``n_clipped`` quantifies the tail that was
+    tamed.
 
     Scale shape: the percentile pass is the exactness baseline (full
     sort per group — see ``agg_exact_percentiles``'s note; at scale the
@@ -457,7 +461,11 @@ def agg_winsorized_mean_price(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.avg(x), 4).alias("mean_raw"),
+            F.round(
+                F.sum(x.cast("decimal(28,8)")) / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("mean_raw"),
             F.round(
                 F.sum(clipped.cast("decimal(28,8)"))
                 / F.count(F.lit(1)),

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
 import uuid
 import contextlib
 from typing import Iterator, Optional, Sequence
@@ -61,6 +62,28 @@ def break_writer_lock(base_path: str) -> bool:
     return False
 
 
+def _holder_is_dead(holder: dict) -> bool:
+    """Whether a lock file's recorded holder is verifiably dead.  Same
+    pid on the same host is THIS process (its own crash leftover from an
+    earlier batch).  A different pid on the same host is probed with
+    ``os.kill(pid, 0)`` — only ``ProcessLookupError`` proves death
+    (``PermissionError`` means alive-but-other-user).  A holder on
+    another host, or one with no usable pid/host, is unverifiable and
+    treated as alive — the caller must fail rather than guess."""
+    pid, host = holder.get("pid"), holder.get("host")
+    if not isinstance(pid, int) or host != socket.gethostname():
+        return False
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except OSError:
+        pass
+    return False
+
+
 @contextlib.contextmanager
 def writer_lock(base_path: str, run_id: Optional[str]) -> Iterator[None]:
     """Single-writer guard for maintained tables (bucketed / versioned
@@ -78,16 +101,28 @@ def writer_lock(base_path: str, run_id: Optional[str]) -> Iterator[None]:
       filesystem (on object stores, a table format's optimistic commit
       protocol replaces this file);
     - a lock left behind by OUR OWN run (same non-None ``run_id``) is
-      reclaimed: a run has exactly one writer by construction
-      (``foreachBatch`` executes batches serially), so a matching lock
-      can only be a crash leftover from an earlier batch;
+      reclaimed ONLY when the recorded holder is verifiably dead: same
+      process (a crash leftover from an earlier batch of this writer),
+      or same host with ``os.kill(pid, 0)`` reporting no such process.
+      "One writer per run" holds within one driver (``foreachBatch``
+      executes batches serially) but NOT across drivers — a second
+      driver started from the same checkpoint carries the same run id,
+      and reclaiming its live lock would let both interleave bucket
+      swaps, the exact corruption the lock prevents;
+    - a matching-run lock whose holder is alive, or on another host
+      (liveness unverifiable), raises like any foreign lock;
     - any other lock raises, naming the holder and the
       :func:`break_writer_lock` escape hatch for a verified-dead
       holder.  With ``run_id=None`` (direct batch calls) every leftover
       lock is treated as foreign — fail-loud beats guessing."""
     os.makedirs(base_path, exist_ok=True)
     path = os.path.join(base_path, _LOCK_NAME)
-    token = {"run": run_id, "pid": os.getpid(), "nonce": uuid.uuid4().hex}
+    token = {
+        "run": run_id,
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "nonce": uuid.uuid4().hex,
+    }
     payload = json.dumps(token)
     try:
         with open(path, "x") as fh:
@@ -98,8 +133,12 @@ def writer_lock(base_path: str, run_id: Optional[str]) -> Iterator[None]:
                 holder = json.loads(fh.read() or "{}")
         except (OSError, ValueError):
             holder = {}
-        if run_id is not None and holder.get("run") == run_id:
-            # our own run's crash leftover — reclaim
+        if (
+            run_id is not None
+            and holder.get("run") == run_id
+            and _holder_is_dead(holder)
+        ):
+            # our own run's verified-dead crash leftover — reclaim
             tmp = path + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(payload)

@@ -293,6 +293,34 @@ def test_asof_join_tolerance_bounds_lookback(spark):
     assert got == {1: 11}  # row 2's latest match is 53 days old: dropped
 
 
+def test_asof_join_nearest_accepts_date_columns(spark):
+    """direction='nearest' on DATE-typed time columns: dates can't cast
+    to double (backward/forward accepted them fine while nearest raised
+    an AnalysisException) — they route through the timestamp/epoch-
+    micros branch instead."""
+    from label_maker_dask_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-10"), (2, "2020-02-01")], "id long, ld string"
+    ).select("id", F.col("ld").cast("date").alias("ld"), F.lit(1).alias("k"))
+    right = spark.createDataFrame(
+        [(10, "2020-01-01"), (11, "2020-01-13"), (12, "2020-02-03")],
+        "rid long, rd string",
+    ).select(
+        "rid", F.col("rd").cast("date").alias("rd"), F.lit(1).alias("k")
+    )
+    got = {
+        r["id"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], left_time="ld", right_time="rd",
+            left_key=["id"], tie_break="rid", direction="nearest",
+            tolerance="INTERVAL 30 DAY",
+        ).collect()
+    }
+    # id 1: |Jan10-Jan13|=3d beats |Jan10-Jan01|=9d; id 2: Feb03 (2d)
+    assert got == {1: 11, 2: 12}
+
+
 def test_sampled_percentiles_exact_below_k_and_close_above(spark):
     from label_maker_dask_spark.operators.pipeline import sampled_percentiles
 

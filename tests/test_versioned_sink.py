@@ -203,29 +203,107 @@ def test_versioned_concurrent_writer_raises(spark, tmp_path):
     assert apply(1, "run-a") == 2
 
 
-def test_versioned_same_run_crash_leftover_lock_is_reclaimed(
-    spark, tmp_path
-):
-    import json
-
+def _apply_once(spark, table, run_id):
     from label_maker_dask_spark.streaming.bucketed import _additive_merge
     from label_maker_dask_spark.streaming.versioned import _apply_versioned
-    from label_maker_dask_spark.streaming.upsert import _LOCK_NAME
 
-    table = str(tmp_path / "counts")
-    os.makedirs(table)
-    # a crash left our own run's lock behind
-    with open(os.path.join(table, _LOCK_NAME), "w") as fh:
-        fh.write(json.dumps({"run": "run-a", "pid": 0, "nonce": "dead"}))
     agg = spark.createDataFrame([(1, 1)], "k long, w long")
-    v = _apply_versioned(
-        agg, table, ["k"], 4, 0, "run-a",
+    return _apply_versioned(
+        agg, table, ["k"], 4, 0, run_id,
         lambda b, dd: dd if b is None else _additive_merge(
             b, dd, ["k"], ["w"]
         ),
     )
-    assert v == 1
+
+
+def _write_lock(table, **fields):
+    import json
+
+    from label_maker_dask_spark.streaming.upsert import _LOCK_NAME
+
+    os.makedirs(table, exist_ok=True)
+    with open(os.path.join(table, _LOCK_NAME), "w") as fh:
+        fh.write(json.dumps(fields))
+
+
+def _dead_pid():
+    """A pid guaranteed dead: spawn + reap a trivial child."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def test_versioned_same_run_dead_holder_lock_is_reclaimed(
+    spark, tmp_path
+):
+    import socket
+
+    from label_maker_dask_spark.streaming.upsert import _LOCK_NAME
+
+    table = str(tmp_path / "counts")
+    # a crash left our own run's lock behind; holder pid verifiably dead
+    _write_lock(
+        table,
+        run="run-a",
+        pid=_dead_pid(),
+        host=socket.gethostname(),
+        nonce="dead",
+    )
+    assert _apply_once(spark, table, "run-a") == 1
     assert not os.path.exists(os.path.join(table, _LOCK_NAME))
+
+
+def test_versioned_same_run_own_pid_lock_is_reclaimed(spark, tmp_path):
+    """An earlier batch of THIS process crashed mid-apply: same pid is
+    reclaimable without a liveness probe (batches run serially here)."""
+    import socket
+
+    table = str(tmp_path / "counts")
+    _write_lock(
+        table,
+        run="run-a",
+        pid=os.getpid(),
+        host=socket.gethostname(),
+        nonce="dead",
+    )
+    assert _apply_once(spark, table, "run-a") == 1
+
+
+def test_versioned_same_run_live_holder_raises(spark, tmp_path):
+    """A SECOND DRIVER restarted from the same checkpoint carries the
+    same run id — its live lock must NOT be reclaimed (two writers
+    interleaving bucket swaps is the corruption the lock prevents)."""
+    import socket
+    import subprocess
+
+    table = str(tmp_path / "counts")
+    live = subprocess.Popen(["sleep", "30"])
+    try:
+        _write_lock(
+            table,
+            run="run-a",
+            pid=live.pid,
+            host=socket.gethostname(),
+            nonce="other-writer",
+        )
+        with pytest.raises(ValueError, match="locked by another writer"):
+            _apply_once(spark, table, "run-a")
+    finally:
+        live.kill()
+        live.wait()
+
+
+def test_versioned_same_run_foreign_host_raises(spark, tmp_path):
+    """A matching-run lock from another host is unverifiable — treated
+    as alive, fail-loud (break_writer_lock is the operator escape)."""
+    table = str(tmp_path / "counts")
+    _write_lock(
+        table, run="run-a", pid=12345, host="other-host", nonce="x"
+    )
+    with pytest.raises(ValueError, match="locked by another writer"):
+        _apply_once(spark, table, "run-a")
 
 
 def test_versioned_fresh_checkpoint_raises(spark, tmp_path):
