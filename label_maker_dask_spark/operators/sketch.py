@@ -1,0 +1,143 @@
+"""Count-min sketch: a fixed-size, MERGEABLE frequency summary —
+point-queryable approximate counts whose cells are plain additive
+counters, so sketches built per partition, per day, or per stream
+micro-batch union by element-wise addition into the sketch of the
+union, with no rescan of the fact.
+
+Structure: ``depth`` hash rows x ``width`` buckets.  Every item
+increments one cell per row (``h_j(item) % width``); a point estimate
+reads its ``depth`` cells and takes the MIN.  Collisions only ever ADD
+counts, so the estimate is a guaranteed OVER-estimate
+(``n_cms >= n_exact`` always) with error bounded by ``e*n/width`` at
+confidence ``1 - e^-depth`` — the classic Cormode-Muthukrishnan bound.
+
+Determinism discipline: the row hashes are the repo's cross-engine
+polynomial char hash (``functions/text.char_poly_hash``) salted with
+the row index, so the identical sketch — every cell, every estimate —
+is computable in plain SQL, and the catalog entry is value-hash gated
+like any exact query (most sketches can't do this; see the HLL entry's
+docstring for the class that can't).
+
+Scale shape: the build explodes each fact row into ``depth`` narrow
+``(j, bucket)`` rows, but the following hash aggregate partial-
+aggregates map-side onto at most ``depth x width`` cells per task —
+the shuffle moves O(depth x width) rows per task regardless of fact
+size, and the merged sketch is a broadcast-size table.  Estimation
+broadcasts the sketch to the items side: no shuffle of the item set.
+
+No counterpart in the reference (`/root/reference/` has no
+aggregations); Part-B engine surface alongside heavy.py (exact heavy
+hitters), the KMV distinct sketch, and the native HLL rollup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.functions.text import (
+    char_poly_hash,
+    char_poly_hash_sql,
+)
+
+
+def cms_bucket(item: Column, j: int, width: int) -> Column:
+    """Row-``j`` bucket of ``item``: the cross-engine polynomial hash
+    over ``"cms<j>:<item>"``, mod ``width``.  Salting the string with
+    the row index gives ``depth`` distinct hash functions without a
+    second hash family."""
+    salted = F.concat(F.lit(f"cms{j}:"), item.cast("string"))
+    return (char_poly_hash(salted) % width).cast("int")
+
+
+def cms_bucket_sql(item_expr: str, j: int, width: int) -> str:
+    """DuckDB rendering of :func:`cms_bucket`."""
+    h = char_poly_hash_sql(f"('cms{j}:' || {item_expr}::VARCHAR)")
+    return f"CAST(({h}) % {width} AS INT)"
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Build one sketch per ``group_cols`` group (or one global sketch)
+    over ``df[col]``.  Returns sketch CELLS as rows:
+    ``(*group_cols, j, bucket, n)`` — at most ``depth x width`` rows
+    per group, the storable/mergeable representation.
+
+    The per-row explode is a literal array of ``depth`` structs (no
+    join, no UDF); the groupBy that follows partial-aggregates map-side
+    onto the bounded cell space before anything shuffles."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_bucket(F.col(col), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    g = list(group_cols or [])
+    return (
+        df.select(*g, F.explode(cells).alias("c"))
+        .groupBy(*g, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(
+    sketches: DataFrame, group_cols: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Merge sketch cells by element-wise addition — daily sketches in,
+    the union's sketch out (``group_cols`` names the OUTPUT grain; any
+    finer build-grain columns are simply not grouped on and their cells
+    sum).  Lossless: addition is exactly what the build's global count
+    would have produced."""
+    g = list(group_cols or [])
+    return sketches.groupBy(*g, "j", "bucket").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point estimates for every row of ``items``: min over the item's
+    ``depth`` cells.  The sketch (<= depth x width rows) broadcasts;
+    the item set never shuffles.  An item none of whose cells exist in
+    the sketch (possible only if the sketch saw no items at all in
+    those buckets) estimates 0 via the left join + coalesce.
+
+    Output: ``items``'s columns plus ``n_cms`` (long)."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_bucket(F.col(col), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    exploded = items.select(*items.columns, F.explode(probes).alias("p"))
+    joined = exploded.join(
+        F.broadcast(sketch),
+        (F.col("p.j") == sketch["j"]) & (F.col("p.bucket") == sketch["bucket"]),
+        "left",
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in items.columns])
+        .agg(
+            F.min(F.coalesce(sketch["n"], F.lit(0)))
+            .cast("long")
+            .alias("n_cms")
+        )
+    )

@@ -657,3 +657,85 @@ def timeseries_trailing_p90_value(spark, sf_dir):
     return sampled_percentiles_trailing(
         ev, "value", "day", "event_id", window_days=7, ps=(0.5, 0.9), k=256
     )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from label_maker_dask_spark.queries_shared import components_oracle
+
+    # components_oracle() is a full SELECT; reuse its CTE chain by
+    # splitting off the trailing SELECT (shared fragment, single source
+    # of truth for the pair graph + recursion)
+    comp_ctes = components_oracle().split("SELECT c.id AS doc_id")[0].rstrip()
+    comp_ctes = comp_ctes.rstrip().rstrip(",")  # drop trailing comma if any
+    split_g = split_bucket_sql("grp")
+    return f"""
+    {comp_ctes},
+    grouped AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+             (c.id IS NOT NULL) AS linked
+      FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+    assigned AS (
+      SELECT doc_id, grp, linked,
+             CASE WHEN ({split_g}) < 80 THEN 'train'
+                  WHEN ({split_g}) < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM grouped)
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT grp) AS n_groups,
+           CAST(sum(CASE WHEN linked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_linked_docs
+    FROM assigned GROUP BY 1
+    """
+
+
+@register("curation_leakage_safe_split", _leakage_safe_split_oracle())
+def curation_leakage_safe_split(spark, sf_dir):
+    """Train/val/test split that can NEVER leak a near-duplicate across
+    splits: the split hash is taken over the document's NEAR-DUP GROUP
+    (connected component of the MinHash-LSH pair graph; singleton docs
+    are their own group), so every member of a duplicate cluster lands
+    in the same split by construction.  A plain per-doc hash split —
+    ``split_hash_train_val_test`` — puts ~10% of each near-dup pair's
+    mass straddling train/eval, which is exactly the contamination an
+    eval-set audit (``contamination_3gram_overlap``) then has to catch;
+    this variant removes the leak at assignment time instead of
+    detecting it later.
+
+    Output is the per-split audit summary (doc count, group count,
+    docs that belong to multi-doc groups) — all integers, so the
+    recursive-CTE oracle replays it exactly.
+
+    Scale shape: pairs come from the LSH path (banded signatures, no
+    corpus^2); components converge in O(log diameter) pointer-doubling
+    rounds over the pair graph only (singletons never enter the
+    iteration — they join back in one broadcast-right pass); the split
+    itself is a narrow column map, and the summary is a 3-key agg.
+    The contract survives composition: downstream samplers keyed on
+    doc_id stay deterministic because group assignment is a pure
+    function of content-derived pairs + ids, never rand()."""
+    from label_maker_dask_spark.operators.dedup import minhash_neardup_pairs
+    from label_maker_dask_spark.operators.pipeline import split_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = duplicate_components(
+        minhash_neardup_pairs(docs, k=16, bands=4, threshold=0.12)
+    ).select(F.col("doc_id").alias("c_id"), "component")
+    grouped = docs.join(
+        comp, docs["doc_id"] == F.col("c_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("grp"),
+        F.col("c_id").isNotNull().alias("linked"),
+    )
+    b = split_bucket(F.col("grp"))
+    assigned = grouped.withColumn(
+        "split",
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum(F.col("linked").cast("int")).cast("long").alias("n_linked_docs"),
+    )

@@ -1239,3 +1239,55 @@ def agg_mode_priority_by_status(spark, sf_dir):
             F.col("n").alias("mode_count"),
         )
     )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH ranked AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket
+  FROM lineitem)
+SELECT bucket, count(*) AS n_rows,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM ranked GROUP BY 1
+"""
+
+
+@register("analytics_equidepth_histogram_price", _EQUIDEPTH_ORACLE)
+def analytics_equidepth_histogram_price(spark, sf_dir):
+    """Exact 16-bucket equi-depth histogram of ``l_extendedprice`` —
+    the feature-binning / data-profiling primitive (equal COUNT per
+    bucket, data-driven boundaries; the dual of the equal-WIDTH
+    histogram a fixed ``floor(x/step)`` gives).  ``ntile`` assigns
+    ranks to buckets with the standard remainder rule (first
+    ``n mod 16`` buckets take one extra row), so with a total order
+    made unique by the (orderkey, linenumber) tiebreak both engines
+    produce identical buckets, and boundaries report as integer cents.
+
+    Scale shape: a single global sort (one range-partitioned exchange —
+    Spark samples boundaries, so the sort itself is balanced across
+    executors), then a 16-key hash agg.  The honest exact path; at 100
+    TB the same output shape comes from ``approx_percentile(x,
+    [1/16..15/16])`` boundaries + one broadcast bucket-assign scan,
+    trading exactness for a sortless plan — this entry is the
+    correctness baseline the approximate twin is judged against
+    (``profile_orders_columns`` already carries the sketched
+    percentile discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.ntile(16)
+        .over(
+            Window.orderBy(
+                "l_extendedprice", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("bucket"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

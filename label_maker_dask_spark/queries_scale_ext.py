@@ -846,3 +846,84 @@ def timeseries_ema30_daily_revenue(spark, sf_dir):
         "rev_cents",
         F.round(num / den / 100.0, 4).alias("ema30_revenue"),
     )
+
+
+def _cms_oracle(width: int = 256, depth: int = 4) -> str:
+    from label_maker_dask_spark.operators.sketch import cms_bucket_sql
+
+    cell_selects = "\n  UNION ALL ".join(
+        f"SELECT {j} AS j, {cms_bucket_sql('user_id', j, width)} AS bucket,"
+        f" count(*) AS n FROM events GROUP BY 2"
+        for j in range(depth)
+    )
+    probe_selects = "\n  UNION ALL ".join(
+        f"SELECT user_id, n_exact, {j} AS j,"
+        f" {cms_bucket_sql('user_id', j, width)} AS bucket FROM users"
+        for j in range(depth)
+    )
+    return f"""
+    WITH cells AS (
+      {cell_selects}),
+    users AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+    probes AS (
+      {probe_selects}),
+    est AS (
+      SELECT p.user_id, min(coalesce(c.n, 0)) AS n_cms
+      FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY 1)
+    SELECT u.user_id AS item,
+           CAST(u.n_exact AS BIGINT) AS n_exact,
+           CAST(e.n_cms AS BIGINT) AS n_cms,
+           CAST(e.n_cms - u.n_exact AS BIGINT) AS overcount
+    FROM users u JOIN est e USING (user_id)
+    """
+
+
+@register("agg_cms_daily_merged_user_counts", _cms_oracle())
+def agg_cms_daily_merged_user_counts(spark, sf_dir):
+    """Per-user event counts estimated from MERGED DAILY COUNT-MIN
+    SKETCHES, side-by-side with the exact counts — the mergeable
+    point-query frequency summary (``operators/sketch.py``): daily
+    256x4 sketches sum element-wise into the full-range sketch with no
+    fact rescan (the maintained-rollup pattern: store cells per day,
+    answer any range by addition), and every estimate is >= its exact
+    count by construction (collisions only add).
+
+    Hash-gated against a plain-SQL replay because the sketch is FULLY
+    DETERMINISTIC: cell placement is the cross-engine polynomial hash,
+    cell values are order-free integer sums, and the estimate is a min
+    over four integers — no rand(), no float accumulation, no
+    implementation-defined register layout (contrast the HLL entry,
+    which is rows-only gated for exactly that reason).
+
+    Scale shape: the build's explode-by-4 collapses map-side onto
+    <= 1024 cells per (day, task) before the shuffle; the merged
+    sketch broadcasts to the estimate join, so the distinct-user side
+    never shuffles for the probe.  ``overcount`` makes the error
+    band observable: at 1500 users vs 256 buckets the collisions are
+    real, and the column shows exactly what the min-of-4 bound costs."""
+    from label_maker_dask_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = cms_build(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        "user_id",
+        width=256,
+        depth=4,
+        group_cols=["day"],
+    )
+    total = cms_merge(daily)  # full range = element-wise sum of days
+    exact = ev.groupBy(F.col("user_id").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = cms_estimate(total, exact, "item", width=256, depth=4)
+    return est.select(
+        "item",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+    )

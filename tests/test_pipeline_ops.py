@@ -165,11 +165,15 @@ def test_duplicate_components_matches_union_find(spark):
 
     want_sizes = Counter(want_comp.values())
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = duplicate_components(pairs).collect()
-    assert {r["doc_id"]: r["component"] for r in got} == want_comp
-    assert all(
-        r["component_size"] == want_sizes[r["component"]] for r in got
-    )
+    # both paths must match the reference: the one-task union-find fast
+    # path (default here — the graph is tiny) and the distributed
+    # pointer-doubling loop (forced with small_graph_edges=0)
+    for kw in ({}, {"small_graph_edges": 0}):
+        got = duplicate_components(pairs, **kw).collect()
+        assert {r["doc_id"]: r["component"] for r in got} == want_comp
+        assert all(
+            r["component_size"] == want_sizes[r["component"]] for r in got
+        )
 
 
 def test_duplicate_components_raises_past_max_iter(spark):
@@ -179,7 +183,7 @@ def test_duplicate_components_raises_past_max_iter(spark):
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_components(pairs, max_iter=4)
+        duplicate_components(pairs, max_iter=4, small_graph_edges=0)
 
 
 def test_pack_sequences_layout_invariants(spark):
