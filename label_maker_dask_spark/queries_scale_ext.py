@@ -386,25 +386,31 @@ def profile_orders_columns(spark, sf_dir):
     doubles, date form for timestamps — both engines print these
     identically), and the rounded mean for numeric columns.
 
-    Scale shape: two bounded passes over the fact table, both inside
-    whole-stage codegen.
+    Scale shape: three bounded, column-pruned passes over the fact
+    table — each table column read by exactly ONE scan, so total
+    column IO equals a single full scan — all inside whole-stage
+    codegen.
 
     - Pass 1 is ONE hash aggregation computing every count/min/max/mean
       (all partial-aggregable), unpivoted to one row per column with
       ``stack``.
-    - Pass 2 computes NDV: each value hashes with pure INTEGER
-      arithmetic for numeric/temporal columns (value / cents /
-      epoch-micros mod P, squared-and-folded) and the cross-engine char
-      fold (``functions/text.py``) only for genuinely-string columns;
-      hashes collapse map-side via ``distinct`` (codegen hash agg),
-      then the k smallest per column emerge in two window phases —
-      bottom-k per (column, salt bucket), then bottom-k of the <= 64k
-      survivors — so no task ever owns a column's whole distinct set
-      (bottom-k of a set is partition-invariant, so the two-phase
-      result equals a global sort).
+    - Pass 2 computes numeric/temporal NDV hashes with pure INTEGER
+      arithmetic (value / cents / epoch-micros mod P,
+      squared-and-folded), collapsed map-side via ``distinct``
+      (codegen hash agg); the k smallest per column then emerge in two
+      window phases — bottom-k per (column, salt bucket), then
+      bottom-k of the <= 64k survivors — so no task ever owns a
+      column's whole distinct set (bottom-k of a set is
+      partition-invariant, so the two-phase result equals a global
+      sort).
+    - Pass 3 handles the string columns: DISTINCT THE RAW VALUE FIRST
+      (partial aggregation collapses to per-column NDV rows before the
+      shuffle), then the interpreted cross-engine char fold
+      (``functions/text.py``) runs over only the survivors — NDV
+      evaluations instead of one per fact row.
 
     Shapes measured and rejected at sf0.1 (the docstring is the lab
-    notebook; this shape runs 3.9 s warm, noop-sink action): the
+    notebook; this shape runs 2.5 s warm, noop-sink action): the
     planner's multi-``count(distinct)`` Expand rewrite (6 s —
     SortAggregate over the expanded fan-out); a shared-scan variant
     folding pass 2's bottom-k into pass 1's unpivot via ``collect_set``
@@ -415,9 +421,12 @@ def profile_orders_columns(spark, sf_dir):
     ``substring`` is O(position), so 16 slots re-scan the string —
     2.9 s vs 2.0 s for the interpreted fold on the two string columns).
     Hashing the four numeric/temporal columns as canonical STRINGS was
-    the original sin (4.6 s total) — their integer folds are ~0.3 s;
-    the two genuinely-string columns' interpreted char folds are the
-    remaining floor.
+    the original sin (4.6 s total) — their integer folds are ~0.3 s.
+    Folding the two string columns per FACT row was the next floor
+    (2 s of the 3.9 s shape); a conditional fold after a combined
+    6-column distinct still cost 1.1 s (the If+HOF projection drops
+    out of codegen and pays a second full-width exchange) — the
+    distinct-raw-first string pass removed both.
 
     The estimate ``(k-1) * P / kth_smallest`` is the same formula as
     ``operators/pipeline.kmv_distinct`` — a pure function of the data,
@@ -481,15 +490,22 @@ def profile_orders_columns(spark, sf_dir):
             aggs.append(F.min(c).alias(f"lo_{name}"))
             aggs.append(F.max(c).alias(f"hi_{name}"))
             aggs.append(F.lit(None).cast("double").alias(f"mean_{name}"))
-            # the interpreted per-char fold measured FASTER than an
-            # unrolled substring/ascii Horner chain (UTF8 substring is
-            # O(position), so 16 substrings re-scan the string) — 2.0 s
-            # vs 2.9 s for the two string columns at sf0.1
-            hv = fold(char_poly_hash(c))
+            # string columns DEFER hashing to after the distinct: the
+            # struct carries the raw value, and the interpreted char
+            # fold runs only on the per-column distinct survivors (NDV
+            # rows, not fact rows) — see `hashed` below
+            hv = None
         hv_structs.append(
             F.struct(
                 F.lit(name).alias("col_name"),
-                hv.cast("long").alias("h"),
+                (
+                    F.lit(None).cast("long")
+                    if hv is None
+                    else hv.cast("long")
+                ).alias("h"),
+                (c if hv is None else F.lit(None).cast("string")).alias(
+                    "raw"
+                ),
             )
         )
     stats = orders.agg(*aggs)
@@ -504,12 +520,46 @@ def profile_orders_columns(spark, sf_dir):
         "(col_name, n_nonnull, min_value, max_value, mean_value)",
     )
 
-    hashed = (
-        orders.select(F.explode(F.array(*hv_structs)).alias("p"))
+    # numeric/temporal columns: integer hashes per fact row, collapsed
+    # by a codegen distinct (the hash is cheap column math)
+    num_structs = [
+        s
+        for s, (_, k) in zip(hv_structs, _PROFILE_COLS)
+        if k != "string"
+    ]
+    num_hashed = (
+        orders.select(F.explode(F.array(*num_structs)).alias("p"))
         .select("p.col_name", "p.h")
         .where(F.col("h").isNotNull())
         .distinct()
     )
+    # string columns: distinct the RAW value first (a codegen hash agg
+    # whose partial aggregation collapses to per-column-NDV rows
+    # map-side), THEN run the interpreted char fold over the survivors
+    # — folding strings per fact row was the 2 s floor the lab
+    # notebook below records.  This pass's scan prunes to just the
+    # string columns, so total column IO across the scans is
+    # unchanged.  The post-fold dropDuplicates collapses fold
+    # collisions over the tiny survivor set, matching the oracle's
+    # DISTINCT-over-hashes set semantics (the numeric path dedupes
+    # after hashing for the same reason).
+    str_structs = [
+        s
+        for s, (_, k) in zip(hv_structs, _PROFILE_COLS)
+        if k == "string"
+    ]
+    str_hashed = (
+        orders.select(F.explode(F.array(*str_structs)).alias("p"))
+        .select("p.col_name", "p.raw")
+        .where(F.col("raw").isNotNull())
+        .distinct()
+        .select(
+            "col_name",
+            fold(char_poly_hash(F.col("raw"))).cast("long").alias("h"),
+        )
+        .dropDuplicates(["col_name", "h"])
+    )
+    hashed = num_hashed.union(str_hashed)
     # two-phase bottom-k: per (column, salt) then per column — identical
     # to a global bottom-k, but no task sees a whole column's hash set
     w1 = Window.partitionBy("col_name", F.pmod(F.col("h"), F.lit(64))).orderBy(

@@ -72,9 +72,11 @@ def test_interpolation_arithmetic(spark, tmp_path):
 
 
 def test_profiler_two_codegen_passes(spark):
-    """The profiler pays exactly TWO scans of the table (the stats
-    aggregation and the KMV hash pass) — never one per column — with
-    both passes in codegen: no Expand+SortAggregate multi-distinct
+    """The profiler pays exactly THREE column-pruned scans of the table
+    (stats aggregation; numeric-column KMV hashes; string-column raw
+    distinct) — never one per column, and each table column is read by
+    exactly one scan, so total column IO equals a single full scan —
+    with every pass in codegen: no Expand+SortAggregate multi-distinct
     rewrite, and no ObjectHashAggregate (the rejected shared-scan
     collect_set shape dragged every aggregate into interpreted object
     mode; see the query docstring's measurements)."""
@@ -82,7 +84,9 @@ def test_profiler_two_codegen_passes(spark):
 
     df = profile_orders_columns(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan parquet") == 3, plan
+    # the string-NDV scan prunes to ONLY the two string columns
+    assert "ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>" in plan, plan
     assert "Expand" not in plan, plan
     assert "ObjectHashAggregate" not in plan, plan
     rows = {r["col_name"]: r for r in df.collect()}
