@@ -124,6 +124,12 @@ HEADLINE = [
     "spatial_grid_bbox_join",
     "timeseries_ema30_daily_revenue",
     "agg_mode_priority_by_status",
+    # round-9: mergeable count-min sketch (daily cells -> full-range
+    # estimates), component-hashed leakage-safe split, exact equi-depth
+    # histogram binning
+    "agg_cms_daily_merged_user_counts",
+    "curation_leakage_safe_split",
+    "analytics_equidepth_histogram_price",
 ]
 
 

@@ -2984,19 +2984,22 @@ _DRIVER_WINDOW = [
     "q10_returned_items",
     # join forms (round 8: the plain range join's slot upgraded to its
     # grid-bucketed spatial form — the stronger instance of the same
-    # banded-join family; the plain range join stays in the local replay)
+    # banded-join family; the plain range join stays in the local
+    # replay.  Round 9: the tolerance-band as-of variant yields its
+    # slot to the count-min sketch — the as-of family keeps its base
+    # entry, and the tolerance twin stays in the local replay)
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "join_left_order_item_counts",
     "join_asof_latest_order",
-    "join_asof_tolerance_90d",
     "spatial_grid_bbox_join",
     "join_skew_salted_brand_revenue",
     "join_bloom_pruned_order_revenue",
-    # aggregation
+    # aggregation (round 9: + the mergeable count-min sketch)
     "agg_rollup_region_nation",
     "agg_grouping_sets",
     "agg_kmv_trailing7_users",
+    "agg_cms_daily_merged_user_counts",
     # windows / set ops / scalar / sort
     "window_running_order_total",
     "window_top3_orders_per_customer",
@@ -3028,8 +3031,10 @@ _DRIVER_WINDOW = [
     # multimodal
     "multimodal_image_channel_stats",
     "multimodal_phash_neardup_pairs",
-    # dataset curation
-    "split_hash_train_val_test",
+    # dataset curation (round 9: the per-doc hash split's slot upgraded
+    # to the leakage-safe component-hashed form — the stronger member
+    # of the split family; the per-doc form stays in the local replay)
+    "curation_leakage_safe_split",
     "contamination_3gram_overlap",
     "curation_end_to_end",
     # timeseries

@@ -49,13 +49,13 @@ PINNED_DRIVER_WINDOW = [
     "join_anti_customers_without_orders",
     "join_left_order_item_counts",
     "join_asof_latest_order",
-    "join_asof_tolerance_90d",
     "spatial_grid_bbox_join",
     "join_skew_salted_brand_revenue",
     "join_bloom_pruned_order_revenue",
     "agg_rollup_region_nation",
     "agg_grouping_sets",
     "agg_kmv_trailing7_users",
+    "agg_cms_daily_merged_user_counts",
     "window_running_order_total",
     "window_top3_orders_per_customer",
     "set_intersect_customer_supplier_nations",
@@ -80,7 +80,7 @@ PINNED_DRIVER_WINDOW = [
     "text_tfidf_top_terms",
     "multimodal_image_channel_stats",
     "multimodal_phash_neardup_pairs",
-    "split_hash_train_val_test",
+    "curation_leakage_safe_split",
     "contamination_3gram_overlap",
     "curation_end_to_end",
     "timeseries_ohlc_hourly_by_type",

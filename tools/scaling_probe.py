@@ -72,6 +72,11 @@ PROBES = [
     "spatial_grid_bbox_join",
     "timeseries_ema30_daily_revenue",
     "agg_mode_priority_by_status",
+    # round-9 operators
+    "agg_cms_daily_merged_user_counts",
+    "curation_leakage_safe_split",
+    "analytics_equidepth_histogram_price",
+    "dedup_components_simhash60",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
