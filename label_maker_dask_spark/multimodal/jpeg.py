@@ -11,6 +11,18 @@ markers, 8- and 16-bit quantization tables.
 Arithmetic-coded and lossless/hierarchical streams raise
 ``NotImplementedError`` naming Pillow as the optional escape hatch.
 
+Arithmetic coding stays out of scope DELIBERATELY, not by oversight:
+every decode path in this module is verified bit-for-bit against an
+independent implementation (the JVM's javax.imageio, which this
+environment always has), and no independent arithmetic-JPEG decoder
+exists here (javax.imageio and Pillow-wheels both lack it).  A
+from-scratch QM-coder could only be "verified" by round-tripping
+against its own encoder, which cannot catch a transcription error in
+the 113-row probability state table both sides would share — claiming
+support on that evidence would break the repo's
+everything-has-an-independent-oracle discipline.  The marker parser
+still identifies all six arithmetic SOFs precisely and fails loudly.
+
 Decode shape: marker parse -> Huffman entropy decode (the only per-symbol
 Python loop; progressive repeats it per scan over the same coefficient
 store) -> batched dequant + IDCT over all blocks of a component at once

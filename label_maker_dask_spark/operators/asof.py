@@ -133,18 +133,29 @@ def asof_join_merge(
     tie_break: str,
     tolerance: str | None = None,
     chunk_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Merge-style as-of join: identical semantics to :func:`asof_join`
-    (inner; latest right row with ``right_time <= left_time`` per left
-    row, ties to the largest ``tie_break``), built as union + ordered
-    carry instead of a range join.
+    in every ``direction`` (inner; backward = latest right row with
+    ``right_time <= left_time``, ties to the largest ``tie_break``;
+    forward = earliest right row at-or-after, ties to the smallest;
+    nearest = closest on either side within the mandatory tolerance
+    band, exact-distance ties preferring backward then the largest
+    tie), built as union + ordered carry instead of a range join.
 
     Why it exists: the range-join formulation pairs every left row with
-    the key's whole eligible right history before the window cut — a hot
-    key with L left rows and R right rows materializes L x R joined rows.
-    Here both sides union into one stream per key, a single pass carries
-    the latest right payload forward, and each left row reads the carry:
-    O(L + R) rows per key, the classic sort-merge as-of.
+    the key's whole eligible right history (or tolerance band) before
+    the window cut — a hot key with L left rows and R right rows in
+    band materializes L x R joined rows, so doubling data density
+    QUADRUPLES the join (the round-9 scaling probe measured 12x time
+    over the top 10x decade on the 150-key nearest catalog entry).
+    Here both sides union into one stream per key, ordered carries
+    attach the adjacent right payload, and each left row reads the
+    carry: O(L + R) rows per key at any density.  Backward uses one
+    ascending carry; forward one descending carry; nearest BOTH carries
+    over the same unioned frame (two sorts, one shuffle, no self-join —
+    the per-left-row winner is a scalar comparison of the two carried
+    timestamps).
 
     ``chunk_seconds`` arms the same skew mitigation as the chunked
     lag/sessionize builders: carry within ``(key, slice)``, then a
@@ -152,12 +163,31 @@ def asof_join_merge(
     slice's carry-in (the latest right payload of any earlier slice), so
     no task's size depends on how hot a key is.  Output is identical
     either way (tested, and the catalog twin shares the range-join
-    query's oracle).
+    query's oracle).  Chunking currently applies to ``backward`` only
+    (forward/nearest raise: their mirrored slice summaries need a
+    direction-aware argmin the catalog has no call site for yet).
 
-    ``tolerance`` bounds the lookback as in :func:`asof_join` — with a
-    carry the check is a post-filter on the carried row's time."""
+    ``tolerance`` bounds the lookback/lookahead as in :func:`asof_join`
+    — with a carry the check is a post-filter on the carried row's
+    time; for ``nearest`` it is mandatory and out-of-band carries are
+    nulled before the two-sided comparison."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join_merge: direction={direction!r} "
+            "(backward|forward|nearest)"
+        )
+    if direction == "nearest" and tolerance is None:
+        raise ValueError(
+            "asof_join_merge: direction='nearest' requires a tolerance "
+            "(the band is what bounds the two-sided lookaround)"
+        )
+    if direction != "backward" and chunk_seconds is not None:
+        raise NotImplementedError(
+            "asof_join_merge: chunk_seconds is implemented for "
+            "direction='backward' only"
+        )
     reserved = {"_t", "_side", "_tie", "_rp", "_slice", "_local", "_cin",
-                "_carry"}
+                "_carry", "_cb", "_cf"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash or any(c.startswith("_l_") for c in right.columns):
         raise ValueError(
@@ -186,7 +216,79 @@ def asof_join_merge(
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     rows = r.unionByName(l)
+    # ascending carry: among equal _t, right rows (side 0) precede the
+    # left row (inclusive rt == lt) and tie-ASC puts the LARGEST tie
+    # last — carry = last, so the largest tie wins (backward contract)
     order = [F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_last()]
+    # descending carry: iterates from the latest time down, so the last
+    # right row seen is the closest at-or-after.  Standalone forward
+    # wants the SMALLEST tie at equal _t (tie-DESC puts it last);
+    # nearest's forward pass wants the LARGEST (its final ordering uses
+    # tie DESC regardless of side, matching asof_join's nearest).
+    fwd_tie = (
+        F.col("_tie").desc_nulls_last()
+        if direction == "forward"
+        else F.col("_tie").asc_nulls_last()
+    )
+    order_f = [F.col("_t").desc(), F.col("_side"), fwd_tie]
+
+    if direction == "forward":
+        wf = Window.partitionBy(*on).orderBy(*order_f).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = rows.withColumn(
+            "_carry", F.last("_rp", ignorenulls=True).over(wf)
+        ).where((F.col("_side") == 1) & F.col("_carry").isNotNull())
+        if tolerance is not None:
+            out = out.where(
+                F.col(f"_carry.{right_time}")
+                <= F.col("_t") + F.expr(tolerance)
+            )
+        return out.select(
+            *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+            *[F.col(f"_carry.{c}").alias(c) for c in rp_fields],
+        )
+
+    if direction == "nearest":
+        from label_maker_dask_spark.functions.timeutil import epoch_micros
+
+        t_type = left.schema[left_time].dataType.simpleString()
+
+        def num(c):
+            if t_type == "date":
+                return epoch_micros(c.cast("timestamp"))
+            if t_type.startswith("timestamp"):
+                return epoch_micros(c)
+            return c.cast("double")
+
+        wb = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wf = Window.partitionBy(*on).orderBy(*order_f).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        carried = rows.withColumn(
+            "_cb", F.last("_rp", ignorenulls=True).over(wb)
+        ).withColumn("_cf", F.last("_rp", ignorenulls=True).over(wf))
+        lt = F.col("_t")
+        tol = F.expr(tolerance)
+        cb_rt = F.col(f"_cb.{right_time}")
+        cf_rt = F.col(f"_cf.{right_time}")
+        cb_ok = F.col("_cb").isNotNull() & (cb_rt >= lt - tol)
+        cf_ok = F.col("_cf").isNotNull() & (cf_rt <= lt + tol)
+        db = num(lt) - num(cb_rt)
+        df_ = num(cf_rt) - num(lt)
+        chosen = (
+            F.when(cb_ok & (~cf_ok | (db <= df_)), F.col("_cb"))
+            .when(cf_ok, F.col("_cf"))
+        )
+        out = carried.where(F.col("_side") == 1).withColumn(
+            "_carry", chosen
+        ).where(F.col("_carry").isNotNull())
+        return out.select(
+            *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+            *[F.col(f"_carry.{c}").alias(c) for c in rp_fields],
+        )
 
     if chunk_seconds is None:
         w = Window.partitionBy(*on).orderBy(*order).rowsBetween(

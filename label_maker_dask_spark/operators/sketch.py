@@ -11,12 +11,14 @@ counts, so the estimate is a guaranteed OVER-estimate
 (``n_cms >= n_exact`` always) with error bounded by ``e*n/width`` at
 confidence ``1 - e^-depth`` — the classic Cormode-Muthukrishnan bound.
 
-Determinism discipline: the row hashes are the repo's cross-engine
-polynomial char hash (``functions/text.char_poly_hash``) salted with
-the row index, so the identical sketch — every cell, every estimate —
-is computable in plain SQL, and the catalog entry is value-hash gated
-like any exact query (most sketches can't do this; see the HLL entry's
-docstring for the class that can't).
+Determinism discipline: the row hashes are cross-engine arithmetic —
+integer items take a j-shifted affine-cube mix mod a prime (pure
+whole-stage-codegen column math, the same family as the column
+profiler's fold), strings take the repo's polynomial char hash salted
+with the row index — so the identical sketch — every cell, every
+estimate — is computable in plain SQL, and the catalog entry is
+value-hash gated like any exact query (most sketches can't do this;
+see the HLL entry's docstring for the class that can't).
 
 Scale shape: the build explodes each fact row into ``depth`` narrow
 ``(j, bucket)`` rows, but the following hash aggregate partial-
@@ -38,22 +40,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.functions.text import (
+    HASH_P,
     char_poly_hash,
     char_poly_hash_sql,
 )
 
 
-def cms_bucket(item: Column, j: int, width: int) -> Column:
-    """Row-``j`` bucket of ``item``: the cross-engine polynomial hash
-    over ``"cms<j>:<item>"``, mod ``width``.  Salting the string with
-    the row index gives ``depth`` distinct hash functions without a
-    second hash family."""
+# affine premix constants for the integer row hashes (same family as
+# the column profiler's fold, queries_scale_ext.py): per row j the
+# multiplier shifts by j, giving depth distinct affine bijections mod
+# the prime P; the cube is a bijection too (3 does not divide P-1), so
+# distinct values keep distinct mixed hashes within a row
+_A, _B = 236_887_691, 1_013_904_223
+
+_INT_KINDS = ("tinyint", "smallint", "int", "bigint", "long")
+
+
+def _is_int_kind(simple_type: str) -> bool:
+    return simple_type in _INT_KINDS
+
+
+def cms_bucket(item: Column, j: int, width: int, kind: str = "str") -> Column:
+    """Row-``j`` bucket of ``item``, mod ``width``.  Integer items
+    (``kind='int'``) take a pure-codegen affine-cube mix — whole-stage-
+    codegen column math, the fast path that keeps the sketch build
+    JVM-side; everything else takes the cross-engine polynomial char
+    hash over ``"cms<j>:<item>"`` (interpreted HOF, the honest cost of
+    hashing arbitrary strings deterministically in both engines).
+    Either way the salt/multiplier varies with ``j``, giving ``depth``
+    distinct hash functions without a second hash family."""
+    if kind == "int":
+        m = (F.pmod(item, F.lit(HASH_P)) * (_A + j) + _B) % HASH_P
+        h = (m * m % HASH_P) * m % HASH_P
+        return (h % width).cast("int")
     salted = F.concat(F.lit(f"cms{j}:"), item.cast("string"))
     return (char_poly_hash(salted) % width).cast("int")
 
 
-def cms_bucket_sql(item_expr: str, j: int, width: int) -> str:
-    """DuckDB rendering of :func:`cms_bucket`."""
+def cms_bucket_sql(item_expr: str, j: int, width: int,
+                   kind: str = "str") -> str:
+    """DuckDB rendering of :func:`cms_bucket` (pass the same ``kind``)."""
+    if kind == "int":
+        m = (f"((((({item_expr}) % {HASH_P}) + {HASH_P}) % {HASH_P}"
+             f" * {_A + j} + {_B}) % {HASH_P})")
+        h = f"(({m} * {m} % {HASH_P}) * {m} % {HASH_P})"
+        return f"CAST(({h}) % {width} AS INT)"
     h = char_poly_hash_sql(f"('cms{j}:' || {item_expr}::VARCHAR)")
     return f"CAST(({h}) % {width} AS INT)"
 
@@ -73,11 +104,16 @@ def cms_build(
     The per-row explode is a literal array of ``depth`` structs (no
     join, no UDF); the groupBy that follows partial-aggregates map-side
     onto the bounded cell space before anything shuffles."""
+    kind = (
+        "int"
+        if _is_int_kind(df.schema[col].dataType.simpleString())
+        else "str"
+    )
     cells = F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                cms_bucket(F.col(col), j, width).alias("bucket"),
+                cms_bucket(F.col(col), j, width, kind).alias("bucket"),
             )
             for j in range(depth)
         ]
@@ -87,6 +123,39 @@ def cms_build(
         df.select(*g, F.explode(cells).alias("c"))
         .groupBy(*g, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_increments(
+    df: DataFrame, col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Per-row cell increments ``(j, bucket, n=1)`` — the STREAMING form
+    of :func:`cms_build`: a narrow stateless projection safe on an
+    unbounded stream, whose per-batch sum-by-(j, bucket) is exactly the
+    batch's sketch.  Feed it to
+    ``streaming.bucketed.stream_accumulate_to_parquet_bucketed(keys=
+    ["j", "bucket"], sum_cols=["n"])`` and the maintained base table IS
+    the running sketch of everything ingested — cells are additive, so
+    the sink's exactly-once additive merge maintains it with no rescan
+    and no custom state store."""
+    kind = (
+        "int"
+        if _is_int_kind(df.schema[col].dataType.simpleString())
+        else "str"
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_bucket(F.col(col), j, width, kind).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return df.select(F.explode(cells).alias("c")).select(
+        F.col("c.j").alias("j"),
+        F.col("c.bucket").alias("bucket"),
+        F.lit(1).cast("long").alias("n"),
     )
 
 
@@ -118,11 +187,16 @@ def cms_estimate(
     those buckets) estimates 0 via the left join + coalesce.
 
     Output: ``items``'s columns plus ``n_cms`` (long)."""
+    kind = (
+        "int"
+        if _is_int_kind(items.schema[col].dataType.simpleString())
+        else "str"
+    )
     probes = F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                cms_bucket(F.col(col), j, width).alias("bucket"),
+                cms_bucket(F.col(col), j, width, kind).alias("bucket"),
             )
             for j in range(depth)
         ]

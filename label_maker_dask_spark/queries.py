@@ -1555,8 +1555,14 @@ def join_asof_forward(spark, sf_dir):
     within a 30-day lookahead — "next fill after the order", the
     mirror of the backward latest-state lookup, same banded-join +
     window plan with the inequalities and the window order flipped
-    (ties break on the unique event id, smallest wins)."""
-    from label_maker_dask_spark.operators.asof import asof_join
+    (ties break on the unique event id, smallest wins).
+
+    Built on the MERGE form (``asof_join_merge(direction='forward')``):
+    with only 150 join keys, the range-join form's per-key band fan-out
+    grows with data density — the round-9 scaling probe measured 5x
+    time over the top 10x decade — where the merge carry stays
+    O(orders + events) per key.  Same oracle either way."""
+    from label_maker_dask_spark.operators.asof import asof_join_merge
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1566,9 +1572,9 @@ def join_asof_forward(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
     )
-    return asof_join(
+    return asof_join_merge(
         orders, ev, on=["custkey"], left_time="sd", right_time="ts",
-        left_key=["o_orderkey"], tie_break="event_id",
+        tie_break="event_id",
         tolerance="INTERVAL 30 DAY", direction="forward",
     ).select(
         "o_orderkey",
@@ -1611,8 +1617,17 @@ def join_asof_nearest(spark, sf_dir):
     the three pandas merge_asof directions).  Exact-distance ties
     prefer the backward candidate, then the unique event id; the
     tolerance band is mandatory since it alone bounds the two-sided
-    join fan-out."""
-    from label_maker_dask_spark.operators.asof import asof_join
+    join fan-out.
+
+    Built on the MERGE form (``asof_join_merge(direction='nearest')``):
+    with only 150 join keys, the range-join form materializes every
+    (order x in-band event) pair before the window cut, so its cost
+    grows quadratically with data density — the round-9 scaling probe
+    measured 12x time over the top 10x decade, the worst entry in the
+    suite — where the merge form's two ordered carries (one ascending,
+    one descending, same shuffle) stay O(orders + events) per key at
+    any density.  Same oracle either way."""
+    from label_maker_dask_spark.operators.asof import asof_join_merge
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1622,9 +1637,9 @@ def join_asof_nearest(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", ((F.col("user_id") % 150) + 1).alias("custkey")
     )
-    return asof_join(
+    return asof_join_merge(
         orders, ev, on=["custkey"], left_time="sd", right_time="ts",
-        left_key=["o_orderkey"], tie_break="event_id",
+        tie_break="event_id",
         tolerance="INTERVAL 10 DAY", direction="nearest",
     ).select(
         "o_orderkey",
@@ -2577,8 +2592,37 @@ def multimodal_video_frame_sample(spark, sf_dir):
     )
 
 
-def _ivf_oracle(filter_pred: str, k: int = 5, n_cells: int = 16,
-                n_probe: int = 4) -> str:
+#: power-of-two n_cells ladder targeting ~64 vectors per cell, floor 16
+#: — constant per-cell occupancy keeps probe work per query CONSTANT as
+#: the corpus grows (n_probe x occupancy), where a fixed cell count
+#: makes it linear per query and quadratic overall.  Pure integer
+#: comparisons so Spark and DuckDB derive the identical cell count from
+#: the identical corpus (a float log2/sqrt could round differently at
+#: exact powers).  The floor keeps corpora <= 1024 exactly on the
+#: historical n_cells=16 behavior (tests, gates).  Capped at 1024:
+#: past that, a trained quantizer replaces lowest-id seed centroids
+#: anyway (operators/clustering.py is the upgrade path).
+_IVF_CELL_LADDER = [(1024, 16), (2048, 32), (4096, 64), (8192, 128),
+                    (16384, 256), (32768, 512)]
+
+
+def _ivf_auto_cells(n: int) -> int:
+    for bound, cells in _IVF_CELL_LADDER:
+        if n <= bound:
+            return cells
+    return 1024
+
+
+def _ivf_cells_sql() -> str:
+    """The ladder as a scalar subquery over the corpus row count."""
+    whens = " ".join(
+        f"WHEN count(*) <= {bound} THEN {cells}"
+        for bound, cells in _IVF_CELL_LADDER
+    )
+    return f"(SELECT CASE {whens} ELSE 1024 END FROM embeddings)"
+
+
+def _ivf_oracle(filter_pred: str, k: int = 5, n_probe: int = 4) -> str:
     from label_maker_dask_spark.functions.vectors import (
         normalized_sql,
         unit_dot_rounded_sql,
@@ -2589,7 +2633,8 @@ def _ivf_oracle(filter_pred: str, k: int = 5, n_cells: int = 16,
     return f"""
     WITH cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, {nv} AS cv
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+      FROM (SELECT * FROM embeddings ORDER BY vec_id
+            LIMIT {_ivf_cells_sql()})),
     corpus AS (SELECT vec_id, {nv} AS nv FROM embeddings),
     assign AS (
       SELECT c.vec_id, cent.cell,
@@ -2628,18 +2673,29 @@ def _ivf_oracle(filter_pred: str, k: int = 5, n_cells: int = 16,
 @register("similarity_ivf_topk_ann", _ivf_oracle("vec_id % 25 = 0"))
 def similarity_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the scale path beyond SRP-LSH): Voronoi cells around
-    deterministic seed centroids (the 16 lowest-id vectors), n_probe
+    deterministic seed centroids (the lowest-id vectors), n_probe
     nearest cells per query, scoring masked to probed cells.  In a stored
     index the cell id is a partition column and non-probed cells never
     leave the parquet scan.  Recall < 1 vs brute force by the ANN
     contract (bounded in tests/test_similarity.py), but cell assignment
     and probe ranking use exact left-fold arithmetic, so the oracle
-    replays the identical result."""
+    replays the identical result.
+
+    ``n_cells`` scales with the corpus via ``_ivf_auto_cells`` (the
+    power-of-two constant-occupancy ladder, ~64 vectors/cell): a FIXED
+    cell count makes per-cell occupancy grow linearly and probe work
+    quadratically in corpus x queries — the round-9 scaling probe
+    measured 11x time over the top 10x data decade for the join twin
+    before this change.  The oracle derives the identical count from
+    the identical corpus via a scalar-subquery LIMIT, so the hash gate
+    holds at every scale factor."""
     from label_maker_dask_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
-    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return ivf_topk(
+        emb, queries, k=5, n_cells=_ivf_auto_cells(emb.count()), n_probe=4
+    )
 
 
 @register("similarity_ivf_join_topk_ann", _ivf_oracle("vec_id % 21 = 0"))
@@ -2647,13 +2703,17 @@ def similarity_ivf_join_topk(spark, sf_dir):
     """Join-based IVF ANN (``similarity.ivf_topk_join``): query rows
     explode to their probe cells and MEET the cell-labeled corpus in a
     plain shuffle join — both sides corpus-sized, nothing collected but
-    the 16 centroid rows.  The all-pairs-ANN / k-NN-graph shape; same
-    exact-fold arithmetic, same oracle as the broadcast IVF path."""
+    the centroid rows.  The all-pairs-ANN / k-NN-graph shape; same
+    exact-fold arithmetic, same corpus-scaled ``_ivf_auto_cells`` cell
+    count, same oracle as the broadcast IVF path (see its docstring for
+    the quadratic-occupancy hazard the auto sizing removes)."""
     from label_maker_dask_spark.operators.similarity import ivf_topk_join
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 21 == 0)
-    return ivf_topk_join(emb, queries, k=5, n_cells=16, n_probe=4)
+    return ivf_topk_join(
+        emb, queries, k=5, n_cells=_ivf_auto_cells(emb.count()), n_probe=4
+    )
 
 
 def _phash_sig_oracle() -> str:

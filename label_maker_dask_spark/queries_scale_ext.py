@@ -902,13 +902,15 @@ def _cms_oracle(width: int = 256, depth: int = 4) -> str:
     from label_maker_dask_spark.operators.sketch import cms_bucket_sql
 
     cell_selects = "\n  UNION ALL ".join(
-        f"SELECT {j} AS j, {cms_bucket_sql('user_id', j, width)} AS bucket,"
+        f"SELECT {j} AS j,"
+        f" {cms_bucket_sql('user_id', j, width, kind='int')} AS bucket,"
         f" count(*) AS n FROM events GROUP BY 2"
         for j in range(depth)
     )
     probe_selects = "\n  UNION ALL ".join(
         f"SELECT user_id, n_exact, {j} AS j,"
-        f" {cms_bucket_sql('user_id', j, width)} AS bucket FROM users"
+        f" {cms_bucket_sql('user_id', j, width, kind='int')} AS bucket"
+        f" FROM users"
         for j in range(depth)
     )
     return f"""

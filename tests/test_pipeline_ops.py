@@ -395,6 +395,75 @@ def test_asof_merge_equals_range_join_incl_tolerance_and_skew(spark):
         # tolerance drops left rows outside the 90s lookback
         assert len(a) > (700 if tol is None else 300)
 
+    # forward and nearest must also match their range-join forms row
+    # for row (the merge form is what the catalog entries now run —
+    # the range form's band fan-out was quadratic in data density)
+    fwd_a = sorted(map(tuple, asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        left_key=["lid"], tie_break="rid",
+        tolerance="INTERVAL 120 SECOND", direction="forward",
+    ).select("lid", "k", "lt", "rid", "rt").collect()))
+    fwd_b = sorted(map(tuple, asof_join_merge(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        tie_break="rid", tolerance="INTERVAL 120 SECOND",
+        direction="forward",
+    ).select("lid", "k", "lt", "rid", "rt").collect()))
+    assert fwd_a == fwd_b and len(fwd_a) > 300
+    near_a = sorted(map(tuple, asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        left_key=["lid"], tie_break="rid",
+        tolerance="INTERVAL 90 SECOND", direction="nearest",
+    ).select("lid", "k", "lt", "rid", "rt").collect()))
+    near_b = sorted(map(tuple, asof_join_merge(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        tie_break="rid", tolerance="INTERVAL 90 SECOND",
+        direction="nearest",
+    ).select("lid", "k", "lt", "rid", "rt").collect()))
+    assert near_a == near_b and len(near_a) > 500
+
+
+def test_asof_merge_nearest_tie_semantics(spark):
+    """Hand-checked nearest edge cases: equal-distance ties prefer the
+    backward candidate; equal right timestamps resolve to the LARGEST
+    tie_break on either side (asof_join's ordering); out-of-band sides
+    are nulled before comparison."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.asof import asof_join, asof_join_merge
+
+    def ts(us):
+        return F.timestamp_micros(F.lit(us))
+
+    left = spark.createDataFrame(
+        [(1, 100_000_000), (2, 500_000_000), (3, 900_000_000)],
+        "lid long, t_us long",
+    ).select("lid", F.lit(1).alias("k"),
+             F.timestamp_micros(F.col("t_us")).alias("lt"))
+    right = spark.createDataFrame(
+        [
+            (10, 90_000_000),   # 10s before left 1
+            (11, 110_000_000),  # 10s after left 1 -> tie, backward wins
+            (20, 499_000_000),  # 1s before left 2
+            (21, 499_000_000),  # same instant: larger rid wins
+            (30, 905_000_000),  # 5s after left 3 (nothing before in band)
+        ],
+        "rid long, t_us long",
+    ).select("rid", F.lit(1).alias("k"),
+             F.timestamp_micros(F.col("t_us")).alias("rt"))
+    for fn, kw in (
+        (asof_join, {"left_key": ["lid"]}),
+        (asof_join_merge, {}),
+    ):
+        got = {
+            r["lid"]: r["rid"]
+            for r in fn(
+                left, right, on=["k"], left_time="lt", right_time="rt",
+                tie_break="rid", tolerance="INTERVAL 30 SECOND",
+                direction="nearest", **kw,
+            ).collect()
+        }
+        assert got == {1: 10, 2: 21, 3: 30}, fn.__name__
+
 
 def test_kmv_trailing_exact_below_k(spark):
     """With fewer than k distinct keys per window the trailing KMV
