@@ -162,6 +162,31 @@ def main() -> None:
         f"{sorted((r.item, r.n_rows) for r in hh)}"
     )
 
+    # ---- Part 6 (round 9): mergeable sketches + leakage-safe split -------
+    # A count-min sketch built per DAY and merged by plain addition
+    # answers any-range frequency queries without rescanning the facts —
+    # and because its hashes are deterministic cross-engine arithmetic,
+    # the estimates are exactly reproducible (n_cms >= n_exact always).
+    cms = Q.QUERIES["agg_cms_daily_merged_user_counts"](spark, sf_dir)
+    worst = cms.orderBy(F.desc("overcount")).first()
+    n_exact_rows = cms.where(F.col("overcount") == 0).count()
+    print(
+        f"count-min sketch over users: {n_exact_rows}/{cms.count()} "
+        f"estimates exact; worst overcount {worst['overcount']} "
+        f"(item {worst['item']}: {worst['n_exact']} -> {worst['n_cms']})"
+    )
+    # The leakage-safe split hashes each document's NEAR-DUP GROUP, so
+    # no duplicate cluster ever straddles train/eval — contamination
+    # removed at assignment time instead of detected later.
+    split = Q.QUERIES["curation_leakage_safe_split"](spark, sf_dir)
+    print(
+        "leakage-safe split (near-dup groups never straddle): "
+        + ", ".join(
+            f"{r['split']}={r['n_docs']} docs/{r['n_groups']} groups"
+            for r in sorted(split.collect(), key=lambda r: r["split"])
+        )
+    )
+
     spark.stop()
 
 
