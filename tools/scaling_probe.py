@@ -174,10 +174,66 @@ def main() -> None:
         line += f" {growth:9.1f} {math.log10(max(growth, 1e-9)):5.2f}"
     print(line)
 
+    ts = [
+        min(_neardup_stream_probe(spark, d) for _ in range(2))
+        for d in dirs
+    ]
+    line = f"{'neardup_index_3batch_ingest':38s} " + " ".join(
+        f"{t:8.2f}" for t in ts
+    )
+    if len(ts) == 4:
+        growth = ts[3] / max(ts[2], 1e-9)
+        line += f" {growth:9.1f} {math.log10(max(growth, 1e-9)):5.2f}"
+    print(line)
+
     _bucketed_maintenance_probe(spark)
     _scd2_bucketed_probe(spark)
     _skewed_lag_probe(spark)
     _vrt_mosaic_probe()
+
+
+def _neardup_stream_probe(spark, sf_dir: str) -> float:
+    """Seconds to ingest the documents table into the incremental
+    MinHash-LSH index as 3 micro-batches (streaming/neardup.py): batch
+    0 seeds ~80% of the corpus, batches 1-2 each add ~10% and emit
+    their verified pairs vs everything stored — the per-ingest cost
+    that must scale with the delta, not the corpus."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.streaming.neardup import (
+        stream_neardup_index,
+    )
+
+    d = tempfile.mkdtemp()
+    src = f"{d}/src"
+    index = f"{d}/index"
+    pairs = f"{d}/pairs"
+    ckpt = f"{d}/ckpt"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.where(F.col("doc_id") % 10 <= 7).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    for i in (8, 9):
+        docs.where(F.col("doc_id") % 10 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    t0 = _time.perf_counter()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_neardup_index(stream, index, pairs, ckpt, threshold=0.5)
+    q.awaitTermination(600)
+    dt = _time.perf_counter() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    return dt
 
 
 def _stream_accumulate_probe(spark, sf_dir: str) -> float:
