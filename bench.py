@@ -130,6 +130,8 @@ HEADLINE = [
     "agg_cms_daily_merged_user_counts",
     "curation_leakage_safe_split",
     "analytics_equidepth_histogram_price",
+    "analytics_rfm_customer_segments",
+    "agg_kmv_setops_weekday_weekend",
 ]
 
 

@@ -1,0 +1,125 @@
+"""Distributed exact global ranks and ntile — the scalable form of an
+unpartitioned ranking window.
+
+``Window.orderBy(...)`` with no partition key plans as a SINGLE TASK
+holding the entire sorted input (the round-9 scaling probe measured a
+13x top-decade blowup on exactly this shape before
+``analytics_equidepth_histogram_price`` was rewritten onto this
+module).  The scalable equivalent: range-repartition on the sort key (a
+sampled-boundary DISTRIBUTED sort), per-partition local ``row_number``
+(bounded windows), and a broadcast of per-partition row counts turning
+local ranks into exact global ranks; ``ntile`` is then closed-form
+integer arithmetic on the global rank.  Output is bit-identical to the
+single-window form for any STRICT total order (make the last order
+column a unique tiebreaker), regardless of where the sampled range
+boundaries land — ranks derive from offsets + within-partition order,
+which together reproduce the global order exactly.
+
+No counterpart in the reference (no ranking of any kind); Part-B
+engine surface used by the equi-depth histogram and the RFM
+segmentation catalog entries.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer floor-div for nonnegative longs: remove the
+    remainder first so the double division is always exact (a plain
+    a/b cast can mis-floor near integer boundaries)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: Sequence,
+    rank_col: str = "global_rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus its exact 1-based global rank under ``order_cols``
+    (strings or Column sort expressions, e.g. ``F.desc("x")``; include
+    a unique tiebreaker for a deterministic total order), computed
+    without any single task holding the full order.  ``total_col``
+    optionally also attaches the total row count (needed by ntile).
+
+    One range exchange + one tiny broadcast: Catalyst reuses the range
+    exchange between the offsets pass and the rank pass
+    (ReusedExchange), so the input is shuffled once."""
+    reserved = {"_pid", "_rn", "_off", "_n", rank_col} | (
+        {total_col} if total_col else set()
+    )
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_global_rank reserves column names {sorted(reserved)}; "
+            f"rename the clashing input columns ({sorted(clash)})"
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sizes = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    wo = Window.orderBy("_pid")  # partition-count rows: tiny window
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_c").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_c")
+        .over(
+            wo.rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+    )
+    wl = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = (
+        d.withColumn("_rn", F.row_number().over(wl))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.col("_rn"))
+    )
+    keep = [*df.columns, rank_col] + ([total_col] if total_col else [])
+    if total_col:
+        ranked = ranked.withColumn(total_col, F.col("_n"))
+    return ranked.select(*keep)
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """``ntile(n)``'s bucket as closed-form integer arithmetic on an
+    exact 1-based global rank: the first ``total mod n`` buckets take
+    ``base + 1`` rows (the standard remainder rule), so the result is
+    bit-identical to the window function at any scale."""
+    base = _idiv(total, F.lit(n))
+    rem = total % n
+    cut = rem * (base + 1)
+    return (
+        F.when(rank <= cut, _idiv(rank - 1, base + 1) + 1)
+        .otherwise(rem + _idiv(rank - 1 - cut, base) + 1)
+        .cast("int")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: Sequence,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """``df`` plus the exact ``ntile(n)`` bucket under ``order_cols`` —
+    :func:`with_global_rank` composed with :func:`ntile_from_rank`."""
+    ranked = with_global_rank(
+        df, order_cols, rank_col="_grank", total_col="_gtotal"
+    )
+    return ranked.withColumn(
+        bucket_col,
+        ntile_from_rank(F.col("_grank"), F.col("_gtotal"), n),
+    ).drop("_grank", "_gtotal")

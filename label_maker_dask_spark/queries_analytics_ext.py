@@ -638,3 +638,100 @@ def analytics_chi2_event_type_by_hour(spark, sf_dir):
             ).alias("cramers_v"),
         )
     )
+
+
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_dt,
+         count(*) AS n_orders,
+         CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(last_dt) AS maxd FROM cust),
+feat AS (
+  SELECT o_custkey, n_orders, cents,
+         date_diff('day', last_dt, maxd) AS rec_days
+  FROM cust, mx),
+scored AS (
+  SELECT o_custkey, cents,
+         ntile(5) OVER (ORDER BY rec_days, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+  FROM feat)
+SELECT r, f, m, count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS monetary_cents
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("analytics_rfm_customer_segments", _RFM_ORACLE)
+def analytics_rfm_customer_segments(spark, sf_dir):
+    """RFM customer segmentation: quintile scores for Recency (days
+    since the customer's last order, vs the corpus's latest order),
+    Frequency (order count), and Monetary (lifetime spend in cents),
+    summarized per (r, f, m) cell — the classic marketing-analytics
+    segmentation, and a second consumer of the distributed exact-ntile
+    machinery (quintile 1 = most recent / most frequent / highest
+    spend).
+
+    Determinism: every feature is integer (day diffs, counts, cents);
+    each quintile's ordering carries the unique ``o_custkey``
+    tiebreaker, so ``ntile(5)`` is a total-order pure function both
+    engines replay identically.
+
+    Scale shape: the fact collapses to ONE row per customer in a single
+    hash agg; the corpus max-date is a 1-row broadcast; each of the
+    three quintiles is an ``operators.rank.distributed_ntile`` pass over
+    the customer-grain frame (range exchange + bounded per-partition
+    windows — never a single-task global sort, see the equi-depth
+    entry), and the three scored frames equi-join back on the customer
+    key before a 125-cell summary agg.  The customer frame is
+    materialized once (localCheckpoint) so the three rank passes don't
+    re-run the fact agg."""
+    from label_maker_dask_spark.operators.rank import distributed_ntile
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    maxd = cust.agg(F.max("last_dt").alias("maxd"))
+    feat = (
+        cust.crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            "n_orders",
+            "cents",
+            F.datediff("maxd", "last_dt").alias("rec_days"),
+        )
+        .localCheckpoint(eager=True)  # three rank passes read it
+    )
+    r = distributed_ntile(
+        feat.select("o_custkey", "rec_days"), 5,
+        ["rec_days", "o_custkey"], bucket_col="r",
+    ).select("o_custkey", "r")
+    f_ = distributed_ntile(
+        feat.select("o_custkey", "n_orders"), 5,
+        [F.desc("n_orders"), F.asc("o_custkey")], bucket_col="f",
+    ).select("o_custkey", "f")
+    m = distributed_ntile(
+        feat.select("o_custkey", "cents"), 5,
+        [F.desc("cents"), F.asc("o_custkey")], bucket_col="m",
+    ).select("o_custkey", "m")
+    return (
+        feat.select("o_custkey", "cents")
+        .join(r, "o_custkey")
+        .join(f_, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )

@@ -739,3 +739,140 @@ def curation_leakage_safe_split(spark, sf_dir):
         F.countDistinct("grp").alias("n_groups"),
         F.sum(F.col("linked").cast("int")).cast("long").alias("n_linked_docs"),
     )
+
+
+def _kmv_setops_oracle(k: int = 64) -> str:
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    fold = char_poly_hash_sql("('kmv:' || user_id::VARCHAR)")
+    est = (
+        f"CASE WHEN count(*) < {k} THEN count(*)::DOUBLE "
+        f"ELSE round({(k - 1) * HASH_P} / max(h), 6) END"
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN (CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                        % 7) IN (2, 3) THEN 1 ELSE 0 END AS we
+      FROM events),
+    exact AS (
+      SELECT count(DISTINCT CASE WHEN we = 0 THEN user_id END)
+               AS n_weekday_exact,
+             count(DISTINCT CASE WHEN we = 1 THEN user_id END)
+               AS n_weekend_exact,
+             count(DISTINCT user_id) AS n_union_exact
+      FROM tagged),
+    raw AS (SELECT DISTINCT we, {fold} AS r FROM tagged),
+    h AS (SELECT DISTINCT we, (r * r % {HASH_P}) * r % {HASH_P} AS h
+          FROM raw),
+    seg_rk AS (SELECT we, h,
+                      row_number() OVER (PARTITION BY we ORDER BY h) AS rn
+               FROM h),
+    seg_est AS (
+      SELECT we, {est} AS e FROM seg_rk WHERE rn <= {k} GROUP BY we),
+    u AS (SELECT DISTINCT h FROM h),
+    u_rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+    u_est AS (SELECT {est} AS e FROM u_rk WHERE rn <= {k}),
+    sketches AS (
+      SELECT max(CASE WHEN we = 0 THEN e END) AS kmv_weekday,
+             max(CASE WHEN we = 1 THEN e END) AS kmv_weekend,
+             (SELECT e FROM u_est) AS kmv_union
+      FROM seg_est)
+    SELECT CAST(n_weekday_exact AS BIGINT) AS n_weekday_exact,
+           CAST(n_weekend_exact AS BIGINT) AS n_weekend_exact,
+           CAST(n_union_exact AS BIGINT) AS n_union_exact,
+           CAST(n_weekday_exact + n_weekend_exact - n_union_exact
+                AS BIGINT) AS n_inter_exact,
+           kmv_weekday, kmv_weekend, kmv_union,
+           round(kmv_weekday + kmv_weekend - kmv_union, 6)
+             AS kmv_inter_incl_excl
+    FROM exact, sketches
+    """
+
+
+@register("agg_kmv_setops_weekday_weekend", _kmv_setops_oracle())
+def agg_kmv_setops_weekday_weekend(spark, sf_dir):
+    """KMV sketch SET ALGEBRA: distinct users active on weekdays vs
+    weekends, their union straight from the two stored sketches (the
+    union's bottom-k is exactly the bottom-k of the merged hash sets —
+    lossless KMV merge), and the intersection by inclusion-exclusion
+    over the three estimates — the sketch-level set operations a
+    maintained-sketch deployment answers WITHOUT rescanning the facts
+    (store one sketch per segment, combine at query time).  Exact
+    columns ride along, making the estimator error observable.
+
+    Determinism discipline: segment membership is pure integer epoch
+    arithmetic (day index mod 7 — engine-native DOW functions disagree
+    on week origin, so neither is used), the KMV hash is the repo's
+    cube-scattered char fold, and every estimate is the standard
+    ``(k-1)P/kth`` formula rounded once — bit-replayable in SQL, unlike
+    any native HLL set operation.
+
+    Scale shape: one fact scan collapses to distinct (segment, hash)
+    pairs map-side; the per-segment and union bottom-k cuts run over
+    sketch-sized survivor sets (the union pass reuses the same distinct
+    frame); exact counts are one multi-conditional distinct aggregate.
+    At 100 TB the sketches would be read from the maintained daily
+    table (``agg_kmv_merged_weekly_users``) instead of rebuilt."""
+    from label_maker_dask_spark.functions.text import HASH_P, char_poly_hash
+    from label_maker_dask_spark.functions.timeutil import epoch_micros
+    from label_maker_dask_spark.operators.pipeline import _kmv_estimate
+
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    day_idx = F.floor(epoch_micros("ts") / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    tagged = ev.select(
+        "user_id",
+        F.when(F.pmod(day_idx, F.lit(7)).isin(2, 3), 1)
+        .otherwise(0)
+        .alias("we"),
+    )
+    exact = tagged.agg(
+        F.countDistinct(
+            F.when(F.col("we") == 0, F.col("user_id"))
+        ).alias("n_weekday_exact"),
+        F.countDistinct(
+            F.when(F.col("we") == 1, F.col("user_id"))
+        ).alias("n_weekend_exact"),
+        F.countDistinct("user_id").alias("n_union_exact"),
+    ).withColumn(
+        "n_inter_exact",
+        (
+            F.col("n_weekday_exact")
+            + F.col("n_weekend_exact")
+            - F.col("n_union_exact")
+        ).cast("long"),
+    )
+    raw = char_poly_hash(
+        F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+    )
+    h = (raw * raw % HASH_P) * raw % HASH_P
+    hashed = tagged.select("we", h.alias("h")).distinct()
+    hashed = hashed.localCheckpoint(eager=True)  # seg + union cuts
+    seg = _kmv_estimate(hashed, ["we"], k)
+    seg_wide = seg.agg(
+        F.max(F.when(F.col("we") == 0, F.col("approx_distinct"))).alias(
+            "kmv_weekday"
+        ),
+        F.max(F.when(F.col("we") == 1, F.col("approx_distinct"))).alias(
+            "kmv_weekend"
+        ),
+    )
+    union_est = _kmv_estimate(
+        hashed.select("h").distinct().withColumn("g", F.lit(1)), ["g"], k
+    ).select(F.col("approx_distinct").alias("kmv_union"))
+    return (
+        exact.crossJoin(F.broadcast(seg_wide))
+        .crossJoin(F.broadcast(union_est))
+        .withColumn(
+            "kmv_inter_incl_excl",
+            F.round(
+                F.col("kmv_weekday")
+                + F.col("kmv_weekend")
+                - F.col("kmv_union"),
+                6,
+            ),
+        )
+    )

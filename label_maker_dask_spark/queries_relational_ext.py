@@ -1266,72 +1266,36 @@ def analytics_equidepth_histogram_price(spark, sf_dir):
 
     Scale shape: a naive ``ntile`` over an unpartitioned window is a
     SINGLE-TASK global sort (the round-9 scaling probe measured 13x
-    time over the top 10x decade before this shape landed).  Instead:
-    range-repartition on the sort key (a sampled-boundary DISTRIBUTED
-    sort), per-partition local ``row_number`` (bounded windows), and a
-    broadcast of per-partition offsets turns local ranks into exact
-    global ranks; the ntile bucket is then closed-form integer
-    arithmetic on the rank (first ``n mod 16`` buckets take
-    ``base + 1`` rows), reproducing ``ntile(16)`` bit-for-bit with no
-    single task ever holding the full order.  Catalyst reuses the one
-    range exchange for both the offsets pass and the rank pass
-    (ReusedExchange).  At 100 TB the same output shape also comes from
+    time over the top 10x decade before this shape landed).  Instead,
+    ``operators.rank.distributed_ntile``: range-repartition on the sort
+    key (a sampled-boundary DISTRIBUTED sort), per-partition local
+    ``row_number`` (bounded windows), and a broadcast of per-partition
+    offsets turns local ranks into exact global ranks; the ntile bucket
+    is then closed-form integer arithmetic on the rank (first
+    ``n mod 16`` buckets take ``base + 1`` rows), reproducing
+    ``ntile(16)`` bit-for-bit with no single task ever holding the full
+    order.  Catalyst reuses the one range exchange for both the offsets
+    pass and the rank pass (ReusedExchange).  At 100 TB the same output
+    shape also comes from
     ``approx_percentile`` boundaries + one broadcast bucket-assign
     scan, trading exactness for a sortless plan — this entry is the
     exact baseline that approximate twin is judged against."""
+    from label_maker_dask_spark.operators.rank import distributed_ntile
+
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
-    d = (
-        li.select(
-            F.round(F.col("l_extendedprice") * 100, 0)
-            .cast("long")
-            .alias("cents"),
-            *cols,
+    d = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        *cols,
+    )
+    return (
+        distributed_ntile(d, 16, cols)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
         )
-        .repartitionByRange(*cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    sizes = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    wo = Window.orderBy("_pid")  # partition-count rows: tiny window
-    offs = sizes.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("_off"),
-        F.sum("_c")
-        .over(
-            wo.rangeBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("_n"),
-    )
-    wl = Window.partitionBy("_pid").orderBy(*cols)
-    rank = (
-        d.withColumn("_rn", F.row_number().over(wl))
-        .join(F.broadcast(offs), "_pid")
-        .withColumn("_rank", F.col("_off") + F.col("_rn"))
-    )
-    n, r = F.col("_n"), F.col("_rank")
-
-    def idiv(a, b):
-        # exact integer floor-div for nonnegative longs: remove the
-        # remainder first so the double division is always exact (a
-        # plain a/b cast can mis-floor near integer boundaries)
-        return ((a - a % b) / b).cast("long")
-
-    base = idiv(n, F.lit(16))
-    rem = n % 16
-    cut = rem * (base + 1)
-    bucket = (
-        F.when(r <= cut, idiv(r - 1, base + 1) + 1)
-        .otherwise(rem + idiv(r - 1 - cut, base) + 1)
-        .cast("int")
-        .alias("bucket")
-    )
-    return rank.select("cents", bucket).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("cents").alias("lo_cents"),
-        F.max("cents").alias("hi_cents"),
     )

@@ -183,3 +183,34 @@ def test_hll_weekly_rollup_accuracy_and_losslessness(spark):
     assert merged == direct  # lossless union
     for wk, n in exact.items():
         assert abs(merged[wk] - n) / max(n, 1) < 0.05
+
+
+def test_distributed_ntile_equals_window_ntile(spark):
+    """The distributed exact ntile (range repartition + offset ranks +
+    closed-form buckets) must equal the single-window ntile for every
+    bucket count and ordering direction, including remainders and
+    duplicate sort values broken by a unique key."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.operators.rank import distributed_ntile
+
+    rows = [(i, (i * 7919) % 50, float((i * 31) % 13)) for i in range(997)]
+    df = spark.createDataFrame(rows, "id long, a long, v double")
+    for n, order in [
+        (16, ["v", "a", "id"]),
+        (5, [F.desc("a"), F.asc("id")]),
+        (7, ["a", "id"]),
+        (1000, ["id"]),  # more buckets than... exactly near row count
+    ]:
+        w_order = order
+        want = {
+            r["id"]: r["b"]
+            for r in df.select(
+                "id", F.ntile(n).over(Window.orderBy(*w_order)).alias("b")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["bucket"]
+            for r in distributed_ntile(df, n, order).collect()
+        }
+        assert got == want, (n, order)

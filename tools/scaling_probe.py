@@ -77,6 +77,8 @@ PROBES = [
     "curation_leakage_safe_split",
     "analytics_equidepth_histogram_price",
     "dedup_components_simhash60",
+    "analytics_rfm_customer_segments",
+    "agg_kmv_setops_weekday_weekend",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
