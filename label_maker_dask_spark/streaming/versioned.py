@@ -412,6 +412,93 @@ def stream_accumulate_to_versioned_table(
     return writer.start()
 
 
+def table_version_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: Optional[int] = None,
+) -> DataFrame:
+    """Row-level diff between two published versions — the change-data
+    feed a maintained table owes its consumers: one row per key whose
+    state differs, with ``change`` in ``insert | update | delete`` and
+    the full ``old`` / ``new`` payload structs.
+
+    MANIFEST-PRUNED: versions share the immutable directories of
+    untouched buckets, so two manifests agree on every bucket the
+    interval never touched — those buckets are provably identical and
+    are never read.  The scan lists only buckets whose version entry
+    differs, making the diff O(changed buckets), not O(table): the same
+    pruning that makes publishes O(delta) makes history QUERIES
+    O(delta) too.  Within a changed bucket, unchanged rows are dropped
+    by a null-safe struct comparison after a full-outer join on the
+    table's keys (from the manifest — the caller names nothing).
+    """
+    v_to = v_to if v_to is not None else latest_table_version(table)
+    if v_to is None:
+        raise FileNotFoundError(f"no versions published at {table!r}")
+    m_from = _read_manifest(table, v_from)
+    m_to = _read_manifest(table, v_to)
+    keys = m_from["keys"]
+    if m_to["keys"] != keys:
+        raise ValueError(
+            f"version {v_from} keys {keys} != version {v_to} keys "
+            f"{m_to['keys']}"
+        )
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+    val_cols = [f.name for f in schema.fields if f.name not in keys]
+    bf, bt = m_from["buckets"], m_to["buckets"]
+    changed = sorted(
+        (b for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)),
+        key=int,
+    )
+    def read_side(m, buckets):
+        present = [b for b in buckets if b in m["buckets"]]
+        if not present:
+            return None
+        full = (
+            StructType.fromJson(json.loads(m["schema"]))
+            .add(BUCKET_COL, IntegerType())
+            .add(_VERSION_COL, IntegerType())
+        )
+        paths = [
+            os.path.join(
+                table, f"{BUCKET_COL}={b}", f"{_VERSION_COL}={m['buckets'][b]}"
+            )
+            for b in present
+        ]
+        return (
+            spark.read.schema(full)
+            .option("basePath", table)
+            .parquet(*paths)
+            .drop(BUCKET_COL, _VERSION_COL)
+        )
+
+    empty = spark.createDataFrame([], schema)
+    old = read_side(m_from, changed)
+    new = read_side(m_to, changed)
+    # a side with no changed-bucket directories (e.g. v_to only ADDED
+    # brand-new buckets) diffs against the empty frame of the same
+    # schema — every row then classifies as insert/delete naturally
+    old = old if old is not None else empty
+    new = new if new is not None else empty
+
+    def payload(df):
+        return F.struct(*[df[c] for c in val_cols])
+
+    o = old.select(*keys, payload(old).alias("old"))
+    n = new.select(*keys, payload(new).alias("new"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("old").isNull(), F.lit("insert"))
+        .when(F.col("new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.where(~F.col("old").eqNullSafe(F.col("new")))
+        .select(*keys, change.alias("change"), "old", "new")
+    )
+
+
 __all__ = [
     "read_table_version",
     "latest_table_version",
@@ -419,4 +506,5 @@ __all__ = [
     "expire_table_versions",
     "stream_upsert_to_versioned_table",
     "stream_accumulate_to_versioned_table",
+    "table_version_diff",
 ]

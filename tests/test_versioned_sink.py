@@ -355,3 +355,61 @@ def test_expire_garbage_collects_unreferenced_bucket_versions(
     )  # v=1 survives only for buckets never rewritten
     with pytest.raises(FileNotFoundError):
         read_table_version(spark, table, 1)
+
+
+def test_table_version_diff_rows_and_bucket_pruning(spark, tmp_path):
+    """Row-level diff between two versions: inserts/updates classified
+    correctly, unchanged rows dropped, and — the point of the manifest —
+    ONLY changed-bucket directories are ever read (untouched buckets'
+    immutable dirs are provably identical between the manifests)."""
+    from label_maker_dask_spark.streaming.bucketed import _additive_merge
+    from label_maker_dask_spark.streaming.versioned import (
+        _apply_versioned,
+        table_version_diff,
+    )
+
+    table = str(tmp_path / "counts")
+
+    def apply(batch_id, rows):
+        agg = spark.createDataFrame(rows, "k long, w long")
+        return _apply_versioned(
+            agg, table, ["k"], 8, batch_id, "run-a",
+            lambda b, dd: dd if b is None else _additive_merge(
+                b, dd, ["k"], ["w"]
+            ),
+        )
+
+    assert apply(0, [(k, 10 * k) for k in range(1, 21)]) == 1
+    # batch 2 touches k=3 (update) and k=100 (insert)
+    assert apply(1, [(3, 5), (100, 7)]) == 2
+
+    diff = table_version_diff(spark, table, 1, 2)
+    got = {
+        r["k"]: (r["change"], r["old"], r["new"]) for r in diff.collect()
+    }
+    assert set(got) == {3, 100}
+    assert got[3][0] == "update"
+    assert got[3][1]["w"] == 30 and got[3][2]["w"] == 35
+    assert got[100][0] == "insert"
+    assert got[100][1] is None and got[100][2]["w"] == 7
+    # pruning: the scan lists only the buckets the manifests disagree on
+    from label_maker_dask_spark.streaming.bucketed import (
+        BUCKET_COL,
+        _bucket_expr,
+    )
+
+    files = set(diff.inputFiles())
+    touched_buckets = set()
+    for f in files:
+        part = [p for p in f.split("/") if p.startswith(BUCKET_COL + "=")]
+        touched_buckets.add(part[0])
+    expect = {
+        r["b"]
+        for r in spark.createDataFrame([(3,), (100,)], "k long")
+        .select(_bucket_expr(["k"], 8).alias("bnum"))
+        .selectExpr(f"concat('{BUCKET_COL}=', bnum) AS b")
+        .collect()
+    }
+    assert touched_buckets == expect, (touched_buckets, expect)
+    # identical versions diff to nothing
+    assert table_version_diff(spark, table, 2, 2).count() == 0
