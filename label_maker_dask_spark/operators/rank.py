@@ -63,6 +63,16 @@ def with_global_rank(
     d = df.repartitionByRange(*cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # MATERIALIZE the partitioned frame once (lazy checkpoint: computed
+    # inside the caller's action, then cached + lineage-truncated).  The
+    # offsets branch and the rank branch both consume `d`; evaluated
+    # independently, each would re-run repartitionByRange and
+    # RangePartitioner would SAMPLE DIFFERENT BOUNDARIES (its seed
+    # varies per RDD instance), silently applying one partitioning's
+    # offsets to another's local ranks — observed as unequal ntile
+    # buckets at sf1 while every small-data test stayed green.  The
+    # checkpoint pins one boundary draw for both consumers.
+    d = d.localCheckpoint(eager=False)
     sizes = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     wo = Window.orderBy("_pid")  # partition-count rows: tiny window
     offs = sizes.select(
