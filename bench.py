@@ -132,6 +132,8 @@ HEADLINE = [
     "analytics_equidepth_histogram_price",
     "analytics_rfm_customer_segments",
     "agg_kmv_setops_weekday_weekend",
+    "analytics_market_basket_part_pairs",
+    "text_feature_hashing_vectors",
 ]
 
 

@@ -735,3 +735,108 @@ def analytics_rfm_customer_segments(spark, sf_dir):
             F.sum("cents").alias("monetary_cents"),
         )
     )
+
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+n_ord AS (SELECT count(DISTINCT okey) AS n FROM baskets),
+sup AS (
+  SELECT item, count(*) AS n_item FROM baskets GROUP BY 1
+  HAVING count(*) >= 8),
+fi AS (
+  SELECT b.okey, b.item, s.n_item FROM baskets b JOIN sup s USING (item)),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         max(a.n_item) AS n_a, max(b.n_item) AS n_b,
+         count(*) AS n_both
+  FROM fi a JOIN fi b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, n_both,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(n_both / n_a, 6) AS conf_a_to_b,
+       round(n_both / n_b, 6) AS conf_b_to_a,
+       round(n_both * n.n / (n_a * n_b), 6) AS lift
+FROM pairs, n_ord n
+ORDER BY n_both DESC, item_a ASC, item_b ASC
+LIMIT 50
+"""
+
+
+@register("analytics_market_basket_part_pairs", _BASKET_ORACLE)
+def analytics_market_basket_part_pairs(spark, sf_dir):
+    """Market-basket association rules over order baskets: the top-50
+    co-purchased part pairs with support, both confidences, and lift —
+    the a-priori FIRST PASS (frequent items -> frequent pairs), which is
+    where real basket analyses stop on wide catalogs.
+
+    Scale shape: baskets collapse to distinct (order, part) map-side;
+    the min-support filter (the a-priori pruning insight: a pair can
+    only be frequent if both members are) shrinks the item set BEFORE
+    the pair self-join on the order key, whose fan-out per order is
+    C(frequent-items-in-order, 2) — bounded by basket width, never
+    catalog width.  The final top-50 is a global sort-limit
+    (TakeOrdered).  Determinism: supports and pair counts are integers,
+    confidences/lift are single rounded divisions, and the output
+    ordering is (n_both DESC, item_a, item_b) — a total order free of
+    float comparisons."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    baskets = baskets.localCheckpoint(eager=True)  # three consumers
+    n_ord = baskets.agg(F.countDistinct("okey").alias("n"))
+    sup = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .where(F.col("n_item") >= 8)
+    )
+    sup = sup.localCheckpoint(eager=True)  # filter + two lookups
+    # the self-join carries ONLY (okey, item): supports attach to the
+    # aggregated pairs afterwards via two broadcast lookups — joining
+    # them through the fan-out would widen every candidate row.  fi is
+    # materialized once so the self-join's two sides read the same
+    # cached narrow frame instead of recomputing the filter per side.
+    fi = baskets.join(F.broadcast(sup.select("item")), "item").select(
+        "okey", "item"
+    )
+    fi = fi.localCheckpoint(eager=True)
+    a, b = fi.alias("a"), fi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    sup_a = sup.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    sup_b = sup.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sup_a), "item_a")
+        .join(F.broadcast(sup_b), "item_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_both") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("item_a"), F.asc("item_b"))
+        .limit(50)
+    )

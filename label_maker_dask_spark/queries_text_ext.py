@@ -311,3 +311,52 @@ def text_chunk_sliding_overlap(spark, sf_dir):
     (``chunk_sliding``) — the expression-only chunker whose fan-out and
     slicing the oracle replays with DuckDB list arithmetic."""
     return chunk_sliding(_t(spark, sf_dir, "documents"))
+
+
+def _feat_hash_oracle(dim: int = 32) -> str:
+    from label_maker_dask_spark.functions.text import char_poly_hash_sql
+
+    fold = char_poly_hash_sql("('fh:' || tok)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    dims AS (
+      SELECT doc_id, CAST(({fold}) % {dim} AS INT) AS dim FROM toks)
+    SELECT doc_id, dim, count(*) AS tf
+    FROM dims GROUP BY 1, 2
+    """
+
+
+@register("text_feature_hashing_vectors", _feat_hash_oracle())
+def text_feature_hashing_vectors(spark, sf_dir):
+    """Feature-hashing ("hashing trick") document vectors: every token
+    maps to one of 32 dimensions via the cross-engine char fold, and
+    the per-(doc, dim) term frequency IS the vector entry — model-free
+    fixed-width embeddings (sklearn ``HashingVectorizer`` semantics,
+    minus the alternating sign, which exists to debias dot products and
+    would hide the tf counts this relational form exposes).  Emitted in
+    LONG form (doc_id, dim, tf): the sparse-matrix layout downstream
+    consumers join on — cosine via a dim-key self-join, or pivot to
+    ``array<float>`` to enter the ANN operators (similarity.py) with no
+    trained model anywhere.
+
+    Scale shape: explode-tokens then ONE hash aggregate onto
+    (docs x 32) keys, partial-aggregated map-side; no shuffle carries
+    raw token text — only (doc_id, dim) pairs.  The char fold is the
+    honest interpreted cost of cross-engine token hashing (cf. the
+    profiler's string-column note); a production run would swap in
+    xxhash64 once cross-engine replay is no longer the contract."""
+    from label_maker_dask_spark.functions.text import char_poly_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dim = (
+        char_poly_hash(F.concat(F.lit("fh:"), F.col("tok"))) % 32
+    ).cast("int")
+    return (
+        toks.select("doc_id", dim.alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -79,6 +79,8 @@ PROBES = [
     "dedup_components_simhash60",
     "analytics_rfm_customer_segments",
     "agg_kmv_setops_weekday_weekend",
+    "analytics_market_basket_part_pairs",
+    "text_feature_hashing_vectors",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
