@@ -195,6 +195,14 @@ def asof_join_merge(
             "the '_l_' prefix; rename the clashing input columns "
             f"({sorted(clash)})"
         )
+    # NULL time values can never satisfy a range-join inequality, so the
+    # range form drops them on both sides; the union+carry must filter
+    # them explicitly or a null-_t row would sort to one end of the key
+    # scan and either donate a spurious carry (right side) or inherit
+    # one (left side under the descending forward order, where NULLS
+    # sort last).
+    left = left.where(F.col(left_time).isNotNull())
+    right = right.where(F.col(right_time).isNotNull())
     rp_fields = [c for c in right.columns if c not in set(on)]
     r = right.select(
         *on,

@@ -306,10 +306,13 @@ def minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
     return shingled.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
-    """Banded LSH: split the k-wide signature into ``bands`` bands; docs
-    sharing any full band become a candidate pair.  The self-join key is the
-    (band index, band signature) pair — small and well-distributed."""
+def minhash_band_rows(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """``(doc_id, band, sig)`` rows from a MinHash signature frame's
+    ``mh*`` columns — THE banding scheme, in one place: the in-memory
+    candidate join (:func:`lsh_candidate_pairs`) and the stored band
+    table of the incremental index (``streaming/neardup.py``) both read
+    this function, so the batch operator and the maintained index can
+    never silently disagree on band layout."""
     k = len([c for c in signatures.columns if c.startswith("mh")])
     rows_per_band = k // bands
     band_structs = F.array(
@@ -327,9 +330,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
             for bi in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    ).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Banded LSH: split the k-wide signature into ``bands`` bands; docs
+    sharing any full band become a candidate pair.  The self-join key is the
+    (band index, band signature) pair — small and well-distributed."""
+    banded = minhash_band_rows(signatures, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -779,8 +791,16 @@ def _components_single_pass(edges: DataFrame) -> DataFrame:
     The edge frame arrives coalesced to one partition; ``mapInPandas``
     streams its Arrow batches through one generator, so the only
     whole-graph state is the parent dict — O(nodes), which the caller's
-    edge-count threshold bounds."""
+    edge-count threshold bounds.
+
+    Type-generic like the iterative path: the output schema mirrors the
+    input id type, and ids are compared as their native Python values
+    (ints numerically, strings lexicographically — the same orderings
+    ``F.least``/``F.min`` use), so both paths stay output-identical for
+    every id type the pair frame can carry."""
     import pandas as pd
+
+    id_type = edges.schema["s"].dataType.simpleString()
 
     def fold(batches):
         parent: dict = {}
@@ -792,9 +812,7 @@ def _components_single_pass(edges: DataFrame) -> DataFrame:
             return x
 
         for pdf in batches:
-            for s, d in zip(pdf["s"].to_numpy(), pdf["d"].to_numpy()):
-                s = int(s)
-                d = int(d)
+            for s, d in zip(pdf["s"].tolist(), pdf["d"].tolist()):
                 if s not in parent:
                     parent[s] = s
                 if d not in parent:
@@ -812,7 +830,9 @@ def _components_single_pass(edges: DataFrame) -> DataFrame:
                 {"id": ids, "comp": [find(i) for i in ids]}
             )
 
-    return edges.coalesce(1).mapInPandas(fold, "id long, comp long")
+    return edges.coalesce(1).mapInPandas(
+        fold, f"id {id_type}, comp {id_type}"
+    )
 
 
 def duplicate_components(

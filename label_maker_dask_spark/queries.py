@@ -97,6 +97,28 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
+def _finalize_registry_order() -> None:
+    """Rebuild the registries' UNDERLYING dict storage in curated order.
+
+    ``_CuratedRegistry`` orders Python-level iteration dynamically, but
+    C-level consumers (``dict(QUERIES)``, ``json.dumps``, ``**``
+    unpacking) read the raw insertion order directly — without this
+    rebuild the same mapping would expose two different orders depending
+    on how it is consumed.  Called at the bottom of this module (after
+    every ext module has registered and ``_DRIVER_WINDOW`` exists) AND
+    at the bottom of each ext module: when an ext module is the
+    process's first catalog import, its own registrations execute after
+    this module's bottom ran mid-circular-import, and the ext-side call
+    re-sorts the late arrivals.  Defined ABOVE the ext-import block so
+    those bottoms can import it mid-initialization; ordering is
+    dynamic (``_order`` reads ``_DRIVER_WINDOW`` via globals), so a
+    call before the window exists just preserves registration order."""
+    for reg in (QUERIES, ORACLES):
+        ordered = [(n, dict.__getitem__(reg, n)) for n in reg._order()]
+        dict.clear(reg)
+        dict.update(reg, ordered)
+
+
 #: Sessions already configured by :func:`session_defaults`.  Keyed on the
 #: session object itself via a WeakSet, not ``id(spark)``: CPython reuses
 #: freed addresses, so an id-keyed set would silently SKIP configuring a
@@ -3107,22 +3129,6 @@ _DRIVER_WINDOW = [
     "profile_orders_columns",
     "scd2_user_state_history",
 ]
-
-
-def _finalize_registry_order() -> None:
-    """Rebuild the registries' UNDERLYING dict storage in curated order.
-
-    ``_CuratedRegistry`` orders Python-level iteration dynamically, but
-    C-level consumers (``dict(QUERIES)``, ``json.dumps``, ``**``
-    unpacking) read the raw insertion order directly — without this
-    rebuild the same mapping would expose two different orders depending
-    on how it is consumed.  Runs once here, after every ext module has
-    registered and ``_DRIVER_WINDOW`` exists, so both views agree from
-    the moment the package is importable."""
-    for reg in (QUERIES, ORACLES):
-        ordered = [(n, dict.__getitem__(reg, n)) for n in reg._order()]
-        dict.clear(reg)
-        dict.update(reg, ordered)
 
 
 _finalize_registry_order()

@@ -635,3 +635,15 @@ def graph_triangle_copurchase(spark, sf_dir):
             ),
         )
     )
+
+
+# Re-sort the registry storage after THIS module's registrations: when an
+# ext module is the process's first catalog import, queries.py's own
+# bottom-of-module finalize runs mid-circular-import, BEFORE this module's
+# @register calls execute — without this call the late registrations would
+# append behind the curated order for C-level dict consumers.
+from label_maker_dask_spark.queries import (  # noqa: E402
+    _finalize_registry_order as _refinalize,
+)
+
+_refinalize()

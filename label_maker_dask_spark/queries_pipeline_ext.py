@@ -660,16 +660,11 @@ def timeseries_trailing_p90_value(spark, sf_dir):
 
 
 def _leakage_safe_split_oracle() -> str:
-    from label_maker_dask_spark.queries_shared import components_oracle
+    from label_maker_dask_spark.queries_shared import components_cte
 
-    # components_oracle() is a full SELECT; reuse its CTE chain by
-    # splitting off the trailing SELECT (shared fragment, single source
-    # of truth for the pair graph + recursion)
-    comp_ctes = components_oracle().split("SELECT c.id AS doc_id")[0].rstrip()
-    comp_ctes = comp_ctes.rstrip().rstrip(",")  # drop trailing comma if any
     split_g = split_bucket_sql("grp")
     return f"""
-    {comp_ctes},
+    {components_cte()},
     grouped AS (
       SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
              (c.id IS NOT NULL) AS linked
@@ -876,3 +871,15 @@ def agg_kmv_setops_weekday_weekend(spark, sf_dir):
             ),
         )
     )
+
+
+# Re-sort the registry storage after THIS module's registrations: when an
+# ext module is the process's first catalog import, queries.py's own
+# bottom-of-module finalize runs mid-circular-import, BEFORE this module's
+# @register calls execute — without this call the late registrations would
+# append behind the curated order for C-level dict consumers.
+from label_maker_dask_spark.queries import (  # noqa: E402
+    _finalize_registry_order as _refinalize,
+)
+
+_refinalize()

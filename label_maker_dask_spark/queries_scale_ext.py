@@ -387,9 +387,10 @@ def profile_orders_columns(spark, sf_dir):
     identically), and the rounded mean for numeric columns.
 
     Scale shape: three bounded, column-pruned passes over the fact
-    table — each table column read by exactly ONE scan, so total
-    column IO equals a single full scan — all inside whole-stage
-    codegen.
+    table — the stats scan reads every column once, and each column's
+    NDV hashing re-reads it in exactly one of the two KMV scans, so
+    total column IO is ~two full scans (never one scan per column) —
+    all inside whole-stage codegen.
 
     - Pass 1 is ONE hash aggregation computing every count/min/max/mean
       (all partial-aggregable), unpivoted to one row per column with
@@ -979,3 +980,15 @@ def agg_cms_daily_merged_user_counts(spark, sf_dir):
         "n_cms",
         (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
     )
+
+
+# Re-sort the registry storage after THIS module's registrations: when an
+# ext module is the process's first catalog import, queries.py's own
+# bottom-of-module finalize runs mid-circular-import, BEFORE this module's
+# @register calls execute — without this call the late registrations would
+# append behind the curated order for C-level dict consumers.
+from label_maker_dask_spark.queries import (  # noqa: E402
+    _finalize_registry_order as _refinalize,
+)
+
+_refinalize()

@@ -23,10 +23,13 @@ edges AS (
 """
 
 
-def components_oracle() -> str:
-    """Recursive-CTE connected components over the MinHash-LSH pair
-    graph — shared by ``dedup_components_minhash`` (queries_pipeline_ext)
-    and ``dedup_cluster_representatives`` (queries_analytics_ext).
+def components_cte() -> str:
+    """The recursive-CTE chain computing connected components over the
+    MinHash-LSH pair graph, WITHOUT a trailing SELECT — terminal CTE is
+    ``comps (id, component)`` (plus ``csizes``).  The single source of
+    truth consumers extend with their own CTEs/SELECT
+    (``components_oracle`` below, the leakage-safe split's oracle in
+    queries_pipeline_ext).
 
     The ``queries`` import is deliberately lazy: ``_minhash_oracle`` is
     defined above the ext-module imports in queries.py, so it exists by
@@ -44,7 +47,15 @@ def components_oracle() -> str:
       SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
     comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
     csizes AS (SELECT component, count(*) AS component_size
-               FROM comps GROUP BY 1)
+               FROM comps GROUP BY 1)"""
+
+
+def components_oracle() -> str:
+    """Per-doc components with sizes — shared by
+    ``dedup_components_minhash`` (queries_pipeline_ext) and
+    ``dedup_cluster_representatives`` (queries_analytics_ext)."""
+    return f"""
+    {components_cte()}
     SELECT c.id AS doc_id, c.component, s.component_size
     FROM comps c JOIN csizes s USING (component)
     """

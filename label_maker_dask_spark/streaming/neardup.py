@@ -52,36 +52,12 @@ from pyspark.sql import functions as F
 from label_maker_dask_spark.operators.dedup import (
     jaccard_verify_sets,
     lsh_candidate_pairs,
+    minhash_band_rows,
     minhash_doc_profiles,
 )
-from label_maker_dask_spark.streaming.upsert import ensure_run_id
+from label_maker_dask_spark.streaming.upsert import ensure_run_id, writer_lock
 
 _MARKER = "_lmds_neardup_batch"
-
-
-def _band_rows(prof: DataFrame, bands: int) -> DataFrame:
-    """(doc_id, band, sig) rows from a profile frame's mh columns —
-    the same banding as ``lsh_candidate_pairs``, exposed as a table."""
-    k = len([c for c in prof.columns if c.startswith("mh")])
-    rows_per_band = k // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col(f"mh{bi * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("sig"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    return prof.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
-    )
 
 
 def _batch_marker(index_path: str) -> str:
@@ -120,7 +96,31 @@ def apply_neardup_batch(
     """Ingest one batch of documents: emit its verified pairs vs the
     whole index, then append its band rows + profiles.  Idempotent per
     (run_id, batch_id): every write overwrites only this batch's own
-    partition directories."""
+    partition directories.  The maintained base is guarded by the same
+    single-writer lock as every other sink (``upsert.writer_lock``):
+    a zombie driver resumed by a second driver on the same checkpoint
+    carries the same run id, so without the lock both would pass the
+    marker guard and interleave partition overwrites."""
+    with writer_lock(index_path, run_id):
+        _apply_neardup_batch_locked(
+            batch, batch_id, index_path, pairs_path, run_id,
+            text_col, id_col, n, k, bands, threshold,
+        )
+
+
+def _apply_neardup_batch_locked(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    run_id: Optional[str],
+    text_col: str,
+    id_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    threshold: float,
+) -> None:
     last = _last_applied(index_path)
     if last is not None and run_id is not None:
         if last.get("run") != run_id:
@@ -140,16 +140,27 @@ def apply_neardup_batch(
     prof = minhash_doc_profiles(batch, text_col, id_col, n, k)
     prof = prof.localCheckpoint(eager=True)  # bands + self-pairs + verify
 
-    new_bands = _band_rows(prof, bands)
+    new_bands = minhash_band_rows(prof.drop("shs"), bands)
     bands_dir = os.path.join(index_path, "bands")
     profiles_dir = os.path.join(index_path, "profiles")
 
-    # candidates: new-vs-stored (batch-sized left side) + new-vs-new
+    # candidates: new-vs-stored (batch-sized left side) + new-vs-new.
+    # Stored-side reads EXCLUDE this batch's own partition (partition-
+    # pruned filter): on a replay — crash after the writes, before the
+    # checkpoint commit — batch N's bands/profiles are already on disk,
+    # and reading them back would pair the batch against itself and
+    # duplicate every verified row, breaking the byte-identical-replay
+    # contract (the filter also covers a crash before the marker write).
     cand_new = lsh_candidate_pairs(prof.drop("shs"), bands)
     if os.path.isdir(bands_dir) and any(
-        e.startswith("batch=") for e in os.listdir(bands_dir)
+        e.startswith("batch=") and e != f"batch={batch_id}"
+        for e in os.listdir(bands_dir)
     ):
-        stored = spark.read.parquet(bands_dir).drop("batch")
+        stored = (
+            spark.read.parquet(bands_dir)
+            .where(F.col("batch") != batch_id)
+            .drop("batch")
+        )
         nb, sb = new_bands.alias("n"), stored.alias("s")
         cross = (
             nb.join(
@@ -168,7 +179,9 @@ def apply_neardup_batch(
         )
         candidates = cand_new.unionByName(cross).distinct()
         shs_all = prof.select("doc_id", "shs").unionByName(
-            spark.read.parquet(profiles_dir).drop("batch")
+            spark.read.parquet(profiles_dir)
+            .where(F.col("batch") != batch_id)
+            .drop("batch")
         )
     else:
         candidates = cand_new

@@ -38,6 +38,14 @@ def _pairs_set(df):
     }
 
 
+def _pairs_list(df):
+    """Sorted MULTI-set — duplicates count (a set compare is blind to
+    the replay-duplication failure mode)."""
+    return sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+
+
 def test_union_of_batches_equals_batch_operator(spark, tmp_path):
     docs = _docs(spark)
     want = _pairs_set(
@@ -69,13 +77,16 @@ def test_replay_is_idempotent(spark, tmp_path):
     b2 = docs.where(F.col("doc_id") >= 100)
     apply_neardup_batch(b1, 0, index, pairs, "run-a", threshold=THRESH)
     apply_neardup_batch(b2, 1, index, pairs, "run-a", threshold=THRESH)
-    before = _pairs_set(spark.read.parquet(pairs))
-    # crash-replay of the LAST batch: rewrites its own partition only
+    before = _pairs_list(spark.read.parquet(pairs))
+    assert len(before) == len(set(before))  # no duplicate rows ever
+    # crash-replay of the LAST batch: its own already-written bands and
+    # profiles are on disk, and MUST NOT join against themselves — the
+    # rewritten partition is row-for-row identical, not just set-equal
     apply_neardup_batch(b2, 1, index, pairs, "run-a", threshold=THRESH)
-    assert _pairs_set(spark.read.parquet(pairs)) == before
+    assert _pairs_list(spark.read.parquet(pairs)) == before
     # a strictly-older batch id under the same run is a no-op
     apply_neardup_batch(b1, 0, index, pairs, "run-a", threshold=THRESH)
-    assert _pairs_set(spark.read.parquet(pairs)) == before
+    assert _pairs_list(spark.read.parquet(pairs)) == before
 
 
 def test_fresh_run_against_existing_index_raises(spark, tmp_path):

@@ -502,3 +502,56 @@ def test_kmv_trailing_exact_below_k(spark):
         .collect()
     }
     assert got == {d: float(n) for d, n in exact.items()} and len(got) == 14
+
+
+def test_duplicate_components_string_ids_both_paths(spark):
+    """Non-integer doc ids (string keys are legal pair-graph nodes):
+    both the one-task union-find fast path and the distributed loop
+    must resolve them, with lexicographic min as the component label
+    and the id type preserved in the output schema."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    for kw in ({}, {"small_graph_edges": 0}):
+        out = duplicate_components(pairs, **kw)
+        assert out.schema["doc_id"].dataType.simpleString() == "string"
+        got = {r["doc_id"]: r["component"] for r in out.collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_asof_merge_drops_null_time_rows_like_range_form(spark):
+    """NULL time values never satisfy a range inequality, so the range
+    form drops them on both sides; the merge carry must agree in every
+    direction (a null left time must not inherit a carry under the
+    descending forward order, and a null right time must never be
+    donated as a carry)."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.asof import asof_join, asof_join_merge
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, None)], "lid long, t_us long"
+    ).select("lid", F.lit(1).alias("k"),
+             F.timestamp_micros(F.col("t_us") * 1_000_000).alias("lt"))
+    right = spark.createDataFrame(
+        [(10, 90), (11, None)], "rid long, t_us long"
+    ).select("rid", F.lit(1).alias("k"),
+             F.timestamp_micros(F.col("t_us") * 1_000_000).alias("rt"))
+    for direction, tol in [
+        ("backward", None), ("forward", None),
+        ("backward", "INTERVAL 60 SECOND"),
+        ("forward", "INTERVAL 60 SECOND"),
+        ("nearest", "INTERVAL 60 SECOND"),
+    ]:
+        a = sorted(map(tuple, asof_join(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            left_key=["lid"], tie_break="rid", tolerance=tol,
+            direction=direction,
+        ).select("lid", "rid").collect()))
+        b = sorted(map(tuple, asof_join_merge(
+            left, right, on=["k"], left_time="lt", right_time="rt",
+            tie_break="rid", tolerance=tol, direction=direction,
+        ).select("lid", "rid").collect()))
+        assert a == b, (direction, tol)
+        assert all(lid != 2 for lid, _ in b), (direction, tol)
+        assert all(rid != 11 for _, rid in b), (direction, tol)

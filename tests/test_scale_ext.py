@@ -74,9 +74,10 @@ def test_interpolation_arithmetic(spark, tmp_path):
 def test_profiler_two_codegen_passes(spark):
     """The profiler pays exactly THREE column-pruned scans of the table
     (stats aggregation; numeric-column KMV hashes; string-column raw
-    distinct) — never one per column, and each table column is read by
-    exactly one scan, so total column IO equals a single full scan —
-    with every pass in codegen: no Expand+SortAggregate multi-distinct
+    distinct) — never one per column; each column is read once by the
+    stats scan and once more by exactly one KMV scan, ~two full scans
+    of column IO total — with every pass in codegen: no
+    Expand+SortAggregate multi-distinct
     rewrite, and no ObjectHashAggregate (the rejected shared-scan
     collect_set shape dragged every aggregate into interpreted object
     mode; see the query docstring's measurements)."""
