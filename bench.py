@@ -134,6 +134,8 @@ HEADLINE = [
     "agg_kmv_setops_weekday_weekend",
     "analytics_market_basket_part_pairs",
     "text_feature_hashing_vectors",
+    "window_ratio_to_report_nation_share",
+    "attribution_linear",
 ]
 
 

@@ -852,3 +852,154 @@ from label_maker_dask_spark.queries import (  # noqa: E402
 )
 
 _refinalize()
+
+
+_RATIO_ORACLE = """
+WITH nat_rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY region) AS BIGINT)
+         AS region_cents,
+       round(rev_cents / sum(rev_cents) OVER (PARTITION BY region), 6)
+         AS region_share,
+       round(rev_cents / sum(rev_cents) OVER (), 6) AS global_share
+FROM nat_rev
+"""
+
+
+@register("window_ratio_to_report_nation_share", _RATIO_ORACLE)
+def window_ratio_to_report_nation_share(spark, sf_dir):
+    """Ratio-to-report: each nation's revenue as a share of its region
+    and of the world — the classic percent-of-total reporting window
+    (Oracle's ``RATIO_TO_REPORT``, Teradata's equivalent), which the
+    catalog's window-family rows had not yet pinned.
+
+    Scale shape: the fact collapses to nation grain in one hash agg
+    (dims broadcast), so BOTH windows — the per-region partition and
+    the unpartitioned global total — run over nation-cardinality rows
+    (25 here; bounded by the dimension, never the fact), which is the
+    one situation an unpartitioned window is safe by construction (same
+    argument as the date-spine gap fill).  Shares divide exact integer
+    cents and round once — bit-replayable."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    nat_rev = (
+        orders.join(
+            F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return nat_rev.select(
+        "region",
+        "nation",
+        "rev_cents",
+        F.sum("rev_cents").over(wr).cast("long").alias("region_cents"),
+        F.round(F.col("rev_cents") / F.sum("rev_cents").over(wr), 6).alias(
+            "region_share"
+        ),
+        F.round(F.col("rev_cents") / F.sum("rev_cents").over(wg), 6).alias(
+            "global_share"
+        ),
+    )
+
+
+_LINEAR_ATTR_ORACLE = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS touch_ts
+  FROM events WHERE event_type = 'click'),
+credited AS (
+  SELECT c.conv_id, c.user_id, c.value_cents, t.touch_id,
+         count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+  FROM conv c
+  JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY)
+SELECT touch_id, count(*) AS n_conversions,
+       CAST(sum(CAST(round(value_cents * 10000.0 / n_touches, 0)
+                     AS BIGINT)) AS BIGINT) AS credited_microcents
+FROM credited GROUP BY 1
+"""
+
+
+@register("attribution_linear", _LINEAR_ATTR_ORACLE)
+def attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution: every click in a purchase's
+    7-day lookback shares the conversion's value equally (1/n credit) —
+    the multi-touch counterpart of ``attribution_last_touch``, and a
+    query that genuinely NEEDS the banded join the last-touch entry
+    exists to avoid: linear credit is defined over ALL in-window
+    touches, so the (conversion x in-window touch) pairs ARE the
+    output's support, not an intermediate to cut down.  The tolerance
+    band bounds the fan-out exactly as in the as-of family.
+
+    Determinism: each row's credit quantizes ONCE to integer
+    micro-cents (round(value_cents * 1e4 / n), a single
+    division+round per row), the per-touch sum is order-free integer
+    addition, and the OUTPUT stays integer micro-cents — a raw
+    float-quotient sum flipped the 4th decimal between engines, and
+    even the quantized sum, once display-rounded, landed on exact .5
+    boundaries where the engines' half-rounding modes differ (the
+    round-half hazard the repo's cents discipline exists for)."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    touch = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+    )
+    c, t = conv.alias("c"), touch.alias("t")
+    credited = (
+        c.join(
+            t,
+            (F.col("t.user_id") == F.col("c.user_id"))
+            & (F.col("t.touch_ts") <= F.col("c.conv_ts"))
+            & (
+                F.col("t.touch_ts")
+                >= F.col("c.conv_ts") - F.expr("INTERVAL 7 DAY")
+            ),
+        )
+        .select("conv_id", "value_cents", "touch_id")
+        .withColumn(
+            "n_touches",
+            F.count(F.lit(1)).over(Window.partitionBy("conv_id")),
+        )
+    )
+    return credited.groupBy("touch_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(
+            F.round(
+                F.col("value_cents") * 10000.0 / F.col("n_touches"), 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("credited_microcents"),
+    )

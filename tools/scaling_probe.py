@@ -81,6 +81,8 @@ PROBES = [
     "agg_kmv_setops_weekday_weekend",
     "analytics_market_basket_part_pairs",
     "text_feature_hashing_vectors",
+    "window_ratio_to_report_nation_share",
+    "attribution_linear",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
