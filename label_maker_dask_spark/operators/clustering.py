@@ -166,15 +166,18 @@ def spherical_kmeans(
     k-row centroid collect per iteration (the classic distributed-k-means
     driver state, k*d doubles).
 
-    ``persist`` caches the normalized working set (module docstring) —
-    values are identical either way; it only changes how many times the
-    source is scanned.  The cache is left in place because the returned
-    (lazy) result still reads it; Spark evicts LRU under pressure."""
+    ``persist`` materializes the normalized working set via a lazy
+    ``localCheckpoint`` (module docstring) — values are identical either
+    way; it only changes how many times the source is scanned.  A
+    checkpoint rather than ``persist()``: the returned (lazy) result
+    still reads the blocks, and checkpoint blocks are released when the
+    frame is garbage-collected, while a bare persist pins them in the
+    cache manager for the session's lifetime."""
     unitv = _unit(embeddings.select(id_col, vec_col), vec_col, "u").select(
         id_col, "u"
     )
     if persist:
-        unitv = unitv.persist()
+        unitv = unitv.localCheckpoint(eager=False)
     w = Window.orderBy(id_col)
     cents = (
         unitv.orderBy(id_col)

@@ -371,12 +371,19 @@ def minhash_neardup_pairs(
     pairs -> exact-Jaccard verification (the scalable near-dup operator).
 
     One narrow Arrow pass (``minhash_doc_profiles``) yields both the
-    signatures and the per-doc shingle sets; it is persisted because three
-    consumers read it (band join both sides + verification) — at scale this
-    is a materialization point you'd checkpoint anyway.  The only shuffles
-    in the whole pipeline are the band-bucket join and the two candidate
-    verification joins, all on compact keys."""
-    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).persist()
+    signatures and the per-doc shingle sets; it is locally checkpointed
+    (lazily — materialized inside the first action) because three
+    consumers read it (band join both sides + verification) — at scale
+    this is a materialization point you'd checkpoint anyway.  A lazy
+    ``localCheckpoint`` rather than ``persist()``: checkpoint blocks are
+    released when the frame is garbage-collected, while a bare persist
+    pins blocks in the cache manager for the session's lifetime (the
+    round-9 leak class).  The only shuffles in the whole pipeline are
+    the band-bucket join and the two candidate verification joins, all
+    on compact keys."""
+    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).localCheckpoint(
+        eager=False
+    )
     candidates = lsh_candidate_pairs(prof.drop("shs"), bands)
     verified = jaccard_verify_sets(prof.select("doc_id", "shs"), candidates)
     return verified.where(F.col("jaccard") >= threshold)
@@ -538,7 +545,9 @@ def containment_neardup_pairs(
     higher recall at low Jaccard) or partition long documents into
     chunks before shingling so the excerpt's Jaccard against its source
     chunk is high — both stay inside this operator's plan shape."""
-    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).persist()
+    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).localCheckpoint(
+        eager=False  # lazy: one materialization at the action, GC-released
+    )
     candidates = lsh_candidate_pairs(prof.drop("shs"), bands)
     return containment_verify_sets(
         prof.select("doc_id", "shs"), candidates, threshold
@@ -856,9 +865,13 @@ def duplicate_components(
     suffice.
 
     Path choice is adaptive: an edge list at or below
-    ``small_graph_edges`` (measured on the materialized edge frame, one
-    cheap count) routes to :func:`_components_single_pass` — one-task
-    union-find, output-identical, no iteration.  Post-LSH pair graphs
+    ``small_graph_edges`` rows whose distinct endpoints also fit
+    ``small_graph_edges // 2`` (one cheap aggregate on the materialized
+    edge frame) routes to :func:`_components_single_pass` — one-task
+    union-find, output-identical, no iteration.  The node bound is the
+    one that matters for memory: the fast path holds an O(nodes) parent
+    dict in a single Python worker (~150-300 MB at the default 1M-node
+    bound).  Post-LSH pair graphs
     are collision survivors, typically orders smaller than the corpus,
     so the fast path covers most real runs; the iterative loop below
     remains the unbounded-scale path (set ``small_graph_edges=0`` to
@@ -906,11 +919,27 @@ def duplicate_components(
     # survivors), so most real runs fit the one-task union-find, whose
     # cost is one Arrow pass instead of O(log diameter) shuffle rounds
     # — locally that's the difference between ~0.5 s and ~5 s of
-    # per-round scheduler/codegen overhead.  The count is against the
-    # just-materialized checkpoint (no recompute), and the threshold
-    # bounds driver-free single-task state at ~tens of MB.  Above it,
-    # the distributed pointer-doubling loop below is the scale path.
-    if small_graph_edges and edges.count() <= small_graph_edges:
+    # per-round scheduler/codegen overhead.  The stats run against the
+    # just-materialized checkpoint (no recompute).  The fast path's
+    # whole-graph state is the parent dict — O(nodes), not O(edges) —
+    # so the gate checks BOTH: edge rows bound the single-task scan,
+    # and distinct endpoints (approx is fine: routing only, the two
+    # paths are output-identical) bound the dict at half the edge
+    # threshold.  At the 2M-edge default that is <=1M nodes, ~150-300 MB
+    # of boxed-Python dict in one worker — a deliberate executor-sized
+    # budget, NOT "tens of MB"; size ``small_graph_edges`` down for
+    # memory-tight workers.  Above either bound, the distributed
+    # pointer-doubling loop below is the scale path.
+    if small_graph_edges:
+        _stats = edges.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.approx_count_distinct("s").alias("n"),
+        ).first()
+    if (
+        small_graph_edges
+        and _stats["m"] <= small_graph_edges
+        and _stats["n"] <= small_graph_edges // 2
+    ):
         labels = _components_single_pass(edges)
         sizes = labels.groupBy("comp").agg(
             F.count(F.lit(1)).alias("component_size")

@@ -2635,6 +2635,20 @@ def _ivf_auto_cells(n: int) -> int:
     return 1024
 
 
+#: Corpus row counts memoized per sf_dir so query *construction* costs at
+#: most one count job per directory per process — the IVF entries need the
+#: count to size the cell ladder, and without the memo every call (including
+#: plan-only inspection that never executes the query) re-scanned the corpus.
+_CORPUS_COUNT_CACHE: dict = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir) -> int:
+    key = str(sf_dir)
+    if key not in _CORPUS_COUNT_CACHE:
+        _CORPUS_COUNT_CACHE[key] = _t(spark, sf_dir, "embeddings").count()
+    return _CORPUS_COUNT_CACHE[key]
+
+
 def _ivf_cells_sql() -> str:
     """The ladder as a scalar subquery over the corpus row count."""
     whens = " ".join(
@@ -2716,7 +2730,8 @@ def similarity_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return ivf_topk(
-        emb, queries, k=5, n_cells=_ivf_auto_cells(emb.count()), n_probe=4
+        emb, queries, k=5,
+        n_cells=_ivf_auto_cells(_emb_count(spark, sf_dir)), n_probe=4,
     )
 
 
@@ -2734,7 +2749,8 @@ def similarity_ivf_join_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 21 == 0)
     return ivf_topk_join(
-        emb, queries, k=5, n_cells=_ivf_auto_cells(emb.count()), n_probe=4
+        emb, queries, k=5,
+        n_cells=_ivf_auto_cells(_emb_count(spark, sf_dir)), n_probe=4,
     )
 
 

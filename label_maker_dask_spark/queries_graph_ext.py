@@ -243,7 +243,10 @@ def pagerank_event_transitions(ev):
         .where(F.col("src").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
+        # lazy localCheckpoint, not persist(): every power iteration
+        # references this frame, and checkpoint blocks are GC-released
+        # instead of pinned in the cache manager for the session
+        .localCheckpoint(eager=False)
     )
     nn = (
         ev.select(F.col("event_type").alias("node"))
@@ -256,7 +259,7 @@ def pagerank_event_transitions(ev):
         ev.select(F.col("event_type").alias("node"))
         .distinct()
         .crossJoin(F.broadcast(nn))
-        .persist()
+        .localCheckpoint(eager=False)  # same GC-released reuse as edges
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
 

@@ -143,7 +143,10 @@ def graph_khop_reachability(spark, sf_dir):
         )
         .where(F.col("p") > 0.2)
         .select("src", "dst")
-        .persist()
+        # lazy localCheckpoint, not persist(): the BFS below references
+        # this derived graph once per hop, and checkpoint blocks are
+        # GC-released instead of pinned in the cache manager
+        .localCheckpoint(eager=False)
     )
     return khop_reachability(strong, "signup", max_hops=3)
 

@@ -136,6 +136,24 @@ def _apply_neardup_batch_locked(
             # a strictly-older batch under the SAME run is a replay of
             # work already superseded; its partitions are already final
             return
+    if run_id is not None and last is None:
+        # Claim the index for this run BEFORE the first data write
+        # (batch=-1 = "claimed, nothing durable yet").  Without this, a
+        # crash during the very first batch leaves data partitions on
+        # disk with no marker, and a later run under a DIFFERENT run id
+        # would sail past the foreign-run guard above and silently
+        # overwrite them.  Marker-first closes that window; data present
+        # without any marker can then only mean an index this module
+        # never managed — refuse rather than guess.
+        if os.path.isdir(os.path.join(index_path, "bands")):
+            raise ValueError(
+                f"neardup index {index_path!r} contains band data but "
+                "no run marker — it was not built by this run and "
+                "carries no provenance.  Point at a fresh index "
+                "directory (or delete the stale one explicitly)."
+            )
+        os.makedirs(index_path, exist_ok=True)
+        _record_applied(index_path, run_id, -1)
     spark = batch.sparkSession
     prof = minhash_doc_profiles(batch, text_col, id_col, n, k)
     prof = prof.localCheckpoint(eager=True)  # bands + self-pairs + verify

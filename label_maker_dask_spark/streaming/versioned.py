@@ -444,8 +444,35 @@ def table_version_diff(
             f"version {v_from} keys {keys} != version {v_to} keys "
             f"{m_to['keys']}"
         )
+    # Schema evolution across the interval is unsupported: the payload
+    # structs below select m_to's value columns from BOTH versions, so an
+    # added/renamed/dropped column would otherwise surface as an opaque
+    # unresolved-column AnalysisException deep in the join.  Fail early
+    # and name the drift instead.
+    _shape = lambda m: [
+        (f.name, f.dataType.simpleString())
+        for f in StructType.fromJson(json.loads(m["schema"]))
+    ]
+    if _shape(m_from) != _shape(m_to):
+        f_cols = [f.name for f in
+                  StructType.fromJson(json.loads(m_from["schema"]))]
+        t_cols = [f.name for f in
+                  StructType.fromJson(json.loads(m_to["schema"]))]
+        raise ValueError(
+            f"table_version_diff: schema changed between version {v_from} "
+            f"(columns {f_cols}) and version {v_to} (columns {t_cols}) — "
+            "schema evolution is not supported across a diff interval; "
+            "diff within each schema epoch separately."
+        )
     schema = StructType.fromJson(json.loads(m_to["schema"]))
     val_cols = [f.name for f in schema.fields if f.name not in keys]
+    if not val_cols:
+        raise ValueError(
+            f"table_version_diff: table {table!r} has no value columns "
+            f"(all {len(keys)} columns are keys) — a keys-only table has "
+            "no payload to diff; membership changes are visible as "
+            "insert/delete rows in the bucket listings themselves."
+        )
     bf, bt = m_from["buckets"], m_to["buckets"]
     changed = sorted(
         (b for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)),

@@ -91,15 +91,27 @@ def test_kmeans_no_python_row_path(spark):
 
 
 def test_kmeans_persist_caches_working_set(spark):
-    """persist=True (default) routes every Lloyd pass through one cached
-    normalized working set — the plan reads InMemoryTableScan instead of
-    re-deriving unit vectors from the source; persist=False stays
-    cache-free; both produce identical assignments."""
+    """persist=True (default) routes every Lloyd pass through one
+    materialized normalized working set — a lazy localCheckpoint, so the
+    plan reads Scan ExistingRDD instead of re-deriving unit vectors from
+    the source (and the blocks are GC-released, unlike a bare persist);
+    persist=False stays materialization-free; both produce identical
+    assignments."""
     cached = spherical_kmeans(_blobs(spark), k=3, iters=2)
-    # an independent frame: Spark's cache manager would otherwise serve the
-    # first call's cached subtree to the persist=False plan too
+    # an independent frame so nothing is shared between the two plans
     plain = spherical_kmeans(_blobs(spark), k=3, iters=2, persist=False)
-    assert "InMemoryTableScan" in cached._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" not in plain._jdf.queryExecution().executedPlan().toString()
+    # the source frame is itself an ExistingRDD (createDataFrame), so the
+    # discriminating marker is the unit-normalization expression: the
+    # checkpoint swallows it (it runs once, into the materialized RDD),
+    # while persist=False re-derives it in-plan for every reference
+    cached_plan = cached._jdf.queryExecution().executedPlan().toString()
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in cached_plan
+    # centroid re-normalization keeps ONE legitimate copy of the
+    # expression in the cached plan; the working-set copies (one per
+    # unitv reference) only survive when persist=False
+    assert plain_plan.count("SQRT(aggregate(") > cached_plan.count(
+        "SQRT(aggregate("
+    )
     key = lambda df: sorted((r.vec_id, r.cluster, r.sim) for r in df.collect())  # noqa: E731
     assert key(cached) == key(plain)
