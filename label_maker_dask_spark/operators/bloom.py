@@ -19,11 +19,19 @@ technique available explicitly — e.g. inside ``foreachBatch`` sinks,
 across separately-materialized stages, or when the optimizer declines
 the rewrite — and keeps the probe entirely in JVM column algebra.
 
-Representation: the bit array travels as a **hex-string literal** in the
-plan (one nibble = 4 bits), probed with ``substring``/``conv`` — pure
-built-in expressions, no UDF, no Python on the probe path.  The build is
-one aggregation over the (small) build side: positions -> nibble index
--> ``bit_or`` of nibble masks -> at most ``m/4`` tiny rows to the
+Representation: the bit array is produced as a hex string (stable,
+driver-side, easy to log/store) but enters the plan through ``unhex``
+of that literal, which Catalyst CONSTANT-FOLDS into a single **binary
+literal** — so the probe is ``substring`` into a byte array (O(1)
+arraycopy per probe) + ``hex``/``conv`` of ONE byte + a bitmask test,
+all inside whole-stage codegen.  Probing a *string* literal instead
+(the round-9 form) was the measured scale defect: ``substring`` on
+StringType walks char boundaries from the start of the string, so each
+probe into a 1 MiB hex literal scanned ~0.5 MB — linear in filter
+size, exp 0.83 over the probe's top decade.  The binary form is
+position-arithmetic, independent of filter size.  The build is one
+aggregation over the (small) build side: positions -> byte index ->
+``bit_or`` of byte masks -> at most ``3 * n_keys`` tiny rows to the
 driver, bounded by the filter size, never by data volume.
 
 Hash functions are ``xxhash64(key, seed_i)`` — k independent seeds, all
@@ -86,6 +94,15 @@ def _hash_cast(probe_type: T.DataType, build_type: T.DataType) -> Optional[str]:
     )
 
 
+def _bit_mask(bit: Column) -> Column:
+    """``1 << bit`` for ``bit`` in 0..7 as a when-chain (``shiftleft``
+    only takes a literal shift amount)."""
+    mask = F.when(bit == 0, 1)
+    for b in range(1, 8):
+        mask = mask.when(bit == b, 1 << b)
+    return mask
+
+
 def build_bloom_hex(
     build_side: DataFrame,
     key: str,
@@ -96,7 +113,7 @@ def build_bloom_hex(
     ``(hex_bits, m)`` for :func:`bloom_might_contain`.
 
     ONE Spark job on the build side: positions are hashed at the maximum
-    filter size and aggregated to (nibble, mask) rows — at most
+    filter size and aggregated to (byte index, byte mask) rows — at most
     ``3 * n_keys`` of them, tiny for a dim — then the driver FOLDS the
     sparse bitset down by OR-ing halves (``bits[i % m] |= bits[i]``,
     valid because every smaller m divides the power-of-two maximum)
@@ -104,6 +121,11 @@ def build_bloom_hex(
     needs no second pass over the data, so sizing requires no separate
     distinct-count job — runtime filters should cost the probe side
     nothing and the build side one aggregation.
+
+    The returned hex string encodes the byte array in byte order (two
+    hex chars per byte, byte 0 first) — exactly what ``unhex`` parses —
+    with bit ``b`` of byte ``j`` holding position ``j*8 + b``
+    (LSB-first).
 
     ``hash_cast``: cast the key to this type before hashing (must match
     the cast used in :func:`bloom_might_contain` — xxhash64 is
@@ -116,46 +138,39 @@ def build_bloom_hex(
         F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(_MAX_BITS))
         for i in range(num_hashes)
     ]
-    nibbles = (
+    byte_rows = (
         build_side.select(
             F.explode(
                 F.array(
                     *[
                         F.struct(
-                            (p / 4).cast("int").alias("nib"),
-                            F.pmod(p, F.lit(4)).cast("int").alias("bit"),
+                            (p / 8).cast("int").alias("byte"),
+                            F.pmod(p, F.lit(8)).cast("int").alias("bit"),
                         )
                         for p in pos
                     ]
                 )
             ).alias("pb")
         )
-        .groupBy(F.col("pb.nib").alias("nib"))
-        .agg(
-            F.bit_or(
-                F.when(F.col("pb.bit") == 0, 1)
-                .when(F.col("pb.bit") == 1, 2)
-                .when(F.col("pb.bit") == 2, 4)
-                .otherwise(8)
-            ).alias("mask")
-        )
+        .groupBy(F.col("pb.byte").alias("byte"))
+        .agg(F.bit_or(_bit_mask(F.col("pb.bit"))).alias("mask"))
         .collect()
     )
-    sparse = {row["nib"]: row["mask"] for row in nibbles}
+    sparse = {row["byte"]: row["mask"] for row in byte_rows}
     m = _MAX_BITS
     while m > _MIN_BITS:
         half = m // 2
         folded: dict = {}
-        for nib, mask in sparse.items():
-            j = nib % (half // 4)
+        for byte, mask in sparse.items():
+            j = byte % (half // 8)
             folded[j] = folded.get(j, 0) | mask
         fill = sum(bin(v).count("1") for v in folded.values()) / half
         if fill > _FOLD_FILL:
             break
         sparse, m = folded, half
-    chars = ["0"] * (m // 4)
-    for nib, mask in sparse.items():
-        chars[nib] = format(mask, "x")
+    chars = ["00"] * (m // 8)
+    for byte, mask in sparse.items():
+        chars[byte] = format(mask, "02x")
     return "".join(chars), m
 
 
@@ -164,10 +179,14 @@ def bloom_might_contain(
     hash_cast: Optional[str] = None,
 ) -> Column:
     """Probe predicate: True iff ``key`` *might* be in the filter (never
-    a false negative).  Pure column algebra — ``substring`` into the
-    hex literal, ``conv`` nibble -> int, bitwise test — so it runs inside
-    whole-stage codegen in the probe side's scan stage, before any
-    exchange.
+    a false negative).  Pure column algebra, O(1) per probe: the hex
+    literal enters through ``unhex``, which constant-folds to a single
+    BINARY literal, so ``substring`` is a one-byte arraycopy at a
+    computed offset (position arithmetic — StringType substring would
+    instead walk the literal from the start, linear in filter size);
+    ``hex``/``conv`` turn that byte into an int for the bitmask test.
+    Everything runs inside whole-stage codegen in the probe side's scan
+    stage, before any exchange.
 
     NULL keys: Spark's ``xxhash64`` *skips* null children, so
     ``xxhash64(NULL, seed)`` is a non-null constant — all NULL keys would
@@ -175,23 +194,20 @@ def bloom_might_contain(
     predicate therefore carries an explicit ``isNotNull`` conjunct so
     NULL probe rows are pruned pre-shuffle, matching the inner equi-join
     (which drops NULL keys anyway)."""
-    lit_bits = F.lit(hex_bits)
+    bin_bits = F.unhex(F.lit(hex_bits))  # foldable -> one binary literal
     if hash_cast is not None:
         key = key.cast(hash_cast)
     pred = key.isNotNull()
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m))
-        nib = F.conv(
-            F.substring(lit_bits, (pos / 4).cast("int") + 1, 1), 16, 10
+        byte = F.conv(
+            F.hex(
+                F.substring(bin_bits, (pos / 8).cast("int") + 1, F.lit(1))
+            ),
+            16,
+            10,
         ).cast("int")
-        bit = F.pmod(pos, F.lit(4))
-        mask = (
-            F.when(bit == 0, 1)
-            .when(bit == 1, 2)
-            .when(bit == 2, 4)
-            .otherwise(8)
-        )
-        hit = nib.bitwiseAND(mask) != 0
+        hit = byte.bitwiseAND(_bit_mask(F.pmod(pos, F.lit(8)))) != 0
         pred = pred & hit
     return pred
 

@@ -791,7 +791,27 @@ def agg_heavy_hitters_users(spark, sf_dir):
     )
 
 
-@register("agg_hll_sketch_weekly_users")  # no SQL oracle: see docstring
+#: 3x the published relative standard error of a HyperLogLog sketch at
+#: Spark's default ``lgConfigK = 12`` (RSE = 1.04 / sqrt(2^12) ~ 1.6%);
+#: a ~99.7% envelope.  The absolute floor of 16 covers integer rounding
+#: at tiny counts (where the sketch is in sparse mode and near-exact).
+_HLL_3RSE = 3 * 1.04 / float(2**12) ** 0.5
+
+_HLL_BOUND_ORACLE = """
+WITH exact AS (
+  SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+         count(DISTINCT date_trunc('day', ts)) AS n_days,
+         count(DISTINCT user_id) AS distinct_users_exact
+  FROM events GROUP BY 1)
+SELECT week,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(distinct_users_exact AS BIGINT) AS distinct_users_exact,
+       TRUE AS hll_within_3rse
+FROM exact
+"""
+
+
+@register("agg_hll_sketch_weekly_users", _HLL_BOUND_ORACLE)
 def agg_hll_sketch_weekly_users(spark, sf_dir):
     """Weekly distinct users from MERGED DAILY HLL SKETCHES — the
     native DataSketches twin of ``agg_kmv_merged_weekly_users``: daily
@@ -800,27 +820,42 @@ def agg_hll_sketch_weekly_users(spark, sf_dir):
     pattern for maintained distinct-count rollups (store the daily
     sketch column; answer any window by merging).
 
-    Registered WITHOUT a DuckDB oracle by design: HLL register layouts
-    are implementation-defined (Spark's DataSketches vs DuckDB's own
-    HLL differ bitwise), so no cross-engine hash can exist — this is
-    precisely the class of operator the deterministic KMV twin exists
-    for, and the KMV entry IS hash-gated.  Correctness here is tested
-    in-repo instead (tests/test_scale_ext.py): the merged weekly
-    estimate must sit within the sketch's documented error band of the
-    exact distinct count, and must EQUAL the direct weekly-sketch
-    estimate (merge losslessness)."""
+    HLL register layouts are implementation-defined (Spark's
+    DataSketches vs DuckDB's own HLL differ bitwise), so the raw
+    estimate can never hash-match a cross-engine oracle — the
+    deterministic KMV twin exists for that, and IS hash-gated.  What
+    CAN be gated cross-engine is the sketch's accuracy CONTRACT, so
+    this entry emits it as data: ``hll_within_3rse`` asserts the merged
+    weekly estimate sits within 3 RSE (the ~99.7% envelope implied by
+    the default lgK=12) of the exact distinct count, and the oracle
+    replays the exact counts + a literal TRUE — a wrong estimate, a
+    broken union, or a week/day drift all hash-mismatch.  Merge
+    losslessness (merged == direct weekly sketch) is additionally
+    pinned in tests/test_scale_ext.py."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy(F.date_trunc("week", "day").alias("week"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk"))
-            .cast("long")
-            .alias("distinct_users_hll"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    day = F.date_trunc("day", "ts")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy(F.date_trunc("week", day).alias("week")).agg(
+        F.countDistinct("user_id").alias("distinct_users_exact")
+    )
+    err = F.abs(F.col("est") - F.col("distinct_users_exact"))
+    bound = F.greatest(
+        F.lit(16),
+        F.ceil(F.col("distinct_users_exact") * F.lit(_HLL_3RSE)),
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "n_days",
+        "distinct_users_exact",
+        (err <= bound).alias("hll_within_3rse"),
     )
 
 

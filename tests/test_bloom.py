@@ -66,11 +66,12 @@ def test_probe_filter_runs_before_exchange(spark):
     dim = _dim(spark, 20)
     joined = bloom_pruned_join(fact, dim, "fk", "k")
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    # the conv/substring probe must sit in the fact branch's scan-side
-    # Filter: between the probe expression and the fact leaf there is no
-    # Exchange (i.e. pruning happens before any shuffle/broadcast of the
-    # fact), and the fact leaf follows the filter directly in the tree
-    probe_at = plan.find("conv(substring")
+    # the byte-probe (conv(hex(substring into the folded BINARY literal)
+    # must sit in the fact branch's scan-side Filter: between the probe
+    # expression and the fact leaf there is no Exchange (i.e. pruning
+    # happens before any shuffle/broadcast of the fact), and the fact
+    # leaf follows the filter directly in the tree
+    probe_at = plan.find("conv(hex(substring(0x")
     assert probe_at != -1, plan
     fact_leaf = plan.find("Range (0, 5000", probe_at)
     assert fact_leaf != -1, plan

