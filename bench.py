@@ -188,17 +188,29 @@ def main() -> None:
     times = {name: times[name] for name in HEADLINE}
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    print(record)
+    # the driver's BENCH_r*.json capture keeps only a tail of stdout,
+    # which truncates the per-query map once the suite is large — also
+    # persist the full record next to the script so every round's
+    # complete numbers survive in git (committed as BENCH_LOCAL.json)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(record + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout already has the record
 
 
 if __name__ == "__main__":

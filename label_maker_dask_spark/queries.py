@@ -3045,6 +3045,7 @@ from label_maker_dask_spark import queries_analytics_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_relational_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_graph_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_scale_ext  # noqa: E402,F401
+from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible window curation.
@@ -3073,42 +3074,52 @@ from label_maker_dask_spark import queries_scale_ext  # noqa: E402,F401
 # Everything outside the window is still covered by the full local
 # replay (tools/check_oracle.py) and the pinned contract test
 # (tests/test_catalog_contract.py) makes reorderings intentional.
+# ROTATION POLICY (round 10, standing): the driver's correctness gate
+# sees exactly the FIRST 50 names here, so this window is the only
+# driver-side evidence channel.  Each round, ~half the slots rotate to
+# catalog entries that have never appeared in any committed
+# CORRECTNESS_r*.json (tests/test_catalog_contract.py tracks the
+# coverage ledger), until every query has been driver-gated at least
+# once; the other half are stable family anchors (one per operator
+# family) that keep cross-round continuity.  Entries rotated OUT remain
+# covered by the full local replay (tools/check_oracle.py, 173/173).
+# Round 10 rotated in 28 never-gated entries (25 existing + the
+# newly-oracled HLL bound gate + the two streaming batch-replay twins).
 _DRIVER_WINDOW = [
-    # TPC-H shapes
+    # TPC-H shapes (anchors q1/q3 + never-gated q9/q13/q17/q18/q21)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    # join forms (round 8: the plain range join's slot upgraded to its
-    # grid-bucketed spatial form — the stronger instance of the same
-    # banded-join family; the plain range join stays in the local
-    # replay.  Round 9: the tolerance-band as-of variant yields its
-    # slot to the count-min sketch — the as-of family keeps its base
-    # entry, and the tolerance twin stays in the local replay)
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_left_order_item_counts",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_suppliers_who_shipped_last",
+    # join forms
     "join_asof_latest_order",
+    "join_asof_nearest_order_event",
     "spatial_grid_bbox_join",
-    "join_skew_salted_brand_revenue",
-    "join_bloom_pruned_order_revenue",
-    # aggregation (round 9: + the mergeable count-min sketch)
-    "agg_rollup_region_nation",
-    "agg_grouping_sets",
+    "join_bloom_pruned_order_revenue",  # re-gate: r10 binary-probe form
+    "merge_upsert_orders_cdc",
+    # aggregation
     "agg_kmv_trailing7_users",
     "agg_cms_daily_merged_user_counts",
-    # windows / set ops / scalar / sort
-    "window_running_order_total",
-    "window_top3_orders_per_customer",
-    "set_intersect_customer_supplier_nations",
-    "scalar_string_date_funcs",
-    "scalar_array_map_json",
-    "sort_limit_global_top50",
+    "agg_hll_sketch_weekly_users",  # first gating: r10 3-RSE bound form
+    "agg_winsorized_mean_price",
+    "agg_mode_priority_by_status",
+    "agg_heavy_hitters_users",
+    "agg_exact_percentiles",
+    # analytics
+    "analytics_equidepth_histogram_price",
+    "analytics_rfm_customer_segments",
+    "analytics_market_basket_part_pairs",
+    "window_ratio_to_report_nation_share",
+    "attribution_linear",
+    # scalar surface
+    "scalar_null_semantics",
     # event analytics
-    "events_tumbling_hourly",
     "events_sessionize_30m",
-    # reference label pipeline
+    "anomaly_zscore_daily_events",
+    # reference label pipeline (permanent anchors)
     "glfilter_select_events",
     "classification_labels_flagship",
     "detection_pixel_bbox_math",
@@ -3116,34 +3127,30 @@ _DRIVER_WINDOW = [
     # dedup (scalable forms only)
     "dedup_exact_sha256",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_neardup_pairs",
     "dedup_components_simhash60",
     # similarity search
-    "similarity_cosine_topk",
-    "similarity_lsh_topk_ann",
     "similarity_ivf_join_topk_ann",
+    # graph
+    "graph_triangle_copurchase",
+    "graph_khop_reachability",
     # text analysis
-    "text_stats_per_doc",
-    "text_lang_id",
     "text_tfidf_top_terms",
+    "text_feature_hashing_vectors",
+    "text_bpe_token_counts",
     # multimodal
-    "multimodal_image_channel_stats",
     "multimodal_phash_neardup_pairs",
-    # dataset curation (round 9: the per-doc hash split's slot upgraded
-    # to the leakage-safe component-hashed form — the stronger member
-    # of the split family; the per-doc form stays in the local replay)
+    "multimodal_audio_rms_windows",
+    # dataset curation
     "curation_leakage_safe_split",
-    "contamination_3gram_overlap",
     "curation_end_to_end",
+    "sample_exact_k_per_lang",
     # timeseries
-    "timeseries_ohlc_hourly_by_type",
-    "timeseries_gapfill_interpolated",
-    # UDF surface / graph / anomaly / profiling / SCD
-    "udf_grouped_median",
-    "graph_pagerank_transitions",
-    "anomaly_mad_daily_events",
-    "profile_orders_columns",
+    "timeseries_twap_user_daily",
+    "timeseries_rolling_corr_views_purchases",
+    # SCD + streaming maintenance (batch-replay twins, first gating r10)
     "scd2_user_state_history",
+    "stream_upsert_orders_replay",
+    "stream_scd2_user_state_replay",
 ]
 
 

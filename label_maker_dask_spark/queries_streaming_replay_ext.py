@@ -1,0 +1,243 @@
+"""Batch-replay catalog twins for the streaming maintenance sinks.
+
+The streaming operators (``streaming/upsert.py``, ``operators/scd.py``'s
+sinks) cannot appear in ``queries()`` directly — they need checkpoints
+and sinks, not a DataFrame return — so their correctness evidence lived
+only in pytest (equals-batch, crash drills, exactly-once).  These
+entries lift the equals-batch harness into the catalog: each one
+
+1. derives a DETERMINISTIC multi-batch change log from the sf_dir
+   tables (modulo / time-range splits — never sampling),
+2. writes the batches as ordered files and drives the REAL streaming
+   sink over them (``readStream`` + ``maxFilesPerTrigger=1`` +
+   ``Trigger.AvailableNow``, so the engine delivers them as separate
+   micro-batches through the sink's actual foreachBatch applier,
+   checkpoint, run-id guard, and atomic swap), and
+3. returns the final maintained table as a plain DataFrame, which the
+   driver hash-compares against a DuckDB oracle expressing the
+   END-STATE in one SQL statement.
+
+That puts the maintenance semantics themselves — last-writer-wins by
+change sequence, delete handling, SCD-2 interval closing across batch
+boundaries — under the same cross-engine value-hash gate as every batch
+operator.  The streaming-only properties (crash recovery, replay
+idempotency, lock liveness) remain pytest territory.
+
+Scale note: the replay corpus is sf-sized by construction (the change
+log is the input table split three ways), and each sink applies batches
+with the same bounded-driver-state plan shapes the pytest suite pins —
+nothing here collects data to the driver beyond the sinks' documented
+scalar markers.
+
+No counterpart exists in the reference (`/root/reference/` is a
+batch-only tile pipeline, main.py:90-97); this is Part-B engine
+surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.queries import _t, register
+
+#: seconds between the forced file mtimes of consecutive change batches:
+#: the file streaming source orders its initial listing by modification
+#: time, so distinct mtimes make batch delivery order deterministic.
+_MTIME_STEP = 10
+
+
+def _write_ordered_batches(batches, changes_dir: str) -> None:
+    """Write each batch frame as one parquet file into ``changes_dir``
+    with strictly increasing mtimes (batch 0 oldest), so the file
+    streaming source delivers them in batch order under
+    ``maxFilesPerTrigger=1``."""
+    base_mtime = time.time() - _MTIME_STEP * (len(batches) + 1)
+    seen: set = set()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(changes_dir)
+        t = base_mtime + _MTIME_STEP * i
+        for f in os.listdir(changes_dir):
+            if f.startswith(("_", ".")) or f in seen:
+                continue
+            seen.add(f)
+            os.utime(os.path.join(changes_dir, f), (t, t))
+
+
+_UPSERT_REPLAY_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       o_orderstatus,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END
+         + CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 13 != 0
+                THEN 500 ELSE 0 END
+         AS totalprice_cents
+FROM orders
+WHERE o_orderkey % 13 != 0
+"""
+
+
+@register("stream_upsert_orders_replay", _UPSERT_REPLAY_ORACLE)
+def stream_upsert_orders_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three CDC micro-batches through the REAL ``stream_upsert_to_parquet``
+    sink — snapshot, then price updates, then deletes + more updates —
+    returning the final maintained table.  The oracle states the end
+    state directly (base prices + the update increments, minus deleted
+    keys), so a wrong merge, a dropped delete, a batch applied out of
+    order, or seq-compaction picking the wrong row all hash-mismatch.
+
+    Batches (all key splits are modulo arithmetic — deterministic and
+    engine-independent):
+
+    - batch 0 (seq 1): full snapshot of orders with integer-cents price
+    - batch 1 (seq 2): keys % 7 == 0 → price + 1000 cents
+    - batch 2 (seq 3): keys % 13 == 0 → delete; keys % 11 == 0 (and not
+      deleted) → price + 500 cents — disjoint key sets, so the batch is
+      conflict-free and compaction order cannot matter within it.
+    """
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_upsert_to_parquet,
+    )
+
+    work = tempfile.mkdtemp(prefix="lmds_upsert_replay_")
+    changes_dir = os.path.join(work, "changes")
+    base = os.path.join(work, "base")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(changes_dir, exist_ok=True)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("totalprice_cents"),
+    )
+    k = F.col("o_orderkey")
+
+    def change(df, seq, is_del=False):
+        return df.withColumn("seq", F.lit(seq).cast("long")).withColumn(
+            "is_del", F.lit(bool(is_del))
+        )
+
+    b0 = change(orders, 1)
+    b1 = change(
+        orders.where(k % 7 == 0).withColumn(
+            "totalprice_cents", F.col("totalprice_cents") + 1000
+        ),
+        2,
+    )
+    b2 = change(orders.where(k % 13 == 0), 3, is_del=True).unionByName(
+        change(
+            orders.where((k % 11 == 0) & (k % 13 != 0)).withColumn(
+                "totalprice_cents",
+                F.col("totalprice_cents")
+                + F.when(k % 7 == 0, 1000).otherwise(0)
+                + 500,
+            ),
+            3,
+        )
+    )
+    _write_ordered_batches([b0, b1, b2], changes_dir)
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "totalprice_cents long, seq long, is_del boolean"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = stream_upsert_to_parquet(
+        stream, base, ckpt, keys=["o_orderkey"], seq_col="seq",
+        delete_col="is_del",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_upsert_orders_replay: drain timed out")
+    return spark.read.parquet(base)
+
+
+_SCD2_REPLAY_ORACLE = """
+SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("stream_scd2_user_state_replay", _SCD2_REPLAY_ORACLE)
+def stream_scd2_user_state_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three time-ordered micro-batches through the REAL
+    ``stream_scd2_to_parquet`` sink, returning the final history table.
+    The oracle is the SAME full-log historization SQL as the batch
+    entry ``scd2_user_state_history`` — the equals-batch theorem
+    (incremental ``scd2_apply`` over a time-split change log equals one
+    ``historize_changes`` over the union) stated as a value-hash gate:
+    a mis-closed interval at a batch boundary, a lost current flag, or
+    a tie-break drift all hash-mismatch.
+
+    The split is by event DAY terciles (contiguous day ranges), which
+    guarantees every batch is strictly later than the previous one —
+    the precondition ``scd2_apply`` enforces.  The tercile boundaries
+    come from one tiny distinct-days aggregate (bounded by calendar
+    size, never event volume)."""
+    from label_maker_dask_spark.operators.scd import stream_scd2_to_parquet
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("event_type").alias("state"), "ts"
+    )
+    days = sorted(
+        r["d"]
+        for r in ev.select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    n = len(days)
+    cut1, cut2 = days[max(0, n // 3)], days[max(0, 2 * n // 3)]
+    day = F.date_trunc("day", "ts")
+    batches = [
+        ev.where(day < F.lit(cut1)),
+        ev.where((day >= F.lit(cut1)) & (day < F.lit(cut2))),
+        ev.where(day >= F.lit(cut2)),
+    ]
+
+    work = tempfile.mkdtemp(prefix="lmds_scd2_replay_")
+    changes_dir = os.path.join(work, "changes")
+    base = os.path.join(work, "base")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(changes_dir, exist_ok=True)
+    _write_ordered_batches(batches, changes_dir)
+
+    schema = "user_id long, event_id long, state string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = stream_scd2_to_parquet(
+        stream, base, ckpt, keys=["user_id"], ts_col="ts",
+        tie_break="event_id",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_scd2_user_state_replay: drain timed out")
+    return spark.read.parquet(base).select(
+        "user_id", "event_id", "state", "valid_from", "valid_to", "is_current"
+    )
+
+
+from label_maker_dask_spark.queries import (  # noqa: E402
+    _finalize_registry_order as _refinalize,
+)
+
+_refinalize()

@@ -42,54 +42,54 @@ def test_every_oracle_key_has_a_query():
 PINNED_DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_left_order_item_counts",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_suppliers_who_shipped_last",
     "join_asof_latest_order",
+    "join_asof_nearest_order_event",
     "spatial_grid_bbox_join",
-    "join_skew_salted_brand_revenue",
     "join_bloom_pruned_order_revenue",
-    "agg_rollup_region_nation",
-    "agg_grouping_sets",
+    "merge_upsert_orders_cdc",
     "agg_kmv_trailing7_users",
     "agg_cms_daily_merged_user_counts",
-    "window_running_order_total",
-    "window_top3_orders_per_customer",
-    "set_intersect_customer_supplier_nations",
-    "scalar_string_date_funcs",
-    "scalar_array_map_json",
-    "sort_limit_global_top50",
-    "events_tumbling_hourly",
+    "agg_hll_sketch_weekly_users",
+    "agg_winsorized_mean_price",
+    "agg_mode_priority_by_status",
+    "agg_heavy_hitters_users",
+    "agg_exact_percentiles",
+    "analytics_equidepth_histogram_price",
+    "analytics_rfm_customer_segments",
+    "analytics_market_basket_part_pairs",
+    "window_ratio_to_report_nation_share",
+    "attribution_linear",
+    "scalar_null_semantics",
     "events_sessionize_30m",
+    "anomaly_zscore_daily_events",
     "glfilter_select_events",
     "classification_labels_flagship",
     "detection_pixel_bbox_math",
     "segmentation_raster_class_areas",
     "dedup_exact_sha256",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_neardup_pairs",
     "dedup_components_simhash60",
-    "similarity_cosine_topk",
-    "similarity_lsh_topk_ann",
     "similarity_ivf_join_topk_ann",
-    "text_stats_per_doc",
-    "text_lang_id",
+    "graph_triangle_copurchase",
+    "graph_khop_reachability",
     "text_tfidf_top_terms",
-    "multimodal_image_channel_stats",
+    "text_feature_hashing_vectors",
+    "text_bpe_token_counts",
     "multimodal_phash_neardup_pairs",
+    "multimodal_audio_rms_windows",
     "curation_leakage_safe_split",
-    "contamination_3gram_overlap",
     "curation_end_to_end",
-    "timeseries_ohlc_hourly_by_type",
-    "timeseries_gapfill_interpolated",
-    "udf_grouped_median",
-    "graph_pagerank_transitions",
-    "anomaly_mad_daily_events",
-    "profile_orders_columns",
+    "sample_exact_k_per_lang",
+    "timeseries_twap_user_daily",
+    "timeseries_rolling_corr_views_purchases",
     "scd2_user_state_history",
+    "stream_upsert_orders_replay",
+    "stream_scd2_user_state_replay",
 ]
 
 
@@ -125,3 +125,125 @@ def test_catalog_outputs_are_scalar_and_oracle_columns_match(spark, oracle_con):
                     f"oracle cols {sorted(ocols)}"
                 )
     assert not failures, "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# Driver-evidence coverage ledger (round 10).  The driver only ever gates
+# the 50-slot window, so catalog entries accumulate driver-side evidence
+# through window ROTATION.  This ledger makes that coverage a tested
+# invariant: every catalog entry must be (a) already gated in a committed
+# CORRECTNESS_r*.json, (b) scheduled in the current window, or (c) listed
+# below as awaiting rotation.  Adding a new query without either putting
+# it in the window or consciously appending it here fails the test —
+# silent evidence gaps can no longer appear.  Entries leave this list as
+# rotation gates them (a gated name lingering here also fails, keeping
+# the ledger honest).
+ROTATION_BACKLOG = [
+    "agg_approx_percentiles_sampled",
+    "agg_corr_covar_by_returnflag",
+    "agg_histogram_order_totals",
+    "agg_kmv_merged_weekly_users",
+    "agg_kmv_setops_weekday_weekend",
+    "agg_pivot_status_by_priority",
+    "analytics_chi2_event_type_by_hour",
+    "analytics_event_path_trigrams",
+    "analytics_event_type_cooccurrence",
+    "attribution_last_touch",
+    "curation_semdedup_cluster_profiles",
+    "dedup_cluster_representatives",
+    "dedup_components_minhash",
+    "dedup_fuzzy_part_names",
+    "dedup_simhash16_neardup_pairs",
+    "embedding_kmeans_clusters",
+    "embedding_kmeans_clusters_arrow",
+    "events_cohort_weekly_retention",
+    "events_funnel_signup_view_purchase",
+    "explode_outer_returned_lines",
+    "graph_event_transitions",
+    "graph_event_transitions_chunked",
+    "join_asof_forward_next_event",
+    "multimodal_audio_zcr_windows",
+    "multimodal_image_resize_stats",
+    "multimodal_phash_signatures",
+    "multimodal_video_frame_sample",
+    "pack_sequences_512",
+    "pii_regex_scan",
+    "q11_part_value_concentration",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_promotion_part_suppliers",
+    "q22_global_sales_opportunity",
+    "quality_expectations_orders",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_quality",
+    "scalar_array_algebra",
+    "scalar_date_arithmetic",
+    "scalar_variant_extract",
+    "segmentation_buffered_ring_areas",
+    "similarity_ivf_topk_ann",
+    "similarity_neardup_srp_ann",
+    "sort_limit_offset_page3",
+    "spatial_points_to_tiles_z6",
+    "stateful_running_user_stats",
+    "text_bigram_top20",
+    "text_chunk_sliding_overlap",
+    "text_repetition_bigrams",
+    "text_unigram_logprob",
+    "timeseries_ema30_daily_revenue",
+    "timeseries_gapfill_daily_revenue",
+    "timeseries_multigrain_revenue",
+    "timeseries_rolling_slope_daily_revenue",
+    "timeseries_trailing_p90_value",
+    "udf_cogroup_orders_events",
+    "udf_scalar_sigmoid_score",
+    "udtf_chunk_documents",
+    "unpivot_lineitem_metrics",
+    "window_ntile_length_deciles",
+    "window_percent_rank_cume_dist",
+    "window_top3_orders_with_ties",
+    "window_trailing_1h_user_activity",
+    "window_value_frames",
+]
+
+
+def _driver_gated_ever() -> set:
+    import glob
+    import json
+    import os
+
+    gated: set = set()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            gated |= set(json.load(open(f)).keys())
+        except Exception:
+            pass
+    return gated
+
+
+def test_every_catalog_entry_has_a_driver_evidence_path():
+    gated = _driver_gated_ever()
+    window = set(PINNED_DRIVER_WINDOW)
+    backlog = set(ROTATION_BACKLOG)
+    uncovered = [
+        n for n in Q.QUERIES
+        if n not in gated and n not in window and n not in backlog
+    ]
+    assert not uncovered, (
+        "catalog entries with no driver-evidence path (not gated, not in "
+        f"the window, not in the rotation backlog): {uncovered} — rotate "
+        "them into _DRIVER_WINDOW or add them to ROTATION_BACKLOG "
+        "deliberately"
+    )
+    stale = sorted(backlog & gated)
+    assert not stale, (
+        f"rotation backlog entries already driver-gated: {stale} — remove "
+        "them so the ledger reflects reality"
+    )
+    overlap = sorted(backlog & window)
+    assert not overlap, (
+        f"entries in both the window and the backlog: {overlap}"
+    )
