@@ -136,6 +136,13 @@ HEADLINE = [
     "text_feature_hashing_vectors",
     "window_ratio_to_report_nation_share",
     "attribution_linear",
+    # round-10: the HLL rollup's hash-gated bound form, and the
+    # streaming-sink batch-replay twins (each drives a real 3-batch
+    # stream into a temp table, so their cells time the full maintenance
+    # path, not just a read)
+    "agg_hll_sketch_weekly_users",
+    "stream_upsert_orders_replay",
+    "stream_scd2_user_state_replay",
 ]
 
 

@@ -236,6 +236,73 @@ def stream_scd2_user_state_replay(
     )
 
 
+_ACCUMULATE_REPLAY_ORACLE = """
+SELECT l_suppkey,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("stream_accumulate_supplier_replay", _ACCUMULATE_REPLAY_ORACLE)
+def stream_accumulate_supplier_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three additive-delta micro-batches through the REAL
+    ``stream_accumulate_to_parquet`` sink (per-supplier running quantity
+    and revenue sums), returning the final accumulated table.  The
+    oracle is the one-statement GROUP BY over the whole delta log —
+    running sums are batch-split invariant, so ANY correct exactly-once
+    accumulation must hash-match it; a double-applied batch (the
+    sink's own failure mode, guarded by the in-table marker) or a lost
+    insert both show up as wrong sums.
+
+    The split is ``(l_orderkey + l_linenumber) % 3`` — deterministic,
+    and because addition commutes the expected END STATE is independent
+    of batch arrival order (unlike the upsert twin, which pins order
+    via file mtimes and seq compaction)."""
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_accumulate_to_parquet,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    deltas = li.select(
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty_sum"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("revenue_cents"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3).alias("b"),
+    )
+    batches = [deltas.where(F.col("b") == i).drop("b") for i in range(3)]
+
+    work = tempfile.mkdtemp(prefix="lmds_accum_replay_")
+    changes_dir = os.path.join(work, "changes")
+    base = os.path.join(work, "base")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(changes_dir, exist_ok=True)
+    _write_ordered_batches(batches, changes_dir)
+
+    schema = "l_suppkey long, qty_sum long, revenue_cents long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = stream_accumulate_to_parquet(
+        stream, base, ckpt, keys=["l_suppkey"],
+        sum_cols=["qty_sum", "revenue_cents"],
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "stream_accumulate_supplier_replay: drain timed out"
+        )
+    return spark.read.parquet(base)
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

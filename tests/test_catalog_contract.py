@@ -188,6 +188,7 @@ ROTATION_BACKLOG = [
     "sort_limit_offset_page3",
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
+    "stream_accumulate_supplier_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",

@@ -99,6 +99,11 @@ def main() -> None:
 
     import label_maker_dask_spark.queries as Q
 
+    # optional argv name filter: probe just the named queries (the
+    # bespoke streaming probes run only on a full, unfiltered sweep)
+    only = set(sys.argv[1:])
+    probes = [n for n in PROBES if not only or n in only]
+
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("lmds-scaling-probe")
@@ -117,7 +122,7 @@ def main() -> None:
     if os.path.isdir(_SF1):
         dirs.append(_SF1)
 
-    for name in PROBES:
+    for name in probes:
         Q.QUERIES[name](spark, dirs[0]).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
@@ -130,7 +135,7 @@ def main() -> None:
     print(header)
     import math
 
-    for name in PROBES:
+    for name in probes:
         ts = []
         for sf_dir in dirs:
             # best-of-2: single runs in a shared JVM see multi-second GC /
@@ -149,6 +154,9 @@ def main() -> None:
             growth = ts[3] / max(ts[2], 1e-9)
             line += f" {growth:9.1f} {math.log10(max(growth, 1e-9)):5.2f}"
         print(line)
+
+    if only:
+        return  # targeted run: catalog probes only
 
     # streaming-upsert maintenance: not a catalog query (it drives a
     # StreamingQuery + on-disk base table), probed bespoke below.
