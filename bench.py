@@ -143,6 +143,9 @@ HEADLINE = [
     "agg_hll_sketch_weekly_users",
     "stream_upsert_orders_replay",
     "stream_scd2_user_state_replay",
+    "stream_accumulate_supplier_replay",
+    "stream_versioned_diff_replay",
+    "window_trailing7_distinct_users_exact",
 ]
 
 

@@ -303,6 +303,85 @@ def stream_accumulate_supplier_replay(
     return spark.read.parquet(base)
 
 
+_VERSIONED_DIFF_REPLAY_ORACLE = """
+WITH d AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS rc,
+         o_orderkey % 3 AS b
+  FROM orders),
+v1 AS (SELECT o_custkey, CAST(sum(rc) AS BIGINT) AS rev
+       FROM d WHERE b = 0 GROUP BY 1),
+v3 AS (SELECT o_custkey, CAST(sum(rc) AS BIGINT) AS rev
+       FROM d GROUP BY 1)
+SELECT v3.o_custkey,
+       CASE WHEN v1.o_custkey IS NULL THEN 'insert' ELSE 'update' END
+         AS change,
+       v1.rev AS old_rev_cents,
+       v3.rev AS new_rev_cents
+FROM v3 LEFT JOIN v1 USING (o_custkey)
+WHERE v1.o_custkey IS NULL OR v1.rev != v3.rev
+"""
+
+
+@register("stream_versioned_diff_replay", _VERSIONED_DIFF_REPLAY_ORACLE)
+def stream_versioned_diff_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three additive micro-batches through the REAL
+    ``stream_accumulate_to_versioned_table`` sink (per-customer revenue
+    running sums, one immutable version per batch), then the
+    manifest-pruned CDC feed ``table_version_diff(v1 -> v3)`` flattened
+    to scalar columns.  The oracle states the diff directly: version 1
+    is batch 0's sums, version 3 is the full log's sums, and the feed
+    must contain exactly the customers whose state changed in between —
+    inserts (first order arrived after batch 0) with a NULL old side,
+    updates with both.  A torn publish, a wrong manifest bucket entry,
+    a diff that reads an unchanged bucket, or sums applied twice all
+    hash-mismatch."""
+    from label_maker_dask_spark.streaming.versioned import (
+        stream_accumulate_to_versioned_table,
+        table_version_diff,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    deltas = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("rev_cents"),
+        (F.col("o_orderkey") % 3).alias("b"),
+    )
+    batches = [deltas.where(F.col("b") == i).drop("b") for i in range(3)]
+
+    work = tempfile.mkdtemp(prefix="lmds_versioned_replay_")
+    changes_dir = os.path.join(work, "changes")
+    table = os.path.join(work, "table")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(changes_dir, exist_ok=True)
+    _write_ordered_batches(batches, changes_dir)
+
+    schema = "o_custkey long, rev_cents long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = stream_accumulate_to_versioned_table(
+        stream, table, ckpt, keys=["o_custkey"], sum_cols=["rev_cents"],
+        n_buckets=8,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_versioned_diff_replay: drain timed out")
+    diff = table_version_diff(spark, table, v_from=1, v_to=3)
+    return diff.select(
+        "o_custkey",
+        "change",
+        F.col("old.rev_cents").alias("old_rev_cents"),
+        F.col("new.rev_cents").alias("new_rev_cents"),
+    )
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

@@ -189,6 +189,7 @@ ROTATION_BACKLOG = [
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
     "stream_accumulate_supplier_replay",
+    "stream_versioned_diff_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",
@@ -205,6 +206,7 @@ ROTATION_BACKLOG = [
     "window_ntile_length_deciles",
     "window_percent_rank_cume_dist",
     "window_top3_orders_with_ties",
+    "window_trailing7_distinct_users_exact",
     "window_trailing_1h_user_activity",
     "window_value_frames",
 ]
