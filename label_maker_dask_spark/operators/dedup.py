@@ -930,16 +930,17 @@ def duplicate_components(
     # budget, NOT "tens of MB"; size ``small_graph_edges`` down for
     # memory-tight workers.  Above either bound, the distributed
     # pointer-doubling loop below is the scale path.
+    use_fast_path = False
     if small_graph_edges:
         _stats = edges.agg(
             F.count(F.lit(1)).alias("m"),
             F.approx_count_distinct("s").alias("n"),
         ).first()
-    if (
-        small_graph_edges
-        and _stats["m"] <= small_graph_edges
-        and _stats["n"] <= small_graph_edges // 2
-    ):
+        use_fast_path = (
+            _stats["m"] <= small_graph_edges
+            and _stats["n"] <= small_graph_edges // 2
+        )
+    if use_fast_path:
         labels = _components_single_pass(edges)
         sizes = labels.groupBy("comp").agg(
             F.count(F.lit(1)).alias("component_size")

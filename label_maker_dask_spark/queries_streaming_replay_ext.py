@@ -36,7 +36,9 @@ surface.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import time
 
@@ -49,6 +51,23 @@ from label_maker_dask_spark.queries import _t, register
 #: the file streaming source orders its initial listing by modification
 #: time, so distinct mtimes make batch delivery order deterministic.
 _MTIME_STEP = 10
+
+#: one temp root per process, removed at interpreter exit.  Cleanup must
+#: be DEFERRED: each entry returns a lazy DataFrame that still reads its
+#: maintained base table, so the driver's collect happens after the
+#: query function returns — but without the atexit hook, repeated
+#: invocations (bench best-of-2, oracle replays, driver gates) would
+#: leave sf-sized change logs + base tables accumulating in /tmp until
+#: the disk fills.
+_TMP_ROOT: list = [None]
+
+
+def _replay_workdir(name: str) -> str:
+    if _TMP_ROOT[0] is None:
+        root = tempfile.mkdtemp(prefix="lmds_replay_session_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _TMP_ROOT[0] = root
+    return tempfile.mkdtemp(prefix=name + "_", dir=_TMP_ROOT[0])
 
 
 def _write_ordered_batches(batches, changes_dir: str) -> None:
@@ -66,6 +85,29 @@ def _write_ordered_batches(batches, changes_dir: str) -> None:
                 continue
             seen.add(f)
             os.utime(os.path.join(changes_dir, f), (t, t))
+
+
+def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
+    """The shared drive-the-sink harness: write ordered batch files,
+    open them as a file stream delivering one file per micro-batch, run
+    ``start_sink(stream, base_path, checkpoint)`` to completion, and
+    return the maintained base/table path for the caller to read."""
+    work = _replay_workdir(name)
+    changes_dir = os.path.join(work, "changes")
+    base = os.path.join(work, "base")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(changes_dir, exist_ok=True)
+    _write_ordered_batches(batches, changes_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = start_sink(stream, base, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{name}: drain timed out")
+    return base
 
 
 _UPSERT_REPLAY_ORACLE = """
@@ -104,12 +146,6 @@ def stream_upsert_orders_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_upsert_to_parquet,
     )
 
-    work = tempfile.mkdtemp(prefix="lmds_upsert_replay_")
-    changes_dir = os.path.join(work, "changes")
-    base = os.path.join(work, "base")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(changes_dir, exist_ok=True)
-
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -143,24 +179,19 @@ def stream_upsert_orders_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         )
     )
-    _write_ordered_batches([b0, b1, b2], changes_dir)
-
     schema = (
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "totalprice_cents long, seq long, is_del boolean"
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(changes_dir)
+    base = _drive_replay(
+        spark,
+        [b0, b1, b2],
+        schema,
+        lambda s, b, c: stream_upsert_to_parquet(
+            s, b, c, keys=["o_orderkey"], seq_col="seq", delete_col="is_del"
+        ),
+        "stream_upsert_orders_replay",
     )
-    q = stream_upsert_to_parquet(
-        stream, base, ckpt, keys=["o_orderkey"], seq_col="seq",
-        delete_col="is_del",
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_upsert_orders_replay: drain timed out")
     return spark.read.parquet(base)
 
 
@@ -211,26 +242,15 @@ def stream_scd2_user_state_replay(
         ev.where(day >= F.lit(cut2)),
     ]
 
-    work = tempfile.mkdtemp(prefix="lmds_scd2_replay_")
-    changes_dir = os.path.join(work, "changes")
-    base = os.path.join(work, "base")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(changes_dir, exist_ok=True)
-    _write_ordered_batches(batches, changes_dir)
-
-    schema = "user_id long, event_id long, state string, ts timestamp"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(changes_dir)
+    base = _drive_replay(
+        spark,
+        batches,
+        "user_id long, event_id long, state string, ts timestamp",
+        lambda s, b, c: stream_scd2_to_parquet(
+            s, b, c, keys=["user_id"], ts_col="ts", tie_break="event_id"
+        ),
+        "stream_scd2_user_state_replay",
     )
-    q = stream_scd2_to_parquet(
-        stream, base, ckpt, keys=["user_id"], ts_col="ts",
-        tie_break="event_id",
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_scd2_user_state_replay: drain timed out")
     return spark.read.parquet(base).select(
         "user_id", "event_id", "state", "valid_from", "valid_to", "is_current"
     )
@@ -278,28 +298,16 @@ def stream_accumulate_supplier_replay(
     )
     batches = [deltas.where(F.col("b") == i).drop("b") for i in range(3)]
 
-    work = tempfile.mkdtemp(prefix="lmds_accum_replay_")
-    changes_dir = os.path.join(work, "changes")
-    base = os.path.join(work, "base")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(changes_dir, exist_ok=True)
-    _write_ordered_batches(batches, changes_dir)
-
-    schema = "l_suppkey long, qty_sum long, revenue_cents long"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(changes_dir)
+    base = _drive_replay(
+        spark,
+        batches,
+        "l_suppkey long, qty_sum long, revenue_cents long",
+        lambda s, b, c: stream_accumulate_to_parquet(
+            s, b, c, keys=["l_suppkey"],
+            sum_cols=["qty_sum", "revenue_cents"],
+        ),
+        "stream_accumulate_supplier_replay",
     )
-    q = stream_accumulate_to_parquet(
-        stream, base, ckpt, keys=["l_suppkey"],
-        sum_cols=["qty_sum", "revenue_cents"],
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(
-            "stream_accumulate_supplier_replay: drain timed out"
-        )
     return spark.read.parquet(base)
 
 
@@ -353,26 +361,15 @@ def stream_versioned_diff_replay(
     )
     batches = [deltas.where(F.col("b") == i).drop("b") for i in range(3)]
 
-    work = tempfile.mkdtemp(prefix="lmds_versioned_replay_")
-    changes_dir = os.path.join(work, "changes")
-    table = os.path.join(work, "table")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(changes_dir, exist_ok=True)
-    _write_ordered_batches(batches, changes_dir)
-
-    schema = "o_custkey long, rev_cents long"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(changes_dir)
+    table = _drive_replay(
+        spark,
+        batches,
+        "o_custkey long, rev_cents long",
+        lambda s, b, c: stream_accumulate_to_versioned_table(
+            s, b, c, keys=["o_custkey"], sum_cols=["rev_cents"], n_buckets=8
+        ),
+        "stream_versioned_diff_replay",
     )
-    q = stream_accumulate_to_versioned_table(
-        stream, table, ckpt, keys=["o_custkey"], sum_cols=["rev_cents"],
-        n_buckets=8,
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_versioned_diff_replay: drain timed out")
     diff = table_version_diff(spark, table, v_from=1, v_to=3)
     return diff.select(
         "o_custkey",

@@ -102,6 +102,11 @@ def main() -> None:
     # optional argv name filter: probe just the named queries (the
     # bespoke streaming probes run only on a full, unfiltered sweep)
     only = set(sys.argv[1:])
+    unknown = only - set(PROBES)
+    if unknown:
+        sys.exit(
+            f"unknown probe names (not in PROBES): {sorted(unknown)}"
+        )
     probes = [n for n in PROBES if not only or n in only]
 
     spark = (
