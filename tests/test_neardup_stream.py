@@ -137,3 +137,38 @@ def test_streaming_drain_matches_batch(spark, tmp_path):
     assert got == want
     assert os.path.isdir(os.path.join(index, "bands"))
     assert os.path.isdir(os.path.join(index, "profiles"))
+
+
+def test_marker_written_before_first_data_write(spark, tmp_path):
+    """The run marker must claim the index BEFORE any data lands: a
+    crash during the very first batch then still leaves the marker, so
+    a later run under a different run id hits the foreign-run guard
+    instead of silently overwriting batch partitions."""
+    import json
+
+    docs = _docs(spark)
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    apply_neardup_batch(
+        docs.where(F.col("doc_id") < 100), 0, index, pairs, "run-a",
+        threshold=THRESH,
+    )
+    marker = os.path.join(index, "_lmds_neardup_batch")
+    assert os.path.exists(marker)
+    assert json.loads(open(marker).read())["run"] == "run-a"
+
+
+def test_bands_without_marker_is_refused(spark, tmp_path):
+    """Band data with no marker has no provenance (this module always
+    writes the marker first) — a run-id'd ingest must refuse rather
+    than overwrite it."""
+    docs = _docs(spark)
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    # unmanaged state: bands dir exists, no marker anywhere
+    os.makedirs(os.path.join(index, "bands", "batch=0"))
+    with pytest.raises(ValueError, match="no run marker"):
+        apply_neardup_batch(
+            docs.where(F.col("doc_id") < 100), 0, index, pairs, "run-a",
+            threshold=THRESH,
+        )

@@ -413,3 +413,38 @@ def test_table_version_diff_rows_and_bucket_pruning(spark, tmp_path):
     assert touched_buckets == expect, (touched_buckets, expect)
     # identical versions diff to nothing
     assert table_version_diff(spark, table, 2, 2).count() == 0
+
+
+def test_table_version_diff_schema_drift_raises(spark, tmp_path):
+    """A diff interval spanning a value-column schema change must fail
+    early with a named error, not an unresolved-column analysis error
+    deep in the join (schema evolution across a diff is unsupported)."""
+    import json
+    import os
+
+    import pytest
+
+    from label_maker_dask_spark.streaming.versioned import (
+        _apply_versioned,
+        _read_manifest,
+        _write_manifest,
+        table_version_diff,
+    )
+
+    table = str(tmp_path / "t")
+    d1 = spark.createDataFrame([(1, 10)], "k long, v long")
+    d2 = spark.createDataFrame([(1, 5)], "k long, v long")
+    _apply_versioned(d1, table, ["k"], 4, 0, "run-a",
+                     lambda b, d: d if b is None else d)
+    _apply_versioned(d2, table, ["k"], 4, 1, "run-a",
+                     lambda b, d: d if b is None else d)
+    # simulate drift: rewrite v2's manifest schema with a renamed column
+    m = _read_manifest(table, 2)
+    sch = json.loads(m["schema"])
+    for f in sch["fields"]:
+        if f["name"] == "v":
+            f["name"] = "v_renamed"
+    m["schema"] = json.dumps(sch)
+    _write_manifest(table, 2, m)
+    with pytest.raises(ValueError, match="schema changed"):
+        table_version_diff(spark, table, v_from=1, v_to=2)
