@@ -83,6 +83,15 @@ PROBES = [
     "text_feature_hashing_vectors",
     "window_ratio_to_report_nation_share",
     "attribution_linear",
+    # round-10 operators: exact trailing distinct counts, the HLL bound
+    # gate, and the streaming batch-replay twins (their cells time the
+    # full 3-batch sink drive, not just a read)
+    "window_trailing7_distinct_users_exact",
+    "agg_hll_sketch_weekly_users",
+    "stream_upsert_orders_replay",
+    "stream_scd2_user_state_replay",
+    "stream_accumulate_supplier_replay",
+    "stream_versioned_diff_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
