@@ -145,7 +145,10 @@ HEADLINE = [
     "stream_scd2_user_state_replay",
     "stream_accumulate_supplier_replay",
     "stream_versioned_diff_replay",
+    "stream_upsert_bucketed_orders_replay",
     "window_trailing7_distinct_users_exact",
+    "text_vocab_coverage_top30",
+    "profile_join_key_skew_lineitem",
 ]
 
 

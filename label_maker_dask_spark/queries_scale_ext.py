@@ -1020,6 +1020,56 @@ def agg_cms_daily_merged_user_counts(spark, sf_dir):
     )
 
 
+@register(
+    "profile_join_key_skew_lineitem",
+    """
+    WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS nkeys FROM c),
+    top AS (SELECT l_suppkey, n FROM c ORDER BY n DESC, l_suppkey ASC
+            LIMIT 20),
+    r AS (SELECT l_suppkey, n,
+                 row_number() OVER (ORDER BY n DESC, l_suppkey ASC) AS rank
+          FROM top)
+    SELECT rank, l_suppkey, CAST(n AS BIGINT) AS n_rows,
+           round(n * 1.0 / tot, 6) AS share,
+           nkeys AS n_distinct_keys
+    FROM r, t
+    """,
+)
+def profile_join_key_skew_lineitem(spark, sf_dir):
+    """Join-key skew profiler: the 20 heaviest values of a prospective
+    join/shuffle key with each one's row share and the key's distinct
+    count — the diagnostic you run BEFORE picking a join strategy (a
+    top key holding >1% of a 100 TB fact is the signal to reach for
+    ``operators/skew.py``'s salted join or AQE skew handling).  Scale
+    shape: one map-side-collapsing count per key, a 2-field broadcast
+    total, and orderBy+limit for the top-20 (TakeOrderedAndProject —
+    never a full sort); the rank window runs on the already-limited
+    20-row frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("nkeys"),
+    )
+    top = counts.orderBy(
+        F.col("n").desc(), F.col("l_suppkey").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("l_suppkey").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "l_suppkey",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+            F.col("nkeys").alias("n_distinct_keys"),
+        )
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -124,28 +124,25 @@ WHERE o_orderkey % 13 != 0
 """
 
 
-@register("stream_upsert_orders_replay", _UPSERT_REPLAY_ORACLE)
-def stream_upsert_orders_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three CDC micro-batches through the REAL ``stream_upsert_to_parquet``
-    sink — snapshot, then price updates, then deletes + more updates —
-    returning the final maintained table.  The oracle states the end
-    state directly (base prices + the update increments, minus deleted
-    keys), so a wrong merge, a dropped delete, a batch applied out of
-    order, or seq-compaction picking the wrong row all hash-mismatch.
+#: readStream schema of the orders CDC change log built below
+_ORDERS_CDC_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "totalprice_cents long, seq long, is_del boolean"
+)
 
-    Batches (all key splits are modulo arithmetic — deterministic and
-    engine-independent):
+
+def _orders_cdc_batches(spark: SparkSession, sf_dir: str) -> list:
+    """The deterministic 3-batch orders CDC log shared by the plain and
+    bucketed upsert replay twins (same change log -> same oracle):
 
     - batch 0 (seq 1): full snapshot of orders with integer-cents price
-    - batch 1 (seq 2): keys % 7 == 0 → price + 1000 cents
-    - batch 2 (seq 3): keys % 13 == 0 → delete; keys % 11 == 0 (and not
-      deleted) → price + 500 cents — disjoint key sets, so the batch is
+    - batch 1 (seq 2): keys % 7 == 0 -> price + 1000 cents
+    - batch 2 (seq 3): keys % 13 == 0 -> delete; keys % 11 == 0 (and not
+      deleted) -> price + 500 cents — disjoint key sets, so the batch is
       conflict-free and compaction order cannot matter within it.
-    """
-    from label_maker_dask_spark.streaming.upsert import (
-        stream_upsert_to_parquet,
-    )
 
+    All key splits are modulo arithmetic — deterministic and
+    engine-independent."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -179,20 +176,62 @@ def stream_upsert_orders_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         )
     )
-    schema = (
-        "o_orderkey long, o_custkey long, o_orderstatus string, "
-        "totalprice_cents long, seq long, is_del boolean"
+    return [b0, b1, b2]
+
+
+@register("stream_upsert_orders_replay", _UPSERT_REPLAY_ORACLE)
+def stream_upsert_orders_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three CDC micro-batches through the REAL ``stream_upsert_to_parquet``
+    sink — snapshot, then price updates, then deletes + more updates
+    (:func:`_orders_cdc_batches`) — returning the final maintained
+    table.  The oracle states the end state directly (base prices + the
+    update increments, minus deleted keys), so a wrong merge, a dropped
+    delete, a batch applied out of order, or seq-compaction picking the
+    wrong row all hash-mismatch."""
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_upsert_to_parquet,
     )
+
     base = _drive_replay(
         spark,
-        [b0, b1, b2],
-        schema,
+        _orders_cdc_batches(spark, sf_dir),
+        _ORDERS_CDC_SCHEMA,
         lambda s, b, c: stream_upsert_to_parquet(
             s, b, c, keys=["o_orderkey"], seq_col="seq", delete_col="is_del"
         ),
         "stream_upsert_orders_replay",
     )
     return spark.read.parquet(base)
+
+
+@register("stream_upsert_bucketed_orders_replay", _UPSERT_REPLAY_ORACLE)
+def stream_upsert_bucketed_orders_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME orders CDC log through the BUCKET-PRUNED upsert sink
+    (``streaming/bucketed.py``: the base table is hash-bucketed on the
+    merge key and each batch re-merges only delta-touched bucket
+    directories).  The oracle is byte-identical to the plain twin's —
+    bucketing is a physical layout choice that must not change a single
+    value — so a wrong bucket route, a missed bucket swap, or a
+    per-bucket marker fault all hash-mismatch, and the hash-gate pins
+    plain/bucketed equivalence under the driver, not just in pytest."""
+    from label_maker_dask_spark.streaming.bucketed import (
+        read_maintained_table,
+        stream_upsert_to_parquet_bucketed,
+    )
+
+    base = _drive_replay(
+        spark,
+        _orders_cdc_batches(spark, sf_dir),
+        _ORDERS_CDC_SCHEMA,
+        lambda s, b, c: stream_upsert_to_parquet_bucketed(
+            s, b, c, keys=["o_orderkey"], seq_col="seq", n_buckets=8,
+            delete_col="is_del",
+        ),
+        "stream_upsert_bucketed_orders_replay",
+    )
+    return read_maintained_table(spark, base)
 
 
 _SCD2_REPLAY_ORACLE = """

@@ -362,6 +362,62 @@ def text_feature_hashing_vectors(spark, sf_dir):
     )
 
 
+@register(
+    "text_vocab_coverage_top30",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS term FROM t),
+    c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT sum(n) AS tt FROM c),
+    top AS (SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 30),
+    r AS (SELECT term, n,
+                 row_number() OVER (ORDER BY n DESC, term ASC) AS rank,
+                 sum(n) OVER (ORDER BY n DESC, term ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM top)
+    SELECT rank, term, CAST(n AS BIGINT) AS n_tokens,
+           round(n * 1.0 / tt, 6) AS share,
+           round(cum * 1.0 / tt, 6) AS cumulative_coverage
+    FROM r, tot
+    """,
+)
+def text_vocab_coverage_top30(spark, sf_dir):
+    """Vocabulary coverage curve: the corpus's top-30 tokens with each
+    one's frequency share and the CUMULATIVE share — the first question
+    of tokenizer-vocabulary design (how much of the token stream do the
+    top-k types cover?).  Scale shape: token counts collapse map-side;
+    the top-30 goes through orderBy+limit (TakeOrderedAndProject —
+    per-partition top-k, a 30-row driver merge, never a full vocabulary
+    sort); rank and the running coverage sum are windows over the
+    ALREADY-LIMITED 30-row frame (bounded, single tiny partition by
+    construction — the unpartitioned-window hazard only applies to
+    unbounded inputs); the corpus token total joins as a 1-row
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tt"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(30)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            F.col("n").alias("n_tokens"),
+            F.round(F.col("n") / F.col("tt"), 6).alias("share"),
+            F.round(F.col("cum") / F.col("tt"), 6).alias(
+                "cumulative_coverage"
+            ),
+        )
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -168,6 +168,7 @@ ROTATION_BACKLOG = [
     "multimodal_video_frame_sample",
     "pack_sequences_512",
     "pii_regex_scan",
+    "profile_join_key_skew_lineitem",
     "q11_part_value_concentration",
     "q12_late_shipment_priority",
     "q14_promo_revenue",
@@ -190,8 +191,10 @@ ROTATION_BACKLOG = [
     "stateful_running_user_stats",
     "stream_accumulate_supplier_replay",
     "stream_versioned_diff_replay",
+    "stream_upsert_bucketed_orders_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
+    "text_vocab_coverage_top30",
     "text_repetition_bigrams",
     "text_unigram_logprob",
     "timeseries_ema30_daily_revenue",

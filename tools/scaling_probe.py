@@ -92,6 +92,9 @@ PROBES = [
     "stream_scd2_user_state_replay",
     "stream_accumulate_supplier_replay",
     "stream_versioned_diff_replay",
+    "stream_upsert_bucketed_orders_replay",
+    "text_vocab_coverage_top30",
+    "profile_join_key_skew_lineitem",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
