@@ -418,6 +418,58 @@ def stream_versioned_diff_replay(
     )
 
 
+def _neardup_replay_oracle() -> str:
+    # the SAME oracle as the batch operator entry: the incremental
+    # index's union-of-outputs must equal one batch run over the corpus
+    from label_maker_dask_spark.queries import _minhash_oracle
+
+    return _minhash_oracle(k=16, bands=4, threshold=0.12)
+
+
+@register("stream_neardup_index_replay", _neardup_replay_oracle())
+def stream_neardup_index_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three document micro-batches through the REAL incremental
+    MinHash-LSH index (``streaming/neardup.py``: append-only band +
+    profile tables, per-batch verified pairs vs everything ingested,
+    batch-partition-overwrite exactly-once), returning the UNION of all
+    emitted pairs.  The oracle is byte-identical to the batch operator
+    entry ``dedup_minhash_lsh_pairs`` — the union-of-outputs == batch
+    theorem (each unordered pair is found exactly once, when its second
+    member arrives) as a driver-side value-hash gate: a duplicated
+    replay emission, a batch paired against its own stored rows, or a
+    missed cross-batch candidate all hash-mismatch.  The split is
+    ``doc_id % 3``; the theorem is split-invariant."""
+    from label_maker_dask_spark.streaming.neardup import stream_neardup_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [
+        docs.where(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+
+    work = _replay_workdir("stream_neardup_index_replay")
+    changes_dir = os.path.join(work, "changes")
+    index = os.path.join(work, "index")
+    pairs = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(changes_dir, exist_ok=True)
+    _write_ordered_batches(batches, changes_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = stream_neardup_index(
+        stream, index, pairs, ckpt, n=3, k=16, bands=4, threshold=0.12
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_neardup_index_replay: drain timed out")
+    return spark.read.parquet(pairs).select("id_a", "id_b", "jaccard")
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

@@ -192,6 +192,7 @@ ROTATION_BACKLOG = [
     "stream_accumulate_supplier_replay",
     "stream_versioned_diff_replay",
     "stream_upsert_bucketed_orders_replay",
+    "stream_neardup_index_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_vocab_coverage_top30",

@@ -93,6 +93,7 @@ PROBES = [
     "stream_accumulate_supplier_replay",
     "stream_versioned_diff_replay",
     "stream_upsert_bucketed_orders_replay",
+    "stream_neardup_index_replay",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",
 ]
