@@ -147,6 +147,7 @@ HEADLINE = [
     "stream_versioned_diff_replay",
     "stream_upsert_bucketed_orders_replay",
     "stream_neardup_index_replay",
+    "stream_scd2_bucketed_user_state_replay",
     "window_trailing7_distinct_users_exact",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",

@@ -243,26 +243,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-@register("stream_scd2_user_state_replay", _SCD2_REPLAY_ORACLE)
-def stream_scd2_user_state_replay(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Three time-ordered micro-batches through the REAL
-    ``stream_scd2_to_parquet`` sink, returning the final history table.
-    The oracle is the SAME full-log historization SQL as the batch
-    entry ``scd2_user_state_history`` — the equals-batch theorem
-    (incremental ``scd2_apply`` over a time-split change log equals one
-    ``historize_changes`` over the union) stated as a value-hash gate:
-    a mis-closed interval at a batch boundary, a lost current flag, or
-    a tie-break drift all hash-mismatch.
+_SCD2_CHANGE_SCHEMA = "user_id long, event_id long, state string, ts timestamp"
 
-    The split is by event DAY terciles (contiguous day ranges), which
-    guarantees every batch is strictly later than the previous one —
-    the precondition ``scd2_apply`` enforces.  The tercile boundaries
-    come from one tiny distinct-days aggregate (bounded by calendar
-    size, never event volume)."""
-    from label_maker_dask_spark.operators.scd import stream_scd2_to_parquet
 
+def _events_day_tercile_batches(spark, sf_dir):
+    """The events change log split by event DAY terciles (contiguous day
+    ranges), which guarantees every batch is strictly later than the
+    previous one — the precondition ``scd2_apply`` enforces.  The
+    tercile boundaries come from one tiny distinct-days aggregate
+    (bounded by calendar size, never event volume)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.col("event_type").alias("state"), "ts"
     )
@@ -275,16 +264,32 @@ def stream_scd2_user_state_replay(
     n = len(days)
     cut1, cut2 = days[max(0, n // 3)], days[max(0, 2 * n // 3)]
     day = F.date_trunc("day", "ts")
-    batches = [
+    return [
         ev.where(day < F.lit(cut1)),
         ev.where((day >= F.lit(cut1)) & (day < F.lit(cut2))),
         ev.where(day >= F.lit(cut2)),
     ]
 
+
+@register("stream_scd2_user_state_replay", _SCD2_REPLAY_ORACLE)
+def stream_scd2_user_state_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three time-ordered micro-batches through the REAL
+    ``stream_scd2_to_parquet`` sink, returning the final history table.
+    The oracle is the SAME full-log historization SQL as the batch
+    entry ``scd2_user_state_history`` — the equals-batch theorem
+    (incremental ``scd2_apply`` over a time-split change log equals one
+    ``historize_changes`` over the union) stated as a value-hash gate:
+    a mis-closed interval at a batch boundary, a lost current flag, or
+    a tie-break drift all hash-mismatch.  Batch split:
+    :func:`_events_day_tercile_batches`."""
+    from label_maker_dask_spark.operators.scd import stream_scd2_to_parquet
+
     base = _drive_replay(
         spark,
-        batches,
-        "user_id long, event_id long, state string, ts timestamp",
+        _events_day_tercile_batches(spark, sf_dir),
+        _SCD2_CHANGE_SCHEMA,
         lambda s, b, c: stream_scd2_to_parquet(
             s, b, c, keys=["user_id"], ts_col="ts", tie_break="event_id"
         ),
@@ -468,6 +473,44 @@ def stream_neardup_index_replay(
         q.stop()
         raise RuntimeError("stream_neardup_index_replay: drain timed out")
     return spark.read.parquet(pairs).select("id_a", "id_b", "jaccard")
+
+
+@register("stream_scd2_bucketed_user_state_replay", _SCD2_REPLAY_ORACLE)
+def stream_scd2_bucketed_user_state_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME day-tercile change log as ``stream_scd2_user_state_replay``
+    through the BUCKET-PRUNED SCD-2 sink
+    (``operators/scd.py stream_scd2_to_parquet_bucketed``: history
+    hash-bucketed on the key, each batch re-historizes only the buckets
+    its keys touch — valid because every version of a key shares its
+    key-hash bucket, so interval closing is bucket-local).  The oracle
+    is byte-identical to the plain twin's: bucketing is a physical
+    layout choice that must not change a single history row, so a wrong
+    bucket route, a mis-closed interval inside one bucket's slice, or a
+    per-bucket marker fault all hash-mismatch.  This puts the last
+    maintenance sink with pytest-only evidence under the driver's
+    cross-engine gate."""
+    from label_maker_dask_spark.operators.scd import (
+        stream_scd2_to_parquet_bucketed,
+    )
+    from label_maker_dask_spark.streaming.bucketed import (
+        read_maintained_table,
+    )
+
+    base = _drive_replay(
+        spark,
+        _events_day_tercile_batches(spark, sf_dir),
+        _SCD2_CHANGE_SCHEMA,
+        lambda s, b, c: stream_scd2_to_parquet_bucketed(
+            s, b, c, keys=["user_id"], ts_col="ts", tie_break="event_id",
+            n_buckets=8,
+        ),
+        "stream_scd2_bucketed_user_state_replay",
+    )
+    return read_maintained_table(spark, base).select(
+        "user_id", "event_id", "state", "valid_from", "valid_to", "is_current"
+    )
 
 
 from label_maker_dask_spark.queries import (  # noqa: E402

@@ -193,6 +193,7 @@ ROTATION_BACKLOG = [
     "stream_versioned_diff_replay",
     "stream_upsert_bucketed_orders_replay",
     "stream_neardup_index_replay",
+    "stream_scd2_bucketed_user_state_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_vocab_coverage_top30",

@@ -85,9 +85,11 @@ def main() -> int:
         )
 
     failures = []
+    ran = 0
     for name, fn in Q.QUERIES.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -122,7 +124,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"OK   {name}: {len(sdf)} rows")
-    print(f"\n{len(Q.QUERIES) - len(failures)}/{len(Q.QUERIES)} passing")
+    print(f"\n{ran - len(failures)}/{ran} passing ({len(Q.QUERIES)} in catalog)")
     return 1 if failures else 0
 
 

@@ -94,6 +94,7 @@ PROBES = [
     "stream_versioned_diff_replay",
     "stream_upsert_bucketed_orders_replay",
     "stream_neardup_index_replay",
+    "stream_scd2_bucketed_user_state_replay",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",
 ]
