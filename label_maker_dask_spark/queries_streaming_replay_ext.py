@@ -45,7 +45,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from label_maker_dask_spark.queries import _t, register
+from label_maker_dask_spark.queries import _minhash_oracle, _t, register
 
 #: seconds between the forced file mtimes of consecutive change batches:
 #: the file streaming source orders its initial listing by modification
@@ -423,15 +423,9 @@ def stream_versioned_diff_replay(
     )
 
 
-def _neardup_replay_oracle() -> str:
-    # the SAME oracle as the batch operator entry: the incremental
-    # index's union-of-outputs must equal one batch run over the corpus
-    from label_maker_dask_spark.queries import _minhash_oracle
-
-    return _minhash_oracle(k=16, bands=4, threshold=0.12)
-
-
-@register("stream_neardup_index_replay", _neardup_replay_oracle())
+# the SAME oracle as the batch operator entry ``dedup_minhash_lsh_pairs``:
+# the incremental index's union-of-outputs must equal one batch run
+@register("stream_neardup_index_replay", _minhash_oracle(k=16, bands=4, threshold=0.12))
 def stream_neardup_index_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -453,26 +447,24 @@ def stream_neardup_index_replay(
         docs.where(F.col("doc_id") % 3 == i) for i in range(3)
     ]
 
-    work = _replay_workdir("stream_neardup_index_replay")
-    changes_dir = os.path.join(work, "changes")
-    index = os.path.join(work, "index")
-    pairs = os.path.join(work, "pairs")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(changes_dir, exist_ok=True)
-    _write_ordered_batches(batches, changes_dir)
-
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(changes_dir)
+    # this sink maintains TWO outputs (index + pairs); both live under
+    # the harness's base dir and the twin returns the pairs table
+    base = _drive_replay(
+        spark,
+        batches,
+        "doc_id long, text string",
+        lambda s, b, c: stream_neardup_index(
+            s,
+            os.path.join(b, "index"),
+            os.path.join(b, "pairs"),
+            c,
+            n=3, k=16, bands=4, threshold=0.12,
+        ),
+        "stream_neardup_index_replay",
     )
-    q = stream_neardup_index(
-        stream, index, pairs, ckpt, n=3, k=16, bands=4, threshold=0.12
+    return spark.read.parquet(os.path.join(base, "pairs")).select(
+        "id_a", "id_b", "jaccard"
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_neardup_index_replay: drain timed out")
-    return spark.read.parquet(pairs).select("id_a", "id_b", "jaccard")
 
 
 @register("stream_scd2_bucketed_user_state_replay", _SCD2_REPLAY_ORACLE)

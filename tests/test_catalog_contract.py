@@ -190,15 +190,15 @@ ROTATION_BACKLOG = [
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
     "stream_accumulate_supplier_replay",
-    "stream_versioned_diff_replay",
-    "stream_upsert_bucketed_orders_replay",
     "stream_neardup_index_replay",
     "stream_scd2_bucketed_user_state_replay",
+    "stream_upsert_bucketed_orders_replay",
+    "stream_versioned_diff_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
-    "text_vocab_coverage_top30",
     "text_repetition_bigrams",
     "text_unigram_logprob",
+    "text_vocab_coverage_top30",
     "timeseries_ema30_daily_revenue",
     "timeseries_gapfill_daily_revenue",
     "timeseries_multigrain_revenue",

@@ -139,23 +139,52 @@ def test_streaming_drain_matches_batch(spark, tmp_path):
     assert os.path.isdir(os.path.join(index, "profiles"))
 
 
-def test_marker_written_before_first_data_write(spark, tmp_path):
+def test_marker_written_before_first_data_write(spark, tmp_path, monkeypatch):
     """The run marker must claim the index BEFORE any data lands: a
     crash during the very first batch then still leaves the marker, so
     a later run under a different run id hits the foreign-run guard
-    instead of silently overwriting batch partitions."""
+    instead of silently overwriting batch partitions.
+
+    The crash is INJECTED mid-batch (profile construction raises, i.e.
+    after the claim, before any data write) — without the injection
+    this test is vacuous, because a batch that completes writes the
+    same marker at its end anyway."""
     import json
+
+    import label_maker_dask_spark.streaming.neardup as nd
 
     docs = _docs(spark)
     index = str(tmp_path / "index")
     pairs = str(tmp_path / "pairs")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected first-batch crash")
+
+    monkeypatch.setattr(nd, "minhash_doc_profiles", boom)
+    with pytest.raises(RuntimeError, match="injected first-batch crash"):
+        apply_neardup_batch(
+            docs.where(F.col("doc_id") < 100), 0, index, pairs, "run-a",
+            threshold=THRESH,
+        )
+    # the claim survived the crash: batch=-1 = "claimed, nothing durable"
+    marker = os.path.join(index, "_lmds_neardup_batch")
+    assert os.path.exists(marker)
+    state = json.loads(open(marker).read())
+    assert state["run"] == "run-a"
+    assert state["batch"] == -1
+    # ...so a different run id is refused instead of overwriting
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="stream run"):
+        apply_neardup_batch(
+            docs.where(F.col("doc_id") < 100), 0, index, pairs, "run-b",
+            threshold=THRESH,
+        )
+    # and the ORIGINAL run can resume batch 0 normally after the crash
     apply_neardup_batch(
         docs.where(F.col("doc_id") < 100), 0, index, pairs, "run-a",
         threshold=THRESH,
     )
-    marker = os.path.join(index, "_lmds_neardup_batch")
-    assert os.path.exists(marker)
-    assert json.loads(open(marker).read())["run"] == "run-a"
+    assert json.loads(open(marker).read())["batch"] == 0
 
 
 def test_bands_without_marker_is_refused(spark, tmp_path):

@@ -84,6 +84,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    unknown = only - set(Q.QUERIES)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+
     failures = []
     ran = 0
     for name, fn in Q.QUERIES.items():
