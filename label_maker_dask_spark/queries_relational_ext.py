@@ -52,22 +52,7 @@ from label_maker_dask_spark.operators.skew import salted_join
 from label_maker_dask_spark.operators.timeseries import resample_ohlc
 from label_maker_dask_spark.queries import _t, register
 
-_OHLC_ORACLE = """
-WITH b AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
-         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts, event_id) AS rn_a,
-         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn_d
-  FROM events)
-SELECT event_type, bucket,
-       max(CASE WHEN rn_a = 1 THEN value END) AS open,
-       max(value) AS high,
-       min(value) AS low,
-       max(CASE WHEN rn_d = 1 THEN value END) AS close,
-       count(*) AS n
-FROM b GROUP BY event_type, bucket
-"""
+from label_maker_dask_spark.queries_shared import OHLC_ORACLE as _OHLC_ORACLE
 
 
 @register("timeseries_ohlc_hourly_by_type", _OHLC_ORACLE)

@@ -59,3 +59,27 @@ def components_oracle() -> str:
     SELECT c.id AS doc_id, c.component, s.component_size
     FROM comps c JOIN csizes s USING (component)
     """
+
+
+#: hourly OHLC rollup over the event stream — shared by the batch entry
+#: (queries_relational_ext ``timeseries_ohlc_hourly_by_type``) and its
+#: streaming replay twin (queries_streaming_replay_ext): the open/close
+#: argmins are replayed with two row_number windows, while both Spark
+#: paths ride min/max-of-struct argmin aggregates (one hash aggregate,
+#: map-side partials — the shape that survives 100 TB)
+OHLC_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n
+FROM b GROUP BY event_type, bucket
+"""

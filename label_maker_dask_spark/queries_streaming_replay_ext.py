@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.queries import _minhash_oracle, _t, register
+from label_maker_dask_spark.queries_shared import OHLC_ORACLE
 
 #: seconds between the forced file mtimes of consecutive change batches:
 #: the file streaming source orders its initial listing by modification
@@ -246,15 +247,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 _SCD2_CHANGE_SCHEMA = "user_id long, event_id long, state string, ts timestamp"
 
 
-def _events_day_tercile_batches(spark, sf_dir):
-    """The events change log split by event DAY terciles (contiguous day
-    ranges), which guarantees every batch is strictly later than the
-    previous one — the precondition ``scd2_apply`` enforces.  The
-    tercile boundaries come from one tiny distinct-days aggregate
-    (bounded by calendar size, never event volume)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("event_type").alias("state"), "ts"
-    )
+def _day_terciles(ev):
+    """Split a ``ts``-carrying frame into three contiguous day-range
+    batches (each strictly later than the previous — the time-ordered
+    change-log shape).  The tercile boundaries come from one tiny
+    distinct-days aggregate (bounded by calendar size, never event
+    volume)."""
     days = sorted(
         r["d"]
         for r in ev.select(F.date_trunc("day", "ts").alias("d"))
@@ -269,6 +267,16 @@ def _events_day_tercile_batches(spark, sf_dir):
         ev.where((day >= F.lit(cut1)) & (day < F.lit(cut2))),
         ev.where(day >= F.lit(cut2)),
     ]
+
+
+def _events_day_tercile_batches(spark, sf_dir):
+    """Day-tercile change log for the SCD-2 twins — time-ordered, which
+    is the precondition ``scd2_apply`` enforces."""
+    return _day_terciles(
+        _t(spark, sf_dir, "events").select(
+            "user_id", "event_id", F.col("event_type").alias("state"), "ts"
+        )
+    )
 
 
 @register("stream_scd2_user_state_replay", _SCD2_REPLAY_ORACLE)
@@ -464,6 +472,157 @@ def stream_neardup_index_replay(
     )
     return spark.read.parquet(os.path.join(base, "pairs")).select(
         "id_a", "id_b", "jaccard"
+    )
+
+
+def _drive_stream_to_memory(spark, batches, schema: str, build, name: str):
+    """Drive-the-aggregation harness for STATEFUL STREAMING AGGREGATIONS
+    (as opposed to ``_drive_replay``'s foreachBatch maintenance sinks):
+    write ordered batch files, open them as a one-file-per-micro-batch
+    stream, run ``build(stream)``'s aggregation to a complete-mode
+    memory sink under ``Trigger.AvailableNow``, and return the final
+    table.  Complete mode surfaces the aggregation's FINAL incremental
+    state for the gate — the state rows are exactly what a real
+    update-mode run carries in the state store, and the output is
+    aggregate-bounded (windows x keys), never input-sized."""
+    work = _replay_workdir(name)
+    changes_dir = os.path.join(work, "changes")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(changes_dir, exist_ok=True)
+    _write_ordered_batches(batches, changes_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{name}: drain timed out")
+    return spark.table(name)
+
+
+_EVENTS_REPLAY_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts timestamp, value double"
+)
+
+
+def _events_raw_day_terciles(spark, sf_dir):
+    return _day_terciles(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+    )
+
+
+@register("stream_ohlc_hourly_replay", OHLC_ORACLE)
+def stream_ohlc_hourly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three day-tercile event micro-batches through the REAL streaming
+    tumbling-window OHLC aggregation (``streaming/windows.py
+    tumbling_agg`` + ``operators/timeseries.py ohlc_aggs``: the
+    open/close struct-argmin state merges incrementally in the state
+    store across micro-batches), returning the final candles.  The
+    oracle is byte-identical to the batch entry
+    ``timeseries_ohlc_hourly_by_type`` — streaming-equals-batch as a
+    driver-side value-hash gate: a struct-argmin state that merges
+    wrongly across a batch boundary, a late-drop from watermark
+    misarithmetic (the in-order terciles must drop nothing), or a
+    window mis-assignment all hash-mismatch.  Raw doubles pass through
+    unrounded, so the engines agree bit-for-bit."""
+    from label_maker_dask_spark.operators.timeseries import ohlc_aggs
+    from label_maker_dask_spark.streaming.windows import tumbling_agg
+
+    out = _drive_stream_to_memory(
+        spark,
+        _events_raw_day_terciles(spark, sf_dir),
+        _EVENTS_REPLAY_SCHEMA,
+        lambda s: tumbling_agg(
+            s, "ts", "1 hour", ["event_type"],
+            ohlc_aggs("ts", "value", tie_break="event_id"),
+            watermark="30 minutes",
+        ),
+        "stream_ohlc_hourly_replay",
+    )
+    return out.select(
+        "event_type",
+        F.col("window_start").alias("bucket"),
+        "open", "high", "low", "close", "n",
+    )
+
+
+_SESSION_REPLAY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS session_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session_30m_replay", _SESSION_REPLAY_ORACLE)
+def stream_session_30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three day-tercile event micro-batches through the REAL native
+    ``session_window`` streaming aggregation (``streaming/windows.py
+    session_agg``, 30-minute gap per user): the state store must MERGE
+    sessions across micro-batch boundaries — a session spanning a
+    tercile cut arrives split over two batches and only the stateful
+    merge can reunite it.  The oracle is the batch gaps-and-islands
+    sessionization (same CTE as ``events_sessionize_30m``, keyed
+    implicitly by the session interval instead of the per-user ordinal),
+    so streaming-equals-batch lands under the driver's value-hash gate:
+    a session the merge failed to reunite doubles its rows and
+    hash-mismatches.  ``session_start`` is the window start (= first
+    event ts, exactly); ``session_end`` is max event ts (aggregated —
+    the native window end is last-ts + gap, a different convention than
+    the batch twin pins)."""
+    from label_maker_dask_spark.streaming.windows import session_agg
+
+    out = _drive_stream_to_memory(
+        spark,
+        _events_raw_day_terciles(spark, sf_dir),
+        _EVENTS_REPLAY_SCHEMA,
+        lambda s: session_agg(
+            s, "ts", "30 minutes", ["user_id"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("ts").alias("last_ts"),
+                F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+                .cast("double")
+                .alias("session_value"),
+            ],
+            watermark="1 hour",
+        ),
+        "stream_session_30m_replay",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start"),
+        F.col("last_ts").alias("session_end"),
+        "n_events",
+        "session_value",
     )
 
 

@@ -191,7 +191,9 @@ ROTATION_BACKLOG = [
     "stateful_running_user_stats",
     "stream_accumulate_supplier_replay",
     "stream_neardup_index_replay",
+    "stream_ohlc_hourly_replay",
     "stream_scd2_bucketed_user_state_replay",
+    "stream_session_30m_replay",
     "stream_upsert_bucketed_orders_replay",
     "stream_versioned_diff_replay",
     "text_bigram_top20",
