@@ -150,6 +150,7 @@ HEADLINE = [
     "stream_scd2_bucketed_user_state_replay",
     "stream_ohlc_hourly_replay",
     "stream_session_30m_replay",
+    "stream_interval_join_replay",
     "window_trailing7_distinct_users_exact",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",

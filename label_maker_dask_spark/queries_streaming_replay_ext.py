@@ -475,16 +475,19 @@ def stream_neardup_index_replay(
     )
 
 
-def _drive_stream_to_memory(spark, batches, schema: str, build, name: str):
-    """Drive-the-aggregation harness for STATEFUL STREAMING AGGREGATIONS
+def _drive_stream_to_memory(
+    spark, batches, schema: str, build, name: str, output_mode: str = "complete"
+):
+    """Drive-the-aggregation harness for STATEFUL STREAMING OPERATORS
     (as opposed to ``_drive_replay``'s foreachBatch maintenance sinks):
     write ordered batch files, open them as a one-file-per-micro-batch
-    stream, run ``build(stream)``'s aggregation to a complete-mode
-    memory sink under ``Trigger.AvailableNow``, and return the final
-    table.  Complete mode surfaces the aggregation's FINAL incremental
-    state for the gate — the state rows are exactly what a real
-    update-mode run carries in the state store, and the output is
-    aggregate-bounded (windows x keys), never input-sized."""
+    stream, run ``build(stream)`` to a memory sink under
+    ``Trigger.AvailableNow``, and return the final table.  Complete
+    mode (aggregations) surfaces the FINAL incremental state for the
+    gate — the state rows are exactly what a real update-mode run
+    carries in the state store, and the output is aggregate-bounded
+    (windows x keys), never input-sized.  Append mode (stream-stream
+    joins) accumulates the emitted rows across batches instead."""
     work = _replay_workdir(name)
     changes_dir = os.path.join(work, "changes")
     ckpt = os.path.join(work, "ckpt")
@@ -499,7 +502,7 @@ def _drive_stream_to_memory(spark, batches, schema: str, build, name: str):
         build(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -623,6 +626,58 @@ def stream_session_30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_ts").alias("session_end"),
         "n_events",
         "session_value",
+    )
+
+
+_INTERVAL_JOIN_REPLAY_ORACLE = """
+SELECT l.user_id, l.ts, l.event_id,
+       r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '6 hours'
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+"""
+
+
+@register("stream_interval_join_replay", _INTERVAL_JOIN_REPLAY_ORACLE)
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three day-tercile event micro-batches through the REAL
+    stream-stream interval join (``streaming/windows.py interval_join``:
+    clicks pair with the same user's purchases within [ts, ts+6h],
+    both sides watermarked at 1 hour so buffered state expires as the
+    other side's watermark passes its bound).  Both sides derive from
+    ONE file stream by filter, so each micro-batch delivers both sides'
+    tercile together and every cross-boundary match (a click near a
+    tercile cut pairing with a purchase at the start of the next batch)
+    exercises the retained join state.  Append mode accumulates the
+    emitted matches; the oracle is the plain batch interval join — an
+    evicted-too-early buffer (lost cross-batch match) or a duplicate
+    emission on replay both hash-mismatch.  The day terciles arrive in
+    time order, so no row is watermark-late and the emitted set is the
+    FULL join (the left-outer null-horizon subtlety does not arise in
+    the inner form)."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="6 hours",
+            left_watermark="1 hour", right_watermark="1 hour",
+        )
+
+    return _drive_stream_to_memory(
+        spark,
+        _events_raw_day_terciles(spark, sf_dir),
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_interval_join_replay",
+        output_mode="append",
     )
 
 

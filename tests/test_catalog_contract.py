@@ -190,6 +190,7 @@ ROTATION_BACKLOG = [
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
     "stream_accumulate_supplier_replay",
+    "stream_interval_join_replay",
     "stream_neardup_index_replay",
     "stream_ohlc_hourly_replay",
     "stream_scd2_bucketed_user_state_replay",

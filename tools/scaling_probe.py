@@ -97,6 +97,7 @@ PROBES = [
     "stream_scd2_bucketed_user_state_replay",
     "stream_ohlc_hourly_replay",
     "stream_session_30m_replay",
+    "stream_interval_join_replay",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",
 ]
