@@ -151,6 +151,9 @@ HEADLINE = [
     "stream_ohlc_hourly_replay",
     "stream_session_30m_replay",
     "stream_interval_join_replay",
+    "stream_dedup_replay",
+    "anomaly_cusum_daily_events",
+    "text_bm25_top_docs",
     "window_trailing7_distinct_users_exact",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",

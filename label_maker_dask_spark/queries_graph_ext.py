@@ -505,6 +505,150 @@ def mad_over_daily(daily):
     )
 
 
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(sum(value) * 1000, 0) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE) AS ss
+  FROM daily GROUP BY 1),
+params AS (
+  SELECT event_type, s / CAST(n AS DOUBLE) AS mu,
+         sqrt((ss - (CAST(s AS DOUBLE) * s) / n) / (n - 1)) AS sd
+  FROM stats WHERE n >= 2),
+dev AS (
+  SELECT d.event_type, d.day, d.v,
+         CAST(round((d.v - p.mu - p.sd / 2) * 1e6, 0) AS BIGINT) AS yq,
+         CAST(round((d.v - p.mu + p.sd / 2) * 1e6, 0) AS BIGINT) AS y2q,
+         CAST(round(p.sd * 4 * 1e6, 0) AS BIGINT) AS hq
+  FROM daily d JOIN params p ON p.event_type = d.event_type),
+cum AS (
+  SELECT event_type, day, v, hq,
+         CAST(sum(yq) OVER w AS BIGINT) AS c,
+         CAST(sum(-y2q) OVER w AS BIGINT) AS dn
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+forms AS (
+  SELECT event_type, day, v, hq,
+         CAST(c - least(0, min(c) OVER w) AS BIGINT) AS sp,
+         CAST(dn - least(0, min(dn) OVER w) AS BIGINT) AS sn
+  FROM cum
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day,
+       v / 1000.0 AS daily_value,
+       sp AS cusum_pos_q,
+       sn AS cusum_neg_q,
+       CASE WHEN sp > hq OR sn > hq THEN 1 ELSE 0 END AS is_shift
+FROM forms
+"""
+
+
+@register("anomaly_cusum_daily_events", _CUSUM_ORACLE)
+def anomaly_cusum_daily_events(spark, sf_dir):
+    """CUSUM change-point detection on per-type daily volumes — the
+    classic tabular CUSUM (allowance k = sigma/2, decision interval
+    h = 4*sigma against the series' own mean): where the z-score and
+    MAD entries flag single outlier DAYS, CUSUM accumulates small
+    persistent drifts and flags LEVEL SHIFTS — the slow-degradation
+    failure (a source quietly dropping 10% of its volume) that
+    per-day scoring never trips on.  The clamped recurrence
+    ``S+_t = max(0, S+_{t-1} + (x_t - mu - k))`` is not a plain window
+    sum, but the reflected-random-walk closed form is:
+    ``S+_t = C_t - min(0, min_{j<=t} C_j)`` over the deviation cumsum
+    ``C`` — two chained window functions (cumulative sum, then prefix
+    min) on the SAME (type, day) sort, so Spark plans one shuffle and
+    one sort for all four sequences.
+
+    Cross-engine determinism: daily volumes quantize to integer
+    milli-units; mu/sd derive from exact integer sums with the
+    identical double expression tree in both engines (IEEE ops on
+    equal inputs are equal); per-day deviations quantize to integer
+    1e-9-value units BEFORE the cumulative sums, so the only
+    order-sensitive aggregation is exact integer addition and the
+    CUSUM state columns are emitted as exact integers (``*_q``,
+    nano-value units) with no terminal float rounding at all.  The
+    quantization headroom holds to daily volumes of ~9e9 (long
+    overflow in the sum-of-squares), far past this table's scale.
+
+    No counterpart in the reference (batch tile pipeline only); this
+    is Part-B engine surface: the ingest-monitoring pattern a 100 TB
+    training-data pipeline runs per source per day, on a frame whose
+    cardinality is #types x #days regardless of event volume.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value") * 1000, 0).cast("long").alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("v").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("ss"),
+    )
+    params = stats.where(F.col("n") >= 2).select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (
+                F.col("ss")
+                - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    dev = daily.join(F.broadcast(params), "event_type").select(
+        "event_type",
+        "day",
+        "v",
+        F.round((F.col("v") - F.col("mu") - F.col("sd") / 2) * 1e6, 0)
+        .cast("long")
+        .alias("yq"),
+        F.round((F.col("v") - F.col("mu") + F.col("sd") / 2) * 1e6, 0)
+        .cast("long")
+        .alias("y2q"),
+        F.round(F.col("sd") * 4 * 1e6, 0).cast("long").alias("hq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dev.select(
+        "event_type",
+        "day",
+        "v",
+        "hq",
+        F.sum("yq").over(w).alias("c"),
+        F.sum(-F.col("y2q")).over(w).alias("dn"),
+    )
+    forms = cum.select(
+        "event_type",
+        "day",
+        "v",
+        "hq",
+        (F.col("c") - F.least(F.lit(0).cast("long"), F.min("c").over(w))).alias(
+            "sp"
+        ),
+        (
+            F.col("dn") - F.least(F.lit(0).cast("long"), F.min("dn").over(w))
+        ).alias("sn"),
+    )
+    return forms.select(
+        "event_type",
+        "day",
+        (F.col("v") / F.lit(1000.0)).alias("daily_value"),
+        F.col("sp").alias("cusum_pos_q"),
+        F.col("sn").alias("cusum_neg_q"),
+        F.when((F.col("sp") > F.col("hq")) | (F.col("sn") > F.col("hq")), 1)
+        .otherwise(0)
+        .alias("is_shift"),
+    )
+
+
 _TRIANGLE_ORACLE = """
 WITH li AS (
   SELECT l.l_orderkey, l.l_partkey

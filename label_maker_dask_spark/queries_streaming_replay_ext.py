@@ -681,6 +681,53 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_REPLAY_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value FROM events
+"""
+
+
+@register("stream_dedup_replay", _DEDUP_REPLAY_ORACLE)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three day-tercile event micro-batches with INJECTED DUPLICATES
+    through the REAL stateful streaming dedup (``streaming/windows.py
+    dedup_within_watermark``: ``dropDuplicatesWithinWatermark`` keyed on
+    ``event_id``).  Each batch carries exact copies of a deterministic
+    subset of its own rows (``event_id % 7 == 0`` — same-batch dups) and
+    of the PREVIOUS tercile's rows (``event_id % 5 == 0`` — cross-batch
+    dups that only the retained key state can catch).  The 35-day delay
+    exceeds the events table's 30-day span, so no key state expires and
+    the emitted set is exactly one row per distinct ``event_id`` —
+    the oracle is simply ``SELECT ... FROM events``.  A state-store
+    entry lost at a micro-batch boundary (cross-batch dup re-emitted)
+    or an over-eager within-batch drop both hash-mismatch.  Duplicates
+    are byte-identical copies, so WHICH occurrence survives is
+    irrelevant to the hash."""
+    from label_maker_dask_spark.streaming.windows import dedup_within_watermark
+
+    t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
+
+    def dups(b, mod):
+        return b.where(F.col("event_id") % mod == 0)
+
+    batches = [
+        t1.unionAll(dups(t1, 7)),
+        t2.unionAll(dups(t2, 7)).unionAll(dups(t1, 5)),
+        t3.unionAll(dups(t3, 7)).unionAll(dups(t2, 5)),
+    ]
+
+    def build(df):
+        return dedup_within_watermark(df, ["event_id"], "ts", delay="35 days")
+
+    return _drive_stream_to_memory(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_dedup_replay",
+        output_mode="append",
+    )
+
+
 @register("stream_scd2_bucketed_user_state_replay", _SCD2_REPLAY_ORACLE)
 def stream_scd2_bucketed_user_state_replay(
     spark: SparkSession, sf_dir: str

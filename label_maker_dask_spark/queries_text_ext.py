@@ -72,6 +72,83 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "text_bm25_top_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    qtf AS (SELECT * FROM tf WHERE term IN ('join', 'filter', 'stream')),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+    scored AS (
+      SELECT qtf.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (qtf.tc * 2.2)
+               / (qtf.tc + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               * 1e6, 0) AS BIGINT) AS sq
+      FROM qtf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(sq) AS BIGINT) AS bm25_q
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_q DESC, doc_id ASC LIMIT 50
+    """,
+)
+def text_bm25_top_docs(spark, sf_dir):
+    """BM25 retrieval (k1 = 1.2, b = 0.75, the Robertson/Sparck-Jones
+    idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``): the top-50 documents for
+    the fixed query (join, filter, stream) — the ranked-search shape
+    TF-IDF's per-doc top-terms entry doesn't cover, and the standard
+    relevance scorer for corpus curation retrieval probes.
+
+    Cross-engine determinism: tf/dl/df/N are exact integers, avgdl is
+    one exact-integer division, and each (doc, term) partial score is
+    computed with an identical double expression tree then quantized to
+    integer micro-units BEFORE the per-doc sum — so the only
+    order-sensitive aggregation is exact integer addition and the score
+    column (``bm25_q``, micro-units) needs no terminal float rounding.
+
+    Scale shape: term and length counts collapse map-side; the query-
+    term filter prunes tf to #query_terms rows per matching doc before
+    any join; df and the corpus stats are broadcast (3 rows + 1 row);
+    the final top-50 is orderBy+limit → TakeOrderedAndProject
+    (per-partition top-k, 50-row driver merge — never a global sort).
+    No counterpart in the reference (batch tile pipeline only)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    ).select("n_docs", (F.col("tot") / F.col("n_docs")).alias("avgdl"))
+    qtf = tf.where(F.col("term").isin("join", "filter", "stream"))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    den = F.col("tc") + 1.2 * (
+        0.25 + (0.75 * F.col("dl")) / F.col("avgdl")
+    )
+    sq = F.round((idf * (F.col("tc") * 2.2)) / den * 1e6, 0).cast("long")
+    return (
+        qtf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", sq.alias("sq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"), F.sum("sq").alias("bm25_q")
+        )
+        .orderBy(F.col("bm25_q").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+@register(
     "text_bigram_top20",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -148,6 +148,7 @@ ROTATION_BACKLOG = [
     "analytics_chi2_event_type_by_hour",
     "analytics_event_path_trigrams",
     "analytics_event_type_cooccurrence",
+    "anomaly_cusum_daily_events",
     "attribution_last_touch",
     "curation_semdedup_cluster_profiles",
     "dedup_cluster_representatives",
@@ -190,6 +191,7 @@ ROTATION_BACKLOG = [
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
     "stream_accumulate_supplier_replay",
+    "stream_dedup_replay",
     "stream_interval_join_replay",
     "stream_neardup_index_replay",
     "stream_ohlc_hourly_replay",
@@ -198,6 +200,7 @@ ROTATION_BACKLOG = [
     "stream_upsert_bucketed_orders_replay",
     "stream_versioned_diff_replay",
     "text_bigram_top20",
+    "text_bm25_top_docs",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",
     "text_unigram_logprob",
