@@ -565,13 +565,16 @@ def anomaly_cusum_daily_events(spark, sf_dir):
     one sort for all four sequences.
 
     Cross-engine determinism: daily volumes quantize to integer
-    milli-units; mu/sd derive from exact integer sums with the
-    identical double expression tree in both engines (IEEE ops on
-    equal inputs are equal); per-day deviations quantize to integer
-    1e-9-value units BEFORE the cumulative sums, so the only
-    order-sensitive aggregation is exact integer addition and the
-    CUSUM state columns are emitted as exact integers (``*_q``,
-    nano-value units) with no terminal float rounding at all.  The
+    milli-units (the first step is still a double sum per (type, day)
+    whose accumulation order is engine-dependent — the same accepted
+    rounding convention as the z-score/MAD entries, here at a coarser
+    1e-3 grain); from there mu/sd derive from exact integer sums with
+    the identical double expression tree in both engines (IEEE ops on
+    equal inputs are equal), and per-day deviations quantize to
+    integer 1e-9-value units BEFORE the cumulative sums, so every
+    DOWNSTREAM order-sensitive aggregation is exact integer addition
+    and the CUSUM state columns are emitted as exact integers
+    (``*_q``, nano-value units) with no terminal float rounding.  The
     quantization headroom holds to daily volumes of ~9e9 (long
     overflow in the sum-of-squares), far past this table's scale.
 

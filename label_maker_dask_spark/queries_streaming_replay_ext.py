@@ -88,15 +88,13 @@ def _write_ordered_batches(batches, changes_dir: str) -> None:
             os.utime(os.path.join(changes_dir, f), (t, t))
 
 
-def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
-    """The shared drive-the-sink harness: write ordered batch files,
-    open them as a file stream delivering one file per micro-batch, run
-    ``start_sink(stream, base_path, checkpoint)`` to completion, and
-    return the maintained base/table path for the caller to read."""
+def _open_batch_stream(spark, batches, schema: str, name: str):
+    """Shared stream-setup prologue for both replay harnesses: write the
+    ordered batch files into a fresh workdir and open them as a file
+    stream delivering one file per micro-batch.  Returns
+    ``(stream, workdir)``."""
     work = _replay_workdir(name)
     changes_dir = os.path.join(work, "changes")
-    base = os.path.join(work, "base")
-    ckpt = os.path.join(work, "ckpt")
     os.makedirs(changes_dir, exist_ok=True)
     _write_ordered_batches(batches, changes_dir)
     stream = (
@@ -104,6 +102,17 @@ def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
         .option("maxFilesPerTrigger", 1)
         .parquet(changes_dir)
     )
+    return stream, work
+
+
+def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
+    """The shared drive-the-sink harness: write ordered batch files,
+    open them as a file stream delivering one file per micro-batch, run
+    ``start_sink(stream, base_path, checkpoint)`` to completion, and
+    return the maintained base/table path for the caller to read."""
+    stream, work = _open_batch_stream(spark, batches, schema, name)
+    base = os.path.join(work, "base")
+    ckpt = os.path.join(work, "ckpt")
     q = start_sink(stream, base, ckpt)
     if not q.awaitTermination(600):
         q.stop()
@@ -481,35 +490,41 @@ def _drive_stream_to_memory(
     """Drive-the-aggregation harness for STATEFUL STREAMING OPERATORS
     (as opposed to ``_drive_replay``'s foreachBatch maintenance sinks):
     write ordered batch files, open them as a one-file-per-micro-batch
-    stream, run ``build(stream)`` to a memory sink under
-    ``Trigger.AvailableNow``, and return the final table.  Complete
-    mode (aggregations) surfaces the FINAL incremental state for the
-    gate — the state rows are exactly what a real update-mode run
-    carries in the state store, and the output is aggregate-bounded
-    (windows x keys), never input-sized.  Append mode (stream-stream
-    joins) accumulates the emitted rows across batches instead."""
-    work = _replay_workdir(name)
-    changes_dir = os.path.join(work, "changes")
+    stream, run ``build(stream)`` under ``Trigger.AvailableNow``, and
+    return the final result frame.  Complete mode (aggregations) uses a
+    MEMORY sink and surfaces the FINAL incremental state for the gate —
+    the state rows are exactly what a real update-mode run carries in
+    the state store, and the output is aggregate-bounded (windows x
+    keys), never input-sized, so driver residency is safe.  Append mode
+    (stream-stream joins, stateful dedup) can emit INPUT-SIZED output,
+    so it goes to a parquet FILE sink under the session temp root and
+    is returned as a lazy file read — nothing lands in driver memory
+    (the module's bounded-driver contract)."""
+    stream, work = _open_batch_stream(spark, batches, schema, name)
     ckpt = os.path.join(work, "ckpt")
-    os.makedirs(changes_dir, exist_ok=True)
-    _write_ordered_batches(batches, changes_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(changes_dir)
-    )
+    built = build(stream)
+    if output_mode == "append":
+        out = os.path.join(work, "out")
+        writer = (
+            built.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+        )
+    else:
+        out = None
+        writer = built.writeStream.format("memory").queryName(name).outputMode(
+            output_mode
+        )
     q = (
-        build(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
+        writer.option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError(f"{name}: drain timed out")
+    if out is not None:
+        return spark.read.schema(built.schema).parquet(out)
     return spark.table(name)
 
 
@@ -536,9 +551,11 @@ def stream_ohlc_hourly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is byte-identical to the batch entry
     ``timeseries_ohlc_hourly_by_type`` — streaming-equals-batch as a
     driver-side value-hash gate: a struct-argmin state that merges
-    wrongly across a batch boundary, a late-drop from watermark
-    misarithmetic (the in-order terciles must drop nothing), or a
-    window mis-assignment all hash-mismatch.  Raw doubles pass through
+    wrongly across a batch boundary or a window mis-assignment both
+    hash-mismatch.  (The watermark is inert under complete mode — Spark
+    neither drops late rows nor evicts state there — so late-drop
+    arithmetic is NOT under this gate; the append-mode twins and the
+    pytest equals-batch suite cover it.)  Raw doubles pass through
     unrounded, so the engines agree bit-for-bit."""
     from label_maker_dask_spark.operators.timeseries import ohlc_aggs
     from label_maker_dask_spark.streaming.windows import tumbling_agg
