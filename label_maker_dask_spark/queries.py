@@ -36,6 +36,7 @@ from label_maker_dask_spark.functions.text import (
     stopword_ratio,
     tokens,
 )
+from label_maker_dask_spark import queries_shared as _shared
 from label_maker_dask_spark.labels import classification_labels
 from label_maker_dask_spark.operators import dedup as D
 from label_maker_dask_spark.operators.similarity import cosine_topk, lsh_topk
@@ -640,18 +641,7 @@ def events_tumbling(spark, sf_dir):
     return out.select("window_start", "event_type", "n_events", "total_value")
 
 
-@register(
-    "events_sliding_1h_30m",
-    """
-    SELECT ws AS window_start, count(*) AS n_events
-    FROM (
-      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
-                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
-             AS ws
-      FROM events)
-    GROUP BY ws
-    """,
-)
+@register("events_sliding_1h_30m", _shared.SLIDING_1H30_ORACLE)
 def events_sliding(spark, sf_dir):
     """Sliding 1h windows every 30m: each event lands in exactly two windows
     (oracle replays that membership arithmetic with unnest)."""

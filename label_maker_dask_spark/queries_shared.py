@@ -67,6 +67,20 @@ def components_oracle() -> str:
 #: argmins are replayed with two row_number windows, while both Spark
 #: paths ride min/max-of-struct argmin aggregates (one hash aggregate,
 #: map-side partials — the shape that survives 100 TB)
+#: sliding 1h/30m window counts — shared by the batch entry
+#: (queries.py events_sliding_1h_30m) and its streaming replay twin
+#: (queries_streaming_replay_ext.py): each event lands in exactly two
+#: windows, replayed via unnest of the two bucket starts.
+SLIDING_1H30_ORACLE = """
+SELECT ws AS window_start, count(*) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+         AS ws
+  FROM events)
+GROUP BY ws
+"""
+
 OHLC_ORACLE = """
 WITH b AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket, value,

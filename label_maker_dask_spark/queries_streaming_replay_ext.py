@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.queries import _minhash_oracle, _t, register
-from label_maker_dask_spark.queries_shared import OHLC_ORACLE
+from label_maker_dask_spark.queries_shared import OHLC_ORACLE, SLIDING_1H30_ORACLE
 
 #: seconds between the forced file mtimes of consecutive change batches:
 #: the file streaming source orders its initial listing by modification
@@ -695,6 +695,43 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         "stream_interval_join_replay",
         output_mode="append",
+    )
+
+
+@register("stream_sliding_1h30m_replay", SLIDING_1H30_ORACLE)
+def stream_sliding_1h30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three day-tercile event micro-batches through the REAL streaming
+    sliding-window aggregation (``streaming/windows.py sliding_agg``:
+    1-hour windows every 30 minutes, so every event lands in exactly
+    TWO overlapping windows and each window's count merges across the
+    state store as later batches contribute their half-open overlap).
+    Complete mode surfaces the final per-window counts; the oracle is
+    byte-identical to the batch entry ``events_sliding_1h_30m`` —
+    streaming-equals-batch under the driver's value-hash gate.  A
+    mis-assigned overlap (event counted in one window instead of two)
+    or a cross-batch merge loss at a tercile boundary hash-mismatches.
+    (As with the other complete-mode twins, the watermark is inert
+    here; late-drop semantics stay with the append-mode twins and the
+    pytest equals-batch suite.)"""
+    from label_maker_dask_spark.streaming.windows import sliding_agg
+
+    def build(df):
+        return sliding_agg(
+            df,
+            "ts",
+            "1 hour",
+            "30 minutes",
+            [],
+            [F.count(F.lit(1)).alias("n_events")],
+            watermark="30 minutes",
+        ).select("window_start", "n_events")
+
+    return _drive_stream_to_memory(
+        spark,
+        _events_raw_day_terciles(spark, sf_dir),
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_sliding_1h30m_replay",
     )
 
 

@@ -197,6 +197,7 @@ ROTATION_BACKLOG = [
     "stream_ohlc_hourly_replay",
     "stream_scd2_bucketed_user_state_replay",
     "stream_session_30m_replay",
+    "stream_sliding_1h30m_replay",
     "stream_upsert_bucketed_orders_replay",
     "stream_versioned_diff_replay",
     "text_bigram_top20",
