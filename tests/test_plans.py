@@ -367,3 +367,26 @@ def test_spatial_grid_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cusum_single_sort_two_windows(spark):
+    """The CUSUM closed form's scale claim: both chained window passes
+    (cumulative sum, then prefix min) run on ONE (type, day) sort —
+    exactly one Exchange feeds exactly one Sort below the two Window
+    operators, and the per-type stats ride a broadcast join."""
+    plan = plan_of(Q.QUERIES["anomaly_cusum_daily_events"](spark, SF))
+    assert plan.count("Window") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the windows share their sort: only one Sort operator in the plan
+    sorts = [l for l in plan.splitlines() if l.strip().startswith("(")
+             and ") Sort" in l]
+    assert len(sorts) == 1, plan
+
+
+def test_bm25_topk_not_full_sort_and_broadcast_stats(spark):
+    """BM25's top-50 must be TakeOrderedAndProject (per-partition
+    top-k), never a global Sort, with the df/corpus-stats sides
+    broadcast."""
+    plan = plan_of(Q.QUERIES["text_bm25_top_docs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
