@@ -153,6 +153,7 @@ HEADLINE = [
     "stream_interval_join_replay",
     "stream_dedup_replay",
     "stream_sliding_1h30m_replay",
+    "stream_late_data_drop_replay",
     "anomaly_cusum_daily_events",
     "text_bm25_top_docs",
     "window_trailing7_distinct_users_exact",

@@ -735,6 +735,114 @@ def stream_sliding_1h30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATE_DROP_REPLAY_ORACLE = """
+WITH days AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+  FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)),
+cuts AS (
+  SELECT max(CASE WHEN rn = n // 3 + 1 THEN d END) AS cut1,
+         max(CASE WHEN rn = (2 * n) // 3 + 1 THEN d END) AS cut2
+  FROM days),
+m2 AS (
+  SELECT max(e.ts) AS max2 FROM events e, cuts
+  WHERE date_trunc('day', e.ts) >= cuts.cut1
+    AND date_trunc('day', e.ts) < cuts.cut2),
+mall AS (SELECT max(ts) AS maxall FROM events),
+late_counted AS (
+  SELECT e.event_type, e.ts FROM events e, cuts, m2
+  WHERE date_trunc('day', e.ts) >= cuts.cut1
+    AND date_trunc('day', e.ts) < cuts.cut2
+    AND date_trunc('hour', e.ts) = date_trunc('hour', m2.max2)
+    AND e.event_id % 4 = 0),
+unioned AS (
+  SELECT event_type, ts FROM events
+  UNION ALL SELECT event_type, ts FROM late_counted),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         count(*) AS n_events
+  FROM unioned GROUP BY 1, 2)
+SELECT a.window_start, a.event_type, a.n_events
+FROM agg a, mall
+WHERE a.window_start + INTERVAL '1 hour'
+      <= mall.maxall - INTERVAL '1 hour'
+"""
+
+
+@register("stream_late_data_drop_replay", _LATE_DROP_REPLAY_ORACLE)
+def stream_late_data_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DROP SEMANTICS under the oracle gate — the one
+    watermark behavior the complete-mode twins cannot exercise.  Three
+    day-tercile micro-batches feed an append-mode tumbling count
+    (1-hour windows, 1-hour watermark delay); batch 3 additionally
+    carries two kinds of deterministically injected out-of-order
+    copies:
+
+    - TOO-LATE rows (``event_id % 9 == 0`` copies of tercile 1, at
+      least 3 hours behind tercile 1's own maximum): their windows
+      ended far before ANY candidate batch-3 watermark (the engine
+      applies the late filter with a prior batch commit's watermark,
+      and the exact one-batch lag is version-dependent — the margin
+      makes the drop unambiguous), so the engine must DROP them — the
+      oracle simply omits them;
+    - LATE-BUT-OPEN rows (``event_id % 4 == 0`` copies of tercile 2's
+      final hour): behind the watermark's raw timestamp but inside a
+      window whose END is still ahead of it, so the engine must COUNT
+      them — the oracle adds them in (``late_counted``).
+
+    Append mode emits a window only once its end passes the final
+    watermark (max ts over all batches, minus the delay; verified
+    empirically: ``Trigger.AvailableNow`` runs a closing no-data batch
+    that advances the watermark over the last file), which the oracle
+    replays as the ``window_end <= maxall - 1h`` filter — the trailing
+    windows are withheld state, not output.  An engine that fails to
+    drop the too-late rows, drops the still-open ones, or flushes the
+    withheld tail all hash-mismatch.  The oracle reconstructs the
+    tercile boundaries from the same distinct-days arithmetic as the
+    batch splitter (``_day_terciles``), so the change log stays
+    derivable from ``events`` alone at any sf."""
+    from label_maker_dask_spark.streaming.windows import tumbling_agg
+
+    t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
+    max1 = t1.agg(F.max("ts")).first()[0]
+    max2 = t2.agg(F.max("ts")).first()[0]
+    # Copies only from windows closed under EITHER watermark-advance
+    # convention: Spark applies the late filter with the watermark of a
+    # PRIOR batch commit, and whether batch 3 sees max(t1..t2)-1h or the
+    # one-batch-lagged max(t1)-1h is an engine implementation detail
+    # (measured: Spark 4 uses the lagged one).  A 3-hour margin below
+    # tercile 1's own maximum keeps every injected window's end at
+    # least two hours behind the laggiest candidate watermark, so the
+    # drop decision is unambiguous and the oracle stays version-proof.
+    too_late = t1.where(
+        (F.col("event_id") % 9 == 0)
+        & (F.col("ts") <= F.lit(max1) - F.expr("INTERVAL 3 HOURS"))
+    )
+    late_open = t2.where(
+        (F.date_trunc("hour", F.col("ts")) == F.date_trunc("hour", F.lit(max2)))
+        & (F.col("event_id") % 4 == 0)
+    )
+    batches = [t1, t2, t3.unionAll(too_late).unionAll(late_open)]
+
+    def build(df):
+        return tumbling_agg(
+            df,
+            "ts",
+            "1 hour",
+            ["event_type"],
+            [F.count(F.lit(1)).alias("n_events")],
+            watermark="1 hour",
+        ).select("window_start", "event_type", "n_events")
+
+    return _drive_stream_to_memory(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_late_data_drop_replay",
+        output_mode="append",
+    )
+
+
 _DEDUP_REPLAY_ORACLE = """
 SELECT event_id, user_id, event_type, ts, value FROM events
 """

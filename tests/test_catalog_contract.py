@@ -193,6 +193,7 @@ ROTATION_BACKLOG = [
     "stream_accumulate_supplier_replay",
     "stream_dedup_replay",
     "stream_interval_join_replay",
+    "stream_late_data_drop_replay",
     "stream_neardup_index_replay",
     "stream_ohlc_hourly_replay",
     "stream_scd2_bucketed_user_state_replay",
