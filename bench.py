@@ -159,6 +159,11 @@ HEADLINE = [
     "window_trailing7_distinct_users_exact",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",
+    # round-11: left-outer stream-stream interval join twin (null-row
+    # emit horizon) and the Z-order write path's pruning observable
+    # (each cell times a full clustered write + read-back manifest)
+    "stream_interval_join_outer_replay",
+    "layout_zorder_file_pruning",
 ]
 
 

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from label_maker_dask_spark.operators.materialize import materialize
+
 
 def _unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     """Append ``out_col``: the L2-normalized double copy of ``vec_col``.
@@ -177,7 +179,10 @@ def spherical_kmeans(
         id_col, "u"
     )
     if persist:
-        unitv = unitv.localCheckpoint(eager=False)
+        # Default localCheckpoint is NOT executor-loss tolerant on a real
+        # cluster — see operators/materialize.py for the fault-tolerance
+        # trade-off and the mode knob (persist / reliable checkpoint).
+        unitv = materialize(unitv, eager=False)
     w = Window.orderBy(id_col)
     cents = (
         unitv.orderBy(id_col)

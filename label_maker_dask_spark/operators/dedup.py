@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from label_maker_dask_spark.operators.materialize import materialize
+
 from label_maker_dask_spark.functions.text import (
     HASH_MULT,
     HASH_P,
@@ -381,9 +383,9 @@ def minhash_neardup_pairs(
     round-9 leak class).  The only shuffles in the whole pipeline are
     the band-bucket join and the two candidate verification joins, all
     on compact keys."""
-    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).localCheckpoint(
-        eager=False
-    )
+    prof = materialize(
+        minhash_doc_profiles(docs, text_col, id_col, n, k), eager=False
+    )  # cluster fault-tolerance knob: operators/materialize.py
     candidates = lsh_candidate_pairs(prof.drop("shs"), bands)
     verified = jaccard_verify_sets(prof.select("doc_id", "shs"), candidates)
     return verified.where(F.col("jaccard") >= threshold)
@@ -545,9 +547,9 @@ def containment_neardup_pairs(
     higher recall at low Jaccard) or partition long documents into
     chunks before shingling so the excerpt's Jaccard against its source
     chunk is high — both stay inside this operator's plan shape."""
-    prof = minhash_doc_profiles(docs, text_col, id_col, n, k).localCheckpoint(
-        eager=False  # lazy: one materialization at the action, GC-released
-    )
+    prof = materialize(
+        minhash_doc_profiles(docs, text_col, id_col, n, k), eager=False
+    )  # lazy: one materialization at the action; knob in operators/materialize.py
     candidates = lsh_candidate_pairs(prof.drop("shs"), bands)
     return containment_verify_sets(
         prof.select("doc_id", "shs"), candidates, threshold
@@ -934,7 +936,10 @@ def duplicate_components(
     if small_graph_edges:
         _stats = edges.agg(
             F.count(F.lit(1)).alias("m"),
-            F.approx_count_distinct("s").alias("n"),
+            # rsd tightened to 1%: at the default ~5% relative error a
+            # worst-case underestimate could route a graph ~5% over the
+            # intended parent-dict node budget
+            F.approx_count_distinct("s", 0.01).alias("n"),
         ).first()
         use_fast_path = (
             _stats["m"] <= small_graph_edges

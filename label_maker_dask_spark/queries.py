@@ -2613,7 +2613,11 @@ def multimodal_video_frame_sample(spark, sf_dir):
 #: exact powers).  The floor keeps corpora <= 1024 exactly on the
 #: historical n_cells=16 behavior (tests, gates).  Capped at 1024:
 #: past that, a trained quantizer replaces lowest-id seed centroids
-#: anyway (operators/clustering.py is the upgrade path).
+#: anyway (operators/clustering.py is the upgrade path).  The 1024-cell
+#: ceiling is ORACLE-CORPUS sizing, not the production rule: past ~65k
+#: vectors occupancy grows linearly again under this ladder, and the
+#: stored-IVF/production path (operators/similarity.py) takes an
+#: explicit ``n_cells`` derived from the real corpus count instead.
 _IVF_CELL_LADDER = [(1024, 16), (2048, 32), (4096, 64), (8192, 128),
                     (16384, 256), (32768, 512)]
 
@@ -3075,72 +3079,81 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # covered by the full local replay (tools/check_oracle.py, 173/173).
 # Round 10 rotated in 28 never-gated entries (25 existing + the
 # newly-oracled HLL bound gate + the two streaming batch-replay twins).
+# Round 11 rotated in 32 never-gated entries (the remaining 8 TPC-H,
+# the 11 ungated streaming replay twins + the new left-outer interval
+# join twin, CUSUM, BM25, trailing-7 exact distinct, transitions,
+# k-means, cohort retention, PII, cogroup UDF, EMA-30, variant extract,
+# and the new Z-order file-pruning entry); the 21 entries gated in >=2
+# rounds rotated out, plus 5 once-gated TPC-H stragglers and 5 other
+# once-gated entries whose r10 evidence is banked.
 _DRIVER_WINDOW = [
-    # TPC-H shapes (anchors q1/q3 + never-gated q9/q13/q17/q18/q21)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_suppliers_who_shipped_last",
-    # join forms
-    "join_asof_latest_order",
+    # TPC-H shapes (first gating for all eight; anchors q1/q3 and the
+    # five r10-gated stragglers rotate out with their evidence banked)
+    "q11_part_value_concentration",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_promotion_part_suppliers",
+    "q22_global_sales_opportunity",
+    # join forms (kept: once-gated r10)
     "join_asof_nearest_order_event",
-    "spatial_grid_bbox_join",
-    "join_bloom_pruned_order_revenue",  # re-gate: r10 binary-probe form
     "merge_upsert_orders_cdc",
-    # aggregation
-    "agg_kmv_trailing7_users",
-    "agg_cms_daily_merged_user_counts",
-    "agg_hll_sketch_weekly_users",  # first gating: r10 3-RSE bound form
-    "agg_winsorized_mean_price",
-    "agg_mode_priority_by_status",
+    # aggregation (kept: once-gated r10)
+    "agg_hll_sketch_weekly_users",
     "agg_heavy_hitters_users",
     "agg_exact_percentiles",
-    # analytics
+    # analytics (kept: once-gated r10)
     "analytics_equidepth_histogram_price",
     "analytics_rfm_customer_segments",
     "analytics_market_basket_part_pairs",
     "window_ratio_to_report_nation_share",
     "attribution_linear",
+    # window functions (first gating)
+    "window_trailing7_distinct_users_exact",
     # scalar surface
     "scalar_null_semantics",
-    # event analytics
-    "events_sessionize_30m",
-    "anomaly_zscore_daily_events",
-    # reference label pipeline (permanent anchors)
-    "glfilter_select_events",
-    "classification_labels_flagship",
-    "detection_pixel_bbox_math",
-    "segmentation_raster_class_areas",
-    # dedup (scalable forms only)
-    "dedup_exact_sha256",
-    "dedup_minhash_lsh_pairs",
-    "dedup_components_simhash60",
-    # similarity search
-    "similarity_ivf_join_topk_ann",
+    "scalar_variant_extract",  # first gating
+    # event analytics (first gating)
+    "anomaly_cusum_daily_events",
+    "events_cohort_weekly_retention",
     # graph
     "graph_triangle_copurchase",
     "graph_khop_reachability",
+    "graph_event_transitions",  # first gating
     # text analysis
-    "text_tfidf_top_terms",
     "text_feature_hashing_vectors",
     "text_bpe_token_counts",
-    # multimodal
-    "multimodal_phash_neardup_pairs",
-    "multimodal_audio_rms_windows",
-    # dataset curation
-    "curation_leakage_safe_split",
-    "curation_end_to_end",
+    "text_bm25_top_docs",  # first gating
+    # similarity / clustering (first gating)
+    "embedding_kmeans_clusters",
+    # pipeline / curation
     "sample_exact_k_per_lang",
+    "pii_regex_scan",  # first gating
+    "udf_cogroup_orders_events",  # first gating
     # timeseries
-    "timeseries_twap_user_daily",
     "timeseries_rolling_corr_views_purchases",
-    # SCD + streaming maintenance (batch-replay twins, first gating r10)
-    "scd2_user_state_history",
+    "timeseries_ema30_daily_revenue",  # first gating
+    # layout write path (new this round)
+    "layout_zorder_file_pruning",
+    # streaming maintenance + stateful operators (batch-replay twins):
+    # the whole family under one gate — 2 kept from r10, 12 first
+    # gatings including the new left-outer interval join twin
     "stream_upsert_orders_replay",
     "stream_scd2_user_state_replay",
+    "stream_upsert_bucketed_orders_replay",
+    "stream_scd2_bucketed_user_state_replay",
+    "stream_accumulate_supplier_replay",
+    "stream_versioned_diff_replay",
+    "stream_neardup_index_replay",
+    "stream_dedup_replay",
+    "stream_ohlc_hourly_replay",
+    "stream_session_30m_replay",
+    "stream_sliding_1h30m_replay",
+    "stream_interval_join_replay",
+    "stream_late_data_drop_replay",
+    "stream_interval_join_outer_replay",
 ]
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.functions.timeutil import epoch_micros
+from label_maker_dask_spark.operators.materialize import materialize
 from label_maker_dask_spark.queries import _t, register
 
 #: rank unit: 1e12 integer steps per unit of PageRank mass
@@ -245,8 +246,10 @@ def pagerank_event_transitions(ev):
         .agg(F.count(F.lit(1)).alias("w"))
         # lazy localCheckpoint, not persist(): every power iteration
         # references this frame, and checkpoint blocks are GC-released
-        # instead of pinned in the cache manager for the session
-        .localCheckpoint(eager=False)
+        # instead of pinned in the cache manager for the session.
+        # NOT executor-loss tolerant on a real cluster — knob in
+        # operators/materialize.py switches to persist/checkpoint.
+        .transform(materialize)
     )
     nn = (
         ev.select(F.col("event_type").alias("node"))
@@ -259,7 +262,7 @@ def pagerank_event_transitions(ev):
         ev.select(F.col("event_type").alias("node"))
         .distinct()
         .crossJoin(F.broadcast(nn))
-        .localCheckpoint(eager=False)  # same GC-released reuse as edges
+        .transform(materialize)  # same GC-released reuse as edges
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
 

@@ -42,6 +42,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.functions.timeutil import epoch_micros
+from label_maker_dask_spark.operators.materialize import materialize
 from label_maker_dask_spark.operators.bloom import bloom_pruned_join
 from label_maker_dask_spark.queries import _t, register
 from label_maker_dask_spark.queries_shared import EDGES_CTE as _EDGES_CTE
@@ -145,8 +146,9 @@ def graph_khop_reachability(spark, sf_dir):
         .select("src", "dst")
         # lazy localCheckpoint, not persist(): the BFS below references
         # this derived graph once per hop, and checkpoint blocks are
-        # GC-released instead of pinned in the cache manager
-        .localCheckpoint(eager=False)
+        # GC-released instead of pinned in the cache manager.  Cluster
+        # fault-tolerance knob: operators/materialize.py.
+        .transform(materialize)
     )
     return khop_reachability(strong, "signup", max_hops=3)
 
@@ -835,7 +837,11 @@ def agg_hll_sketch_weekly_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts")
     daily = ev.groupBy(day.alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        # lgConfigK pinned to 12 so the sketch config can never drift
+        # from the _HLL_3RSE envelope the oracle hash depends on (it is
+        # also Spark's current default, but the bound must not ride an
+        # engine default)
+        F.hll_sketch_agg("user_id", 12).alias("sk")
     )
     weekly = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
@@ -1068,6 +1074,173 @@ def profile_join_key_skew_lineitem(spark, sf_dir):
             F.col("nkeys").alias("n_distinct_keys"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout write path under the oracle gate
+# ---------------------------------------------------------------------------
+
+#: probe bbox in QUANTIZED CELL space (bits=8 → 256 cells per dim):
+#: custkey cells [160, 255] × order-day cells [0, 95].  Cell-space
+#: constants keep the probe sf-portable — the value→cell map derives
+#: from each sf's own min/max in BOTH engines — and the bbox is
+#: deliberately NOT bucket-aligned, so the pruning flags exercise the
+#: interval-overlap rule's false positives exactly as footer-stat
+#: pruning does in production.
+_ZPRUNE_QX = (160, 255)
+_ZPRUNE_QY = (0, 95)
+_ZPRUNE_BITS = 8
+_ZPRUNE_FILES = 16
+_ZPRUNE_SHIFT = 2 * _ZPRUNE_BITS - 4  # 16-bit key, 16 files: top 4 bits
+
+
+def _morton2(qx: int, qy: int, bits: int = _ZPRUNE_BITS) -> int:
+    """Interleave per ``sources.layout.zorder_key``'s convention: bit
+    ``i`` of column ``j`` lands at position ``i * n_cols + j`` (column
+    0 = custkey, column 1 = order day)."""
+    z = 0
+    for i in range(bits):
+        z |= ((qx >> i) & 1) << (2 * i)
+        z |= ((qy >> i) & 1) << (2 * i + 1)
+    return z
+
+
+#: Morton keys are coordinate-wise monotone, so a cell bbox attains its
+#: min/max key at its min/max corners — the closed-form z-span a
+#: footer-stat pruner intersects with each file's [min_z, max_z].
+_ZPRUNE_LO = _morton2(_ZPRUNE_QX[0], _ZPRUNE_QY[0])
+_ZPRUNE_HI = _morton2(_ZPRUNE_QX[1], _ZPRUNE_QY[1])
+
+#: the 16-term interleave as SQL (DuckDB side of the closed form)
+_ZPRUNE_Z_SQL = " | ".join(
+    f"(((qx >> {i}) & 1) << {2 * i}) | (((qy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZPRUNE_BITS)
+)
+
+#: The oracle never reads the written files — with FIXED bucket
+#: boundaries the file a row lands in is pure arithmetic on its
+#: columns, so DuckDB recomputes the whole per-file manifest (row
+#: count, min/max key, must-read flag) from the source table.  The
+#: quantization is the same IEEE-double expression Spark's
+#: ``_grid_index`` evaluates: identical operands through identical
+#: correctly-rounded ops ⇒ identical cells in both engines.
+_ZPRUNE_ORACLE = f"""
+WITH r AS (
+  SELECT CAST(min(o_custkey) AS DOUBLE) AS xlo,
+         CAST(max(o_custkey) AS DOUBLE) AS xhi,
+         CAST(min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS DOUBLE)
+           AS ylo,
+         CAST(max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS DOUBLE)
+           AS yhi
+  FROM orders),
+g AS (
+  SELECT greatest(0, least(255, CAST(floor(
+           (CAST(o_custkey AS DOUBLE) - r.xlo)
+             / (r.xhi - r.xlo) * 256) AS BIGINT))) AS qx,
+         greatest(0, least(255, CAST(floor(
+           (CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)
+              - r.ylo) / (r.yhi - r.ylo) * 256) AS BIGINT))) AS qy
+  FROM orders, r),
+z AS (SELECT {_ZPRUNE_Z_SQL} AS z FROM g),
+f AS (
+  SELECT z >> {_ZPRUNE_SHIFT} AS zb, count(*) AS n_rows,
+         min(z) AS min_z, max(z) AS max_z
+  FROM z GROUP BY 1)
+SELECT zb, n_rows, min_z, max_z,
+       (min_z <= {_ZPRUNE_HI} AND max_z >= {_ZPRUNE_LO}) AS must_read
+FROM f
+ORDER BY zb
+"""
+
+#: one layout-write temp root per process, removed at interpreter exit
+#: (deferred cleanup: the returned frame lazily reads the written
+#: layout, so the driver's collect happens after the entry returns —
+#: same contract as queries_streaming_replay_ext's replay root).
+_ZPRUNE_TMP: list = [None]
+
+
+def _zprune_workdir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if _ZPRUNE_TMP[0] is None:
+        root = tempfile.mkdtemp(prefix="lmds_layout_session_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _ZPRUNE_TMP[0] = root
+    return tempfile.mkdtemp(prefix="zprune_", dir=_ZPRUNE_TMP[0])
+
+
+@register("layout_zorder_file_pruning", _ZPRUNE_ORACLE)
+def layout_zorder_file_pruning(spark, sf_dir):
+    """The Z-order WRITE path under the value-hash gate, via its
+    pruning-effectiveness observable: write orders clustered on
+    (custkey, order-day) with ``write_zordered_fixed`` — deterministic
+    arithmetic bucket boundaries, one file per occupied bucket — read
+    the layout BACK from disk, and emit the per-file manifest a scan
+    planner consumes: row count, min/max Morton key (the footer stats
+    ``sortWithinPartitions`` tightens), and whether a fixed cell-space
+    bbox probe must read the file (interval overlap of the file's key
+    span with the bbox's corner-key span).  A writer that mis-buckets
+    one row, drops rows, or breaks the key arithmetic hash-mismatches
+    against DuckDB's from-source recomputation of the same closed form.
+
+    Scale shape: the key is whole-stage-codegen column math; the write
+    is one hash repartition on the bucket id + a within-partition sort
+    (the same two exchanges any clustered write pays); the read-back
+    aggregate is a 16-group hash aggregate.  The 4-scalar min/max
+    collect is bounded metadata (the ranges a production writer would
+    persist alongside the layout for incremental appends).  No
+    counterpart in the reference (batch tile pipeline, no table
+    layout); the n_files=16 here is oracle sizing — production sizes
+    buckets to ~1 GB of parquet each."""
+    import os
+
+    from label_maker_dask_spark.sources.layout import (
+        write_zordered_fixed,
+        zorder_key,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("o_day"),
+    )
+    r = orders.agg(
+        F.min("o_custkey").alias("xlo"),
+        F.max("o_custkey").alias("xhi"),
+        F.min("o_day").alias("ylo"),
+        F.max("o_day").alias("yhi"),
+    ).first()
+    ranges = {
+        "o_custkey": (float(r["xlo"]), float(r["xhi"])),
+        "o_day": (float(r["ylo"]), float(r["yhi"])),
+    }
+    path = os.path.join(_zprune_workdir(), "orders_z")
+    write_zordered_fixed(
+        orders, path, ranges, bits=_ZPRUNE_BITS, n_files=_ZPRUNE_FILES
+    )
+    back = spark.read.parquet(path)
+    z = zorder_key(ranges, bits=_ZPRUNE_BITS)
+    per_file = back.groupBy(
+        F.col("zb").cast("long").alias("zb")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(z).alias("min_z"),
+        F.max(z).alias("max_z"),
+    )
+    return per_file.select(
+        "zb",
+        "n_rows",
+        "min_z",
+        "max_z",
+        (
+            (F.col("min_z") <= F.lit(_ZPRUNE_HI))
+            & (F.col("max_z") >= F.lit(_ZPRUNE_LO))
+        ).alias("must_read"),
+    ).orderBy("zb")
 
 
 # Re-sort the registry storage after THIS module's registrations: when an

@@ -61,12 +61,6 @@ def components_oracle() -> str:
     """
 
 
-#: hourly OHLC rollup over the event stream — shared by the batch entry
-#: (queries_relational_ext ``timeseries_ohlc_hourly_by_type``) and its
-#: streaming replay twin (queries_streaming_replay_ext): the open/close
-#: argmins are replayed with two row_number windows, while both Spark
-#: paths ride min/max-of-struct argmin aggregates (one hash aggregate,
-#: map-side partials — the shape that survives 100 TB)
 #: sliding 1h/30m window counts — shared by the batch entry
 #: (queries.py events_sliding_1h_30m) and its streaming replay twin
 #: (queries_streaming_replay_ext.py): each event lands in exactly two
@@ -81,6 +75,12 @@ FROM (
 GROUP BY ws
 """
 
+#: hourly OHLC rollup over the event stream — shared by the batch entry
+#: (queries_relational_ext ``timeseries_ohlc_hourly_by_type``) and its
+#: streaming replay twin (queries_streaming_replay_ext): the open/close
+#: argmins are replayed with two row_number windows, while both Spark
+#: paths ride min/max-of-struct argmin aggregates (one hash aggregate,
+#: map-side partials — the shape that survives 100 TB)
 OHLC_ORACLE = """
 WITH b AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket, value,

@@ -653,6 +653,7 @@ FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '6 hours'
 WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+  AND l.user_id % 4 = 1
 """
 
 
@@ -672,7 +673,14 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission on replay both hash-mismatch.  The day terciles arrive in
     time order, so no row is watermark-late and the emitted set is the
     FULL join (the left-outer null-horizon subtlety does not arise in
-    the inner form)."""
+    the inner form; its twin below gates it).
+
+    The change log is sliced to 1-in-4 users (``user_id % 4 == 1``,
+    mirrored in the oracle): the twin's cost is dominated by fixed
+    stream-stream state-store machinery (probe-flat, exp 0.03), and the
+    slice cuts the per-batch state work without changing anything the
+    gate proves — cross-boundary matches, eviction timing, and replay
+    idempotency are per-user properties."""
     from label_maker_dask_spark.streaming.windows import interval_join
 
     def build(df):
@@ -688,12 +696,135 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             left_watermark="1 hour", right_watermark="1 hour",
         )
 
+    batches = [
+        t.where(F.col("user_id") % 4 == 1)
+        for t in _events_raw_day_terciles(spark, sf_dir)
+    ]
     return _drive_stream_to_memory(
         spark,
-        _events_raw_day_terciles(spark, sf_dir),
+        batches,
         _EVENTS_REPLAY_SCHEMA,
         build,
         "stream_interval_join_replay",
+        output_mode="append",
+    )
+
+
+_INTERVAL_JOIN_OUTER_REPLAY_ORACLE = """
+WITH days AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+  FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)),
+cuts AS (
+  SELECT max(CASE WHEN rn = n // 3 + 1 THEN d END) AS cut1 FROM days),
+l_all AS (
+  SELECT e.user_id, e.ts, e.event_id FROM events e, cuts
+  WHERE e.event_type = 'click' AND e.user_id % 2 = 0
+    AND date_trunc('day', e.ts) < cuts.cut1),
+mx AS (SELECT max(ts) AS mxl FROM l_all),
+l AS (
+  SELECT l_all.* FROM l_all, mx
+  WHERE l_all.ts NOT BETWEEN mx.mxl - INTERVAL '450 minutes'
+                         AND mx.mxl - INTERVAL '390 minutes'),
+r AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase' AND user_id % 2 = 0),
+j AS (
+  SELECT l.user_id, l.ts, l.event_id,
+         r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+  FROM l LEFT JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '6 hours')
+SELECT j.user_id, j.ts, j.event_id, j.r_ts, j.r_event_id, j.r_value
+FROM j, mx
+WHERE j.r_event_id IS NOT NULL
+   OR j.ts + INTERVAL '7 hours' < mx.mxl
+"""
+
+
+@register(
+    "stream_interval_join_outer_replay", _INTERVAL_JOIN_OUTER_REPLAY_ORACLE
+)
+def stream_interval_join_outer_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LEFT-OUTER stream-stream interval join under the oracle gate
+    — the null-row emit horizon is the one join semantics the inner
+    twin cannot exercise.  An unmatched left row may emit its
+    null-padded row only once the global watermark proves no matching
+    right row can still arrive (watermark > left_ts + upper); rows
+    whose horizon the final watermark never passes are withheld state,
+    not output.
+
+    The change log PINS that horizon engine-independently:
+
+    - the LEFT side (clicks, even users) comes from day-tercile 1
+      ONLY, so its event-time maximum ``mxl`` — and therefore the
+      global watermark, which is the min over both sides — freezes at
+      ``mxl - 1h`` from batch 1's commit onward.  Every candidate
+      watermark any batch or the closing no-data batch can apply is
+      the SAME value, so the one-batch-lag convention (measured on the
+      late-drop twin) cannot move the horizon;
+    - left rows within ±30 minutes of the horizon boundary
+      (``ts = mxl - 7h``) are excluded from the change log AND the
+      oracle, so strict-vs-non-strict eviction comparisons cannot flip
+      any row;
+    - the RIGHT side (purchases, even users) spans all three terciles:
+      day-boundary splits mean no right row ever falls behind the
+      frozen watermark (nothing is late-dropped), and tercile-2/3
+      purchases joining against retained left state exercise the
+      cross-batch buffer exactly as the inner twin does.
+
+    The oracle replays the horizon in SQL: matched rows
+    unconditionally, null rows only where ``ts + 7h < mxl``.  An
+    engine that emits a withheld null row, withholds an emittable one,
+    or double-emits on replay all hash-mismatch."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
+    half = F.col("user_id") % 2 == 0
+    clicks1 = t1.where(half & (F.col("event_type") == "click"))
+    mxl = clicks1.agg(F.max("ts")).first()[0]
+    if mxl is None:
+        raise ValueError(
+            "stream_interval_join_outer_replay needs >=1 tercile-1 click "
+            "from an even user; the source events table is too small"
+        )
+    left1 = clicks1.where(
+        ~F.col("ts").between(
+            F.lit(mxl) - F.expr("INTERVAL 450 MINUTES"),
+            F.lit(mxl) - F.expr("INTERVAL 390 MINUTES"),
+        )
+    )
+
+    def purchases(t):
+        return t.where(half & (F.col("event_type") == "purchase"))
+
+    batches = [
+        left1.unionByName(purchases(t1)),
+        purchases(t2),
+        purchases(t3),
+    ]
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="6 hours",
+            left_watermark="1 hour", right_watermark="1 hour",
+            how="left_outer",
+        )
+
+    return _drive_stream_to_memory(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_interval_join_outer_replay",
         output_mode="append",
     )
 
@@ -805,6 +936,14 @@ def stream_late_data_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
     max1 = t1.agg(F.max("ts")).first()[0]
     max2 = t2.agg(F.max("ts")).first()[0]
+    if max1 is None or max2 is None:
+        # Degenerate calendar: _day_terciles on <3 distinct days yields
+        # an empty tercile, and None - INTERVAL below would fail
+        # analysis with an opaque NullType error.
+        raise ValueError(
+            "stream_late_data_drop_replay needs >=3 distinct event days "
+            "in the source table so every day-tercile is non-empty"
+        )
     # Copies only from windows closed under EITHER watermark-advance
     # convention: Spark applies the late filter with the watermark of a
     # PRIOR batch commit, and whether batch 3 sees max(t1..t2)-1h or the

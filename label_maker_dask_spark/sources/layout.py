@@ -106,6 +106,56 @@ def write_zordered(
     return ranges
 
 
+def write_zordered_fixed(
+    df: DataFrame,
+    path: str,
+    ranges: Dict[str, Tuple[float, float]],
+    bits: int = 8,
+    n_files: int = 16,
+    bucket_col: str = "zb",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Deterministic-boundary Z-order write: the file (bucket) a row
+    lands in is the TOP bits of its Morton key — pure arithmetic, no
+    ``RangePartitioner`` sampling — written as one directory per bucket
+    (``partitionBy``), one file per occupied bucket.
+
+    Two production reasons to prefer fixed boundaries over
+    :func:`write_zordered`'s sampled ranges:
+
+    - **incremental writes**: later appends bucket by the SAME
+      arithmetic (given the same ``ranges``), so new files join existing
+      buckets instead of overlapping them — sampled boundaries drift
+      run-to-run;
+    - **derivable pruning manifest**: a file's key range is a closed
+      form of its bucket id, so any engine (or an oracle) can compute
+      which files a bbox predicate must read without footer access —
+      the observable ``layout_zorder_file_pruning`` hash-gates.
+
+    The trade: sampled boundaries equalize file SIZE under key skew;
+    fixed boundaries equalize file KEY-SPAN and inherit the data's
+    skew (pass quantile-based ``ranges`` to re-equalize).  ``n_files``
+    must be a power of two dividing the ``bits * len(ranges)``-bit key
+    space."""
+    total_bits = bits * len(ranges)
+    shift = total_bits - (n_files.bit_length() - 1)
+    if n_files & (n_files - 1) or shift < 0:
+        raise ValueError(
+            f"n_files={n_files} must be a power of two <= 2**{total_bits}"
+        )
+    z = zorder_key(ranges, bits=bits)
+    (
+        df.withColumn(bucket_col, F.shiftright(z, shift))
+        .repartition(n_files, F.col(bucket_col))
+        .sortWithinPartitions(z)
+        .write.partitionBy(bucket_col)
+        .format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def compact_small_files(
     spark,
     path: str,

@@ -40,23 +40,17 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_suppliers_who_shipped_last",
-    "join_asof_latest_order",
+    "q11_part_value_concentration",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_promotion_part_suppliers",
+    "q22_global_sales_opportunity",
     "join_asof_nearest_order_event",
-    "spatial_grid_bbox_join",
-    "join_bloom_pruned_order_revenue",
     "merge_upsert_orders_cdc",
-    "agg_kmv_trailing7_users",
-    "agg_cms_daily_merged_user_counts",
     "agg_hll_sketch_weekly_users",
-    "agg_winsorized_mean_price",
-    "agg_mode_priority_by_status",
     "agg_heavy_hitters_users",
     "agg_exact_percentiles",
     "analytics_equidepth_histogram_price",
@@ -64,32 +58,38 @@ PINNED_DRIVER_WINDOW = [
     "analytics_market_basket_part_pairs",
     "window_ratio_to_report_nation_share",
     "attribution_linear",
+    "window_trailing7_distinct_users_exact",
     "scalar_null_semantics",
-    "events_sessionize_30m",
-    "anomaly_zscore_daily_events",
-    "glfilter_select_events",
-    "classification_labels_flagship",
-    "detection_pixel_bbox_math",
-    "segmentation_raster_class_areas",
-    "dedup_exact_sha256",
-    "dedup_minhash_lsh_pairs",
-    "dedup_components_simhash60",
-    "similarity_ivf_join_topk_ann",
+    "scalar_variant_extract",
+    "anomaly_cusum_daily_events",
+    "events_cohort_weekly_retention",
     "graph_triangle_copurchase",
     "graph_khop_reachability",
-    "text_tfidf_top_terms",
+    "graph_event_transitions",
     "text_feature_hashing_vectors",
     "text_bpe_token_counts",
-    "multimodal_phash_neardup_pairs",
-    "multimodal_audio_rms_windows",
-    "curation_leakage_safe_split",
-    "curation_end_to_end",
+    "text_bm25_top_docs",
+    "embedding_kmeans_clusters",
     "sample_exact_k_per_lang",
-    "timeseries_twap_user_daily",
+    "pii_regex_scan",
+    "udf_cogroup_orders_events",
     "timeseries_rolling_corr_views_purchases",
-    "scd2_user_state_history",
+    "timeseries_ema30_daily_revenue",
+    "layout_zorder_file_pruning",
     "stream_upsert_orders_replay",
     "stream_scd2_user_state_replay",
+    "stream_upsert_bucketed_orders_replay",
+    "stream_scd2_bucketed_user_state_replay",
+    "stream_accumulate_supplier_replay",
+    "stream_versioned_diff_replay",
+    "stream_neardup_index_replay",
+    "stream_dedup_replay",
+    "stream_ohlc_hourly_replay",
+    "stream_session_30m_replay",
+    "stream_sliding_1h30m_replay",
+    "stream_interval_join_replay",
+    "stream_late_data_drop_replay",
+    "stream_interval_join_outer_replay",
 ]
 
 
@@ -148,19 +148,15 @@ ROTATION_BACKLOG = [
     "analytics_chi2_event_type_by_hour",
     "analytics_event_path_trigrams",
     "analytics_event_type_cooccurrence",
-    "anomaly_cusum_daily_events",
     "attribution_last_touch",
     "curation_semdedup_cluster_profiles",
     "dedup_cluster_representatives",
     "dedup_components_minhash",
     "dedup_fuzzy_part_names",
     "dedup_simhash16_neardup_pairs",
-    "embedding_kmeans_clusters",
     "embedding_kmeans_clusters_arrow",
-    "events_cohort_weekly_retention",
     "events_funnel_signup_view_purchase",
     "explode_outer_returned_lines",
-    "graph_event_transitions",
     "graph_event_transitions_chunked",
     "join_asof_forward_next_event",
     "multimodal_audio_zcr_windows",
@@ -168,58 +164,33 @@ ROTATION_BACKLOG = [
     "multimodal_phash_signatures",
     "multimodal_video_frame_sample",
     "pack_sequences_512",
-    "pii_regex_scan",
     "profile_join_key_skew_lineitem",
-    "q11_part_value_concentration",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_promotion_part_suppliers",
-    "q22_global_sales_opportunity",
     "quality_expectations_orders",
     "sample_stratified_by_lang",
     "sample_weighted_by_quality",
     "scalar_array_algebra",
     "scalar_date_arithmetic",
-    "scalar_variant_extract",
     "segmentation_buffered_ring_areas",
     "similarity_ivf_topk_ann",
     "similarity_neardup_srp_ann",
     "sort_limit_offset_page3",
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
-    "stream_accumulate_supplier_replay",
-    "stream_dedup_replay",
-    "stream_interval_join_replay",
-    "stream_late_data_drop_replay",
-    "stream_neardup_index_replay",
-    "stream_ohlc_hourly_replay",
-    "stream_scd2_bucketed_user_state_replay",
-    "stream_session_30m_replay",
-    "stream_sliding_1h30m_replay",
-    "stream_upsert_bucketed_orders_replay",
-    "stream_versioned_diff_replay",
     "text_bigram_top20",
-    "text_bm25_top_docs",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",
     "text_unigram_logprob",
     "text_vocab_coverage_top30",
-    "timeseries_ema30_daily_revenue",
     "timeseries_gapfill_daily_revenue",
     "timeseries_multigrain_revenue",
     "timeseries_rolling_slope_daily_revenue",
     "timeseries_trailing_p90_value",
-    "udf_cogroup_orders_events",
     "udf_scalar_sigmoid_score",
     "udtf_chunk_documents",
     "unpivot_lineitem_metrics",
     "window_ntile_length_deciles",
     "window_percent_rank_cume_dist",
     "window_top3_orders_with_ties",
-    "window_trailing7_distinct_users_exact",
     "window_trailing_1h_user_activity",
     "window_value_frames",
 ]

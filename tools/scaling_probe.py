@@ -105,6 +105,9 @@ PROBES = [
     "text_bm25_top_docs",
     "text_vocab_coverage_top30",
     "profile_join_key_skew_lineitem",
+    # round-11 operators
+    "stream_interval_join_outer_replay",
+    "layout_zorder_file_pruning",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
