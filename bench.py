@@ -164,6 +164,13 @@ HEADLINE = [
     # (each cell times a full clustered write + read-back manifest)
     "stream_interval_join_outer_replay",
     "layout_zorder_file_pruning",
+    # round-11: the custom-stateful (applyInPandasWithState) operators
+    # driven through the real arbitrary-state path
+    "stream_transitions_stateful_replay",
+    "stream_running_stats_replay",
+    # round-11: the skew-mitigation paths under CONSTRUCTED hot keys
+    "join_skew_salted_hotkey_adversarial",
+    "sessionize_hotuser_adversarial",
 ]
 
 

@@ -109,14 +109,25 @@ def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
     """The shared drive-the-sink harness: write ordered batch files,
     open them as a file stream delivering one file per micro-batch, run
     ``start_sink(stream, base_path, checkpoint)`` to completion, and
-    return the maintained base/table path for the caller to read."""
+    return the maintained base/table path for the caller to read.
+
+    Shuffle sizing: the foreachBatch merges inside the sinks shuffle at
+    ``spark.sql.shuffle.partitions``; the replay change logs are small,
+    so the drive right-sizes to 8 and restores the conf after (same
+    rationale as ``_drive_stream_to_memory`` — results are
+    partition-count invariant)."""
     stream, work = _open_batch_stream(spark, batches, schema, name)
     base = os.path.join(work, "base")
     ckpt = os.path.join(work, "ckpt")
-    q = start_sink(stream, base, ckpt)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"{name}: drain timed out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_sink(stream, base, ckpt)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{name}: drain timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return base
 
 
@@ -499,7 +510,18 @@ def _drive_stream_to_memory(
     (stream-stream joins, stateful dedup) can emit INPUT-SIZED output,
     so it goes to a parquet FILE sink under the session temp root and
     is returned as a lazy file read — nothing lands in driver memory
-    (the module's bounded-driver contract)."""
+    (the module's bounded-driver contract).
+
+    State-store sizing: a stateful query's state partition count is
+    frozen from ``spark.sql.shuffle.partitions`` at checkpoint
+    creation, and EVERY micro-batch then schedules that many state
+    tasks per stateful operator whether or not they hold keys.  The
+    replay change logs are deliberately small, so the harness
+    right-sizes to 8 partitions for the drive (the tuning any
+    production streaming job applies: state partitions sized to key
+    cardinality, not the batch-analytics default) and restores the
+    session conf before returning — results are partition-count
+    invariant, only the fixed per-batch task overhead changes."""
     stream, work = _open_batch_stream(spark, batches, schema, name)
     ckpt = os.path.join(work, "ckpt")
     built = build(stream)
@@ -515,14 +537,19 @@ def _drive_stream_to_memory(
         writer = built.writeStream.format("memory").queryName(name).outputMode(
             output_mode
         )
-    q = (
-        writer.option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"{name}: drain timed out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{name}: drain timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if out is not None:
         return spark.read.schema(built.schema).parquet(out)
     return spark.table(name)
@@ -1064,6 +1091,117 @@ def stream_scd2_bucketed_user_state_replay(
     )
     return read_maintained_table(spark, base).select(
         "user_id", "event_id", "state", "valid_from", "valid_to", "is_current"
+    )
+
+
+_TRANSITIONS_STATEFUL_REPLAY_ORACLE = """
+WITH s AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM events)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+FROM s WHERE src IS NOT NULL GROUP BY src, dst
+"""
+
+
+@register(
+    "stream_transitions_stateful_replay", _TRANSITIONS_STATEFUL_REPLAY_ORACLE
+)
+def stream_transitions_stateful_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CUSTOM stateful operator surface (``applyInPandasWithState``,
+    ``streaming/stateful.py streaming_transition_counts``) under the
+    cross-engine gate: three day-tercile micro-batches through the real
+    arbitrary-state path — per-user last-event-type carried in the
+    state store so transitions that STRADDLE a micro-batch boundary are
+    chained, the case a stateless per-batch lag silently drops.  The
+    sink collects each batch's (src, dst) delta counts (append mode,
+    event-type²-bounded rows per batch); summing the deltas must equal
+    the batch lag-window edge count over the whole table — the oracle.
+    A dropped boundary transition, a stale state row after replay, or a
+    double-counted delta all hash-mismatch.  Day terciles arrive in
+    time order, so the operator's ordered-delivery contract holds by
+    construction."""
+    from label_maker_dask_spark.streaming.stateful import (
+        streaming_transition_counts,
+    )
+
+    out = _drive_stream_to_memory(
+        spark,
+        _events_raw_day_terciles(spark, sf_dir),
+        _EVENTS_REPLAY_SCHEMA,
+        streaming_transition_counts,
+        "stream_transitions_stateful_replay",
+        output_mode="append",
+    )
+    return out.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+
+_RUNNING_STATS_REPLAY_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(CAST(value AS DECIMAL(28,8)) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS total_cents,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_running_stats_replay", _RUNNING_STATS_REPLAY_ORACLE)
+def stream_running_stats_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The UPDATE-mode custom stateful operator
+    (``streaming/stateful.py running_user_stats``) under the gate:
+    day-tercile micro-batches through the real
+    ``applyInPandasWithState`` fold — per-user (count, sum, max-ts)
+    state merged across batches — keeping each batch's emitted updates
+    and selecting the final one per user (``n_events`` strictly
+    increases across a user's emissions, so the max row IS the end
+    state).  The oracle is the whole-table hash aggregate: a state row
+    lost at a batch boundary, a double-fold on replay, or a stale
+    update all hash-mismatch.
+
+    Values are quantized to integer cents BEFORE the stream (exact
+    decimal round, mirrored in the oracle) so the pandas-side float64
+    running sum adds exactly-representable integers — order-free and
+    engine-independent, the module's integer-summation rule applied to
+    the arbitrary-state path.  Driver residency: the memory sink holds
+    update rows bounded by users × 3 batches (key-bounded, never
+    input-sized), the documented exception to the parquet-sink rule."""
+    from pyspark.sql import Window
+
+    from label_maker_dask_spark.streaming.stateful import running_user_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value").cast("decimal(28,8)") * 100, 0)
+        .cast("long")
+        .cast("double")
+        .alias("value"),
+    )
+    out = _drive_stream_to_memory(
+        spark,
+        _day_terciles(ev),
+        _EVENTS_REPLAY_SCHEMA,
+        running_user_stats,
+        "stream_running_stats_replay",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("long").alias("total_cents"),
+            "last_ts",
+        )
     )
 
 

@@ -169,6 +169,8 @@ ROTATION_BACKLOG = [
     "sample_stratified_by_lang",
     "sample_weighted_by_quality",
     "scalar_array_algebra",
+    "join_skew_salted_hotkey_adversarial",
+    "sessionize_hotuser_adversarial",
     "scalar_date_arithmetic",
     "segmentation_buffered_ring_areas",
     "similarity_ivf_topk_ann",
@@ -176,6 +178,8 @@ ROTATION_BACKLOG = [
     "sort_limit_offset_page3",
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
+    "stream_running_stats_replay",
+    "stream_transitions_stateful_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",

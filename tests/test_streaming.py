@@ -498,3 +498,69 @@ def test_sessionize_chunked_equals_plain_on_skewed_user(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, chunked.select(*plain.columns).collect()))
     assert a == b and len(a) > 50
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing stateful fold fns."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_transition_fold_vectorized_and_loop_paths_agree():
+    """_transition_counts_fn routes groups >= 512 rows through the
+    vectorized shift/value_counts path and small groups through the
+    plain loop; both must produce identical (src, dst) delta counts and
+    carry the same boundary state."""
+    import pandas as pd
+
+    from label_maker_dask_spark.streaming.stateful import (
+        _transition_counts_fn,
+    )
+
+    types = ["view", "click", "purchase", "signup"]
+    n = 1500  # >= 512: exercises the vectorized branch
+    big = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(range(n), unit="s", origin="2024-01-01"),
+            "event_id": range(n),
+            "event_type": [types[(i * i + 3 * i) % 4] for i in range(n)],
+        }
+    )
+
+    def fold(pdf, prior):
+        st = _StubState(prior)
+        out = list(_transition_counts_fn((7,), iter([pdf]), st))
+        pairs = {}
+        if out:
+            for r in out[0].itertuples(index=False):
+                pairs[(r.src, r.dst)] = r.w
+        return pairs, st.get
+
+    vec_pairs, vec_state = fold(big, ("click",))
+    # loop path: same rows in < 512-sized chunks through a fresh state,
+    # accumulating deltas — the boundary chain makes the split invisible
+    chunks = [big.iloc[i : i + 300] for i in range(0, n, 300)]
+    loop_pairs: dict = {}
+    st = _StubState(("click",))
+    for ch in chunks:
+        out = list(_transition_counts_fn((7,), iter([ch]), st))
+        if out:
+            for r in out[0].itertuples(index=False):
+                loop_pairs[(r.src, r.dst)] = (
+                    loop_pairs.get((r.src, r.dst), 0) + r.w
+                )
+    assert vec_pairs == loop_pairs
+    assert vec_state == st.get
+    assert sum(vec_pairs.values()) == n  # prior-state chain adds row 0

@@ -108,6 +108,10 @@ PROBES = [
     # round-11 operators
     "stream_interval_join_outer_replay",
     "layout_zorder_file_pruning",
+    "stream_transitions_stateful_replay",
+    "stream_running_stats_replay",
+    "join_skew_salted_hotkey_adversarial",
+    "sessionize_hotuser_adversarial",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
