@@ -182,3 +182,55 @@ def test_compaction_recovery_states(spark, tmp_path):
     os.rename(path, path + "._old")
     n = compact_small_files(spark, path, target_file_mb=128)
     assert n >= 1 and spark.read.parquet(path).count() == 100
+
+
+def test_fixed_boundary_zorder_appends_bucket_identically(spark, tmp_path):
+    """write_zordered_fixed's production claim: a later append buckets by
+    the SAME arithmetic (given the same ranges), so new files join
+    existing bucket directories instead of overlapping them — and every
+    row's stored bucket equals the closed-form top-bits of its
+    recomputed Morton key."""
+    from label_maker_dask_spark.sources.layout import write_zordered_fixed
+
+    path = str(tmp_path / "zfixed")
+    ranges = {"x": (0.0, 1000.0), "y": (0.0, 1000.0)}
+    a = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 997).cast("double").alias("x"),
+        ((F.col("id") * 7) % 991).cast("double").alias("y"),
+    )
+    b = spark.range(4000, 8000).select(
+        F.col("id"),
+        (F.col("id") % 997).cast("double").alias("x"),
+        ((F.col("id") * 7) % 991).cast("double").alias("y"),
+    )
+    write_zordered_fixed(a, path, ranges, bits=8, n_files=16)
+    write_zordered_fixed(b, path, ranges, bits=8, n_files=16, mode="append")
+
+    back = spark.read.parquet(path)
+    assert back.count() == 8000
+    z = zorder_key(ranges, bits=8)
+    mismatched = back.where(
+        F.col("zb").cast("long") != F.shiftright(z, 12)
+    ).count()
+    assert mismatched == 0
+
+    # both writes landed inside the same bucket-directory set: no bucket
+    # dir holds rows from only-one-write key ranges that belong elsewhere
+    per_bucket = {
+        r["zb"]: (r["lo"], r["hi"])
+        for r in back.groupBy("zb")
+        .agg(F.min(z).alias("lo"), F.max(z).alias("hi"))
+        .collect()
+    }
+    for zb, (lo, hi) in per_bucket.items():
+        assert zb * 4096 <= lo <= hi < (zb + 1) * 4096
+
+
+def test_fixed_boundary_zorder_rejects_bad_file_counts():
+    from label_maker_dask_spark.sources.layout import write_zordered_fixed
+
+    with pytest.raises(ValueError, match="power of two"):
+        write_zordered_fixed(
+            None, "/tmp/never", {"x": (0, 1), "y": (0, 1)}, bits=8, n_files=12
+        )
