@@ -171,6 +171,12 @@ HEADLINE = [
     # round-11: the skew-mitigation paths under CONSTRUCTED hot keys
     "join_skew_salted_hotkey_adversarial",
     "sessionize_hotuser_adversarial",
+    # round-11: table-lifecycle write paths (snapshot publish/rollback/
+    # expiry, small-file compaction) and the stateful transition counter
+    # under a constructed 30%-hot key (vectorized fold path)
+    "snapshot_time_travel_read",
+    "layout_compaction_rewrite",
+    "stream_transitions_hotkey_replay",
 ]
 
 

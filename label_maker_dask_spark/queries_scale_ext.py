@@ -1366,6 +1366,166 @@ def layout_zorder_file_pruning(spark, sf_dir):
     ).orderBy("zb")
 
 
+# ---------------------------------------------------------------------------
+# Snapshot versioning (time travel / rollback / expiry) under the oracle gate
+# ---------------------------------------------------------------------------
+
+#: Three published versions are deterministic modulo-slices of orders;
+#: after ``rollback(2)`` and ``expire_snapshots(keep=2)`` exactly
+#: versions {2, 3} must survive with ``_latest`` -> 2.  The oracle
+#: restates the surviving versions' aggregates from the same slice
+#: definitions — version membership, pointer semantics, and
+#: data-preservation of the kept snapshots all hash in one observable.
+_SNAPSHOT_ORACLE = """
+WITH v2 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+     v3 AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3)
+SELECT CAST(2 AS BIGINT) AS version, TRUE AS is_latest,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS sum_total
+FROM v2
+UNION ALL
+SELECT CAST(3 AS BIGINT), FALSE, count(*),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+FROM v3
+"""
+
+
+@register("snapshot_time_travel_read", _SNAPSHOT_ORACLE)
+def snapshot_time_travel_read(spark, sf_dir):
+    """The snapshot-versioned table lifecycle (``sources/snapshots.py``)
+    under the value-hash gate: publish three immutable versions
+    (modulo-slices of orders: keys %4==0, %2==0, %4!=3), ``rollback``
+    the ``_latest`` pointer to v2, then ``expire_snapshots(keep=2)`` —
+    which must GC exactly v1 (v2 survives as the pinned latest even
+    though it is not among the newest two; v3 survives by recency).
+    The entry then re-reads every surviving version through
+    ``read_snapshot`` and emits per-version aggregates tagged with the
+    pointer state.  A publish that drops rows, an expiry that removes a
+    pinned or recent version (extra/missing output rows), a pointer
+    that moves on expiry, or a time-travel read resolving the wrong
+    directory all hash-mismatch against DuckDB's restatement from the
+    same slice definitions.
+
+    Scale shape: each publish is one distributed write (the same cost
+    as any sink); pointer moves and expiry are O(1) driver metadata;
+    the verification aggregates are 3-column hash aggs.  The version
+    loop runs over ``_versions()`` — bounded by retention policy, never
+    data volume.  No counterpart in the reference (one-shot batch job,
+    no table lifecycle); this is the reproducible-training-read surface
+    a 100 TB curation pipeline needs (SURVEY.md Part B scans/sinks)."""
+    import os
+
+    from label_maker_dask_spark.sources.snapshots import (
+        _versions,
+        expire_snapshots,
+        latest_version,
+        read_snapshot,
+        rollback,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    table = os.path.join(_zprune_workdir(), "orders_versions")
+    write_snapshot(orders.where(k % 4 == 0), table)
+    write_snapshot(orders.where(k % 2 == 0), table)
+    write_snapshot(orders.where(k % 4 != 3), table)
+    rollback(table, 2)
+    expire_snapshots(table, keep=2)
+    latest = latest_version(table)
+    per_version = [
+        read_snapshot(spark, table, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.lit(v == latest).alias("is_latest"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("sum_total"),
+        )
+        for v in _versions(table)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction under the oracle gate
+# ---------------------------------------------------------------------------
+
+#: the fragmented write is an even 64-way round-robin repartition of
+#: lineitem (>= 64 rows at every tested sf, so all 64 partitions are
+#: non-empty -> 64 files); the 1 GiB target folds any tested sf's bytes
+#: into one file, so both file counts are closed-form literals and the
+#: data columns restate from the source table.
+_COMPACT_ORACLE = """
+SELECT CAST(64 AS BIGINT) AS n_files_before,
+       CAST(1 AS BIGINT) AS n_files_after,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orderkeys,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+"""
+
+
+@register("layout_compaction_rewrite", _COMPACT_ORACLE)
+def layout_compaction_rewrite(spark, sf_dir):
+    """The small-file compaction maintenance job (``sources/layout.py
+    compact_small_files``) under the value-hash gate: fragment lineitem
+    into 64 deliberately-small files (the accumulation shape a
+    per-batch streaming sink produces), compact with a 1 GiB target —
+    one narrow ``coalesce`` rewrite through the crash-recoverable
+    rename-aside swap — and hash BOTH halves of the contract: the
+    observed file counts before/after (``input_file_name`` distinct
+    counts; the bin-packing must actually reach 1 file) and the data
+    itself (row count, key cardinality, exact-decimal price sum; the
+    rewrite must not drop, duplicate, or alter a single row).  A
+    compaction that loses a file's rows mid-swap, double-reads the temp
+    directory, or mis-sizes the output all hash-mismatch against
+    DuckDB's restatement from the source table.
+
+    Scale shape: the fragmented write and the compaction rewrite are
+    each one pass over the slice (coalesce unions input splits — no
+    shuffle); the before-count is a bounded metadata aggregate (one
+    long).  Production runs this per partition directory with
+    target_file_mb=128; the 1-file target here is oracle sizing so the
+    expected count stays closed-form at every sf."""
+    import os
+
+    from label_maker_dask_spark.sources.layout import compact_small_files
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    path = os.path.join(_zprune_workdir(), "lineitem_fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(path)
+    # input_file_name() is non-deterministic to the analyzer — project
+    # it into a column first; aggregating it directly is rejected.
+    n_before = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("f"))
+        .first()[0]
+    )
+    compact_small_files(spark, path, target_file_mb=1024)
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    return back.agg(
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.countDistinct("f").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -1205,6 +1205,69 @@ def stream_running_stats_replay(
     )
 
 
+_TRANSITIONS_HOTKEY_REPLAY_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 10 < 3 THEN -1 ELSE user_id END AS user_id,
+         event_id, ts, event_type
+  FROM events),
+s AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM ev)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+FROM s WHERE src IS NOT NULL GROUP BY src, dst
+"""
+
+
+@register(
+    "stream_transitions_hotkey_replay", _TRANSITIONS_HOTKEY_REPLAY_ORACLE
+)
+def stream_transitions_hotkey_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stateful transition counter under a CONSTRUCTED hot key: ~30 %
+    of all events are deterministically remapped to ``user_id -1``
+    (``event_id % 10 < 3`` — the same adversarial idiom as
+    ``sessionize_hotuser_adversarial``) before the three day-tercile
+    micro-batches, so at the driver's sf0.01 gate the hot group carries
+    ~1 000 rows per batch — past the 512-row switch where
+    ``streaming/stateful.py _transition_counts_fn`` leaves the per-row
+    loop for the vectorized shift + ``value_counts`` path.  The natural
+    twin (``stream_transitions_stateful_replay``) never reaches that
+    threshold, so the hot-key path's equality to the loop path was
+    pinned only by a unit test; this entry proves it cross-engine, ON
+    the skewed distribution it exists for, including the boundary
+    chaining of the hot user's last event type across micro-batches.
+    The oracle applies the identical remap to the batch lag-window edge
+    count.  Scale shape: state stays one row per user; the hot group's
+    per-batch work is a vectorized pandas fold over its Arrow batch —
+    the regime a bot-heavy 100 TB event log produces."""
+    from label_maker_dask_spark.streaming.stateful import (
+        streaming_transition_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("user_id"),
+        "event_type",
+        "ts",
+        "value",
+    )
+    out = _drive_stream_to_memory(
+        spark,
+        _day_terciles(ev),
+        _EVENTS_REPLAY_SCHEMA,
+        streaming_transition_counts,
+        "stream_transitions_hotkey_replay",
+        output_mode="append",
+    )
+    return out.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

@@ -82,6 +82,15 @@ def _transition_counts_fn(
     deltas.  The carried state is what a window ``lag`` cannot express on
     a stream: the boundary transition between two micro-batches.
 
+    Chunking: ``applyInPandasWithState`` yields a LARGE group as
+    MULTIPLE Arrow chunks, in post-shuffle row order — NOT time order —
+    so the group must be concatenated and sorted ONCE before folding.
+    Sorting each chunk independently mis-chains transitions at every
+    chunk boundary (caught cross-engine by the sf1 hot-key replay twin,
+    where the hot user's ~100k-row batch group spans 10+ chunks).  The
+    concat holds one group's batch rows in memory — exactly the
+    residency the per-group API already implies.
+
     Pair counting adapts to the group size: a wide group (a hot key)
     takes the vectorized shift + value_counts path so per-row Python
     work never dominates, while the typical small per-user group takes
@@ -93,9 +102,11 @@ def _transition_counts_fn(
 
     (last_et,) = state.get if state.exists else (None,)
     counts: Counter = Counter()
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
         pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
         if len(pdf) >= 512:
             dst = pdf["event_type"].reset_index(drop=True)

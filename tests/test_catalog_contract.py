@@ -175,11 +175,14 @@ ROTATION_BACKLOG = [
     "segmentation_buffered_ring_areas",
     "similarity_ivf_topk_ann",
     "similarity_neardup_srp_ann",
+    "snapshot_time_travel_read",
+    "layout_compaction_rewrite",
     "sort_limit_offset_page3",
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",
     "stream_running_stats_replay",
     "stream_transitions_stateful_replay",
+    "stream_transitions_hotkey_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",

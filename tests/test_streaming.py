@@ -564,3 +564,52 @@ def test_transition_fold_vectorized_and_loop_paths_agree():
     assert vec_pairs == loop_pairs
     assert vec_state == st.get
     assert sum(vec_pairs.values()) == n  # prior-state chain adds row 0
+
+
+def test_transition_fold_multi_chunk_out_of_order_group():
+    """applyInPandasWithState yields a big group as MULTIPLE Arrow
+    chunks in post-shuffle (arbitrary) row order within one invocation.
+    The fold must concat + sort the whole group ONCE: per-chunk sorting
+    mis-chains transitions at every chunk boundary (the sf1 hot-key
+    replay twin caught exactly this).  Feed one invocation three
+    deliberately time-interleaved chunks and require the same result as
+    the single-sorted-frame fold."""
+    import pandas as pd
+
+    from label_maker_dask_spark.streaming.stateful import (
+        _transition_counts_fn,
+    )
+
+    types = ["view", "click", "purchase", "signup"]
+    n = 1800  # vectorized regime; also > one simulated chunk
+    whole = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(range(n), unit="s", origin="2024-01-01"),
+            "event_id": range(n),
+            "event_type": [types[(5 * i + 1) % 4] for i in range(n)],
+        }
+    )
+
+    def pairs_of(out):
+        d = {}
+        for frame in out:
+            for r in frame.itertuples(index=False):
+                d[(r.src, r.dst)] = d.get((r.src, r.dst), 0) + r.w
+        return d
+
+    st_ref = _StubState(("signup",))
+    ref = pairs_of(
+        list(_transition_counts_fn((1,), iter([whole]), st_ref))
+    )
+
+    # chunks interleave time: rows i % 3 == k land in chunk k, so every
+    # chunk spans the full time range and per-chunk sorting would chain
+    # chunk 0's last event into chunk 1's first — wrong globally
+    chunks = [
+        whole.iloc[k::3].reset_index(drop=True) for k in range(3)
+    ]
+    st = _StubState(("signup",))
+    got = pairs_of(list(_transition_counts_fn((1,), iter(chunks), st)))
+    assert got == ref
+    assert st.get == st_ref.get
+    assert sum(got.values()) == n

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import decimal
 import math
+import os
 import sys
 
 import duckdb
@@ -80,9 +81,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single files; tools/make_scaled.py writes
+        # Spark DIRECTORIES under the same name — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     unknown = only - set(Q.QUERIES)
     if unknown:

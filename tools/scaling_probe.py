@@ -112,6 +112,9 @@ PROBES = [
     "stream_running_stats_replay",
     "join_skew_salted_hotkey_adversarial",
     "sessionize_hotuser_adversarial",
+    "snapshot_time_travel_read",
+    "layout_compaction_rewrite",
+    "stream_transitions_hotkey_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
