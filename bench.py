@@ -177,6 +177,7 @@ HEADLINE = [
     "snapshot_time_travel_read",
     "layout_compaction_rewrite",
     "stream_transitions_hotkey_replay",
+    "layout_zorder_incremental_append",
 ]
 
 

@@ -1366,6 +1366,79 @@ def layout_zorder_file_pruning(spark, sf_dir):
     ).orderBy("zb")
 
 
+@register("layout_zorder_incremental_append", _ZPRUNE_ORACLE)
+def layout_zorder_incremental_append(spark, sf_dir):
+    """The INCREMENTAL-append half of the fixed-boundary Z-order write
+    path under the value-hash gate: write even-keyed orders as the base
+    layout, then APPEND the odd-keyed rows in a second
+    ``write_zordered_fixed`` call that re-derives nothing — same
+    ``ranges``, same arithmetic — and emit the same per-file pruning
+    manifest as ``layout_zorder_file_pruning``, now aggregated over the
+    two writes' files per bucket.  Fixed boundaries make the oracle
+    IDENTICAL to the single-write entry's: if appended rows bucket by
+    the same closed form, the merged per-bucket (count, min/max key,
+    must-read) manifest equals the one-shot write's.  An append that
+    re-samples boundaries (the `write_zordered` drift this function
+    exists to avoid), drops rows, or routes one row to the wrong bucket
+    all hash-mismatch.  Scale shape: the append is one hash
+    repartition + within-partition sort over ONLY the delta — the
+    O(delta) incremental-layout cost a 100 TB ingest needs (never a
+    base rewrite); the read-back aggregate is a 16-group hash agg."""
+    import os
+
+    from label_maker_dask_spark.sources.layout import (
+        write_zordered_fixed,
+        zorder_key,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("o_day"),
+    )
+    r = orders.agg(
+        F.min("o_custkey").alias("xlo"),
+        F.max("o_custkey").alias("xhi"),
+        F.min("o_day").alias("ylo"),
+        F.max("o_day").alias("yhi"),
+    ).first()
+    ranges = {
+        "o_custkey": (float(r["xlo"]), float(r["xhi"])),
+        "o_day": (float(r["ylo"]), float(r["yhi"])),
+    }
+    path = os.path.join(_zprune_workdir(), "orders_z_incremental")
+    k = F.col("o_orderkey")
+    write_zordered_fixed(
+        orders.where(k % 2 == 0), path, ranges,
+        bits=_ZPRUNE_BITS, n_files=_ZPRUNE_FILES,
+    )
+    write_zordered_fixed(
+        orders.where(k % 2 != 0), path, ranges,
+        bits=_ZPRUNE_BITS, n_files=_ZPRUNE_FILES, mode="append",
+    )
+    back = spark.read.parquet(path)
+    z = zorder_key(ranges, bits=_ZPRUNE_BITS)
+    per_file = back.groupBy(
+        F.col("zb").cast("long").alias("zb")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(z).alias("min_z"),
+        F.max(z).alias("max_z"),
+    )
+    return per_file.select(
+        "zb",
+        "n_rows",
+        "min_z",
+        "max_z",
+        (
+            (F.col("min_z") <= F.lit(_ZPRUNE_HI))
+            & (F.col("max_z") >= F.lit(_ZPRUNE_LO))
+        ).alias("must_read"),
+    ).orderBy("zb")
+
+
 # ---------------------------------------------------------------------------
 # Snapshot versioning (time travel / rollback / expiry) under the oracle gate
 # ---------------------------------------------------------------------------

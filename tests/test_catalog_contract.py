@@ -177,6 +177,7 @@ ROTATION_BACKLOG = [
     "similarity_neardup_srp_ann",
     "snapshot_time_travel_read",
     "layout_compaction_rewrite",
+    "layout_zorder_incremental_append",
     "sort_limit_offset_page3",
     "spatial_points_to_tiles_z6",
     "stateful_running_user_stats",

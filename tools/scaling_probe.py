@@ -115,6 +115,7 @@ PROBES = [
     "snapshot_time_travel_read",
     "layout_compaction_rewrite",
     "stream_transitions_hotkey_replay",
+    "layout_zorder_incremental_append",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
