@@ -178,6 +178,7 @@ HEADLINE = [
     "layout_compaction_rewrite",
     "stream_transitions_hotkey_replay",
     "layout_zorder_incremental_append",
+    "transitions_chunked_hotuser_adversarial",
 ]
 
 

@@ -1199,6 +1199,65 @@ def sessionize_hotuser_adversarial(spark, sf_dir):
     )
 
 
+_HOTUSER_TRANSITIONS_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 10 < 3 THEN -1 ELSE user_id END AS user_id,
+         event_id, ts, event_type
+  FROM events),
+s AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM ev),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM s WHERE src IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, w,
+       round(w / (sum(w) OVER (PARTITION BY src)), 6) AS p
+FROM edges
+"""
+
+
+@register(
+    "transitions_chunked_hotuser_adversarial", _HOTUSER_TRANSITIONS_ORACLE
+)
+def transitions_chunked_hotuser_adversarial(spark, sf_dir):
+    """The time-slice-chunked transition builder
+    (``queries_graph_ext.transition_edges_chunked``) under the SAME
+    constructed bot user as ``sessionize_hotuser_adversarial``: ~30 %
+    of all events remapped to ``user_id -1`` — the hot-partition regime
+    where the plain per-user lag window serializes one task, which the
+    two-level chunking (within-slice lag + boundary stitching over ~2
+    rows per occupied slice) exists to break.  The natural-data twin
+    (``graph_event_transitions_chunked``) proves plain-vs-chunked
+    equality on a mild distribution; this proves it cross-engine ON the
+    skew, down to the row-normalized probabilities.  The oracle applies
+    the identical remap to the single-window lag SQL.  Scale shape: the
+    bot's events spread over the slices they span; the stitching window
+    sees #slices×2 rows per user regardless of how hot the user is."""
+    from label_maker_dask_spark.queries_graph_ext import (
+        transition_edges_chunked,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    edges = transition_edges_chunked(ev)
+    wsrc = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        "w",
+        F.round(F.col("w") / F.sum("w").over(wsrc), 6).alias("p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order layout write path under the oracle gate
 # ---------------------------------------------------------------------------

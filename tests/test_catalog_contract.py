@@ -171,6 +171,7 @@ ROTATION_BACKLOG = [
     "scalar_array_algebra",
     "join_skew_salted_hotkey_adversarial",
     "sessionize_hotuser_adversarial",
+    "transitions_chunked_hotuser_adversarial",
     "scalar_date_arithmetic",
     "segmentation_buffered_ring_areas",
     "similarity_ivf_topk_ann",

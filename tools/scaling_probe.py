@@ -116,6 +116,7 @@ PROBES = [
     "layout_compaction_rewrite",
     "stream_transitions_hotkey_replay",
     "layout_zorder_incremental_append",
+    "transitions_chunked_hotuser_adversarial",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
