@@ -179,6 +179,7 @@ HEADLINE = [
     "stream_transitions_hotkey_replay",
     "layout_zorder_incremental_append",
     "transitions_chunked_hotuser_adversarial",
+    "stream_interval_join_semi_replay",
 ]
 
 

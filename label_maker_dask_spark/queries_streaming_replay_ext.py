@@ -737,6 +737,66 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_SEMI_REPLAY_ORACLE = """
+SELECT l.user_id, l.ts, l.event_id
+FROM events l
+WHERE l.event_type = 'click' AND l.user_id % 4 = 3
+  AND EXISTS (
+    SELECT 1 FROM events r
+    WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '6 hours')
+"""
+
+
+@register(
+    "stream_interval_join_semi_replay", _INTERVAL_JOIN_SEMI_REPLAY_ORACLE
+)
+def stream_interval_join_semi_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LEFT-SEMI stream-stream interval join (the streaming EXISTS)
+    under the oracle gate: clicks emit exactly once iff a same-user
+    purchase lands in [ts, ts+6h], with no right columns.  The semi
+    form's distinct hazards vs the inner twin are DUPLICATE emission (a
+    left row matched by purchases in two different micro-batches must
+    still emit once — the mark-as-matched state the inner join doesn't
+    need) and premature left-state eviction (a click evicted before a
+    later tercile's in-interval purchase arrives silently drops an
+    emittable row).  Day terciles arrive in time order, so no right row
+    is watermark-late (the inner twin's argument) and the emitted set
+    must equal the batch EXISTS — the oracle.  The 1-in-4 user slice
+    (``user_id % 4 == 3``, a disjoint slice from the inner twin's)
+    bounds the fixed state-store cost the same way."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="6 hours",
+            left_watermark="1 hour", right_watermark="1 hour",
+            how="left_semi",
+        )
+
+    batches = [
+        t.where(F.col("user_id") % 4 == 3)
+        for t in _events_raw_day_terciles(spark, sf_dir)
+    ]
+    return _drive_stream_to_memory(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_interval_join_semi_replay",
+        output_mode="append",
+    )
+
+
 _INTERVAL_JOIN_OUTER_REPLAY_ORACLE = """
 WITH days AS (
   SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n

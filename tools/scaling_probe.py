@@ -117,6 +117,7 @@ PROBES = [
     "stream_transitions_hotkey_replay",
     "layout_zorder_incremental_append",
     "transitions_chunked_hotuser_adversarial",
+    "stream_interval_join_semi_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
