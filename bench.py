@@ -180,6 +180,7 @@ HEADLINE = [
     "layout_zorder_incremental_append",
     "transitions_chunked_hotuser_adversarial",
     "stream_interval_join_semi_replay",
+    "asof_merge_hotuser_adversarial",
 ]
 
 

@@ -1199,6 +1199,82 @@ def sessionize_hotuser_adversarial(spark, sf_dir):
     )
 
 
+_HOTUSER_ASOF_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 < 3 THEN -1 ELSE user_id END AS user_id,
+         event_type, ts, value
+  FROM events),
+conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts, value
+  FROM ev WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS touch_ts
+  FROM ev WHERE event_type = 'click')
+SELECT conv_id, user_id, conv_ts, value, touch_id, touch_ts
+FROM (
+  SELECT c.conv_id, c.user_id, c.conv_ts, c.value,
+         t.touch_id, t.touch_ts,
+         row_number() OVER (
+           PARTITION BY c.conv_id
+           ORDER BY t.touch_ts DESC, t.touch_id DESC) AS rn
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY)
+WHERE rn = 1
+"""
+
+
+@register("asof_merge_hotuser_adversarial", _HOTUSER_ASOF_ORACLE)
+def asof_merge_hotuser_adversarial(spark, sf_dir):
+    """The slice-chunked merge as-of join
+    (``operators/asof.py asof_join_merge`` with ``chunk_seconds``)
+    under the SAME constructed bot user as the other adversarial
+    entries: ~30 % of all events remapped to ``user_id -1`` before
+    last-touch attribution.  This is the distribution the chunked carry
+    exists for twice over — a hot key serializes the plain union+carry
+    window into one task, AND the range-join formulation the oracle
+    replays materializes the bot's conversions × its 7-day touch band
+    (the quadratic blowup the merge form avoids).  The hash-match
+    proves the within-slice carry + slice-summary carry-in stitching
+    exactly reproduces the range-join + window semantics on the skew,
+    including the (touch_ts, touch_id) descending tie order.  Scale
+    shape: O(L+R) rows per (key, slice); the per-key stitch window sees
+    one summary row per occupied slice, so no task's size depends on
+    how hot the bot is."""
+    from label_maker_dask_spark.operators.asof import asof_join_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("user_id"),
+        "event_type",
+        "ts",
+        "value",
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+    )
+    return asof_join_merge(
+        conv, touch, on=["user_id"], left_time="conv_ts",
+        right_time="touch_ts", tie_break="touch_id",
+        tolerance="INTERVAL 7 DAY", chunk_seconds=86400,
+    ).select(
+        "conv_id", "user_id", "conv_ts", "value", "touch_id", "touch_ts"
+    )
+
+
 _HOTUSER_TRANSITIONS_ORACLE = """
 WITH ev AS (
   SELECT CASE WHEN event_id % 10 < 3 THEN -1 ELSE user_id END AS user_id,

@@ -172,6 +172,7 @@ ROTATION_BACKLOG = [
     "join_skew_salted_hotkey_adversarial",
     "sessionize_hotuser_adversarial",
     "transitions_chunked_hotuser_adversarial",
+    "asof_merge_hotuser_adversarial",
     "scalar_date_arithmetic",
     "segmentation_buffered_ring_areas",
     "similarity_ivf_topk_ann",

@@ -118,6 +118,7 @@ PROBES = [
     "layout_zorder_incremental_append",
     "transitions_chunked_hotuser_adversarial",
     "stream_interval_join_semi_replay",
+    "asof_merge_hotuser_adversarial",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
