@@ -3079,12 +3079,14 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # covered by the full local replay (tools/check_oracle.py, 173/173).
 # Round 10 rotated in 28 never-gated entries (25 existing + the
 # newly-oracled HLL bound gate + the two streaming batch-replay twins).
-# Round 11 rotated in 32 never-gated entries (the remaining 8 TPC-H,
-# the 11 ungated streaming replay twins + the new left-outer interval
-# join twin, CUSUM, BM25, trailing-7 exact distinct, transitions,
-# k-means, cohort retention, PII, cogroup UDF, EMA-30, variant extract,
-# and the new Z-order file-pruning entry); the 21 entries gated in >=2
-# rounds rotated out, plus 5 once-gated TPC-H stragglers and 5 other
+# Round 11 rotated in 36 never-gated entries (the remaining 8 TPC-H,
+# the 11 ungated streaming replay twins + the new left-outer AND
+# left-semi interval join twins, CUSUM, BM25, trailing-7 exact
+# distinct, transitions, k-means, cohort retention, PII, cogroup UDF,
+# EMA-30, variant extract, the Z-order file-pruning entry, the
+# snapshot-lifecycle and compaction write-path entries, and the
+# adversarial chunked merge as-of); the 21 entries gated in >=2 rounds
+# rotated out, plus 5 once-gated TPC-H stragglers and 9 other
 # once-gated entries whose r10 evidence is banked.
 _DRIVER_WINDOW = [
     # TPC-H shapes (first gating for all eight; anchors q1/q3 and the
@@ -3097,16 +3099,20 @@ _DRIVER_WINDOW = [
     "q19_disjunctive_revenue",
     "q20_promotion_part_suppliers",
     "q22_global_sales_opportunity",
-    # join forms (kept: once-gated r10)
-    "join_asof_nearest_order_event",
+    # join forms: CDC anchor (once-gated r10) + the adversarial chunked
+    # merge as-of (first gating; stands in for the r10-gated
+    # join_asof_nearest_order_event as the asof-family slot)
+    "asof_merge_hotuser_adversarial",
     "merge_upsert_orders_cdc",
     # aggregation (kept: once-gated r10)
     "agg_hll_sketch_weekly_users",
     "agg_heavy_hitters_users",
-    "agg_exact_percentiles",
+    # table lifecycle (first gating; replace two r10-gated agg/analytics
+    # anchors — the write-path family had no snapshot/compaction
+    # evidence at all)
+    "snapshot_time_travel_read",
+    "layout_compaction_rewrite",
     # analytics (kept: once-gated r10)
-    "analytics_equidepth_histogram_price",
-    "analytics_rfm_customer_segments",
     "analytics_market_basket_part_pairs",
     "window_ratio_to_report_nation_share",
     "attribution_linear",
@@ -3154,6 +3160,7 @@ _DRIVER_WINDOW = [
     "stream_interval_join_replay",
     "stream_late_data_drop_replay",
     "stream_interval_join_outer_replay",
+    "stream_interval_join_semi_replay",
 ]
 
 

@@ -48,13 +48,12 @@ PINNED_DRIVER_WINDOW = [
     "q19_disjunctive_revenue",
     "q20_promotion_part_suppliers",
     "q22_global_sales_opportunity",
-    "join_asof_nearest_order_event",
+    "asof_merge_hotuser_adversarial",
     "merge_upsert_orders_cdc",
     "agg_hll_sketch_weekly_users",
     "agg_heavy_hitters_users",
-    "agg_exact_percentiles",
-    "analytics_equidepth_histogram_price",
-    "analytics_rfm_customer_segments",
+    "snapshot_time_travel_read",
+    "layout_compaction_rewrite",
     "analytics_market_basket_part_pairs",
     "window_ratio_to_report_nation_share",
     "attribution_linear",
@@ -90,6 +89,7 @@ PINNED_DRIVER_WINDOW = [
     "stream_interval_join_replay",
     "stream_late_data_drop_replay",
     "stream_interval_join_outer_replay",
+    "stream_interval_join_semi_replay",
 ]
 
 
@@ -172,13 +172,10 @@ ROTATION_BACKLOG = [
     "join_skew_salted_hotkey_adversarial",
     "sessionize_hotuser_adversarial",
     "transitions_chunked_hotuser_adversarial",
-    "asof_merge_hotuser_adversarial",
     "scalar_date_arithmetic",
     "segmentation_buffered_ring_areas",
     "similarity_ivf_topk_ann",
     "similarity_neardup_srp_ann",
-    "snapshot_time_travel_read",
-    "layout_compaction_rewrite",
     "layout_zorder_incremental_append",
     "sort_limit_offset_page3",
     "spatial_points_to_tiles_z6",
@@ -186,7 +183,6 @@ ROTATION_BACKLOG = [
     "stream_running_stats_replay",
     "stream_transitions_stateful_replay",
     "stream_transitions_hotkey_replay",
-    "stream_interval_join_semi_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",
