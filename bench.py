@@ -181,6 +181,7 @@ HEADLINE = [
     "transitions_chunked_hotuser_adversarial",
     "stream_interval_join_semi_replay",
     "asof_merge_hotuser_adversarial",
+    "stream_session_timeout_replay",
 ]
 
 

@@ -1265,6 +1265,103 @@ def stream_running_stats_replay(
     )
 
 
+_SESSION_TIMEOUT_REPLAY_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(CAST(value AS DECIMAL(28,8)) * 100, 0) AS BIGINT)
+           AS cents
+  FROM events
+  WHERE user_id % 4 = 2),
+flagged AS (
+  SELECT user_id, event_id, ts, cents,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, cents,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@register("stream_session_timeout_replay", _SESSION_TIMEOUT_REPLAY_ORACLE)
+def stream_session_timeout_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EVENT-TIME-TIMEOUT arbitrary-state surface
+    (``streaming/stateful.py streaming_session_stats``,
+    ``GroupStateTimeout.EventTimeTimeout``) under the cross-engine
+    gate — the one ``applyInPandasWithState`` capability the other
+    twins don't touch: a quiet session is closed by the STATE STORE's
+    timeout firing, not by a later event.  Mid-stream sessions close
+    when a same-user event exceeds the 30-minute gap (emitted in that
+    batch, including sessions stitched across tercile boundaries
+    through carried state); each user's FINAL session can only emit via
+    its timeout.  A far-future sentinel event (user -99, max ts + 10
+    days) rides in the last batch so the closing no-data batch's
+    watermark passes every real session's ``last_ts + gap`` horizon —
+    all real sessions time out deterministically, the sentinel's own
+    open session stays withheld (filtered).  The oracle is the plain
+    gaps-and-islands sessionization: a timeout that never fires
+    (missing final sessions), fires early (split sessions), or a
+    stale state row emitting twice all hash-mismatch.  Values are
+    pre-quantized to integer cents (the module's integer-summation
+    rule).  The change log is sliced to 1-in-4 users
+    (``user_id % 4 == 2``, disjoint from the interval twins' slices,
+    mirrored in the oracle): timeout firing and boundary stitching are
+    per-user properties, and the slice bounds the per-key Python
+    invocation cost the arbitrary-state API pays at 10x users."""
+    from datetime import timedelta
+
+    from label_maker_dask_spark.streaming.stateful import (
+        streaming_session_stats,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 2)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value").cast("decimal(28,8)") * 100, 0)
+            .cast("long")
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    t1, t2, t3 = _day_terciles(ev)
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, -99, "sentinel", mx + timedelta(days=10), 0.0)],
+        schema=_EVENTS_REPLAY_SCHEMA,
+    )
+    batches = [t1, t2, t3.unionByName(sentinel)]
+
+    def build(df):
+        return streaming_session_stats(
+            df.withWatermark("ts", "1 hour"), gap_minutes=30
+        )
+
+    out = _drive_stream_to_memory(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_session_timeout_replay",
+        output_mode="append",
+    )
+    return out.where(F.col("user_id") != -99)
+
+
 _TRANSITIONS_HOTKEY_REPLAY_ORACLE = """
 WITH ev AS (
   SELECT CASE WHEN event_id % 10 < 3 THEN -1 ELSE user_id END AS user_id,

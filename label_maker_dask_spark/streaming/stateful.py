@@ -172,3 +172,124 @@ def streaming_transition_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_STATS_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_cents long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, cents long"
+
+
+def streaming_session_stats(
+    df: DataFrame, gap_minutes: int = 30, user_col: str = "user_id"
+) -> DataFrame:
+    """Custom stateful sessionizer with EVENT-TIME TIMEOUT — the one
+    ``applyInPandasWithState`` capability the other operators here don't
+    exercise: a session that goes quiet is closed by the STATE STORE
+    (``GroupStateTimeout.EventTimeTimeout`` fires once the watermark
+    passes ``last_ts + gap``), not by a later event arriving.  Sessions
+    closed by a same-user event whose gap exceeds ``gap_minutes`` emit
+    in that batch; the final open session per user emits when its
+    timeout fires (or never, if the watermark never reaches its
+    horizon — withheld state, the same convention as the left-outer
+    interval join's null rows).
+
+    ``value`` must be pre-quantized to integer-valued doubles (cents) by
+    the caller: the pandas fold then adds exactly-representable
+    integers, order-free and engine-independent (the module's
+    integer-summation rule).  Expects ``event_id`` for deterministic
+    within-timestamp ordering and a watermark already applied to ``ts``.
+
+    On a batch frame the same semantics are plain gaps-and-islands
+    sessionization, so the operator stays oracle-checkable.  Scale
+    posture: one state row per user (the open session only), timeout
+    eviction bounds state lifetime for keys that go quiet — the shape
+    that holds a 100 TB clickstream's state to live-user cardinality."""
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit_all(sessions):
+            # ONE frame per invocation — a per-session 1-row DataFrame
+            # measured 5x slower on session-dense corpora
+            starts, lasts, ns, cs = zip(*sessions)
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": pd.to_datetime(list(starts), unit="us"),
+                    "session_end": pd.to_datetime(list(lasts), unit="us"),
+                    "n_events": list(ns),
+                    "value_cents": list(cs),
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield emit_all([(start_us, last_us, n, cents)])
+            return
+        # concat + sort ONCE: large groups arrive as multiple Arrow
+        # chunks in post-shuffle order (see _transition_counts_fn)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        vals = pdf["value"].tolist()
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us = None
+        out = []
+        for t, v in zip(ts_us, vals):
+            if start_us is not None and t - last_us > gap_us:
+                out.append((start_us, last_us, n, cents))
+                start_us = None
+            if start_us is None:
+                start_us, last_us, n, cents = t, t, 1, int(v)
+            else:
+                last_us, n, cents = t, n + 1, cents + int(v)
+        state.update((start_us, last_us, n, cents))
+        # (re)arm the horizon: fire once the watermark passes the open
+        # session's gap boundary (EventTimeTimeout takes epoch millis)
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        if out:
+            yield emit_all(out)
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        from label_maker_dask_spark.functions.timeutil import epoch_micros
+
+        us = epoch_micros("ts")
+        w = Window.partitionBy(user_col).orderBy(us, "event_id")
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            df.withColumn(
+                "_new",
+                F.when(
+                    us - F.lag(us).over(w) > F.lit(gap_us), F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn("_sid", F.sum("_new").over(wrun))
+            .groupBy(F.col(user_col).alias("user_id"), "_sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").cast("long").alias("value_cents"),
+            )
+            .drop("_sid")
+        )
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_STATS_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -183,6 +183,7 @@ ROTATION_BACKLOG = [
     "stream_running_stats_replay",
     "stream_transitions_stateful_replay",
     "stream_transitions_hotkey_replay",
+    "stream_session_timeout_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",

@@ -119,6 +119,7 @@ PROBES = [
     "transitions_chunked_hotuser_adversarial",
     "stream_interval_join_semi_replay",
     "asof_merge_hotuser_adversarial",
+    "stream_session_timeout_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
