@@ -182,6 +182,7 @@ HEADLINE = [
     "stream_interval_join_semi_replay",
     "asof_merge_hotuser_adversarial",
     "stream_session_timeout_replay",
+    "stream_interval_join_full_replay",
 ]
 
 

@@ -916,6 +916,129 @@ def stream_interval_join_outer_replay(
     )
 
 
+_INTERVAL_JOIN_FULL_REPLAY_ORACLE = """
+WITH days AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+  FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)),
+cuts AS (
+  SELECT max(CASE WHEN rn = n // 3 + 1 THEN d END) AS cut1 FROM days),
+l_all AS (
+  SELECT e.user_id, e.ts, e.event_id FROM events e, cuts
+  WHERE e.event_type = 'click' AND e.user_id % 4 = 0
+    AND date_trunc('day', e.ts) < cuts.cut1),
+mx AS (SELECT max(ts) AS mxl FROM l_all),
+l AS (
+  SELECT l_all.* FROM l_all, mx
+  WHERE l_all.ts NOT BETWEEN mx.mxl - INTERVAL '450 minutes'
+                         AND mx.mxl - INTERVAL '390 minutes'),
+r AS (
+  SELECT e.user_id, e.ts, e.event_id, e.value FROM events e, mx
+  WHERE e.event_type = 'purchase' AND e.user_id % 4 = 0
+    AND e.ts NOT BETWEEN mx.mxl - INTERVAL '90 minutes'
+                     AND mx.mxl - INTERVAL '30 minutes'),
+j AS (
+  SELECT coalesce(l.user_id, r.user_id) AS user_id,
+         l.ts, l.event_id,
+         r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+  FROM l FULL JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '6 hours')
+SELECT user_id, ts, event_id, r_ts, r_event_id, r_value
+FROM j, mx
+WHERE (event_id IS NOT NULL AND r_event_id IS NOT NULL)
+   OR (r_event_id IS NULL AND ts + INTERVAL '7 hours' < mxl)
+   OR (event_id IS NULL AND r_ts < mxl - INTERVAL '60 minutes')
+"""
+
+
+@register(
+    "stream_interval_join_full_replay", _INTERVAL_JOIN_FULL_REPLAY_ORACLE
+)
+def stream_interval_join_full_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL-OUTER stream-stream interval join under the oracle
+    gate — BOTH null-row emit horizons in one twin.  The change log is
+    the left-outer twin's frozen-watermark construction (left clicks
+    confined to day-tercile 1 so the global watermark freezes at
+    ``mxl − 1h`` after batch 1) extended with a RIGHT-side margin:
+
+    - matched pairs emit unconditionally (and no cross-boundary match
+      can involve evicted state: tercile-2/3 purchases have
+      ``ts > mxl``, while any evicted click satisfies
+      ``ts + 6h < mxl − 1h`` — the intervals cannot overlap);
+    - an unmatched CLICK null-emits only where the frozen watermark
+      proves no purchase can still arrive (``ts + 7h < mxl``), with
+      the ±30-minute boundary band excluded from log and oracle;
+    - an unmatched PURCHASE null-emits only where the frozen watermark
+      proves no click can still arrive — a click matching it would
+      need ``ts ≤ r_ts``, impossible once ``r_ts < watermark`` — i.e.
+      ``r_ts < mxl − 1h``, with its own ±30-minute band around that
+      boundary excluded symmetrically.
+
+    The oracle replays both horizons in SQL over a FULL JOIN.  An
+    engine that emits a withheld null row on either side, withholds an
+    emittable one, drops a late-classified right row the construction
+    proves is never late, or mis-coalesces the key on a right-null row
+    all hash-mismatch.  The ``user_id % 4 == 0`` slice is disjoint from
+    the inner/semi/timeout twins'."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
+    quarter = F.col("user_id") % 4 == 0
+    clicks1 = t1.where(quarter & (F.col("event_type") == "click"))
+    mxl = clicks1.agg(F.max("ts")).first()[0]
+    if mxl is None:
+        raise ValueError(
+            "stream_interval_join_full_replay needs >=1 tercile-1 click "
+            "from a user_id % 4 == 0 user; the source events table is "
+            "too small"
+        )
+    left1 = clicks1.where(
+        ~F.col("ts").between(
+            F.lit(mxl) - F.expr("INTERVAL 450 MINUTES"),
+            F.lit(mxl) - F.expr("INTERVAL 390 MINUTES"),
+        )
+    )
+
+    def purchases(t):
+        return t.where(quarter & (F.col("event_type") == "purchase")).where(
+            ~F.col("ts").between(
+                F.lit(mxl) - F.expr("INTERVAL 90 MINUTES"),
+                F.lit(mxl) - F.expr("INTERVAL 30 MINUTES"),
+            )
+        )
+
+    batches = [
+        left1.unionByName(purchases(t1)),
+        purchases(t2),
+        purchases(t3),
+    ]
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="6 hours",
+            left_watermark="1 hour", right_watermark="1 hour",
+            how="full_outer",
+        )
+
+    return _drive_stream_to_memory(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_interval_join_full_replay",
+        output_mode="append",
+    )
+
+
 @register("stream_sliding_1h30m_replay", SLIDING_1H30_ORACLE)
 def stream_sliding_1h30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three day-tercile event micro-batches through the REAL streaming

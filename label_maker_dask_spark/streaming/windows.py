@@ -121,13 +121,15 @@ def interval_join(
     condition lets Spark expire a side's buffered state as soon as the
     other side's watermark passes its bound, so state is rate ×
     (watermark + interval width), never unbounded.  ``how`` may be
-    "inner", "left_outer", or "left_semi" (the non-inner forms need the
-    watermarks).
+    "inner", "left_outer", "full_outer", or "left_semi" (the non-inner
+    forms need the watermarks).
 
     Output columns are the left columns plus the right's ``right_ts`` and
     non-key remainder prefixed ``r_`` — a streaming sink needs
     collision-free names.  The semi form emits each matched left row
-    exactly once with no right columns (the streaming EXISTS)."""
+    exactly once with no right columns (the streaming EXISTS); the full
+    outer form coalesces the join keys across sides so a right-null-side
+    row still carries them."""
     l = _maybe_watermark(left, left_ts, left_watermark).alias("l")
     r = _maybe_watermark(right, right_ts, right_watermark).alias("r")
     cond = F.expr(
@@ -142,7 +144,15 @@ def interval_join(
     joined = l.join(r, on=cond, how=how)
     if how == "left_semi":
         return joined.select(*[F.col(f"l.{c}") for c in left.columns])
-    keep = [F.col(f"l.{c}") for c in left.columns] + [
+    if how == "full_outer":
+        keep = [
+            F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+            if c in keys else F.col(f"l.{c}")
+            for c in left.columns
+        ]
+    else:
+        keep = [F.col(f"l.{c}") for c in left.columns]
+    keep += [
         F.col(f"r.{c}").alias(f"r_{c}")
         for c in right.columns
         if c not in keys

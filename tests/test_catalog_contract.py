@@ -184,6 +184,7 @@ ROTATION_BACKLOG = [
     "stream_transitions_stateful_replay",
     "stream_transitions_hotkey_replay",
     "stream_session_timeout_replay",
+    "stream_interval_join_full_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",

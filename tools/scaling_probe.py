@@ -120,6 +120,7 @@ PROBES = [
     "stream_interval_join_semi_replay",
     "asof_merge_hotuser_adversarial",
     "stream_session_timeout_replay",
+    "stream_interval_join_full_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
