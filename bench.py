@@ -183,6 +183,7 @@ HEADLINE = [
     "asof_merge_hotuser_adversarial",
     "stream_session_timeout_replay",
     "stream_interval_join_full_replay",
+    "stream_static_join_enrich_replay",
 ]
 
 

@@ -916,6 +916,65 @@ def stream_interval_join_outer_replay(
     )
 
 
+_STREAM_STATIC_JOIN_REPLAY_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+       c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register(
+    "stream_static_join_enrich_replay", _STREAM_STATIC_JOIN_REPLAY_ORACLE
+)
+def stream_static_join_enrich_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAM-STATIC enrichment join — the remaining join execution
+    mode after the stream-stream matrix: a streaming fact (orders
+    replayed as three order-date terciles) joined per micro-batch to a
+    STATIC dimension read from parquet (customer), the
+    broadcast-enrich shape every production ingest uses for
+    dimension lookup.  Stateless by construction (the static side is
+    re-resolved each micro-batch; no watermark, no join state), so the
+    appended union over all batches must equal the batch join — the
+    oracle.  A dropped batch, a stale static snapshot mid-replay, or a
+    duplicate emission on restart all hash-mismatch.  Prices ride as
+    integer cents (exact decimal round, mirrored in the oracle).
+    Scale shape: the dimension broadcasts under AQE at production dim
+    sizes; per-batch cost is the batch's rows × a hash-lookup — the
+    O(delta) enrich a 100 TB ingest needs."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("totalprice_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+    def build(df):
+        return df.join(
+            cust, df.o_custkey == cust.c_custkey, "inner"
+        ).select(
+            "o_orderkey", "o_custkey", "totalprice_cents",
+            "c_name", "c_mktsegment",
+        )
+
+    return _drive_stream_to_memory(
+        spark,
+        _day_terciles(orders),
+        "o_orderkey long, o_custkey long, ts timestamp, "
+        "totalprice_cents long",
+        build,
+        "stream_static_join_enrich_replay",
+        output_mode="append",
+    )
+
+
 _INTERVAL_JOIN_FULL_REPLAY_ORACLE = """
 WITH days AS (
   SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n

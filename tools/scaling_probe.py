@@ -121,6 +121,7 @@ PROBES = [
     "asof_merge_hotuser_adversarial",
     "stream_session_timeout_replay",
     "stream_interval_join_full_replay",
+    "stream_static_join_enrich_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
