@@ -184,6 +184,7 @@ HEADLINE = [
     "stream_session_timeout_replay",
     "stream_interval_join_full_replay",
     "stream_static_join_enrich_replay",
+    "stream_tile_source_replay",
 ]
 
 

@@ -916,6 +916,83 @@ def stream_interval_join_outer_replay(
     )
 
 
+#: the grid is closed-form: corner indices for bounds (-10,36,10,44) at
+#: zoom 8 are (xmin,ymin,xmax,ymax) = (120,93,135,100) by the slippy
+#: formulas (tiles.tile_range; x = floor((lon+180)/360*2^z), y via the
+#: Mercator ln-tan form with the epsilon-inclusive east/south corners).
+_STREAM_TILE_SOURCE_ORACLE = """
+SELECT CAST(8 AS INT) AS z, CAST(s.x AS BIGINT) AS x,
+       CAST(t.y AS BIGINT) AS y
+FROM generate_series(120, 135) s(x), generate_series(93, 100) t(y)
+"""
+
+
+@register("stream_tile_source_replay", _STREAM_TILE_SOURCE_ORACLE)
+def stream_tile_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Python DataSource surface
+    (``SimpleDataSourceStreamReader``, ``sources/tile_source.py
+    SlippyTileStreamReader``) under the oracle gate: the tile grid for
+    a fixed bbox fed as an incremental y-stripe stream (3 rows per
+    micro-batch → 3 batches for the 8-row grid), driven through a real
+    checkpointed parquet sink until the source is exhausted.  The union
+    of all micro-batches must equal the closed-form grid EXACTLY — a
+    skipped stripe (offset advanced past unread rows), a re-emitted
+    stripe (offset not advanced, or ``readBetweenOffsets`` replaying a
+    committed batch on top of its sink output), or a wrong range
+    boundary all hash-mismatch.  This is the connector-API twin of the
+    batch ``spark.read.format("slippy_tiles")`` source (same options,
+    same closed-form content), so the engine's source surface is gated
+    in BOTH execution modes.  ``sf_dir`` is unused: the source is
+    generated, as the batch connector's is.
+
+    Scale shape: each micro-batch is one bounded stripe (rowsPerBatch ×
+    grid width) prefetched on the driver and shipped once — the
+    documented Simple-reader contract; a production tile-catalog feed
+    sizes stripes to the ingest rate.  The drive polls the sink row
+    count (closed-form target) and stops the query — bounded by a
+    timeout that fails the gate loudly rather than hanging."""
+    import os
+    import time
+
+    from label_maker_dask_spark.sources.tile_source import (
+        register_tile_source,
+    )
+    from label_maker_dask_spark.tiles import n_tiles
+
+    register_tile_source(spark)
+    bounds, zoom = [-10.0, 36.0, 10.0, 44.0], 8
+    expected = n_tiles(bounds, zoom)
+    work = _replay_workdir("stream_tile_source_replay")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    stream = (
+        spark.readStream.format("slippy_tiles")
+        .option("bounds", ",".join(str(v) for v in bounds))
+        .option("zoom", zoom)
+        .option("rowsPerBatch", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= expected:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(1)
+    finally:
+        q.stop()
+    return spark.read.schema("z int, x bigint, y bigint").parquet(out)
+
+
 _STREAM_STATIC_JOIN_REPLAY_ORACLE = """
 SELECT o.o_orderkey, o.o_custkey,
        CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,

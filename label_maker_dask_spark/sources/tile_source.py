@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -68,6 +69,11 @@ class SlippyTileDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "SlippyTileReader":
         return SlippyTileReader(self.options)
+
+    def simpleStreamReader(  # noqa: N802 (Spark API casing)
+        self, schema: StructType
+    ) -> "SlippyTileStreamReader":
+        return SlippyTileStreamReader(self.options)
 
 
 class SlippyTileReader(DataSourceReader):
@@ -150,9 +156,73 @@ class SlippyTileReader(DataSourceReader):
                 yield (part.zoom, x, y)
 
 
+class SlippyTileStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the connector: the tile grid is fed as an
+    incremental y-row feed — each micro-batch emits ``rowsPerBatch``
+    tile rows (whole y stripes), the offset is the next unread y.
+    Models the incremental-catalog-scan shape (a tile ingest emitting
+    newly published stripes) on a source whose TOTAL content is
+    closed-form, so an exactly-once replay can be value-hash gated:
+    the union of all micro-batches must equal the batch grid, and
+    ``readBetweenOffsets`` must reproduce any committed batch verbatim
+    on recovery (Spark replays uncommitted ranges from it after a
+    crash).  Offsets are tiny dicts; no driver state beyond them."""
+
+    def __init__(self, options):
+        bounds_s = options.get("bounds")
+        zoom_s = options.get("zoom")
+        if bounds_s is None or zoom_s is None:
+            raise ValueError(
+                "slippy_tiles (stream) requires options bounds='w,s,e,n' "
+                "and zoom"
+            )
+        bounds = [float(v) for v in str(bounds_s).split(",")]
+        self.zoom = int(zoom_s)
+        self.rows_per_batch = max(1, int(options.get("rowsperbatch", 4)))
+        self.xmin, self.ymin, self.xmax, self.ymax = tile_range(
+            bounds, self.zoom
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"y": self.ymin}
+
+    def _rows(self, y0: int, y1: int):
+        # a LIST ITERATOR, not a generator and not a bare list: Spark's
+        # prefetch wrapper both calls next() on it (empty-batch
+        # validation) and PICKLES it into the planned partition —
+        # generators aren't picklable, lists aren't iterators; iter(list)
+        # is both.  A stripe is rows_per_batch × grid width — bounded by
+        # the option, never the whole grid.
+        return iter(
+            [
+                (self.zoom, x, y)
+                for y in range(y0, y1 + 1)
+                for x in range(self.xmin, self.xmax + 1)
+            ]
+        )
+
+    def read(self, start: dict):
+        y0 = int(start["y"])
+        if y0 > self.ymax:  # exhausted: empty batch, offset unchanged
+            return iter([]), start
+        y1 = min(self.ymax, y0 + self.rows_per_batch - 1)
+        return self._rows(y0, y1), {"y": y1 + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return self._rows(int(start["y"]), int(end["y"]) - 1)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge
+
+
 def register_tile_source(spark) -> None:
     """Idempotently register the connector on a session."""
     spark.dataSource.register(SlippyTileDataSource)
 
 
-__all__ = ["SlippyTileDataSource", "SlippyTileReader", "register_tile_source"]
+__all__ = [
+    "SlippyTileDataSource",
+    "SlippyTileReader",
+    "SlippyTileStreamReader",
+    "register_tile_source",
+]

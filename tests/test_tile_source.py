@@ -80,3 +80,42 @@ def test_missing_options_raise():
 
     with pytest.raises(ValueError, match="bounds"):
         SlippyTileReader({"zoom": "15"})
+
+
+def test_stream_reader_offsets_partition_and_replay():
+    """The streaming reader's offset algebra, without a running query:
+    successive read() calls walk the y range in rowsPerBatch stripes,
+    the exhausted source returns an empty ITERATOR with an unchanged
+    offset (Spark's prefetch wrapper calls next() on it and pickles
+    it), and readBetweenOffsets() reproduces any batch verbatim — the
+    crash-replay contract."""
+    from label_maker_dask_spark.sources.tile_source import (
+        SlippyTileStreamReader,
+    )
+
+    r = SlippyTileStreamReader(
+        {"bounds": "-10,36,10,44", "zoom": "8", "rowsperbatch": "3"}
+    )
+    assert (r.xmin, r.ymin, r.xmax, r.ymax) == (120, 93, 135, 100)
+    off = r.initialOffset()
+    seen, batches = [], []
+    while True:
+        it, nxt = r.read(off)
+        rows = list(it)
+        if not rows:
+            assert nxt == off  # exhausted: offset must not move
+            break
+        batches.append((off, nxt, rows))
+        seen += rows
+        off = nxt
+    assert len(batches) == 3  # 8 y-rows in stripes of 3 -> 3, 3, 2
+    expected = [
+        (8, x, y) for y in range(93, 101) for x in range(120, 136)
+    ]
+    assert sorted(seen) == sorted(expected) and len(seen) == len(set(seen))
+    for start, end, rows in batches:  # crash replay: byte-identical
+        assert list(r.readBetweenOffsets(start, end)) == rows
+    import pickle
+
+    it, _ = r.read(r.initialOffset())
+    assert list(pickle.loads(pickle.dumps(it))) == batches[0][2]
