@@ -909,13 +909,13 @@ def duplicate_components(
     generation — typically a banded LSH join — would execute twice
     inside the edges job.  The driver-side loop only ever collects one
     scalar (the per-batch change count) — never data."""
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(materialize, eager=True)
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize, eager=True)
     # Adaptive path choice, AQE-style: a post-LSH pair graph is usually
     # orders of magnitude smaller than its corpus (only banded-collision
     # survivors), so most real runs fit the one-task union-find, whose
@@ -993,7 +993,7 @@ def duplicate_components(
         cur = labels
         for _s in range(steps_per_batch):
             cur = _shortcut(_step(cur.select("id", "comp")))
-        updated = cur.localCheckpoint(eager=True)
+        updated = cur.transform(materialize, eager=True)
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.select("id", "comp")
         if n_changed == 0:

@@ -27,6 +27,8 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+
+from label_maker_dask_spark.operators.materialize import materialize
 from pyspark.sql import functions as F
 
 
@@ -71,7 +73,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     bit-for-bit."""
     # materialized once (it is referenced twice: total + items) — the
     # survivors frame is O(chunks x k), tiny by construction
-    cand = heavy_hitter_candidates(df, col, k).localCheckpoint(eager=True)
+    cand = heavy_hitter_candidates(df, col, k).transform(materialize, eager=True)
     total = cand.where(F.col("item").isNull()).agg(
         F.sum("n").alias("total_rows")
     )

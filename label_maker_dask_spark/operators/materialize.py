@@ -5,8 +5,12 @@ Several operators reference an intermediate frame from more than one
 plan branch (band join both sides, every power iteration, BFS hops).
 Left lazy, Spark re-executes the upstream plan per consumer; worse, a
 frame containing a nondeterministic draw (sampling, ``repartitionByRange``
-partition ids) may evaluate *differently* per branch.  These sites
-therefore pin the frame once via ``DataFrame.localCheckpoint``.
+partition ids) may evaluate *differently* per branch.  EVERY such site
+in the library routes through :func:`materialize` (chained sites use
+``df.transform(materialize, eager=...)``), so the mode knob below
+governs the whole engine — no operator hard-codes
+``localCheckpoint`` (grep-enforceable: the only ``.localCheckpoint(``
+call lives in this module).
 
 Why ``localCheckpoint`` and not ``persist()`` by default:
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
+
+from label_maker_dask_spark.operators.materialize import materialize
 from pyspark.sql import functions as F
 
 
@@ -72,7 +74,7 @@ def with_global_rank(
     # offsets to another's local ranks — observed as unequal ntile
     # buckets at sf1 while every small-data test stayed green.  The
     # checkpoint pins one boundary draw for both consumers.
-    d = d.localCheckpoint(eager=False)
+    d = d.transform(materialize, eager=False)
     sizes = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     wo = Window.orderBy("_pid")  # partition-count rows: tiny window
     offs = sizes.select(

@@ -25,6 +25,7 @@ days in the data — independent of fact-table row count.
 from __future__ import annotations
 
 from pyspark.sql import Window
+from label_maker_dask_spark.operators.materialize import materialize
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.functions.timeutil import epoch_micros
@@ -539,7 +540,7 @@ def analytics_event_path_trigrams(spark, sf_dir):
     # would run twice.  localCheckpoint (the repo's materialize-once
     # convention, same as the chi2 sibling) needs no matching
     # unpersist, so long-lived library sessions don't leak cache blocks.
-    tri = tri.localCheckpoint(eager=True)
+    tri = tri.transform(materialize, eager=True)
     total = tri.agg(F.sum("n").alias("t"))
     return (
         tri.crossJoin(F.broadcast(total))
@@ -597,7 +598,7 @@ def analytics_chi2_event_type_by_hour(spark, sf_dir):
     cells = ev.groupBy(
         "event_type", F.hour("ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("n_ij"))
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.transform(materialize, eager=True)
     rows_ = cells.groupBy("event_type").agg(F.sum("n_ij").alias("r"))
     cols_ = cells.groupBy("hr").agg(F.sum("n_ij").alias("c"))
     tot = cells.agg(F.sum("n_ij").alias("n"))
@@ -710,7 +711,7 @@ def analytics_rfm_customer_segments(spark, sf_dir):
             "cents",
             F.datediff("maxd", "last_dt").alias("rec_days"),
         )
-        .localCheckpoint(eager=True)  # three rank passes read it
+        .transform(materialize, eager=True)  # three rank passes read it
     )
     r = distributed_ntile(
         feat.select("o_custkey", "rec_days"), 5,
@@ -784,14 +785,14 @@ def analytics_market_basket_part_pairs(spark, sf_dir):
     baskets = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
     ).distinct()
-    baskets = baskets.localCheckpoint(eager=True)  # three consumers
+    baskets = baskets.transform(materialize, eager=True)  # three consumers
     n_ord = baskets.agg(F.countDistinct("okey").alias("n"))
     sup = (
         baskets.groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_item"))
         .where(F.col("n_item") >= 8)
     )
-    sup = sup.localCheckpoint(eager=True)  # filter + two lookups
+    sup = sup.transform(materialize, eager=True)  # filter + two lookups
     # the self-join carries ONLY (okey, item): supports attach to the
     # aggregated pairs afterwards via two broadcast lookups — joining
     # them through the fan-out would widen every candidate row.  fi is
@@ -800,7 +801,7 @@ def analytics_market_basket_part_pairs(spark, sf_dir):
     fi = baskets.join(F.broadcast(sup.select("item")), "item").select(
         "okey", "item"
     )
-    fi = fi.localCheckpoint(eager=True)
+    fi = fi.transform(materialize, eager=True)
     a, b = fi.alias("a"), fi.alias("b")
     pairs = (
         a.join(

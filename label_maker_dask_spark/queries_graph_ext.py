@@ -731,7 +731,7 @@ def graph_triangle_copurchase(spark, sf_dir):
             F.col("b.l_partkey").alias("pb"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     deg = (
         e.select(F.col("pa").alias("node"))
@@ -752,7 +752,7 @@ def graph_triangle_copurchase(spark, sf_dir):
         F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("du"),
         F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize, eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from label_maker_dask_spark.operators.materialize import materialize
+
 from label_maker_dask_spark.functions.text import (
     char_poly_hash_sql,
     word_shingles_sql,
@@ -896,7 +898,7 @@ def agg_kmv_setops_weekday_weekend(spark, sf_dir):
     )
     h = (raw * raw % HASH_P) * raw % HASH_P
     hashed = tagged.select("we", h.alias("h")).distinct()
-    hashed = hashed.localCheckpoint(eager=True)  # seg + union cuts
+    hashed = hashed.transform(materialize, eager=True)  # seg + union cuts
     seg = _kmv_estimate(hashed, ["we"], k)
     seg_wide = seg.agg(
         F.max(F.when(F.col("we") == 0, F.col("approx_distinct"))).alias(

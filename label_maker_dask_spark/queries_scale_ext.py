@@ -1410,23 +1410,67 @@ FROM f
 ORDER BY zb
 """
 
-#: one layout-write temp root per process, removed at interpreter exit
-#: (deferred cleanup: the returned frame lazily reads the written
-#: layout, so the driver's collect happens after the entry returns —
-#: same contract as queries_streaming_replay_ext's replay root).
-_ZPRUNE_TMP: list = [None]
-
-
 def _zprune_workdir() -> str:
-    import atexit
-    import shutil
-    import tempfile
+    """Fresh layout-write scratch under the process-lifetime root
+    (deferred atexit cleanup — see ``queries_shared.session_tmpdir``,
+    the one shared copy of that contract: the returned frame lazily
+    reads the written layout, so the driver's collect happens after
+    the entry returns)."""
+    from label_maker_dask_spark.queries_shared import session_tmpdir
 
-    if _ZPRUNE_TMP[0] is None:
-        root = tempfile.mkdtemp(prefix="lmds_layout_session_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _ZPRUNE_TMP[0] = root
-    return tempfile.mkdtemp(prefix="zprune_", dir=_ZPRUNE_TMP[0])
+    return session_tmpdir("layout_session", "zprune")
+
+
+def _zprune_orders_and_ranges(spark, sf_dir):
+    """The (projected orders, per-column ranges) pair both layout
+    entries cluster on — one tiny min/max aggregate (bounded metadata,
+    the ranges a production writer persists for incremental appends)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("o_day"),
+    )
+    r = orders.agg(
+        F.min("o_custkey").alias("xlo"),
+        F.max("o_custkey").alias("xhi"),
+        F.min("o_day").alias("ylo"),
+        F.max("o_day").alias("yhi"),
+    ).first()
+    return orders, {
+        "o_custkey": (float(r["xlo"]), float(r["xhi"])),
+        "o_day": (float(r["ylo"]), float(r["yhi"])),
+    }
+
+
+def _zprune_manifest(spark, path: str, ranges):
+    """Read a fixed-boundary layout back and emit the per-file pruning
+    manifest (_ZPRUNE_ORACLE's shape): row count, min/max Morton key,
+    must-read flag under the fixed cell-space bbox.  Shared by the
+    one-shot and incremental-append entries so the manifest arithmetic
+    and the shared oracle can only change in lockstep."""
+    from label_maker_dask_spark.sources.layout import zorder_key
+
+    back = spark.read.parquet(path)
+    z = zorder_key(ranges, bits=_ZPRUNE_BITS)
+    per_file = back.groupBy(
+        F.col("zb").cast("long").alias("zb")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(z).alias("min_z"),
+        F.max(z).alias("max_z"),
+    )
+    return per_file.select(
+        "zb",
+        "n_rows",
+        "min_z",
+        "max_z",
+        (
+            (F.col("min_z") <= F.lit(_ZPRUNE_HI))
+            & (F.col("max_z") >= F.lit(_ZPRUNE_LO))
+        ).alias("must_read"),
+    ).orderBy("zb")
 
 
 @register("layout_zorder_file_pruning", _ZPRUNE_ORACLE)
@@ -1454,51 +1498,14 @@ def layout_zorder_file_pruning(spark, sf_dir):
     buckets to ~1 GB of parquet each."""
     import os
 
-    from label_maker_dask_spark.sources.layout import (
-        write_zordered_fixed,
-        zorder_key,
-    )
+    from label_maker_dask_spark.sources.layout import write_zordered_fixed
 
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.datediff(
-            F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
-        ).alias("o_day"),
-    )
-    r = orders.agg(
-        F.min("o_custkey").alias("xlo"),
-        F.max("o_custkey").alias("xhi"),
-        F.min("o_day").alias("ylo"),
-        F.max("o_day").alias("yhi"),
-    ).first()
-    ranges = {
-        "o_custkey": (float(r["xlo"]), float(r["xhi"])),
-        "o_day": (float(r["ylo"]), float(r["yhi"])),
-    }
+    orders, ranges = _zprune_orders_and_ranges(spark, sf_dir)
     path = os.path.join(_zprune_workdir(), "orders_z")
     write_zordered_fixed(
         orders, path, ranges, bits=_ZPRUNE_BITS, n_files=_ZPRUNE_FILES
     )
-    back = spark.read.parquet(path)
-    z = zorder_key(ranges, bits=_ZPRUNE_BITS)
-    per_file = back.groupBy(
-        F.col("zb").cast("long").alias("zb")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(z).alias("min_z"),
-        F.max(z).alias("max_z"),
-    )
-    return per_file.select(
-        "zb",
-        "n_rows",
-        "min_z",
-        "max_z",
-        (
-            (F.col("min_z") <= F.lit(_ZPRUNE_HI))
-            & (F.col("max_z") >= F.lit(_ZPRUNE_LO))
-        ).alias("must_read"),
-    ).orderBy("zb")
+    return _zprune_manifest(spark, path, ranges)
 
 
 @register("layout_zorder_incremental_append", _ZPRUNE_ORACLE)
@@ -1521,28 +1528,9 @@ def layout_zorder_incremental_append(spark, sf_dir):
     base rewrite); the read-back aggregate is a 16-group hash agg."""
     import os
 
-    from label_maker_dask_spark.sources.layout import (
-        write_zordered_fixed,
-        zorder_key,
-    )
+    from label_maker_dask_spark.sources.layout import write_zordered_fixed
 
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.datediff(
-            F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
-        ).alias("o_day"),
-    )
-    r = orders.agg(
-        F.min("o_custkey").alias("xlo"),
-        F.max("o_custkey").alias("xhi"),
-        F.min("o_day").alias("ylo"),
-        F.max("o_day").alias("yhi"),
-    ).first()
-    ranges = {
-        "o_custkey": (float(r["xlo"]), float(r["xhi"])),
-        "o_day": (float(r["ylo"]), float(r["yhi"])),
-    }
+    orders, ranges = _zprune_orders_and_ranges(spark, sf_dir)
     path = os.path.join(_zprune_workdir(), "orders_z_incremental")
     k = F.col("o_orderkey")
     write_zordered_fixed(
@@ -1553,25 +1541,7 @@ def layout_zorder_incremental_append(spark, sf_dir):
         orders.where(k % 2 != 0), path, ranges,
         bits=_ZPRUNE_BITS, n_files=_ZPRUNE_FILES, mode="append",
     )
-    back = spark.read.parquet(path)
-    z = zorder_key(ranges, bits=_ZPRUNE_BITS)
-    per_file = back.groupBy(
-        F.col("zb").cast("long").alias("zb")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(z).alias("min_z"),
-        F.max(z).alias("max_z"),
-    )
-    return per_file.select(
-        "zb",
-        "n_rows",
-        "min_z",
-        "max_z",
-        (
-            (F.col("min_z") <= F.lit(_ZPRUNE_HI))
-            & (F.col("max_z") >= F.lit(_ZPRUNE_LO))
-        ).alias("must_read"),
-    ).orderBy("zb")
+    return _zprune_manifest(spark, path, ranges)
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,33 @@ happens to be loaded first (e.g. a test importing one ext module
 directly).
 """
 
+#: one process-lifetime temp root per consumer module, removed at
+#: interpreter exit.  Cleanup must be DEFERRED: entries that write a
+#: layout/table and return a LAZY frame over it are collected by the
+#: driver after the function returns, so eager cleanup would read a
+#: deleted directory — and without the atexit hook, repeated
+#: invocations (bench best-of-2, oracle replays, driver gates) would
+#: accumulate sf-sized scratch in /tmp until the disk fills.
+_TMP_ROOTS: dict = {}
+
+
+def session_tmpdir(root_key: str, prefix: str) -> str:
+    """A fresh ``prefix``-named scratch dir under the per-``root_key``
+    process-lifetime root (see above).  Shared by the streaming replay
+    harness and the layout entries — one cleanup contract, not N copies
+    of it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _TMP_ROOTS.get(root_key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"lmds_{root_key}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _TMP_ROOTS[root_key] = root
+    return tempfile.mkdtemp(prefix=prefix + "_", dir=root)
+
+
 #: lag-window edge list over the event stream — the transition-graph
 #: base shared by the graph queries (queries_graph_ext) and the k-hop
 #: BFS (queries_scale_ext)

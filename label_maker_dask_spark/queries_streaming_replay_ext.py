@@ -36,10 +36,7 @@ surface.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,22 +50,13 @@ from label_maker_dask_spark.queries_shared import OHLC_ORACLE, SLIDING_1H30_ORAC
 #: time, so distinct mtimes make batch delivery order deterministic.
 _MTIME_STEP = 10
 
-#: one temp root per process, removed at interpreter exit.  Cleanup must
-#: be DEFERRED: each entry returns a lazy DataFrame that still reads its
-#: maintained base table, so the driver's collect happens after the
-#: query function returns — but without the atexit hook, repeated
-#: invocations (bench best-of-2, oracle replays, driver gates) would
-#: leave sf-sized change logs + base tables accumulating in /tmp until
-#: the disk fills.
-_TMP_ROOT: list = [None]
-
-
 def _replay_workdir(name: str) -> str:
-    if _TMP_ROOT[0] is None:
-        root = tempfile.mkdtemp(prefix="lmds_replay_session_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _TMP_ROOT[0] = root
-    return tempfile.mkdtemp(prefix=name + "_", dir=_TMP_ROOT[0])
+    """Fresh per-entry scratch under the process-lifetime replay root
+    (deferred atexit cleanup — see ``queries_shared.session_tmpdir``,
+    the one shared copy of that contract)."""
+    from label_maker_dask_spark.queries_shared import session_tmpdir
+
+    return session_tmpdir("replay_session", name)
 
 
 def _write_ordered_batches(batches, changes_dir: str) -> None:
@@ -828,6 +816,74 @@ WHERE j.r_event_id IS NOT NULL
 """
 
 
+def _frozen_watermark_interval_drive(
+    spark, sf_dir: str, user_slice, how: str, name: str,
+    right_margin: bool = False,
+):
+    """Shared frozen-watermark construction for the outer and full
+    interval-join twins: the LEFT side (clicks, ``user_slice`` users)
+    comes from day-tercile 1 ONLY — its event-time maximum ``mxl``
+    freezes the global watermark at ``mxl − 1h`` from batch 1 onward —
+    with the ±30-minute band around the left null horizon
+    (``ts = mxl − 7h``) excluded; the RIGHT side (purchases, same
+    slice) spans all three terciles, optionally minus the ±30-minute
+    band around ITS null horizon (``ts = mxl − 1h``, full-outer only).
+    Both entries' oracles restate the same horizons in SQL, so this
+    helper and those oracles must change in lockstep."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
+    clicks1 = t1.where(user_slice & (F.col("event_type") == "click"))
+    mxl = clicks1.agg(F.max("ts")).first()[0]
+    if mxl is None:
+        raise ValueError(
+            f"{name} needs >=1 tercile-1 click in its user slice; the "
+            "source events table is too small"
+        )
+    left1 = clicks1.where(
+        ~F.col("ts").between(
+            F.lit(mxl) - F.expr("INTERVAL 450 MINUTES"),
+            F.lit(mxl) - F.expr("INTERVAL 390 MINUTES"),
+        )
+    )
+
+    def purchases(t):
+        p = t.where(user_slice & (F.col("event_type") == "purchase"))
+        if right_margin:
+            p = p.where(
+                ~F.col("ts").between(
+                    F.lit(mxl) - F.expr("INTERVAL 90 MINUTES"),
+                    F.lit(mxl) - F.expr("INTERVAL 30 MINUTES"),
+                )
+            )
+        return p
+
+    batches = [
+        left1.unionByName(purchases(t1)),
+        purchases(t2),
+        purchases(t3),
+    ]
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="6 hours",
+            left_watermark="1 hour", right_watermark="1 hour",
+            how=how,
+        )
+
+    return _drive_stream_to_memory(
+        spark, batches, _EVENTS_REPLAY_SCHEMA, build, name,
+        output_mode="append",
+    )
+
+
 @register(
     "stream_interval_join_outer_replay", _INTERVAL_JOIN_OUTER_REPLAY_ORACLE
 )
@@ -865,54 +921,9 @@ def stream_interval_join_outer_replay(
     unconditionally, null rows only where ``ts + 7h < mxl``.  An
     engine that emits a withheld null row, withholds an emittable one,
     or double-emits on replay all hash-mismatch."""
-    from label_maker_dask_spark.streaming.windows import interval_join
-
-    t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
-    half = F.col("user_id") % 2 == 0
-    clicks1 = t1.where(half & (F.col("event_type") == "click"))
-    mxl = clicks1.agg(F.max("ts")).first()[0]
-    if mxl is None:
-        raise ValueError(
-            "stream_interval_join_outer_replay needs >=1 tercile-1 click "
-            "from an even user; the source events table is too small"
-        )
-    left1 = clicks1.where(
-        ~F.col("ts").between(
-            F.lit(mxl) - F.expr("INTERVAL 450 MINUTES"),
-            F.lit(mxl) - F.expr("INTERVAL 390 MINUTES"),
-        )
-    )
-
-    def purchases(t):
-        return t.where(half & (F.col("event_type") == "purchase"))
-
-    batches = [
-        left1.unionByName(purchases(t1)),
-        purchases(t2),
-        purchases(t3),
-    ]
-
-    def build(df):
-        left = df.filter(F.col("event_type") == "click").select(
-            "user_id", "ts", "event_id"
-        )
-        right = df.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id", "value"
-        )
-        return interval_join(
-            left, right, "ts", "ts", ["user_id"],
-            lower="0 seconds", upper="6 hours",
-            left_watermark="1 hour", right_watermark="1 hour",
-            how="left_outer",
-        )
-
-    return _drive_stream_to_memory(
-        spark,
-        batches,
-        _EVENTS_REPLAY_SCHEMA,
-        build,
+    return _frozen_watermark_interval_drive(
+        spark, sf_dir, F.col("user_id") % 2 == 0, "left_outer",
         "stream_interval_join_outer_replay",
-        output_mode="append",
     )
 
 
@@ -982,6 +993,11 @@ def stream_tile_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.time() + 300
         while time.time() < deadline:
+            if not q.isActive:  # died: surface the real error, don't
+                exc = q.exception()  # burn the deadline on a dead query
+                raise RuntimeError(
+                    f"stream_tile_source_replay query failed: {exc}"
+                )
             try:
                 if spark.read.parquet(out).count() >= expected:
                     break
@@ -1118,60 +1134,9 @@ def stream_interval_join_full_replay(
     proves is never late, or mis-coalesces the key on a right-null row
     all hash-mismatch.  The ``user_id % 4 == 0`` slice is disjoint from
     the inner/semi/timeout twins'."""
-    from label_maker_dask_spark.streaming.windows import interval_join
-
-    t1, t2, t3 = _events_raw_day_terciles(spark, sf_dir)
-    quarter = F.col("user_id") % 4 == 0
-    clicks1 = t1.where(quarter & (F.col("event_type") == "click"))
-    mxl = clicks1.agg(F.max("ts")).first()[0]
-    if mxl is None:
-        raise ValueError(
-            "stream_interval_join_full_replay needs >=1 tercile-1 click "
-            "from a user_id % 4 == 0 user; the source events table is "
-            "too small"
-        )
-    left1 = clicks1.where(
-        ~F.col("ts").between(
-            F.lit(mxl) - F.expr("INTERVAL 450 MINUTES"),
-            F.lit(mxl) - F.expr("INTERVAL 390 MINUTES"),
-        )
-    )
-
-    def purchases(t):
-        return t.where(quarter & (F.col("event_type") == "purchase")).where(
-            ~F.col("ts").between(
-                F.lit(mxl) - F.expr("INTERVAL 90 MINUTES"),
-                F.lit(mxl) - F.expr("INTERVAL 30 MINUTES"),
-            )
-        )
-
-    batches = [
-        left1.unionByName(purchases(t1)),
-        purchases(t2),
-        purchases(t3),
-    ]
-
-    def build(df):
-        left = df.filter(F.col("event_type") == "click").select(
-            "user_id", "ts", "event_id"
-        )
-        right = df.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id", "value"
-        )
-        return interval_join(
-            left, right, "ts", "ts", ["user_id"],
-            lower="0 seconds", upper="6 hours",
-            left_watermark="1 hour", right_watermark="1 hour",
-            how="full_outer",
-        )
-
-    return _drive_stream_to_memory(
-        spark,
-        batches,
-        _EVENTS_REPLAY_SCHEMA,
-        build,
-        "stream_interval_join_full_replay",
-        output_mode="append",
+    return _frozen_watermark_interval_drive(
+        spark, sf_dir, F.col("user_id") % 4 == 0, "full_outer",
+        "stream_interval_join_full_replay", right_margin=True,
     )
 
 

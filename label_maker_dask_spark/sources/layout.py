@@ -140,9 +140,12 @@ def write_zordered_fixed(
     space."""
     total_bits = bits * len(ranges)
     shift = total_bits - (n_files.bit_length() - 1)
-    if n_files & (n_files - 1) or shift < 0:
+    # n_files <= 0 must be caught explicitly: 0 & -1 == 0 passes the
+    # power-of-two test and (0).bit_length()-1 == -1 makes shift large
+    if n_files <= 0 or n_files & (n_files - 1) or shift < 0:
         raise ValueError(
-            f"n_files={n_files} must be a power of two <= 2**{total_bits}"
+            f"n_files={n_files} must be a power of two in "
+            f"[1, 2**{total_bits}]"
         )
     z = zorder_key(ranges, bits=bits)
     (

@@ -177,6 +177,10 @@ class SlippyTileStreamReader(SimpleDataSourceStreamReader):
                 "and zoom"
             )
         bounds = [float(v) for v in str(bounds_s).split(",")]
+        if len(bounds) != 4:
+            raise ValueError(
+                f"slippy_tiles bounds must be 'w,s,e,n' (got {bounds_s!r})"
+            )
         self.zoom = int(zoom_s)
         self.rows_per_batch = max(1, int(options.get("rowsperbatch", 4)))
         self.xmin, self.ymin, self.xmax, self.ymax = tile_range(

@@ -47,6 +47,8 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
+
+from label_maker_dask_spark.operators.materialize import materialize
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.operators.dedup import (
@@ -156,7 +158,7 @@ def _apply_neardup_batch_locked(
         _record_applied(index_path, run_id, -1)
     spark = batch.sparkSession
     prof = minhash_doc_profiles(batch, text_col, id_col, n, k)
-    prof = prof.localCheckpoint(eager=True)  # bands + self-pairs + verify
+    prof = prof.transform(materialize, eager=True)  # bands + self-pairs + verify
 
     new_bands = minhash_band_rows(prof.drop("shs"), bands)
     bands_dir = os.path.join(index_path, "bands")

@@ -113,12 +113,20 @@ def _transition_counts_fn(
             src = dst.shift()
             if last_et is not None:
                 src.iloc[0] = last_et
-            pairs = pd.DataFrame({"s": src, "d": dst}).dropna()
-            for (s, d), c in pairs.value_counts().items():
-                counts[(s, d)] += int(c)
-            last_et = dst.iloc[-1]
+            # drop null SRC only (mirrors the batch twin's WHERE src IS
+            # NOT NULL and the loop path): a null DST still counts as a
+            # (src, null) transition; dropna() over both columns would
+            # silently lose those pairs above the 512-row threshold
+            pairs = pd.DataFrame(
+                {"s": src, "d": dst}
+            ).dropna(subset=["s"])
+            for (s, d), c in pairs.value_counts(dropna=False).items():
+                counts[(s, None if pd.isna(d) else d)] += int(c)
+            tail = dst.iloc[-1]
+            last_et = None if pd.isna(tail) else tail
         else:
             for et in pdf["event_type"]:
+                et = None if pd.isna(et) else et  # pandas nulls are NaN
                 if last_et is not None:
                     counts[(last_et, et)] += 1
                 last_et = et
@@ -200,6 +208,16 @@ def streaming_session_stats(
     integers, order-free and engine-independent (the module's
     integer-summation rule).  Expects ``event_id`` for deterministic
     within-timestamp ordering and a watermark already applied to ``ts``.
+
+    Contract (same as ``streaming_transition_counts``): the stream
+    delivers each user's events in ``(ts, event_id)`` order ACROSS
+    micro-batches — true for replayed logs and ordered CDC feeds.
+    Within a batch the fold sorts; across batches it extends the
+    carried open session forward.  A cross-batch regression (an event
+    older than the carried ``last_ts``, which the watermark alone does
+    not forbid) has no well-defined gaps-and-islands answer
+    incrementally — it could merge two already-emitted sessions — so
+    ordered delivery is a precondition, not a recoverable case.
 
     On a batch frame the same semantics are plain gaps-and-islands
     sessionization, so the operator stays oracle-checkable.  Scale

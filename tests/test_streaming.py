@@ -709,3 +709,49 @@ def test_session_stats_fold_chunks_batches_and_timeout():
     assert [n * 100 for n in ns] == list(got["value_cents"])
     # the rearmed horizon tracks the open session's last event + gap
     assert st.timeout_ms is not None
+
+
+def test_transition_fold_null_event_types_match_batch_semantics():
+    """Null event_types: the batch twin filters null SRC only — a
+    (x, null) transition still counts, and a null src suppresses the
+    following pair.  Both fold paths (loop < 512, vectorized >= 512)
+    must agree with that, carry None (not NaN) as state, and agree
+    with each other."""
+    import pandas as pd
+
+    from label_maker_dask_spark.streaming.stateful import (
+        _transition_counts_fn,
+    )
+
+    def run(n):
+        # every 10th event_type is null; same pattern at both sizes
+        ets = [None if i % 10 == 3 else f"t{i % 4}" for i in range(n)]
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(range(n), unit="s", origin="2024-01-01"),
+                "event_id": range(n),
+                "event_type": ets,
+            }
+        )
+        st = _StubState(("t0",))
+        out = list(_transition_counts_fn((1,), iter([pdf]), st))
+        pairs = {}
+        for fr in out:
+            for r in fr.itertuples(index=False):
+                pairs[(r.src, r.dst)] = pairs.get((r.src, r.dst), 0) + r.w
+        # batch semantics: pairs = rows whose PREDECESSOR is non-null
+        # (prior state chains row 0); dst may be null
+        ref = {}
+        prev = "t0"
+        for et in ets:
+            if prev is not None:
+                ref[(prev, et)] = ref.get((prev, et), 0) + 1
+            prev = et
+        assert pairs == ref, f"n={n}"
+        assert st.get == (prev,)  # None carried as None, never NaN
+        assert all(
+            d is None or isinstance(d, str) for (_, d) in pairs
+        )
+
+    run(100)   # loop path
+    run(1500)  # vectorized path — dropna(subset) keeps (x, null) pairs

@@ -39,7 +39,13 @@ TABLES = (
 def build_inflated(spark, factor: int) -> str:
     out = os.path.join(SCRATCH, f"len_x{factor}")
     docs_path = os.path.join(out, "documents.parquet")
-    if not os.path.exists(docs_path):
+    # gate on the write's _SUCCESS marker, not the directory: Spark
+    # creates the dir at write START, so a crash mid-write would leave
+    # a partial corpus that a bare exists() check never repairs
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)  # clear any partial run
         os.makedirs(out, exist_ok=True)
         from pyspark.sql import functions as F
 
