@@ -68,8 +68,14 @@ def main() -> int:
 
     import label_maker_dask_spark.queries as Q
 
+    # sf1-scale replays need a bigger driver heap than the 1g default
+    # (e.g. the market-basket pair fan-out OOMs there); size it like
+    # tools/scaling_probe.py does via LMDS_DRIVER_MEM when replaying
+    # /root/repo/.scratch/sf1
+    mem = os.environ.get("LMDS_DRIVER_MEM", "4g")
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", mem)
         .appName("oracle-check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
