@@ -185,6 +185,7 @@ HEADLINE = [
     "stream_interval_join_full_replay",
     "stream_static_join_enrich_replay",
     "stream_tile_source_replay",
+    "stream_tile_source_partitioned_replay",
 ]
 
 

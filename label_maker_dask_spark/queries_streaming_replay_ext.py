@@ -962,6 +962,14 @@ def stream_tile_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes stripes to the ingest rate.  The drive polls the sink row
     count (closed-form target) and stops the query — bounded by a
     timeout that fails the gate loudly rather than hanging."""
+    return _drive_tile_stream(spark, "stream_tile_source_replay")
+
+
+def _drive_tile_stream(spark, name: str, mode: str = None) -> DataFrame:
+    """Shared drive for the two tile-feed twins: open the streaming
+    connector (``mode`` selects simple vs partitioned), run a
+    checkpointed parquet sink on a 1-second trigger until the
+    closed-form grid count lands, and return the read-back frame."""
     import os
     import time
 
@@ -973,18 +981,20 @@ def stream_tile_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tile_source(spark)
     bounds, zoom = [-10.0, 36.0, 10.0, 44.0], 8
     expected = n_tiles(bounds, zoom)
-    work = _replay_workdir("stream_tile_source_replay")
+    work = _replay_workdir(name)
     out = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
-    stream = (
+    reader = (
         spark.readStream.format("slippy_tiles")
         .option("bounds", ",".join(str(v) for v in bounds))
         .option("zoom", zoom)
         .option("rowsPerBatch", 3)
-        .load()
     )
+    if mode:
+        reader = reader.option("streamingMode", mode)
     q = (
-        stream.writeStream.format("parquet")
+        reader.load()
+        .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime="1 second")
@@ -995,9 +1005,7 @@ def stream_tile_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         while time.time() < deadline:
             if not q.isActive:  # died: surface the real error, don't
                 exc = q.exception()  # burn the deadline on a dead query
-                raise RuntimeError(
-                    f"stream_tile_source_replay query failed: {exc}"
-                )
+                raise RuntimeError(f"{name} query failed: {exc}")
             try:
                 if spark.read.parquet(out).count() >= expected:
                     break
@@ -1007,6 +1015,27 @@ def stream_tile_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.schema("z int, x bigint, y bigint").parquet(out)
+
+
+@register(
+    "stream_tile_source_partitioned_replay", _STREAM_TILE_SOURCE_ORACLE
+)
+def stream_tile_source_partitioned_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PARTITIONED streaming DataSource form
+    (``DataSourceStreamReader``, selected via ``streamingMode=
+    partitioned``) under the same closed-form grid oracle as the
+    Simple-reader twin: offsets plan on the driver but row GENERATION
+    runs in ``read(partition)`` on the executors — one task per y
+    stripe — which is the form a 100 TB feed needs (the Simple reader
+    prefetches every batch through the driver by design).  The gate
+    proves the offset planning (``latestOffset`` cursor), per-stripe
+    partition planning, executor-side generation, and exactly-once
+    delivery produce the identical grid."""
+    return _drive_tile_stream(
+        spark, "stream_tile_source_partitioned_replay", mode="partitioned"
+    )
 
 
 _STREAM_STATIC_JOIN_REPLAY_ORACLE = """

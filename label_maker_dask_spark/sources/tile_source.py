@@ -36,6 +36,7 @@ from typing import Iterator, List, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -74,6 +75,24 @@ class SlippyTileDataSource(DataSource):
         self, schema: StructType
     ) -> "SlippyTileStreamReader":
         return SlippyTileStreamReader(self.options)
+
+    def streamReader(  # noqa: N802
+        self, schema: StructType
+    ) -> "SlippyTilePartitionedStreamReader":
+        """Spark tries this first and falls back to
+        ``simpleStreamReader`` on PySparkNotImplementedError — so the
+        ``streamingMode=partitioned`` option selects the
+        executor-parallel reader, anything else the simple one."""
+        if str(self.options.get("streamingmode", "")).lower() == (
+            "partitioned"
+        ):
+            return SlippyTilePartitionedStreamReader(self.options)
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader"},
+        )
 
 
 class SlippyTileReader(DataSourceReader):
@@ -219,6 +238,73 @@ class SlippyTileStreamReader(SimpleDataSourceStreamReader):
         pass  # nothing external to acknowledge
 
 
+class _Stripe(InputPartition):
+    def __init__(self, zoom, xmin, xmax, y):
+        self.zoom, self.xmin, self.xmax, self.y = zoom, xmin, xmax, y
+
+
+class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
+    """The PARTITIONED streaming form (``DataSourceStreamReader``) —
+    the scale path the Simple reader deliberately is not: offsets are
+    planned on the driver (tiny dicts), but row GENERATION happens in
+    ``read(partition)`` on the EXECUTORS, one task per y stripe, so a
+    micro-batch's width parallelizes instead of being prefetched
+    through the driver.  Same offset algebra as the simple reader
+    (``{"y": next_unread}``); ``partitions(start, end)`` plans one
+    :class:`_Stripe` per y row in the range.  Pick with the
+    ``streamingMode=partitioned`` option; the catalog gates both forms
+    against the same closed-form grid oracle."""
+
+    def __init__(self, options):
+        bounds_s = options.get("bounds")
+        zoom_s = options.get("zoom")
+        if bounds_s is None or zoom_s is None:
+            raise ValueError(
+                "slippy_tiles (stream) requires options bounds='w,s,e,n' "
+                "and zoom"
+            )
+        bounds = [float(v) for v in str(bounds_s).split(",")]
+        if len(bounds) != 4:
+            raise ValueError(
+                f"slippy_tiles bounds must be 'w,s,e,n' (got {bounds_s!r})"
+            )
+        self.zoom = int(zoom_s)
+        self.rows_per_batch = max(1, int(options.get("rowsperbatch", 4)))
+        self.xmin, self.ymin, self.xmax, self.ymax = tile_range(
+            bounds, self.zoom
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"y": self.ymin}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        # advances a reader-local cursor: the API gives latestOffset()
+        # no previous-offset argument, so after a RESTART the cursor
+        # re-walks from ymin while Spark plans [checkpointed_start,
+        # latest) — ranges stay empty (never duplicated) until the
+        # cursor passes the checkpoint, then delivery resumes
+        cur = getattr(self, "_cur", None)
+        if cur is None:
+            cur = self.ymin
+        nxt = min(self.ymax + 1, cur + self.rows_per_batch)
+        self._cur = nxt
+        return {"y": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        y0, y1 = int(start["y"]), int(end["y"])
+        return [
+            _Stripe(self.zoom, self.xmin, self.xmax, y)
+            for y in range(y0, y1)
+        ] or [_Stripe(self.zoom, 0, -1, 0)]  # empty batch: no rows
+
+    def read(self, part: _Stripe):  # executor-side generation
+        for x in range(part.xmin, part.xmax + 1):
+            yield (part.zoom, x, part.y)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge
+
+
 def register_tile_source(spark) -> None:
     """Idempotently register the connector on a session."""
     spark.dataSource.register(SlippyTileDataSource)
@@ -228,5 +314,6 @@ __all__ = [
     "SlippyTileDataSource",
     "SlippyTileReader",
     "SlippyTileStreamReader",
+    "SlippyTilePartitionedStreamReader",
     "register_tile_source",
 ]

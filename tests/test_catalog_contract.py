@@ -187,6 +187,7 @@ ROTATION_BACKLOG = [
     "stream_interval_join_full_replay",
     "stream_static_join_enrich_replay",
     "stream_tile_source_replay",
+    "stream_tile_source_partitioned_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",

@@ -119,3 +119,28 @@ def test_stream_reader_offsets_partition_and_replay():
 
     it, _ = r.read(r.initialOffset())
     assert list(pickle.loads(pickle.dumps(it))) == batches[0][2]
+
+
+def test_partitioned_stream_reader_plans_stripes():
+    """The partitioned streaming reader's offset/partition algebra:
+    latestOffset walks the y range in rowsPerBatch steps and clamps at
+    the grid end, partitions(start, end) plans one executor stripe per
+    y row, read(partition) generates exactly that stripe, and an empty
+    range plans a no-row partition (Spark still calls partitions on
+    empty restart-catch-up batches)."""
+    from label_maker_dask_spark.sources.tile_source import (
+        SlippyTilePartitionedStreamReader,
+    )
+
+    r = SlippyTilePartitionedStreamReader(
+        {"bounds": "-10,36,10,44", "zoom": "8", "rowsperbatch": "3"}
+    )
+    assert r.initialOffset() == {"y": 93}
+    offs = [r.latestOffset() for _ in range(4)]
+    assert offs == [{"y": 96}, {"y": 99}, {"y": 101}, {"y": 101}]
+    parts = r.partitions({"y": 93}, {"y": 96})
+    assert [p.y for p in parts] == [93, 94, 95]
+    rows = [row for p in parts for row in r.read(p)]
+    assert rows == [(8, x, y) for y in (93, 94, 95) for x in range(120, 136)]
+    empty = r.partitions({"y": 96}, {"y": 96})
+    assert len(empty) == 1 and list(r.read(empty[0])) == []

@@ -123,6 +123,7 @@ PROBES = [
     "stream_interval_join_full_replay",
     "stream_static_join_enrich_replay",
     "stream_tile_source_replay",
+    "stream_tile_source_partitioned_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
