@@ -273,28 +273,70 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
         self.xmin, self.ymin, self.xmax, self.ymax = tile_range(
             bounds, self.zoom
         )
+        # opt-in call trace (restart debugging): driver-side planner
+        # calls append one line each to this path
+        self._dbg = options.get("debuglog")
+
+    def _log(self, msg: str) -> None:
+        if self._dbg:
+            with open(self._dbg, "a") as fh:
+                fh.write(f"{id(self)} {msg}\n")
 
     def initialOffset(self) -> dict:  # noqa: N802
+        self._log("initialOffset")
         return {"y": self.ymin}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        # advances a reader-local cursor: the API gives latestOffset()
-        # no previous-offset argument, so after a RESTART the cursor
-        # re-walks from ymin while Spark plans [checkpointed_start,
-        # latest) — ranges stay empty (never duplicated) until the
-        # cursor passes the checkpoint, then delivery resumes
-        cur = getattr(self, "_cur", None)
-        if cur is None:
-            cur = self.ymin
+        # advances a reader-local cursor.  The API gives latestOffset()
+        # no previous-offset argument, so after a RESTART a fresh
+        # reader's FIRST call can return an offset below the
+        # checkpointed one (Spark compares offsets by equality, so it
+        # still plans a batch from it).  Two guards make that harmless:
+        # (a) the cursor fast-forwards to the highest planned-batch
+        # start/end seen in partitions(), so only the first
+        # post-restart call can regress, and (b) partitions() clips the
+        # delivered stripe range to that floor, so a regressed batch
+        # can never RE-deliver y rows a pre-restart batch already
+        # covered — no duplicates, and at most one empty catch-up batch
+        # instead of a ymin-re-walk stall.
+        cur = max(
+            getattr(self, "_cur", self.ymin),
+            getattr(self, "_floor", self.ymin),
+        )
         nxt = min(self.ymax + 1, cur + self.rows_per_batch)
         self._cur = nxt
+        self._log(f"latestOffset -> {nxt}")
         return {"y": nxt}
 
     def partitions(self, start: dict, end: dict):
         y0, y1 = int(start["y"]), int(end["y"])
+        self._log(
+            f"partitions({y0},{y1}) floor={getattr(self, '_floor', None)}"
+        )
+        # `floor` = the highest committed frontier this reader has
+        # observed, learned from planned-batch STARTS.  Delivery is
+        # clipped to it: after a committed-batch restart the first
+        # latestOffset() regresses (see there), Spark logs that
+        # regressed offset as a batch end, and the FOLLOWING batch's
+        # range starts below the true frontier — without the clip it
+        # would re-deliver stripes committed before the crash.
+        #
+        # Floor updates skip s==e calls: Spark probes the reader with
+        # an empty (end_k, end_k) range while recovering an UNCOMMITTED
+        # batch k, before replaying it as (s_k, e_k) — an empty range
+        # carries no frontier information, and taking its start as
+        # floor would clip the legitimate replay to nothing (a lost
+        # stripe, caught by test_partitioned_stream_restart_end_to_end).
+        # The regressed batch has s > e, a normal batch s < e; both
+        # starts are true frontiers at plan time.  Within one run
+        # starts are monotone, so the clip never bites.
+        floor = getattr(self, "_floor", self.ymin)
+        if y0 != y1:
+            self._floor = max(floor, y0)
+        self._cur = max(getattr(self, "_cur", self.ymin), y0, y1)
         return [
             _Stripe(self.zoom, self.xmin, self.xmax, y)
-            for y in range(y0, y1)
+            for y in range(max(y0, floor), y1)
         ] or [_Stripe(self.zoom, 0, -1, 0)]  # empty batch: no rows
 
     def read(self, part: _Stripe):  # executor-side generation

@@ -225,6 +225,30 @@ def streaming_session_stats(
     eviction bounds state lifetime for keys that go quiet — the shape
     that holds a 100 TB clickstream's state to live-user cardinality."""
     gap_us = int(gap_minutes) * 60_000_000
+    # Arrow hands the pandas fn NAIVE timestamps rendered in the SESSION
+    # timezone, but setTimeoutTimestamp takes UTC epoch millis (Spark
+    # compares it to the event-time watermark).  Capture the session tz
+    # at build time so the fold can convert the naive micros back to
+    # true UTC epoch before arming — without this the timeout is
+    # shifted by the UTC offset under any non-UTC session timezone
+    # (sessions close hours late, or negative offsets raise
+    # INVALID_TIMEOUT_TIMESTAMP).
+    try:
+        tz_name = df.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
+    except Exception:
+        tz_name = "UTC"
+
+    def _naive_us_to_utc_ms(naive_us: int) -> int:
+        if tz_name in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            return naive_us // 1000
+        ts = pd.Timestamp(naive_us, unit="us").tz_localize(
+            # DST edges: a slightly-shifted horizon only moves WHEN the
+            # close fires, never what it emits — don't kill the query
+            tz_name, ambiguous=True, nonexistent="shift_forward"
+        )
+        return int(ts.value // 1_000_000)
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -274,8 +298,11 @@ def streaming_session_stats(
                 last_us, n, cents = t, n + 1, cents + int(v)
         state.update((start_us, last_us, n, cents))
         # (re)arm the horizon: fire once the watermark passes the open
-        # session's gap boundary (EventTimeTimeout takes epoch millis)
-        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        # session's gap boundary (EventTimeTimeout takes UTC epoch
+        # millis; last_us is session-tz-naive — convert first)
+        state.setTimeoutTimestamp(
+            _naive_us_to_utc_ms(last_us) + gap_us // 1000
+        )
         if out:
             yield emit_all(out)
 

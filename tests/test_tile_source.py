@@ -144,3 +144,143 @@ def test_partitioned_stream_reader_plans_stripes():
     assert rows == [(8, x, y) for y in (93, 94, 95) for x in range(120, 136)]
     empty = r.partitions({"y": 96}, {"y": 96})
     assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+
+def test_partitioned_reader_restart_never_redelivers():
+    """The restart contract, unit-level: a FRESH reader (what a query
+    restart creates) whose first latestOffset() regresses below the
+    checkpointed offset must (a) plan the regressed batch empty — no
+    re-delivery of stripes committed before the crash — and (b) fast-
+    forward so the very next batch resumes at the checkpoint with no
+    ymin-re-walk stall.  Also pins the crash-replay path: a fresh
+    reader replaying an UNCOMMITTED batch via partitions() first must
+    deliver it verbatim."""
+    from label_maker_dask_spark.sources.tile_source import (
+        SlippyTilePartitionedStreamReader,
+    )
+
+    opts = {"bounds": "-10,36,10,44", "zoom": "8", "rowsperbatch": "3"}
+    # run 1: two committed batches -> checkpointed offset {"y": 99}
+    r1 = SlippyTilePartitionedStreamReader(opts)
+    assert r1.latestOffset() == {"y": 96}
+    r1.partitions({"y": 93}, {"y": 96})
+    assert r1.latestOffset() == {"y": 99}
+    delivered = {
+        p.y for p in r1.partitions({"y": 96}, {"y": 99})
+    } | {93, 94, 95}
+
+    # restart (committed case): fresh reader, latestOffset first
+    r2 = SlippyTilePartitionedStreamReader(opts)
+    regressed = r2.latestOffset()
+    assert regressed == {"y": 96}  # below checkpoint - API inherent
+    catchup = r2.partitions({"y": 99}, regressed)
+    assert [p.y for p in catchup if p.xmin <= p.xmax] == []  # no dupes
+    nxt = r2.latestOffset()
+    assert nxt == {"y": 102} or nxt == {"y": 101}  # resumed, no stall
+    resumed = r2.partitions(regressed, nxt)
+    ys = [p.y for p in resumed if p.xmin <= p.xmax]
+    assert ys and min(ys) == 99  # clip: committed stripes not replanned
+    assert not (set(ys) & delivered)
+
+    # restart (uncommitted case): fresh reader, partitions() first —
+    # the checkpointed range must replay verbatim, unclipped
+    r3 = SlippyTilePartitionedStreamReader(opts)
+    assert [p.y for p in r3.partitions({"y": 96}, {"y": 99})] == [
+        96,
+        97,
+        98,
+    ]
+
+    # restart (uncommitted case, observed call order): Spark probes
+    # with an EMPTY (end_k, end_k) range before replaying the
+    # uncommitted batch (s_k, e_k) — the probe must not raise the
+    # clip floor, or the replay is lost
+    r4 = SlippyTilePartitionedStreamReader(opts)
+    probe = r4.partitions({"y": 99}, {"y": 99})
+    assert [p.y for p in probe if p.xmin <= p.xmax] == []
+    assert [p.y for p in r4.partitions({"y": 96}, {"y": 99})] == [
+        96,
+        97,
+        98,
+    ]
+    # and the cursor fast-forwarded past the replayed batch: the next
+    # planned offset resumes at the frontier (99+3 clamped to ymax+1),
+    # not at ymin
+    assert r4.latestOffset() == {"y": 101}
+
+
+def test_partitioned_stream_restart_end_to_end(spark, tmp_path):
+    """Checkpoint-restart the partitioned streaming source for real:
+    run until >=2 micro-batches are committed, stop, restart the same
+    query from the checkpoint, run to grid exhaustion.  The sink must
+    hold the full closed-form grid with ZERO duplicate rows — the
+    restart regression (first latestOffset below the checkpoint) must
+    cost at most empty catch-up batches, never re-delivery."""
+    import time
+
+    from label_maker_dask_spark.tiles import tile_range
+
+    register_tile_source(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    bounds = [-10.0, 36.0, 10.0, 44.0]
+    zoom = 9  # 32x16 grid -> 16 one-stripe batches at 1s apiece
+    xmin, ymin, xmax, ymax = tile_range(bounds, zoom)
+    width = xmax - xmin + 1
+    expected = [
+        (zoom, x, y)
+        for y in range(ymin, ymax + 1)
+        for x in range(xmin, xmax + 1)
+    ]
+
+    def start_query():
+        return (
+            spark.readStream.format("slippy_tiles")
+            .option("bounds", ",".join(str(v) for v in bounds))
+            .option("zoom", str(zoom))
+            .option("rowsperbatch", "1")
+            .option("streamingMode", "partitioned")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start_query()
+    try:
+        deadline = time.time() + 120
+        # wait until at least 2 stripes are committed, then stop —
+        # the 1 s trigger over 16 one-stripe batches guarantees the
+        # stop lands mid-grid
+        while sink_count() < 2 * width and time.time() < deadline:
+            if not q.isActive:
+                raise RuntimeError(f"stream died: {q.exception()}")
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    mid = sink_count()
+    assert 0 < mid < len(expected), "stopped mid-grid"
+
+    q = start_query()
+    try:
+        deadline = time.time() + 180
+        while sink_count() < len(expected) and time.time() < deadline:
+            if not q.isActive:
+                raise RuntimeError(f"stream died: {q.exception()}")
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    rows = [
+        (r["z"], r["x"], r["y"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert sorted(rows) == sorted(expected)  # full grid, no duplicates
