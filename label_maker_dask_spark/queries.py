@@ -3077,90 +3077,74 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # once; the other half are stable family anchors (one per operator
 # family) that keep cross-round continuity.  Entries rotated OUT remain
 # covered by the full local replay (tools/check_oracle.py, 173/173).
-# Round 10 rotated in 28 never-gated entries (25 existing + the
-# newly-oracled HLL bound gate + the two streaming batch-replay twins).
 # Round 11 rotated in 36 never-gated entries (the remaining 8 TPC-H,
-# the 11 ungated streaming replay twins + the new left-outer AND
-# left-semi interval join twins, CUSUM, BM25, trailing-7 exact
-# distinct, transitions, k-means, cohort retention, PII, cogroup UDF,
-# EMA-30, variant extract, the Z-order file-pruning entry, the
-# snapshot-lifecycle and compaction write-path entries, and the
-# adversarial chunked merge as-of); the 21 entries gated in >=2 rounds
-# rotated out, plus 5 once-gated TPC-H stragglers and 9 other
-# once-gated entries whose r10 evidence is banked.
+# 13 streaming replay twins, the table-lifecycle gates, and the first
+# adversarial hot-key entries); round 12 rotates in another 36
+# first-time entries: the 12 round-11 newcomers the judge verified
+# (remaining streaming twins, both tile-source connector forms, the
+# three leftover adversarial entries, the incremental Z-order append),
+# the new hot-key interval-join twin, and 23 long-stable r1-r4 tail
+# entries (pivot/unpivot, the window-function family, scalar fns,
+# funnel, the multimodal stats family, spatial, dedup/similarity
+# backlog).  14 once-gated anchors stay for a second gating; every
+# entry gated in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
-    # TPC-H shapes (first gating for all eight; anchors q1/q3 and the
-    # five r10-gated stragglers rotate out with their evidence banked)
+    # ---- kept once-gated anchors (2nd gating banks their evidence;
+    # retire next round) ----
     "q11_part_value_concentration",
-    "q12_late_shipment_priority",
     "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
-    "q20_promotion_part_suppliers",
     "q22_global_sales_opportunity",
-    # join forms: CDC anchor (once-gated r10) + the adversarial chunked
-    # merge as-of (first gating; stands in for the r10-gated
-    # join_asof_nearest_order_event as the asof-family slot)
-    "asof_merge_hotuser_adversarial",
-    "merge_upsert_orders_cdc",
-    # aggregation (kept: once-gated r10)
-    "agg_hll_sketch_weekly_users",
-    "agg_heavy_hitters_users",
-    # table lifecycle (first gating; replace two r10-gated agg/analytics
-    # anchors — the write-path family had no snapshot/compaction
-    # evidence at all)
     "snapshot_time_travel_read",
     "layout_compaction_rewrite",
-    # analytics (kept: once-gated r10)
-    "analytics_market_basket_part_pairs",
-    "window_ratio_to_report_nation_share",
-    "attribution_linear",
-    # window functions (first gating)
+    "layout_zorder_file_pruning",
     "window_trailing7_distinct_users_exact",
-    # scalar surface
-    "scalar_null_semantics",
-    "scalar_variant_extract",  # first gating
-    # event analytics (first gating)
     "anomaly_cusum_daily_events",
     "events_cohort_weekly_retention",
-    # graph
-    "graph_triangle_copurchase",
-    "graph_khop_reachability",
-    "graph_event_transitions",  # first gating
-    # text analysis
-    "text_feature_hashing_vectors",
-    "text_bpe_token_counts",
-    "text_bm25_top_docs",  # first gating
-    # similarity / clustering (first gating)
     "embedding_kmeans_clusters",
-    # pipeline / curation
-    "sample_exact_k_per_lang",
-    "pii_regex_scan",  # first gating
-    "udf_cogroup_orders_events",  # first gating
-    # timeseries
-    "timeseries_rolling_corr_views_purchases",
-    "timeseries_ema30_daily_revenue",  # first gating
-    # layout write path (new this round)
-    "layout_zorder_file_pruning",
-    # streaming maintenance + stateful operators (batch-replay twins):
-    # the whole family under one gate — 2 kept from r10, 12 first
-    # gatings including the new left-outer interval join twin
-    "stream_upsert_orders_replay",
-    "stream_scd2_user_state_replay",
-    "stream_upsert_bucketed_orders_replay",
-    "stream_scd2_bucketed_user_state_replay",
-    "stream_accumulate_supplier_replay",
-    "stream_versioned_diff_replay",
-    "stream_neardup_index_replay",
-    "stream_dedup_replay",
-    "stream_ohlc_hourly_replay",
-    "stream_session_30m_replay",
-    "stream_sliding_1h30m_replay",
+    "scalar_variant_extract",
+    "timeseries_ema30_daily_revenue",
     "stream_interval_join_replay",
-    "stream_late_data_drop_replay",
-    "stream_interval_join_outer_replay",
-    "stream_interval_join_semi_replay",
+    # ---- round-11 newcomers, first driver gating (judge-verified
+    # last round) ----
+    "stream_session_timeout_replay",
+    "stream_interval_join_full_replay",
+    "stream_static_join_enrich_replay",
+    "stream_tile_source_replay",
+    "stream_tile_source_partitioned_replay",
+    "stream_running_stats_replay",
+    "stream_transitions_stateful_replay",
+    "stream_transitions_hotkey_replay",
+    "join_skew_salted_hotkey_adversarial",
+    "sessionize_hotuser_adversarial",
+    "transitions_chunked_hotuser_adversarial",
+    "layout_zorder_incremental_append",
+    # ---- new this round ----
+    "stream_interval_join_hotuser_replay",
+    # ---- r1-r4 tail, first driver gating ----
+    "agg_pivot_status_by_priority",
+    "unpivot_lineitem_metrics",
+    "window_ntile_length_deciles",
+    "window_percent_rank_cume_dist",
+    "window_top3_orders_with_ties",
+    "window_trailing_1h_user_activity",
+    "window_value_frames",
+    "scalar_array_algebra",
+    "scalar_date_arithmetic",
+    "sort_limit_offset_page3",
+    "events_funnel_signup_view_purchase",
+    "multimodal_audio_zcr_windows",
+    "multimodal_image_resize_stats",
+    "multimodal_phash_signatures",
+    "multimodal_video_frame_sample",
+    "explode_outer_returned_lines",
+    "spatial_points_to_tiles_z6",
+    "stateful_running_user_stats",
+    "dedup_simhash16_neardup_pairs",
+    "dedup_components_minhash",
+    "similarity_ivf_topk_ann",
+    "pack_sequences_512",
+    "text_unigram_logprob",
 ]
 
 

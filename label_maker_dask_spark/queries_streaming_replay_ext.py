@@ -1169,6 +1169,85 @@ def stream_interval_join_full_replay(
     )
 
 
+_INTERVAL_JOIN_HOTUSER_REPLAY_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 10 < 3 THEN -1 ELSE user_id END AS user_id,
+         event_id, ts, event_type, value
+  FROM events
+  WHERE user_id % 8 = 1)
+SELECT l.user_id, l.ts, l.event_id,
+       r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+FROM ev l JOIN ev r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '6 hours'
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+"""
+
+
+@register(
+    "stream_interval_join_hotuser_replay",
+    _INTERVAL_JOIN_HOTUSER_REPLAY_ORACLE,
+)
+def stream_interval_join_hotuser_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The inner stream-stream interval join under a CONSTRUCTED hot
+    key — the skew regime the batch side proves via
+    ``join_skew_salted_hotkey_adversarial`` but streaming JOIN STATE
+    did not: ~30 % of the sliced change log is deterministically
+    remapped to ``user_id -1`` (``event_id % 10 < 3``, the same rule
+    as the transitions hot-key twin), so one key's buffered left AND
+    right rows concentrate in a single state-store partition while the
+    cold tail hash-spreads across the rest.  The build is otherwise
+    BYTE-IDENTICAL to ``stream_interval_join_replay`` (same
+    ``interval_join``, [ts, ts+6h], 1-hour watermarks both sides, day
+    terciles from one file stream) so the only delta under the gate is
+    the skew itself: the hot partition must buffer, match
+    cross-boundary, and evict on the same watermark clock as the
+    uniform twin — degradation is designed (one big per-key buffer,
+    linear scan), never wrong (lost or duplicated hot-key matches
+    hash-mismatch against the batch oracle).
+
+    The base slice is ``user_id % 8 == 1`` (a SUBSET of the inner
+    twin's 1-in-4 slice, mirrored in the oracle) so the hot key's
+    quadratic match density — per-click matches grow linearly with
+    row density at fixed 30-day span, so output grows ~quadratically
+    per sf decade — stays drive-able at the sf1 probe.  Scale shape:
+    state per key is bounded by watermark + interval exactly as in the
+    uniform twin; the hot key's buffer is the designed worst case and
+    is still watermark-bounded."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="6 hours",
+            left_watermark="1 hour", right_watermark="1 hour",
+        )
+
+    hot = F.when(F.col("event_id") % 10 < 3, F.lit(-1)).otherwise(
+        F.col("user_id")
+    )
+    batches = [
+        t.where(F.col("user_id") % 8 == 1).withColumn("user_id", hot)
+        for t in _events_raw_day_terciles(spark, sf_dir)
+    ]
+    return _drive_stream_to_memory(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_interval_join_hotuser_replay",
+        output_mode="append",
+    )
+
+
 @register("stream_sliding_1h30m_replay", SLIDING_1H30_ORACLE)
 def stream_sliding_1h30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three day-tercile event micro-batches through the REAL streaming
@@ -1524,7 +1603,7 @@ WITH ev AS (
          CAST(round(CAST(value AS DECIMAL(28,8)) * 100, 0) AS BIGINT)
            AS cents
   FROM events
-  WHERE user_id % 4 = 2),
+  WHERE user_id % 8 = 2),
 flagged AS (
   SELECT user_id, event_id, ts, cents,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -1566,11 +1645,13 @@ def stream_session_timeout_replay(
     (missing final sessions), fires early (split sessions), or a
     stale state row emitting twice all hash-mismatch.  Values are
     pre-quantized to integer cents (the module's integer-summation
-    rule).  The change log is sliced to 1-in-4 users
-    (``user_id % 4 == 2``, disjoint from the interval twins' slices,
-    mirrored in the oracle): timeout firing and boundary stitching are
-    per-user properties, and the slice bounds the per-key Python
-    invocation cost the arbitrary-state API pays at 10x users."""
+    rule).  The change log is sliced to 1-in-8 users
+    (``user_id % 8 == 2``, disjoint from the interval twins' 1-in-4
+    slices, mirrored in the oracle): timeout firing and boundary
+    stitching are per-user properties, and the slice bounds the
+    per-key Python invocation cost plus the per-batch expired-key
+    state-store scan the EventTimeTimeout machinery pays — the gate
+    proves the same machinery at half the suite cost."""
     from datetime import timedelta
 
     from label_maker_dask_spark.streaming.stateful import (
@@ -1579,7 +1660,7 @@ def stream_session_timeout_replay(
 
     ev = (
         _t(spark, sf_dir, "events")
-        .where(F.col("user_id") % 4 == 2)
+        .where(F.col("user_id") % 8 == 2)
         .select(
             "event_id",
             "user_id",

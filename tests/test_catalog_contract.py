@@ -41,55 +41,55 @@ def test_every_oracle_key_has_a_query():
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
     "q11_part_value_concentration",
-    "q12_late_shipment_priority",
     "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
-    "q20_promotion_part_suppliers",
     "q22_global_sales_opportunity",
-    "asof_merge_hotuser_adversarial",
-    "merge_upsert_orders_cdc",
-    "agg_hll_sketch_weekly_users",
-    "agg_heavy_hitters_users",
     "snapshot_time_travel_read",
     "layout_compaction_rewrite",
-    "analytics_market_basket_part_pairs",
-    "window_ratio_to_report_nation_share",
-    "attribution_linear",
+    "layout_zorder_file_pruning",
     "window_trailing7_distinct_users_exact",
-    "scalar_null_semantics",
-    "scalar_variant_extract",
     "anomaly_cusum_daily_events",
     "events_cohort_weekly_retention",
-    "graph_triangle_copurchase",
-    "graph_khop_reachability",
-    "graph_event_transitions",
-    "text_feature_hashing_vectors",
-    "text_bpe_token_counts",
-    "text_bm25_top_docs",
     "embedding_kmeans_clusters",
-    "sample_exact_k_per_lang",
-    "pii_regex_scan",
-    "udf_cogroup_orders_events",
-    "timeseries_rolling_corr_views_purchases",
+    "scalar_variant_extract",
     "timeseries_ema30_daily_revenue",
-    "layout_zorder_file_pruning",
-    "stream_upsert_orders_replay",
-    "stream_scd2_user_state_replay",
-    "stream_upsert_bucketed_orders_replay",
-    "stream_scd2_bucketed_user_state_replay",
-    "stream_accumulate_supplier_replay",
-    "stream_versioned_diff_replay",
-    "stream_neardup_index_replay",
-    "stream_dedup_replay",
-    "stream_ohlc_hourly_replay",
-    "stream_session_30m_replay",
-    "stream_sliding_1h30m_replay",
     "stream_interval_join_replay",
-    "stream_late_data_drop_replay",
-    "stream_interval_join_outer_replay",
-    "stream_interval_join_semi_replay",
+    "stream_session_timeout_replay",
+    "stream_interval_join_full_replay",
+    "stream_static_join_enrich_replay",
+    "stream_tile_source_replay",
+    "stream_tile_source_partitioned_replay",
+    "stream_running_stats_replay",
+    "stream_transitions_stateful_replay",
+    "stream_transitions_hotkey_replay",
+    "join_skew_salted_hotkey_adversarial",
+    "sessionize_hotuser_adversarial",
+    "transitions_chunked_hotuser_adversarial",
+    "layout_zorder_incremental_append",
+    "stream_interval_join_hotuser_replay",
+    "agg_pivot_status_by_priority",
+    "unpivot_lineitem_metrics",
+    "window_ntile_length_deciles",
+    "window_percent_rank_cume_dist",
+    "window_top3_orders_with_ties",
+    "window_trailing_1h_user_activity",
+    "window_value_frames",
+    "scalar_array_algebra",
+    "scalar_date_arithmetic",
+    "sort_limit_offset_page3",
+    "events_funnel_signup_view_purchase",
+    "multimodal_audio_zcr_windows",
+    "multimodal_image_resize_stats",
+    "multimodal_phash_signatures",
+    "multimodal_video_frame_sample",
+    "explode_outer_returned_lines",
+    "spatial_points_to_tiles_z6",
+    "stateful_running_user_stats",
+    "dedup_simhash16_neardup_pairs",
+    "dedup_components_minhash",
+    "similarity_ivf_topk_ann",
+    "pack_sequences_512",
+    "text_unigram_logprob",
 ]
 
 
@@ -144,54 +144,25 @@ ROTATION_BACKLOG = [
     "agg_histogram_order_totals",
     "agg_kmv_merged_weekly_users",
     "agg_kmv_setops_weekday_weekend",
-    "agg_pivot_status_by_priority",
     "analytics_chi2_event_type_by_hour",
     "analytics_event_path_trigrams",
     "analytics_event_type_cooccurrence",
     "attribution_last_touch",
     "curation_semdedup_cluster_profiles",
     "dedup_cluster_representatives",
-    "dedup_components_minhash",
     "dedup_fuzzy_part_names",
-    "dedup_simhash16_neardup_pairs",
     "embedding_kmeans_clusters_arrow",
-    "events_funnel_signup_view_purchase",
-    "explode_outer_returned_lines",
     "graph_event_transitions_chunked",
     "join_asof_forward_next_event",
-    "multimodal_audio_zcr_windows",
-    "multimodal_image_resize_stats",
-    "multimodal_phash_signatures",
-    "multimodal_video_frame_sample",
-    "pack_sequences_512",
     "profile_join_key_skew_lineitem",
     "quality_expectations_orders",
     "sample_stratified_by_lang",
     "sample_weighted_by_quality",
-    "scalar_array_algebra",
-    "join_skew_salted_hotkey_adversarial",
-    "sessionize_hotuser_adversarial",
-    "transitions_chunked_hotuser_adversarial",
-    "scalar_date_arithmetic",
     "segmentation_buffered_ring_areas",
-    "similarity_ivf_topk_ann",
     "similarity_neardup_srp_ann",
-    "layout_zorder_incremental_append",
-    "sort_limit_offset_page3",
-    "spatial_points_to_tiles_z6",
-    "stateful_running_user_stats",
-    "stream_running_stats_replay",
-    "stream_transitions_stateful_replay",
-    "stream_transitions_hotkey_replay",
-    "stream_session_timeout_replay",
-    "stream_interval_join_full_replay",
-    "stream_static_join_enrich_replay",
-    "stream_tile_source_replay",
-    "stream_tile_source_partitioned_replay",
     "text_bigram_top20",
     "text_chunk_sliding_overlap",
     "text_repetition_bigrams",
-    "text_unigram_logprob",
     "text_vocab_coverage_top30",
     "timeseries_gapfill_daily_revenue",
     "timeseries_multigrain_revenue",
@@ -199,12 +170,6 @@ ROTATION_BACKLOG = [
     "timeseries_trailing_p90_value",
     "udf_scalar_sigmoid_score",
     "udtf_chunk_documents",
-    "unpivot_lineitem_metrics",
-    "window_ntile_length_deciles",
-    "window_percent_rank_cume_dist",
-    "window_top3_orders_with_ties",
-    "window_trailing_1h_user_activity",
-    "window_value_frames",
 ]
 
 

@@ -124,6 +124,8 @@ PROBES = [
     "stream_static_join_enrich_replay",
     "stream_tile_source_replay",
     "stream_tile_source_partitioned_replay",
+    # round-12: the hot-key interval-join twin (streaming state skew)
+    "stream_interval_join_hotuser_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
