@@ -188,6 +188,8 @@ HEADLINE = [
     "stream_tile_source_partitioned_replay",
     # round-12: the hot-key interval-join twin (streaming state skew)
     "stream_interval_join_hotuser_replay",
+    # round-12: checkpoint-restart exactly-once for the upsert sink
+    "stream_upsert_restart_replay",
 ]
 
 

@@ -3086,12 +3086,13 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # the new hot-key interval-join twin, and 23 long-stable r1-r4 tail
 # entries (pivot/unpivot, the window-function family, scalar fns,
 # funnel, the multimodal stats family, spatial, dedup/similarity
-# backlog).  14 once-gated anchors stay for a second gating; every
+# backlog), plus the two entries NEW this round (the hot-key interval
+# join and the checkpoint-restart upsert twin).  13 once-gated anchors
+# stay for a second gating; every
 # entry gated in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
     # ---- kept once-gated anchors (2nd gating banks their evidence;
     # retire next round) ----
-    "q11_part_value_concentration",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
@@ -3121,6 +3122,7 @@ _DRIVER_WINDOW = [
     "layout_zorder_incremental_append",
     # ---- new this round ----
     "stream_interval_join_hotuser_replay",
+    "stream_upsert_restart_replay",
     # ---- r1-r4 tail, first driver gating ----
     "agg_pivot_status_by_priority",
     "unpivot_lineitem_metrics",

@@ -63,9 +63,12 @@ def _write_ordered_batches(batches, changes_dir: str) -> None:
     """Write each batch frame as one parquet file into ``changes_dir``
     with strictly increasing mtimes (batch 0 oldest), so the file
     streaming source delivers them in batch order under
-    ``maxFilesPerTrigger=1``."""
+    ``maxFilesPerTrigger=1``.  Files already present (the restart
+    harness appends the tail of a log whose head was delivered in a
+    previous query run) are left untouched — only newly written files
+    are stamped."""
     base_mtime = time.time() - _MTIME_STEP * (len(batches) + 1)
-    seen: set = set()
+    seen: set = set(os.listdir(changes_dir))
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(changes_dir)
         t = base_mtime + _MTIME_STEP * i
@@ -114,6 +117,49 @@ def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError(f"{name}: drain timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return base
+
+
+def _drive_replay_with_restart(
+    spark, batches, schema: str, start_sink, name: str, stop_after: int = 1
+) -> str:
+    """The RESTART variant of :func:`_drive_replay`: the change log is
+    delivered across TWO query runs sharing one checkpoint.  Run 1 sees
+    only the first ``stop_after`` batch files on disk and drains to
+    termination (a clean batch-boundary stop — the planned-restart
+    shape: deploys, config changes, autoscaling).  The remaining batch
+    files are then written and a NEW query object starts on the SAME
+    checkpoint + sink — Spark resumes from the file-source's committed
+    log, the sink's per-checkpoint run id matches (a restarted driver
+    on the same checkpoint SHARES the run id — the continuation path
+    ``ensure_run_id`` exists to allow), and the batch-id marker keeps
+    the merge exactly-once.  Deterministic by construction: no timing
+    races, the stop point is which files exist, not when a poll fired."""
+    work = _replay_workdir(name)
+    changes_dir = os.path.join(work, "changes")
+    os.makedirs(changes_dir, exist_ok=True)
+    base = os.path.join(work, "base")
+    ckpt = os.path.join(work, "ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def run(bs):
+        _write_ordered_batches(bs, changes_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(changes_dir)
+        )
+        q = start_sink(stream, base, ckpt)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{name}: drain timed out")
+
+    try:
+        run(batches[:stop_after])
+        run(batches[stop_after:])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return base
@@ -209,6 +255,41 @@ def stream_upsert_orders_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             s, b, c, keys=["o_orderkey"], seq_col="seq", delete_col="is_del"
         ),
         "stream_upsert_orders_replay",
+    )
+    return spark.read.parquet(base)
+
+
+@register("stream_upsert_restart_replay", _UPSERT_REPLAY_ORACLE)
+def stream_upsert_restart_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME orders CDC log through the SAME upsert sink as
+    ``stream_upsert_orders_replay`` — but delivered across a QUERY
+    RESTART (``_drive_replay_with_restart``): run 1 drains only the
+    snapshot batch and terminates cleanly; a NEW query object then
+    resumes from the same checkpoint and delivers the update + delete
+    batches.  The oracle is byte-identical to the plain twin's, which
+    is the whole claim: a restart is an operational event that must not
+    change a single row.  What it uniquely gates cross-engine: the
+    file-source's committed log survives the restart (no batch
+    re-delivered, none skipped), ``ensure_run_id`` recognizes the same
+    checkpoint as a continuation rather than raising the fresh-
+    checkpoint guard, and the batch-id marker keeps the resumed merge
+    exactly-once.  Restart evidence for the maintenance family had
+    lived only in pytest (simulated-crash unit tests); this puts the
+    end-to-end resume under the driver's value-hash gate."""
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_upsert_to_parquet,
+    )
+
+    base = _drive_replay_with_restart(
+        spark,
+        _orders_cdc_batches(spark, sf_dir),
+        _ORDERS_CDC_SCHEMA,
+        lambda s, b, c: stream_upsert_to_parquet(
+            s, b, c, keys=["o_orderkey"], seq_col="seq", delete_col="is_del"
+        ),
+        "stream_upsert_restart_replay",
     )
     return spark.read.parquet(base)
 

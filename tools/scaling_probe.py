@@ -126,6 +126,8 @@ PROBES = [
     "stream_tile_source_partitioned_replay",
     # round-12: the hot-key interval-join twin (streaming state skew)
     "stream_interval_join_hotuser_replay",
+    # round-12: checkpoint-restart exactly-once for the upsert sink
+    "stream_upsert_restart_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
