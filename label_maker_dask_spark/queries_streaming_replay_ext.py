@@ -1731,8 +1731,11 @@ def stream_session_timeout_replay(
     slices, mirrored in the oracle): timeout firing and boundary
     stitching are per-user properties, and the slice bounds the
     per-key Python invocation cost plus the per-batch expired-key
-    state-store scan the EventTimeTimeout machinery pays — the gate
-    proves the same machinery at half the suite cost."""
+    state-store scan the EventTimeTimeout machinery pays.  Measured
+    effect (SCALE.md round 12): at sf0.1 the entry is FLOORED at ~9 s
+    of fixed drive machinery (4 availableNow batches × state tasks ×
+    python round-trips) so the slice moves nothing there, but at sf1 —
+    where per-key cost dominates — it cut the drive 39 s → 15.5 s."""
     from datetime import timedelta
 
     from label_maker_dask_spark.streaming.stateful import (
