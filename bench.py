@@ -190,6 +190,7 @@ HEADLINE = [
     "stream_interval_join_hotuser_replay",
     # round-12: checkpoint-restart exactly-once for the upsert sink
     "stream_upsert_restart_replay",
+    "stream_session_restart_replay",
 ]
 
 

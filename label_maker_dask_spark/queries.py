@@ -3087,13 +3087,13 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # entries (pivot/unpivot, the window-function family, scalar fns,
 # funnel, the multimodal stats family, spatial, dedup/similarity
 # backlog), plus the two entries NEW this round (the hot-key interval
-# join and the checkpoint-restart upsert twin).  13 once-gated anchors
-# stay for a second gating; every
+# join, the checkpoint-restart upsert twin, and the state-store
+# recovery session twin).  12 once-gated anchors stay for a second
+# gating; every
 # entry gated in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
     # ---- kept once-gated anchors (2nd gating banks their evidence;
     # retire next round) ----
-    "q14_promo_revenue",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
     "snapshot_time_travel_read",
@@ -3123,6 +3123,7 @@ _DRIVER_WINDOW = [
     # ---- new this round ----
     "stream_interval_join_hotuser_replay",
     "stream_upsert_restart_replay",
+    "stream_session_restart_replay",
     # ---- r1-r4 tail, first driver gating ----
     "agg_pivot_status_by_priority",
     "unpivot_lineitem_metrics",

@@ -624,6 +624,56 @@ def _drive_stream_to_memory(
     return spark.table(name)
 
 
+def _drive_stream_to_memory_with_restart(
+    spark, batches, schema: str, build, name: str, stop_after: int = 2
+):
+    """RESTART variant of :func:`_drive_stream_to_memory` for
+    COMPLETE-mode aggregations: the change log is delivered across two
+    query runs sharing one checkpoint — run 1 sees only the first
+    ``stop_after`` batch files and drains to termination, then the
+    remaining files are written and a NEW query resumes.  What this
+    uniquely exercises is STATE-STORE RECOVERY: run 2 must reload the
+    aggregation state (open sessions, partial windows) from the
+    checkpointed store and keep MERGING into it — a state row lost or
+    doubled across the restart changes the final complete-mode table.
+    Complete mode re-emits the whole state, so the memory sink read at
+    the end is run 2's full final table regardless of the split.
+    Deterministic: the stop point is which files exist, never a poll."""
+    work = _replay_workdir(name)
+    changes_dir = os.path.join(work, "changes")
+    os.makedirs(changes_dir, exist_ok=True)
+    ckpt = os.path.join(work, "ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def run(bs):
+        _write_ordered_batches(bs, changes_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(changes_dir)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{name}: drain timed out")
+
+    try:
+        run(batches[:stop_after])
+        run(batches[stop_after:])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 _EVENTS_REPLAY_SCHEMA = (
     "event_id long, user_id long, event_type string, ts timestamp, value double"
 )
@@ -732,6 +782,66 @@ def stream_session_30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark="1 hour",
         ),
         "stream_session_30m_replay",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start"),
+        F.col("last_ts").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+_SESSION_RESTART_REPLAY_ORACLE = _SESSION_REPLAY_ORACLE.replace(
+    "FROM events\n", "FROM events WHERE user_id % 4 = 3\n"
+)
+
+
+@register("stream_session_restart_replay", _SESSION_RESTART_REPLAY_ORACLE)
+def stream_session_restart_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The session-window aggregation delivered across a QUERY RESTART
+    (``_drive_stream_to_memory_with_restart``): run 1 drains terciles
+    1-2 and terminates cleanly, a NEW query resumes from the same
+    checkpoint and delivers tercile 3 — so every session straddling
+    the tercile-2/3 cut must be reunited by state the second run
+    RELOADED from the checkpointed state store, not by state it built
+    itself.  The oracle is byte-identical to
+    ``stream_session_30m_replay``'s batch sessionization, which is the
+    claim: a restart must not change a single session.  This is the
+    state-store RECOVERY twin of ``stream_upsert_restart_replay`` (a
+    foreachBatch sink resuming its own table) — here the recovered
+    thing is Spark's internal aggregation state, the surface a
+    1000-executor deployment exercises on every rolling restart.
+    Sliced to 1-in-4 users (``user_id % 4 == 3``, mirrored in the
+    oracle): complete mode re-emits the whole session state per batch,
+    a linear-by-construction cost the parent twin's probe documents —
+    recovery is a per-user property, so the slice bounds the sf1 drive
+    without weakening the restart claim."""
+    from label_maker_dask_spark.streaming.windows import session_agg
+
+    batches = [
+        t.where(F.col("user_id") % 4 == 3)
+        for t in _events_raw_day_terciles(spark, sf_dir)
+    ]
+    out = _drive_stream_to_memory_with_restart(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        lambda s: session_agg(
+            s, "ts", "30 minutes", ["user_id"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("ts").alias("last_ts"),
+                F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+                .cast("double")
+                .alias("session_value"),
+            ],
+            watermark="1 hour",
+        ),
+        "stream_session_restart_replay",
+        stop_after=2,
     )
     return out.select(
         "user_id",

@@ -128,6 +128,7 @@ PROBES = [
     "stream_interval_join_hotuser_replay",
     # round-12: checkpoint-restart exactly-once for the upsert sink
     "stream_upsert_restart_replay",
+    "stream_session_restart_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
