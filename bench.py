@@ -191,6 +191,7 @@ HEADLINE = [
     # round-12: checkpoint-restart exactly-once for the upsert sink
     "stream_upsert_restart_replay",
     "stream_session_restart_replay",
+    "stream_interval_join_restart_replay",
 ]
 
 

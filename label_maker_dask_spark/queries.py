@@ -3087,14 +3087,14 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # entries (pivot/unpivot, the window-function family, scalar fns,
 # funnel, the multimodal stats family, spatial, dedup/similarity
 # backlog), plus the two entries NEW this round (the hot-key interval
-# join, the checkpoint-restart upsert twin, and the state-store
-# recovery session twin).  12 once-gated anchors stay for a second
-# gating; every
+# join and the three-member RESTART TRIPTYCH: the checkpoint-restart
+# upsert sink, the state-store recovery session aggregation, and the
+# join-state recovery interval join).  11 once-gated anchors stay for
+# a second gating; every
 # entry gated in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
     # ---- kept once-gated anchors (2nd gating banks their evidence;
     # retire next round) ----
-    "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
     "snapshot_time_travel_read",
     "layout_compaction_rewrite",
@@ -3124,6 +3124,7 @@ _DRIVER_WINDOW = [
     "stream_interval_join_hotuser_replay",
     "stream_upsert_restart_replay",
     "stream_session_restart_replay",
+    "stream_interval_join_restart_replay",
     # ---- r1-r4 tail, first driver gating ----
     "agg_pivot_status_by_priority",
     "unpivot_lineitem_metrics",

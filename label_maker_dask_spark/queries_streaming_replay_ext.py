@@ -625,40 +625,62 @@ def _drive_stream_to_memory(
 
 
 def _drive_stream_to_memory_with_restart(
-    spark, batches, schema: str, build, name: str, stop_after: int = 2
+    spark,
+    batches,
+    schema: str,
+    build,
+    name: str,
+    stop_after: int = 2,
+    output_mode: str = "complete",
 ):
-    """RESTART variant of :func:`_drive_stream_to_memory` for
-    COMPLETE-mode aggregations: the change log is delivered across two
-    query runs sharing one checkpoint — run 1 sees only the first
-    ``stop_after`` batch files and drains to termination, then the
-    remaining files are written and a NEW query resumes.  What this
-    uniquely exercises is STATE-STORE RECOVERY: run 2 must reload the
-    aggregation state (open sessions, partial windows) from the
-    checkpointed store and keep MERGING into it — a state row lost or
-    doubled across the restart changes the final complete-mode table.
-    Complete mode re-emits the whole state, so the memory sink read at
-    the end is run 2's full final table regardless of the split.
-    Deterministic: the stop point is which files exist, never a poll."""
+    """RESTART variant of :func:`_drive_stream_to_memory`: the change
+    log is delivered across two query runs sharing one checkpoint —
+    run 1 sees only the first ``stop_after`` batch files and drains to
+    termination, then the remaining files are written and a NEW query
+    resumes.  What this uniquely exercises is STATE-STORE RECOVERY:
+    run 2 must reload the operator state (open sessions, partial
+    windows, buffered join rows) from the checkpointed store and keep
+    merging/matching into it — state lost or doubled across the
+    restart changes the final answer.  Complete mode re-emits the
+    whole state, so the memory-sink read at the end is run 2's full
+    final table; append mode (joins) goes to a parquet FILE sink that
+    persists across the runs, so the read at the end is the union of
+    both runs' emissions (the bounded-driver contract, as in the
+    non-restart harness).  Deterministic: the stop point is which
+    files exist, never a poll."""
     work = _replay_workdir(name)
     changes_dir = os.path.join(work, "changes")
     os.makedirs(changes_dir, exist_ok=True)
     ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out") if output_mode == "append" else None
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    built_schema = None
 
     def run(bs):
+        nonlocal built_schema
         _write_ordered_batches(bs, changes_dir)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(changes_dir)
         )
+        built = build(stream)
+        built_schema = built.schema
+        if output_mode == "append":
+            writer = (
+                built.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+            )
+        else:
+            writer = (
+                built.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+            )
         q = (
-            build(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
+            writer.option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -671,6 +693,8 @@ def _drive_stream_to_memory_with_restart(
         run(batches[stop_after:])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if out is not None:
+        return spark.read.schema(built_schema).parquet(out)
     return spark.table(name)
 
 
@@ -912,6 +936,56 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EVENTS_REPLAY_SCHEMA,
         build,
         "stream_interval_join_replay",
+        output_mode="append",
+    )
+
+
+@register("stream_interval_join_restart_replay", _INTERVAL_JOIN_REPLAY_ORACLE)
+def stream_interval_join_restart_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The inner stream-stream interval join delivered across a QUERY
+    RESTART — JOIN-STATE recovery, the third member of the restart
+    triptych (`stream_upsert_restart_replay`: a foreachBatch sink
+    resuming its own table; `stream_session_restart_replay`:
+    aggregation state; here: BOTH sides' buffered join rows).  Run 1
+    drains only tercile 1 and terminates cleanly; a new query resumes
+    from the checkpoint and delivers terciles 2-3, so every match
+    between a tercile-1 click and a tercile-2 purchase must come from
+    left-side rows the second run RELOADED from the checkpointed join
+    state store.  The build, slice (``user_id % 4 == 1``), and oracle
+    are byte-identical to ``stream_interval_join_replay`` — a restart
+    must not change a single match: a buffered row lost in recovery
+    drops a cross-restart match, a replayed batch re-emitting doubles
+    one, and both hash-mismatch.  Append mode writes to a parquet file
+    sink that persists across the runs, so the final read is the union
+    of both runs' emissions."""
+    from label_maker_dask_spark.streaming.windows import interval_join
+
+    def build(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        right = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join(
+            left, right, "ts", "ts", ["user_id"],
+            lower="0 seconds", upper="6 hours",
+            left_watermark="1 hour", right_watermark="1 hour",
+        )
+
+    batches = [
+        t.where(F.col("user_id") % 4 == 1)
+        for t in _events_raw_day_terciles(spark, sf_dir)
+    ]
+    return _drive_stream_to_memory_with_restart(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        build,
+        "stream_interval_join_restart_replay",
+        stop_after=1,
         output_mode="append",
     )
 

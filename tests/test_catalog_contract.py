@@ -40,7 +40,6 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
-    "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
     "snapshot_time_travel_read",
     "layout_compaction_rewrite",
@@ -67,6 +66,7 @@ PINNED_DRIVER_WINDOW = [
     "stream_interval_join_hotuser_replay",
     "stream_upsert_restart_replay",
     "stream_session_restart_replay",
+    "stream_interval_join_restart_replay",
     "agg_pivot_status_by_priority",
     "unpivot_lineitem_metrics",
     "window_ntile_length_deciles",

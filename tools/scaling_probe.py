@@ -129,6 +129,7 @@ PROBES = [
     # round-12: checkpoint-restart exactly-once for the upsert sink
     "stream_upsert_restart_replay",
     "stream_session_restart_replay",
+    "stream_interval_join_restart_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
