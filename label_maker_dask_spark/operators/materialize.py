@@ -69,21 +69,25 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     action); ``eager=False`` defers to the first action (bench-honest).
     ``checkpoint`` mode is always eager.
 
-    ``persist`` + ``eager=True`` forces population NOW with a no-op
-    ``foreachPartition``: Spark persists lazily, and a lazily-populated
-    cache is NOT a pin for nondeterministic draws — two downstream
-    branches racing to populate (or a block lost to executor churn and
-    recomputed from lineage per consumer) can each re-draw differently,
-    which is the exact inconsistency the eager call sites exist to
-    prevent.  The pin is best-effort under churn either way (a lost
-    block still recomputes from lineage); sites needing a durable pin on
-    a churning cluster should use ``checkpoint`` mode.
+    ``persist`` + ``eager=True`` forces population NOW with a
+    ``count()`` over the persisted frame (the standard eager-persist
+    idiom: one JVM-side job that materializes every cached partition —
+    unlike ``foreachPartition``, which would pickle every row through
+    Python workers just to discard it): Spark persists lazily, and a
+    lazily-populated cache is NOT a pin for nondeterministic draws —
+    two downstream branches racing to populate (or a block lost to
+    executor churn and recomputed from lineage per consumer) can each
+    re-draw differently, which is the exact inconsistency the eager
+    call sites exist to prevent.  The pin is best-effort under churn
+    either way (a lost block still recomputes from lineage); sites
+    needing a durable pin on a churning cluster should use
+    ``checkpoint`` mode.
     """
     mode = df.sparkSession.conf.get(MODE_CONF, "localCheckpoint")
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         if eager:
-            out.foreachPartition(lambda _: None)
+            out.count()
         return out
     if mode == "checkpoint":
         return df.checkpoint(eager=True)

@@ -3079,19 +3079,18 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # covered by the full local replay (tools/check_oracle.py, 173/173).
 # Round 11 rotated in 36 never-gated entries (the remaining 8 TPC-H,
 # 13 streaming replay twins, the table-lifecycle gates, and the first
-# adversarial hot-key entries); round 12 rotates in another 36
-# first-time entries: the 12 round-11 newcomers the judge verified
-# (remaining streaming twins, both tile-source connector forms, the
-# three leftover adversarial entries, the incremental Z-order append),
-# the new hot-key interval-join twin, and 23 long-stable r1-r4 tail
-# entries (pivot/unpivot, the window-function family, scalar fns,
-# funnel, the multimodal stats family, spatial, dedup/similarity
-# backlog), plus the two entries NEW this round (the hot-key interval
-# join and the three-member RESTART TRIPTYCH: the checkpoint-restart
-# upsert sink, the state-store recovery session aggregation, and the
-# join-state recovery interval join).  11 once-gated anchors stay for
-# a second gating; every
-# entry gated in >=2 rounds rotated out with its evidence banked.
+# adversarial hot-key entries).  Round 12: 39 first-time entries —
+# the 12 round-11 newcomers the judge verified (remaining streaming
+# twins, both tile-source connector forms, the three leftover
+# adversarial entries, the incremental Z-order append), 23 long-stable
+# r1-r4 tail entries (pivot/unpivot, the window-function family,
+# scalar fns, funnel, the multimodal stats family, spatial,
+# dedup/similarity backlog), and the FOUR entries new this round (the
+# hot-key interval-join twin plus the three-member restart triptych:
+# checkpoint-restart upsert sink, state-store recovery session
+# aggregation, join-state recovery interval join) — with 11
+# once-gated anchors staying for a second gating; every entry gated
+# in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
     # ---- kept once-gated anchors (2nd gating banks their evidence;
     # retire next round) ----

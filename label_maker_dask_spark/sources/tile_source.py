@@ -288,17 +288,20 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:  # noqa: N802
         # advances a reader-local cursor.  The API gives latestOffset()
-        # no previous-offset argument, so after a RESTART a fresh
-        # reader's FIRST call can return an offset below the
-        # checkpointed one (Spark compares offsets by equality, so it
-        # still plans a batch from it).  Two guards make that harmless:
-        # (a) the cursor fast-forwards to the highest planned-batch
-        # start/end seen in partitions(), so only the first
-        # post-restart call can regress, and (b) partitions() clips the
-        # delivered stripe range to that floor, so a regressed batch
-        # can never RE-deliver y rows a pre-restart batch already
-        # covered — no duplicates, and at most one empty catch-up batch
-        # instead of a ymin-re-walk stall.
+        # no previous-offset argument, so a fresh post-restart reader
+        # cannot know the checkpointed frontier by itself.  Measured
+        # call order (debuglog traces, both restart shapes): Spark
+        # ALWAYS calls partitions() before the first latestOffset() on
+        # a restarted reader — with (end_k, end_k) as a probe in the
+        # committed case, with the replayed (s_k, e_k) range in the
+        # uncommitted case — and partitions() fast-forwards the cursor
+        # from those bounds, so in practice this method never returns
+        # an offset below the checkpoint.  Should a Spark version ever
+        # reorder those calls, two guards keep even that hypothetical
+        # harmless: (a) the cursor/floor clamp here means only the
+        # very first call could regress, and (b) partitions() clips
+        # delivery below the observed frontier, so a batch planned
+        # from a regressed offset re-delivers nothing.
         cur = max(
             getattr(self, "_cur", self.ymin),
             getattr(self, "_floor", self.ymin),

@@ -182,6 +182,33 @@ def streaming_transition_counts(
     )
 
 
+def _resolve_tz_for_pandas(tz_name: str):
+    """Map a Spark/Java session-timezone id to something pandas'
+    ``tz_localize`` accepts: region ids and ``+08:00`` offsets pass
+    through (validated eagerly so a bad id fails at operator build
+    time, not mid-batch), and the ``GMT+8`` / ``UTC+8`` / ``UT-05:30``
+    family — legal for Java's ZoneId but rejected by pytz/zoneinfo —
+    becomes a fixed :class:`datetime.timezone` offset."""
+    if tz_name in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        return tz_name
+    import re as _re
+    from datetime import timedelta as _td
+    from datetime import timezone as _tz
+
+    m = _re.fullmatch(
+        r"(?:GMT|UTC|UT)([+-])(\d{1,2})(?::?(\d{2}))?", tz_name
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return _tz(
+            sign * _td(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+        )
+    pd.Timestamp(0, unit="us").tz_localize(
+        tz_name, ambiguous=True, nonexistent="shift_forward"
+    )
+    return tz_name
+
+
 SESSION_STATS_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, value_cents long"
@@ -239,6 +266,17 @@ def streaming_session_stats(
         )
     except Exception:
         tz_name = "UTC"
+    # Resolve the Spark/Java zone id AT BUILD TIME (fail fast on the
+    # driver, never inside a micro-batch).  NOTE a precondition that
+    # is pyarrow's, not ours: Java also accepts "GMT+8"-style ids, and
+    # those crash the Arrow->pandas TIMESTAMP conversion inside
+    # applyInPandasWithState itself (pyarrow's make_tz_aware calls
+    # pytz.timezone on the session zone string) before any operator
+    # code runs — so pandas-based stateful operators require a REGION
+    # id ("Asia/Tokyo") or "+08:00" offset form session timezone.
+    # This resolver maps the GMT±H family anyway for the one part we
+    # control (the timeout arming), and validates region ids eagerly.
+    tz_arg = _resolve_tz_for_pandas(tz_name)
 
     def _naive_us_to_utc_ms(naive_us: int) -> int:
         if tz_name in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
@@ -246,7 +284,7 @@ def streaming_session_stats(
         ts = pd.Timestamp(naive_us, unit="us").tz_localize(
             # DST edges: a slightly-shifted horizon only moves WHEN the
             # close fires, never what it emits — don't kill the query
-            tz_name, ambiguous=True, nonexistent="shift_forward"
+            tz_arg, ambiguous=True, nonexistent="shift_forward"
         )
         return int(ts.value // 1_000_000)
 

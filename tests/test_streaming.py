@@ -755,3 +755,32 @@ def test_transition_fold_null_event_types_match_batch_semantics():
 
     run(100)   # loop path
     run(1500)  # vectorized path — dropna(subset) keeps (x, null) pairs
+
+
+def test_resolve_tz_for_pandas_java_zone_ids():
+    """Java's ZoneId accepts 'GMT+8'-family ids that pytz/zoneinfo
+    reject; the resolver maps them to fixed offsets so the timeout
+    arming never raises UnknownTimeZoneError, passes region ids and
+    explicit offsets through, and fails FAST on garbage (operator
+    build time, not mid-batch)."""
+    from datetime import timedelta, timezone
+
+    import pytest
+
+    from label_maker_dask_spark.streaming.stateful import (
+        _resolve_tz_for_pandas,
+    )
+
+    assert _resolve_tz_for_pandas("UTC") == "UTC"
+    assert _resolve_tz_for_pandas("GMT+8") == timezone(timedelta(hours=8))
+    assert _resolve_tz_for_pandas("UTC-5") == timezone(timedelta(hours=-5))
+    assert _resolve_tz_for_pandas("UT+05:30") == timezone(
+        timedelta(hours=5, minutes=30)
+    )
+    assert _resolve_tz_for_pandas("GMT-0230") == timezone(
+        -timedelta(hours=2, minutes=30)
+    )
+    assert _resolve_tz_for_pandas("Asia/Tokyo") == "Asia/Tokyo"
+    assert _resolve_tz_for_pandas("+09:00") == "+09:00"
+    with pytest.raises(Exception):
+        _resolve_tz_for_pandas("Not/AZone")

@@ -147,14 +147,18 @@ def test_partitioned_stream_reader_plans_stripes():
 
 
 def test_partitioned_reader_restart_never_redelivers():
-    """The restart contract, unit-level: a FRESH reader (what a query
-    restart creates) whose first latestOffset() regresses below the
-    checkpointed offset must (a) plan the regressed batch empty — no
-    re-delivery of stripes committed before the crash — and (b) fast-
-    forward so the very next batch resumes at the checkpoint with no
-    ymin-re-walk stall.  Also pins the crash-replay path: a fresh
-    reader replaying an UNCOMMITTED batch via partitions() first must
-    deliver it verbatim."""
+    """The restart contract, unit-level.  Measured call order (see the
+    latestOffset comment): Spark always hands a restarted reader the
+    frontier through a partitions() call — an (end_k, end_k) probe in
+    the committed case, the replayed (s_k, e_k) range in the
+    uncommitted case — BEFORE its first latestOffset(), so a regressed
+    offset is never planned in practice.  This test additionally pins
+    the DEFENSE-IN-DEPTH behavior under the hypothetical
+    latestOffset-first order: a regressed first offset must plan an
+    empty batch (no re-delivery of committed stripes) and the next
+    batch must resume at the frontier with no ymin-re-walk stall; and
+    the crash-replay paths must deliver the uncommitted range
+    verbatim."""
     from label_maker_dask_spark.sources.tile_source import (
         SlippyTilePartitionedStreamReader,
     )
