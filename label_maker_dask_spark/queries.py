@@ -3092,62 +3092,61 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # once-gated anchors staying for a second gating; every entry gated
 # in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
-    # ---- kept once-gated anchors (2nd gating banks their evidence;
-    # retire next round) ----
-    "q22_global_sales_opportunity",
-    "snapshot_time_travel_read",
-    "layout_compaction_rewrite",
-    "layout_zorder_file_pruning",
-    "window_trailing7_distinct_users_exact",
-    "anomaly_cusum_daily_events",
-    "events_cohort_weekly_retention",
-    "embedding_kmeans_clusters",
-    "scalar_variant_extract",
-    "timeseries_ema30_daily_revenue",
-    "stream_interval_join_replay",
-    # ---- round-11 newcomers, first driver gating (judge-verified
-    # last round) ----
-    "stream_session_timeout_replay",
-    "stream_interval_join_full_replay",
-    "stream_static_join_enrich_replay",
-    "stream_tile_source_replay",
-    "stream_tile_source_partitioned_replay",
-    "stream_running_stats_replay",
-    "stream_transitions_stateful_replay",
-    "stream_transitions_hotkey_replay",
-    "join_skew_salted_hotkey_adversarial",
-    "sessionize_hotuser_adversarial",
-    "transitions_chunked_hotuser_adversarial",
-    "layout_zorder_incremental_append",
-    # ---- new this round ----
-    "stream_interval_join_hotuser_replay",
-    "stream_upsert_restart_replay",
-    "stream_session_restart_replay",
-    "stream_interval_join_restart_replay",
-    # ---- r1-r4 tail, first driver gating ----
-    "agg_pivot_status_by_priority",
-    "unpivot_lineitem_metrics",
-    "window_ntile_length_deciles",
-    "window_percent_rank_cume_dist",
-    "window_top3_orders_with_ties",
-    "window_trailing_1h_user_activity",
-    "window_value_frames",
-    "scalar_array_algebra",
-    "scalar_date_arithmetic",
-    "sort_limit_offset_page3",
-    "events_funnel_signup_view_purchase",
-    "multimodal_audio_zcr_windows",
-    "multimodal_image_resize_stats",
-    "multimodal_phash_signatures",
-    "multimodal_video_frame_sample",
-    "explode_outer_returned_lines",
-    "spatial_points_to_tiles_z6",
-    "stateful_running_user_stats",
-    "dedup_simhash16_neardup_pairs",
-    "dedup_components_minhash",
-    "similarity_ivf_topk_ann",
-    "pack_sequences_512",
-    "text_unigram_logprob",
+    # ---- round-13 window: the final 31 never-gated backlog entries +
+    # the agg_approx_distinct_users re-gate (first green driver row) +
+    # the new adversarial curation gate, padded with the 17 stalest
+    # retirees (last gated r5-r7).  After this gate the catalog is
+    # 212/212 driver-proven and the rotation backlog is empty. ----
+    "curation_hotcomponent_adversarial",
+    "agg_approx_distinct_users",
+    "agg_approx_percentiles_sampled",
+    "agg_corr_covar_by_returnflag",
+    "agg_histogram_order_totals",
+    "agg_kmv_merged_weekly_users",
+    "agg_kmv_setops_weekday_weekend",
+    "analytics_chi2_event_type_by_hour",
+    "analytics_event_path_trigrams",
+    "analytics_event_type_cooccurrence",
+    "attribution_last_touch",
+    "curation_semdedup_cluster_profiles",
+    "dedup_cluster_representatives",
+    "dedup_fuzzy_part_names",
+    "embedding_kmeans_clusters_arrow",
+    "graph_event_transitions_chunked",
+    "join_asof_forward_next_event",
+    "profile_join_key_skew_lineitem",
+    "quality_expectations_orders",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_quality",
+    "segmentation_buffered_ring_areas",
+    "similarity_neardup_srp_ann",
+    "text_bigram_top20",
+    "text_chunk_sliding_overlap",
+    "text_repetition_bigrams",
+    "text_vocab_coverage_top30",
+    "timeseries_gapfill_daily_revenue",
+    "timeseries_multigrain_revenue",
+    "timeseries_rolling_slope_daily_revenue",
+    "timeseries_trailing_p90_value",
+    "udf_scalar_sigmoid_score",
+    "udtf_chunk_documents",
+    "q8_market_share",
+    "q2_min_price_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "agg_cube_segment_priority",
+    "agg_distinct_nations_per_segment",
+    "dedup_containment_lsh_pairs",
+    "dedup_jaccard_exact_pairs",
+    "dedup_simhash_neardup_pairs",
+    "events_sessionize_30m_chunked",
+    "events_sliding_1h_30m",
+    "join_asof_latest_order_merge",
+    "join_full_nation_supplier",
+    "join_range_orders_near_event",
+    "join_theta_acctbal",
+    "similarity_neardup_cosine",
+    "text_fingerprints",
 ]
 
 

@@ -926,6 +926,97 @@ def agg_kmv_setops_weekday_weekend(spark, sf_dir):
     )
 
 
+def _hotcomponent_split_oracle() -> str:
+    split_g = split_bucket_sql("grp")
+    return f"""
+    WITH m AS (
+      SELECT min(doc_id) AS hub, count(*) AS n_hot
+      FROM documents WHERE doc_id % 10 < 3),
+    grouped AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 < 3 AND m.n_hot >= 2 THEN m.hub
+                  ELSE d.doc_id END AS grp,
+             (d.doc_id % 10 < 3 AND m.n_hot >= 2) AS linked
+      FROM documents d, m),
+    assigned AS (
+      SELECT doc_id, grp, linked,
+             CASE WHEN ({split_g}) < 80 THEN 'train'
+                  WHEN ({split_g}) < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM grouped)
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT grp) AS n_groups,
+           CAST(sum(CASE WHEN linked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_linked_docs,
+           round(sum(CASE WHEN linked THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS hot_share
+    FROM assigned GROUP BY 1
+    """
+
+
+@register("curation_hotcomponent_adversarial", _hotcomponent_split_oracle())
+def curation_hotcomponent_adversarial(spark, sf_dir):
+    """The leakage-safe split under a CONSTRUCTED giant dup-component:
+    ~30 % of all documents (``doc_id % 10 < 3``) are wired into ONE
+    near-dup component via a hub star graph before the split — the
+    boilerplate-template regime (one license header / scraped banner
+    shared by a third of a crawl) that the natural MinHash pair graph
+    at test scale never produces.  The oracle computes the component in
+    closed form (every hot doc's label = the minimum hot doc id, which
+    is exactly what min-label propagation must converge to on a star),
+    so the hash-match proves the DISTRIBUTED components path —
+    ``small_graph_edges=0`` forces the iterative pointer-doubling loop,
+    never the single-task union-find — returns the right labels when
+    one label covers 30 % of the corpus, and that the component-hash
+    split keeps the giant group ATOMIC: ``hot_share`` lands entirely in
+    one split (train, val, or test — wherever ``hash(hub)`` falls) and
+    is exactly 0 in the other two, the balance-visibility column.
+
+    Scale shape: the hub's degree is 0.3 N, but the propagation step's
+    ``groupBy(id).min(label)`` collapses map-side (partial aggregation)
+    before the shuffle, so the hot node never concentrates 0.3 N rows
+    on one reducer; the split itself is a narrow column map over
+    ``coalesce(component, doc_id)`` and the output is a 3-row audit
+    agg.  Companion to ``curation_leakage_safe_split`` (natural pair
+    graph) the way ``join_skew_salted_hotkey_adversarial`` twins
+    ``join_skew_salted_brand_revenue``."""
+    from label_maker_dask_spark.operators.pipeline import split_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    hot = docs.where(F.col("doc_id") % 10 < 3).select("doc_id")
+    hub = hot.agg(F.min("doc_id").alias("hub"))
+    pairs = (
+        hot.crossJoin(F.broadcast(hub))
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    comp = duplicate_components(pairs, small_graph_edges=0).select(
+        F.col("doc_id").alias("c_id"), "component"
+    )
+    grouped = docs.join(
+        comp, docs["doc_id"] == F.col("c_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("grp"),
+        F.col("c_id").isNotNull().alias("linked"),
+    )
+    b = split_bucket(F.col("grp"))
+    assigned = grouped.withColumn(
+        "split",
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum(F.col("linked").cast("int")).cast("long").alias("n_linked_docs"),
+        F.round(
+            F.sum(F.col("linked").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("hot_share"),
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -145,6 +145,51 @@ def _image_array(image: Optional[bytes], height: int, width: int, channels: int)
     return arr
 
 
+class PngImage:
+    """A renderable RGB image without an imaging library: wraps an
+    (H, W, 3) uint8 array and implements ``_repr_png_`` so notebooks
+    display it inline exactly where the reference returned a
+    ``PIL.Image`` (result.py:33-37,76-80,104-115).  ``save(fp)`` writes
+    the PNG bytes for file parity."""
+
+    def __init__(self, arr: np.ndarray):
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        if not arr.flags.writeable:
+            # frombuffer-backed decodes are read-only; draw_label mutates
+            arr = arr.copy()
+        self.array = arr
+
+    def _repr_png_(self) -> bytes:
+        return _png_bytes(self.array)
+
+    def save(self, fp, format: str = "PNG") -> None:
+        if format.upper() != "PNG":
+            raise ValueError("PngImage only encodes PNG (stdlib zlib path)")
+        fp.write(_png_bytes(self.array))
+
+
+def _draw_box_outline(
+    arr: np.ndarray,
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+    color: tuple[int, int, int],
+) -> None:
+    """1-px rectangle outline, PIL ``ImageDraw.rectangle`` semantics
+    (inclusive corners, clipped to the canvas) — reference
+    result.py:61-68."""
+    h, w = arr.shape[:2]
+    x0c, x1c = max(0, min(x0, x1)), min(w - 1, max(x0, x1))
+    y0c, y1c = max(0, min(y0, y1)), min(h - 1, max(y0, y1))
+    if x0c > x1c or y0c > y1c:
+        return
+    arr[y0c, x0c : x1c + 1] = color
+    arr[y1c, x0c : x1c + 1] = color
+    arr[y0c : y1c + 1, x0c] = color
+    arr[y0c : y1c + 1, x1c] = color
+
+
 def _card(title: str, body: str) -> str:
     return (
         f'<div style="display:inline-block;margin:4px;text-align:center">'
@@ -168,24 +213,57 @@ class Result:
         arr = _image_array(self.image, *self.image_shape)
         return f'<img src="{png_data_uri(arr)}" width="{TILE_PX}"/>'
 
+    def show_image(self) -> PngImage:
+        """The tile imagery as a notebook-renderable image (reference
+        result.py:33-37 returns ``Image.fromarray(self.image)``; here a
+        stdlib-PNG wrapper over the decoded array)."""
+        return PngImage(_image_array(self.image, *self.image_shape))
+
 
 class ClassificationResult(Result):
     """Flag-vector card (reference result.py:15-46)."""
 
-    def _repr_html_(self) -> str:
+    def show_label(self) -> str:
+        """Class/flag HTML table, one row per class with background first
+        (reference result.py:27-32 builds the same table)."""
         names = ["background"] + [c["name"] for c in self.classes]
-        flags = list(self.label)
         rows = "".join(
             f"<tr><td>{n}</td><td>{'✓' if f else ''}</td></tr>"
-            for n, f in zip(names, flags)
+            for n, f in zip(names, list(self.label))
         )
-        table = f"<table><tr><th>class</th><th>present</th></tr>{rows}</table>"
-        return _card(f"tile {self.tile}", self._image_html() + table)
+        return f"<table><tr><th>class</th><th>present</th></tr>{rows}</table>"
+
+    def _repr_html_(self) -> str:
+        return _card(f"tile {self.tile}", self._image_html() + self.show_label())
 
 
 class ObjectDetectionResult(Result):
     """Bounding boxes drawn as an SVG overlay (reference result.py:49-89
     draws with ImageDraw; an overlay keeps it dependency-free)."""
+
+    def draw_label(self, img) -> "PngImage":
+        """Draw every box outline in its class color onto ``img``
+        (reference result.py:61-68 ``ImageDraw.rectangle(...,
+        outline=class_color(box[4]))``).  Accepts a ``PngImage`` or an
+        (H, W, 3) array; mutates and returns the wrapper, mirroring the
+        reference's draw-in-place-and-return."""
+        if not isinstance(img, PngImage):
+            img = PngImage(img)
+        for b in self.label:
+            _draw_box_outline(
+                img.array,
+                int(b["xmin"]), int(b["ymin"]),
+                int(b["xmax"]), int(b["ymax"]),
+                class_color(int(b["class"])),
+            )
+        return img
+
+    def show_label(self) -> "PngImage":
+        """Boxes on a black canvas (reference result.py:70-74 draws onto
+        ``Image.new("RGB", (256, 256))``)."""
+        return self.draw_label(
+            PngImage(np.zeros((TILE_PX, TILE_PX, 3), dtype=np.uint8))
+        )
 
     def _repr_html_(self) -> str:
         boxes = "".join(
@@ -210,15 +288,22 @@ class ObjectDetectionResult(Result):
 class SegmentationResult(Result):
     """Class-id raster colorized per class (reference result.py:92-128)."""
 
-    def _repr_html_(self) -> str:
+    def show_label(self) -> PngImage:
+        """The class-id raster colorized through ``class_color`` per pixel
+        (reference result.py:104-110 builds the same visible label via
+        ``np.nditer``; a 256-entry LUT is the vectorized equivalent —
+        ids beyond the class list cycle exactly like ``class_color``)."""
         raster = np.frombuffer(self.label, dtype=np.uint8).reshape(
             TILE_PX, TILE_PX
         )
-        lut = np.zeros((256, 3), dtype=np.uint8)
-        for cid in range(1, len(self.classes) + 1):
-            lut[cid] = class_color(cid)
-        colored = lut[raster]
-        img = f'<img src="{png_data_uri(colored)}" width="{TILE_PX}"/>'
+        lut = np.array([class_color(cid) for cid in range(256)], dtype=np.uint8)
+        return PngImage(lut[raster])
+
+    def _repr_html_(self) -> str:
+        img = (
+            f'<img src="{png_data_uri(self.show_label().array)}" '
+            f'width="{TILE_PX}"/>'
+        )
         return _card(f"tile {self.tile}", img)
 
 

@@ -40,56 +40,56 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
-    "q22_global_sales_opportunity",
-    "snapshot_time_travel_read",
-    "layout_compaction_rewrite",
-    "layout_zorder_file_pruning",
-    "window_trailing7_distinct_users_exact",
-    "anomaly_cusum_daily_events",
-    "events_cohort_weekly_retention",
-    "embedding_kmeans_clusters",
-    "scalar_variant_extract",
-    "timeseries_ema30_daily_revenue",
-    "stream_interval_join_replay",
-    "stream_session_timeout_replay",
-    "stream_interval_join_full_replay",
-    "stream_static_join_enrich_replay",
-    "stream_tile_source_replay",
-    "stream_tile_source_partitioned_replay",
-    "stream_running_stats_replay",
-    "stream_transitions_stateful_replay",
-    "stream_transitions_hotkey_replay",
-    "join_skew_salted_hotkey_adversarial",
-    "sessionize_hotuser_adversarial",
-    "transitions_chunked_hotuser_adversarial",
-    "layout_zorder_incremental_append",
-    "stream_interval_join_hotuser_replay",
-    "stream_upsert_restart_replay",
-    "stream_session_restart_replay",
-    "stream_interval_join_restart_replay",
-    "agg_pivot_status_by_priority",
-    "unpivot_lineitem_metrics",
-    "window_ntile_length_deciles",
-    "window_percent_rank_cume_dist",
-    "window_top3_orders_with_ties",
-    "window_trailing_1h_user_activity",
-    "window_value_frames",
-    "scalar_array_algebra",
-    "scalar_date_arithmetic",
-    "sort_limit_offset_page3",
-    "events_funnel_signup_view_purchase",
-    "multimodal_audio_zcr_windows",
-    "multimodal_image_resize_stats",
-    "multimodal_phash_signatures",
-    "multimodal_video_frame_sample",
-    "explode_outer_returned_lines",
-    "spatial_points_to_tiles_z6",
-    "stateful_running_user_stats",
-    "dedup_simhash16_neardup_pairs",
-    "dedup_components_minhash",
-    "similarity_ivf_topk_ann",
-    "pack_sequences_512",
-    "text_unigram_logprob",
+    "curation_hotcomponent_adversarial",
+    "agg_approx_distinct_users",
+    "agg_approx_percentiles_sampled",
+    "agg_corr_covar_by_returnflag",
+    "agg_histogram_order_totals",
+    "agg_kmv_merged_weekly_users",
+    "agg_kmv_setops_weekday_weekend",
+    "analytics_chi2_event_type_by_hour",
+    "analytics_event_path_trigrams",
+    "analytics_event_type_cooccurrence",
+    "attribution_last_touch",
+    "curation_semdedup_cluster_profiles",
+    "dedup_cluster_representatives",
+    "dedup_fuzzy_part_names",
+    "embedding_kmeans_clusters_arrow",
+    "graph_event_transitions_chunked",
+    "join_asof_forward_next_event",
+    "profile_join_key_skew_lineitem",
+    "quality_expectations_orders",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_quality",
+    "segmentation_buffered_ring_areas",
+    "similarity_neardup_srp_ann",
+    "text_bigram_top20",
+    "text_chunk_sliding_overlap",
+    "text_repetition_bigrams",
+    "text_vocab_coverage_top30",
+    "timeseries_gapfill_daily_revenue",
+    "timeseries_multigrain_revenue",
+    "timeseries_rolling_slope_daily_revenue",
+    "timeseries_trailing_p90_value",
+    "udf_scalar_sigmoid_score",
+    "udtf_chunk_documents",
+    "q8_market_share",
+    "q2_min_price_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "agg_cube_segment_priority",
+    "agg_distinct_nations_per_segment",
+    "dedup_containment_lsh_pairs",
+    "dedup_jaccard_exact_pairs",
+    "dedup_simhash_neardup_pairs",
+    "events_sessionize_30m_chunked",
+    "events_sliding_1h_30m",
+    "join_asof_latest_order_merge",
+    "join_full_nation_supplier",
+    "join_range_orders_near_event",
+    "join_theta_acctbal",
+    "similarity_neardup_cosine",
+    "text_fingerprints",
 ]
 
 
@@ -139,37 +139,8 @@ def test_catalog_outputs_are_scalar_and_oracle_columns_match(spark, oracle_con):
 # rotation gates them (a gated name lingering here also fails, keeping
 # the ledger honest).
 ROTATION_BACKLOG = [
-    "agg_approx_percentiles_sampled",
-    "agg_corr_covar_by_returnflag",
-    "agg_histogram_order_totals",
-    "agg_kmv_merged_weekly_users",
-    "agg_kmv_setops_weekday_weekend",
-    "analytics_chi2_event_type_by_hour",
-    "analytics_event_path_trigrams",
-    "analytics_event_type_cooccurrence",
-    "attribution_last_touch",
-    "curation_semdedup_cluster_profiles",
-    "dedup_cluster_representatives",
-    "dedup_fuzzy_part_names",
-    "embedding_kmeans_clusters_arrow",
-    "graph_event_transitions_chunked",
-    "join_asof_forward_next_event",
-    "profile_join_key_skew_lineitem",
-    "quality_expectations_orders",
-    "sample_stratified_by_lang",
-    "sample_weighted_by_quality",
-    "segmentation_buffered_ring_areas",
-    "similarity_neardup_srp_ann",
-    "text_bigram_top20",
-    "text_chunk_sliding_overlap",
-    "text_repetition_bigrams",
-    "text_vocab_coverage_top30",
-    "timeseries_gapfill_daily_revenue",
-    "timeseries_multigrain_revenue",
-    "timeseries_rolling_slope_daily_revenue",
-    "timeseries_trailing_p90_value",
-    "udf_scalar_sigmoid_score",
-    "udtf_chunk_documents",
+    # (empty since round 13: every catalog entry has either a
+    # committed driver-gate row or a seat in the current window)
 ]
 
 
@@ -210,4 +181,70 @@ def test_every_catalog_entry_has_a_driver_evidence_path():
     overlap = sorted(backlog & window)
     assert not overlap, (
         f"entries in both the window and the backlog: {overlap}"
+    )
+
+
+def _last_gated_round() -> dict:
+    import glob
+    import json
+    import os
+    import re
+
+    last: dict = {}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            for name in json.load(open(f)):
+                last[name] = max(last.get(name, 0), rnd)
+        except Exception:
+            pass
+    return last
+
+
+def test_window_retirement_discipline():
+    """Steady-state rotation invariant (round 13, backlog now empty):
+    every driver-window seat must EARN its slot — it is either a
+    never-gated entry (first evidence) or an entry whose newest
+    committed driver evidence is at least 2 rounds stale (re-confirm).
+    Entries gated in the latest or previous round may not re-occupy a
+    seat, so future rounds can't silently re-gate the same 50 and
+    starve fresh entries of evidence.
+
+    Evidence produced by the CURRENT window's own driver gate is
+    excluded (a correctness file whose key set matches the pinned
+    window): the invariant judges the rotation DECISION, which was made
+    before that file existed — without the exclusion the test would
+    flip red the moment the driver records the very gate the window was
+    built for."""
+    import glob
+    import json
+    import os
+
+    last = _last_gated_round()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            if set(json.load(open(f))) == set(PINNED_DRIVER_WINDOW):
+                # this window has already been gated: its seats are spent
+                # evidence, not a rotation decision to re-judge
+                last = {
+                    n: r for n, r in last.items()
+                    if n not in set(PINNED_DRIVER_WINDOW)
+                }
+                break
+        except Exception:
+            pass
+    if not last:
+        pytest.skip("no committed CORRECTNESS_r*.json yet")
+    latest = max(last.values())
+    fresh = [
+        f"{n} (last gated r{last[n]})"
+        for n in PINNED_DRIVER_WINDOW
+        if n in last and last[n] > latest - 2
+    ]
+    assert not fresh, (
+        "driver-window seats wasted on entries with fresh evidence "
+        f"(gated after r{latest - 2}): {fresh} — rotate in never-gated "
+        "or stalest-evidence entries instead"
     )

@@ -196,3 +196,101 @@ def test_image_array_raw_buffer_with_codec_magic_stays_raw():
     raw2.ravel()[:4] = np.frombuffer(b"\x89PNG", dtype=np.uint8)
     got2 = _image_array(raw2.tobytes(), 4, 4, 3)
     assert np.array_equal(got2, raw2)
+
+
+# --- notebook display-helper parity (reference result.py:27-37,61-78,
+# 104-115: show_label / show_image / draw_label) -----------------------------
+
+
+def test_show_image_returns_renderable_png():
+    from label_maker_dask_spark.results import PngImage
+
+    img = np.full((256, 256, 3), 77, dtype=np.uint8).tobytes()
+    r = ClassificationResult((15, 3, 7), [0, 1], CLASSES, img)
+    shown = r.show_image()
+    assert isinstance(shown, PngImage)
+    assert shown.array.shape == (256, 256, 3)
+    assert (shown.array == 77).all()
+    png = shown._repr_png_()
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    import io
+
+    buf = io.BytesIO()
+    shown.save(buf)
+    assert buf.getvalue() == png
+    with pytest.raises(ValueError):
+        shown.save(buf, format="JPEG")
+
+
+def test_classification_show_label_table():
+    r = ClassificationResult((15, 3, 7), [0, 1, 0], CLASSES)
+    table = r.show_label()
+    assert table.startswith("<table")
+    # background row first, then the two classes, ✓ only on roads
+    assert table.index("background") < table.index("roads") < table.index(
+        "buildings"
+    )
+    assert "<tr><td>roads</td><td>✓</td></tr>" in table
+    assert "<tr><td>buildings</td><td></td></tr>" in table
+
+
+def test_draw_label_box_outline_parity_with_class_color():
+    boxes = [
+        {"xmin": 10, "ymin": 20, "xmax": 50, "ymax": 60, "class": 1},
+        {"xmin": 100, "ymin": 100, "xmax": 120, "ymax": 140, "class": 2},
+    ]
+    d = ObjectDetectionResult((15, 3, 7), boxes, CLASSES)
+    lab = d.show_label()
+    arr = lab.array
+    c1, c2 = class_color(1), class_color(2)
+    # all four edges carry the class color (inclusive corners, PIL-style)
+    assert tuple(arr[20, 10]) == c1 and tuple(arr[60, 50]) == c1
+    assert tuple(arr[20, 30]) == c1 and tuple(arr[60, 30]) == c1  # top/bottom
+    assert tuple(arr[40, 10]) == c1 and tuple(arr[40, 50]) == c1  # left/right
+    assert tuple(arr[100, 110]) == c2 and tuple(arr[140, 120]) == c2
+    # interior and exterior untouched (black canvas)
+    assert tuple(arr[40, 30]) == (0, 0, 0)
+    assert tuple(arr[0, 0]) == (0, 0, 0)
+
+
+def test_draw_label_clips_out_of_canvas_boxes():
+    d = ObjectDetectionResult(
+        (15, 3, 7),
+        [{"xmin": -10, "ymin": -10, "xmax": 300, "ymax": 5, "class": 1}],
+        CLASSES,
+    )
+    arr = d.show_label().array
+    assert tuple(arr[0, 0]) == class_color(1)  # clipped left/top edge drawn
+    assert tuple(arr[5, 255]) == class_color(1)
+    # drawing onto provided imagery mutates and returns the same wrapper
+    img = d.show_image()
+    out = d.draw_label(img)
+    assert out is img
+
+
+def test_segmentation_show_label_colormap_parity():
+    raster = np.zeros((256, 256), dtype=np.uint8)
+    raster[10:20, 10:20] = 1
+    raster[30:40, 30:40] = 2
+    raster[50:60, 50:60] = 9  # beyond the class list: cycles like class_color
+    s = SegmentationResult((15, 3, 7), raster.tobytes(), CLASSES)
+    arr = s.show_label().array
+    assert tuple(arr[15, 15]) == class_color(1)
+    assert tuple(arr[35, 35]) == class_color(2)
+    assert tuple(arr[55, 55]) == class_color(9)
+    assert tuple(arr[0, 0]) == (0, 0, 0)  # background stays black
+
+
+def test_draw_label_on_decoded_imagery_is_writable():
+    # frombuffer-decoded imagery is read-only; PngImage must copy so
+    # draw_label can mutate (caught by the round-13 verify drive)
+    img = np.full((256, 256, 3), 90, dtype=np.uint8).tobytes()
+    d = ObjectDetectionResult(
+        (15, 3, 7),
+        [{"xmin": 5, "ymin": 5, "xmax": 40, "ymax": 40, "class": 2}],
+        CLASSES,
+        img,
+    )
+    drawn = d.draw_label(d.show_image())
+    assert tuple(drawn.array[5, 20]) == class_color(2)
+    assert tuple(drawn.array[100, 100]) == (90, 90, 90)
