@@ -192,6 +192,9 @@ HEADLINE = [
     "stream_upsert_restart_replay",
     "stream_session_restart_replay",
     "stream_interval_join_restart_replay",
+    # round-13: adversarial curation gate (forced iterative components
+    # under a 30%-hot dup component)
+    "curation_hotcomponent_adversarial",
 ]
 
 

@@ -42,6 +42,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from label_maker_dask_spark.operators.materialize import materialize
 from label_maker_dask_spark.queries import _minhash_oracle, _t, register
 from label_maker_dask_spark.queries_shared import OHLC_ORACLE, SLIDING_1H30_ORACLE
 
@@ -49,6 +50,14 @@ from label_maker_dask_spark.queries_shared import OHLC_ORACLE, SLIDING_1H30_ORAC
 #: the file streaming source orders its initial listing by modification
 #: time, so distinct mtimes make batch delivery order deterministic.
 _MTIME_STEP = 10
+
+#: state/shuffle partition count for the replay drives.  A stateful
+#: query schedules THIS many state tasks per stateful operator per
+#: micro-batch regardless of data volume, and each task pays a state
+#: store open/commit round-trip — at the replay logs' deliberate
+#: sf-sized volumes that fixed cost dominates the drive.  Production
+#: tuning in miniature: size state partitions to key cardinality.
+_DRIVE_PARTITIONS = "8"
 
 def _replay_workdir(name: str) -> str:
     """Fresh per-entry scratch under the process-lifetime replay root
@@ -111,7 +120,7 @@ def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
     base = os.path.join(work, "base")
     ckpt = os.path.join(work, "ckpt")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
     try:
         q = start_sink(stream, base, ckpt)
         if not q.awaitTermination(600):
@@ -143,7 +152,7 @@ def _drive_replay_with_restart(
     base = os.path.join(work, "base")
     ckpt = os.path.join(work, "ckpt")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
 
     def run(bs):
         _write_ordered_batches(bs, changes_dir)
@@ -198,6 +207,9 @@ def _orders_cdc_batches(spark: SparkSession, sf_dir: str) -> list:
 
     All key splits are modulo arithmetic — deterministic and
     engine-independent."""
+    # materialized once: the snapshot + two change batches below are 4
+    # distinct scans of the same projection when left lazy (see
+    # _day_terciles for the measured rationale)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -205,7 +217,7 @@ def _orders_cdc_batches(spark: SparkSession, sf_dir: str) -> list:
         F.round(F.col("o_totalprice") * 100, 0)
         .cast("long")
         .alias("totalprice_cents"),
-    )
+    ).transform(materialize, eager=True)
     k = F.col("o_orderkey")
 
     def change(df, seq, is_del=False):
@@ -341,7 +353,16 @@ def _day_terciles(ev):
     batches (each strictly later than the previous — the time-ordered
     change-log shape).  The tercile boundaries come from one tiny
     distinct-days aggregate (bounded by calendar size, never event
-    volume)."""
+    volume).
+
+    ``ev`` is MATERIALIZED first: downstream the harness runs one job
+    per consumer (the boundary collect here, then one ``coalesce(1)``
+    write per tercile, plus any caller-side max-ts probe) — left lazy,
+    each of those 4-5 jobs re-scans the source parquet and re-applies
+    the slice.  One eager checkpoint cuts the replay entries' batch-PREP
+    phase to a single source scan (measured ~2-3 s per entry at sf0.1;
+    the drive phase is unaffected)."""
+    ev = ev.transform(materialize, eager=True)
     days = sorted(
         r["d"]
         for r in ev.select(F.date_trunc("day", "ts").alias("d"))
@@ -607,7 +628,7 @@ def _drive_stream_to_memory(
             output_mode
         )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
     try:
         q = (
             writer.option("checkpointLocation", ckpt)
@@ -654,7 +675,7 @@ def _drive_stream_to_memory_with_restart(
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out") if output_mode == "append" else None
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
     built_schema = None
 
     def run(bs):
@@ -1961,9 +1982,16 @@ def stream_session_timeout_replay(
     )
     t1, t2, t3 = _day_terciles(ev)
     mx = ev.agg(F.max("ts")).first()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, -99, "sentinel", mx + timedelta(days=10), 0.0)],
-        schema=_EVENTS_REPLAY_SCHEMA,
+    # JVM-side single-row construction: createDataFrame of one local row
+    # parallelizes to defaultParallelism PYTHON partitions (32 python
+    # worker round-trips ≈ 4 s of the entry's 8.7 s at sf0.1 — profiled
+    # round 13); range(1)+lit stays a one-partition JVM LocalRelation
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-99).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(mx + timedelta(days=10)).cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
     )
     batches = [t1, t2, t3.unionByName(sentinel)]
 

@@ -130,6 +130,8 @@ PROBES = [
     "stream_upsert_restart_replay",
     "stream_session_restart_replay",
     "stream_interval_join_restart_replay",
+    # round-13: giant-dup-component adversarial curation gate
+    "curation_hotcomponent_adversarial",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
