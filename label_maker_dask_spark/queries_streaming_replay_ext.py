@@ -51,13 +51,23 @@ from label_maker_dask_spark.queries_shared import OHLC_ORACLE, SLIDING_1H30_ORAC
 #: time, so distinct mtimes make batch delivery order deterministic.
 _MTIME_STEP = 10
 
-#: state/shuffle partition count for the replay drives.  A stateful
-#: query schedules THIS many state tasks per stateful operator per
-#: micro-batch regardless of data volume, and each task pays a state
-#: store open/commit round-trip — at the replay logs' deliberate
-#: sf-sized volumes that fixed cost dominates the drive.  Production
-#: tuning in miniature: size state partitions to key cardinality.
+#: state/shuffle partition counts for the replay drives.  A stateful
+#: query schedules ONE state task per partition per stateful operator
+#: per micro-batch regardless of data volume, and each task pays a
+#: state-store open/commit round-trip (a stream-stream join holds FOUR
+#: stores per partition).  Production tuning in miniature — size state
+#: partitions to the work per key, measured per operator kind (round-13
+#: alternating A/B, sf0.1 and sf1):
+#:
+#: - JVM-stateful windows/joins/dedup: store-commit fixed cost
+#:   dominates at every scale probed (the 4-entry join/window group ran
+#:   ~20% faster at 4 partitions than 8 at sf0.1, and interval-join
+#:   stayed faster at sf1: 5.2 s vs 6.2 s) -> _DRIVE_PARTITIONS_JVM.
+#: - Python-stateful (applyInPandasWithState): per-key pandas compute
+#:   dominates once data grows — 4 partitions cost sf1 session-timeout
+#:   +34% (12.1 s vs 9.0 s) -> keep _DRIVE_PARTITIONS parallelism.
 _DRIVE_PARTITIONS = "8"
+_DRIVE_PARTITIONS_JVM = "4"
 
 def _replay_workdir(name: str) -> str:
     """Fresh per-entry scratch under the process-lifetime replay root
@@ -586,7 +596,13 @@ def stream_neardup_index_replay(
 
 
 def _drive_stream_to_memory(
-    spark, batches, schema: str, build, name: str, output_mode: str = "complete"
+    spark,
+    batches,
+    schema: str,
+    build,
+    name: str,
+    output_mode: str = "complete",
+    partitions: str = _DRIVE_PARTITIONS_JVM,
 ):
     """Drive-the-aggregation harness for STATEFUL STREAMING OPERATORS
     (as opposed to ``_drive_replay``'s foreachBatch maintenance sinks):
@@ -628,7 +644,7 @@ def _drive_stream_to_memory(
             output_mode
         )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
     try:
         q = (
             writer.option("checkpointLocation", ckpt)
@@ -653,6 +669,7 @@ def _drive_stream_to_memory_with_restart(
     name: str,
     stop_after: int = 2,
     output_mode: str = "complete",
+    partitions: str = _DRIVE_PARTITIONS_JVM,
 ):
     """RESTART variant of :func:`_drive_stream_to_memory`: the change
     log is delivered across two query runs sharing one checkpoint —
@@ -675,7 +692,7 @@ def _drive_stream_to_memory_with_restart(
     ckpt = os.path.join(work, "ckpt")
     out = os.path.join(work, "out") if output_mode == "append" else None
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
     built_schema = None
 
     def run(bs):
@@ -839,6 +856,15 @@ def stream_session_30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_RESTART_REPLAY_ORACLE = _SESSION_REPLAY_ORACLE.replace(
     "FROM events\n", "FROM events WHERE user_id % 4 = 3\n"
+)
+# a formatting drift in the parent SQL would make the replace a silent
+# no-op and drop the slice predicate — the gate would still fail loud
+# (hash mismatch, oracle unsliced) but far from the cause; fail at
+# import instead
+assert _SESSION_RESTART_REPLAY_ORACLE != _SESSION_REPLAY_ORACLE, (
+    "session-restart oracle slice did not apply: the parent "
+    "_SESSION_REPLAY_ORACLE no longer contains the exact text "
+    "'FROM events\\n' the slice rewrites"
 )
 
 
@@ -1823,6 +1849,9 @@ def stream_transitions_stateful_replay(
         streaming_transition_counts,
         "stream_transitions_stateful_replay",
         output_mode="append",
+        # applyInPandasWithState: per-key pandas compute scales with
+        # data, so keep full drive parallelism (see _DRIVE_PARTITIONS)
+        partitions=_DRIVE_PARTITIONS,
     )
     return out.groupBy("src", "dst").agg(F.sum("w").alias("w"))
 
@@ -1888,6 +1917,9 @@ def stream_running_stats_replay(
         running_user_stats,
         "stream_running_stats_replay",
         output_mode="update",
+        # applyInPandasWithState: per-key pandas compute scales with
+        # data, so keep full drive parallelism (see _DRIVE_PARTITIONS)
+        partitions=_DRIVE_PARTITIONS,
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -2007,6 +2039,9 @@ def stream_session_timeout_replay(
         build,
         "stream_session_timeout_replay",
         output_mode="append",
+        # applyInPandasWithState: per-key pandas compute scales with
+        # data, so keep full drive parallelism (see _DRIVE_PARTITIONS)
+        partitions=_DRIVE_PARTITIONS,
     )
     return out.where(F.col("user_id") != -99)
 
@@ -2070,6 +2105,9 @@ def stream_transitions_hotkey_replay(
         streaming_transition_counts,
         "stream_transitions_hotkey_replay",
         output_mode="append",
+        # applyInPandasWithState: per-key pandas compute scales with
+        # data, so keep full drive parallelism (see _DRIVE_PARTITIONS)
+        partitions=_DRIVE_PARTITIONS,
     )
     return out.groupBy("src", "dst").agg(F.sum("w").alias("w"))
 

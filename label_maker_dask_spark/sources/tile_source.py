@@ -302,6 +302,20 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
         # very first call could regress, and (b) partitions() clips
         # delivery below the observed frontier, so a batch planned
         # from a regressed offset re-delivers nothing.
+        #
+        # RESIDUAL GAP (documented, not reachable in the measured call
+        # order): the floor is reader-local, so it is not airtight
+        # across TWO failures in that hypothetical reordered sequence.
+        # If a first restart logged a catch-up batch with start below
+        # the true frontier (e.g. (96,102) after frontier 99) and the
+        # driver crashed BEFORE that batch committed, the next restart
+        # replays (96,102) on a fresh reader whose floor is ymin and
+        # re-delivers committed stripes 96-98.  Closing it would need
+        # the learned floor persisted beside the checkpoint (the
+        # ensure_run_id pattern); we document instead because the
+        # triggering call order has never been observed
+        # (test_latest_offset_regression_double_crash_gap pins the
+        # exact residual behavior).
         cur = max(
             getattr(self, "_cur", self.ymin),
             getattr(self, "_floor", self.ymin),

@@ -282,9 +282,15 @@ def streaming_session_stats(
         if tz_name in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
             return naive_us // 1000
         ts = pd.Timestamp(naive_us, unit="us").tz_localize(
-            # DST edges: a slightly-shifted horizon only moves WHEN the
-            # close fires, never what it emits — don't kill the query
-            tz_arg, ambiguous=True, nonexistent="shift_forward"
+            # DST edges: resolve fall-back ambiguity to STANDARD time
+            # (ambiguous=False = the LATER UTC instant), so the armed
+            # horizon can only be late, never early — a late timeout
+            # delays the final session's emission but never changes
+            # emitted content, while an early one (the DST instant)
+            # could close an open session that then receives in-gap
+            # events, SPLITTING it.  Spring-forward gaps shift forward
+            # for the same can-only-be-late reason.
+            tz_arg, ambiguous=False, nonexistent="shift_forward"
         )
         return int(ts.value // 1_000_000)
 
