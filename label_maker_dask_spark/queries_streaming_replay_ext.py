@@ -42,7 +42,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from label_maker_dask_spark.operators.materialize import materialize
 from label_maker_dask_spark.queries import _minhash_oracle, _t, register
 from label_maker_dask_spark.queries_shared import OHLC_ORACLE, SLIDING_1H30_ORACLE
 
@@ -217,9 +216,6 @@ def _orders_cdc_batches(spark: SparkSession, sf_dir: str) -> list:
 
     All key splits are modulo arithmetic — deterministic and
     engine-independent."""
-    # materialized once: the snapshot + two change batches below are 4
-    # distinct scans of the same projection when left lazy (see
-    # _day_terciles for the measured rationale)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -227,7 +223,7 @@ def _orders_cdc_batches(spark: SparkSession, sf_dir: str) -> list:
         F.round(F.col("o_totalprice") * 100, 0)
         .cast("long")
         .alias("totalprice_cents"),
-    ).transform(materialize, eager=True)
+    )
     k = F.col("o_orderkey")
 
     def change(df, seq, is_del=False):
@@ -365,14 +361,14 @@ def _day_terciles(ev):
     distinct-days aggregate (bounded by calendar size, never event
     volume).
 
-    ``ev`` is MATERIALIZED first: downstream the harness runs one job
-    per consumer (the boundary collect here, then one ``coalesce(1)``
-    write per tercile, plus any caller-side max-ts probe) — left lazy,
-    each of those 4-5 jobs re-scans the source parquet and re-applies
-    the slice.  One eager checkpoint cuts the replay entries' batch-PREP
-    phase to a single source scan (measured ~2-3 s per entry at sf0.1;
-    the drive phase is unaffected)."""
-    ev = ev.transform(materialize, eager=True)
+    Deliberately NOT materialized: the 4-5 downstream jobs (boundary
+    collect, one ``coalesce(1)`` write per tercile, caller max-ts
+    probes) each re-scan the source parquet, but those scans are
+    column-pruned and parallel — an eager localCheckpoint of ``ev``
+    was A/B-measured NET NEGATIVE at both sf0.1 (+1.7 s over the
+    7-entry stream subset) and sf1 (+1.2 s on the transitions twin):
+    serializing the full frame once costs more than the scans it
+    saves (round-13, SCALE.md)."""
     days = sorted(
         r["d"]
         for r in ev.select(F.date_trunc("day", "ts").alias("d"))
