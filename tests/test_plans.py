@@ -390,3 +390,23 @@ def test_bm25_topk_not_full_sort_and_broadcast_stats(spark):
     plan = plan_of(Q.QUERIES["text_bm25_top_docs"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_replay_batch_builders_have_no_python_row_fanout():
+    """Grep-enforced hot-path rule (SCALE.md round 13): a 1-row
+    ``spark.createDataFrame`` parallelizes to defaultParallelism PYTHON
+    partitions — 32 python-worker round-trips, measured ~4 s per
+    occurrence at sf0.1 (the session-timeout sentinel).  Single rows on
+    the replay hot path are built JVM-side (``range(1)`` + ``lit``);
+    this test turns the rule into an invariant for the module whose
+    builders run inside every driver gate and bench pass."""
+    import os
+
+    import label_maker_dask_spark.queries_streaming_replay_ext as R
+
+    src = open(os.path.abspath(R.__file__).replace(".pyc", ".py")).read()
+    assert "createDataFrame(" not in src, (
+        "queries_streaming_replay_ext must not build frames via "
+        "createDataFrame (python-partition fan-out on the hot path) — "
+        "use spark.range(n) + lit columns"
+    )
