@@ -1305,7 +1305,13 @@ def _drive_tile_stream(spark, name: str, mode: str = None) -> DataFrame:
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
+        # back-to-back micro-batches: the interval is pure pacing (the
+        # source advances rowsPerBatch per latestOffset call regardless),
+        # and a 1s cadence was ~2s of idle wait per entry at sf0.1.
+        # availableNow is NOT safe here: this source advances its offset
+        # incrementally, so a start-time latestOffset snapshot would
+        # drain only the first stripe batch and hang the poll below.
+        .trigger(processingTime="0 seconds")
         .start()
     )
     try:
@@ -1319,7 +1325,7 @@ def _drive_tile_stream(spark, name: str, mode: str = None) -> DataFrame:
                     break
             except Exception:
                 pass  # sink dir not created yet
-            time.sleep(1)
+            time.sleep(0.2)
     finally:
         q.stop()
     return spark.read.schema("z int, x bigint, y bigint").parquet(out)
