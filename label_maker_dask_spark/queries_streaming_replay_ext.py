@@ -122,9 +122,9 @@ def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
 
     Shuffle sizing: the foreachBatch merges inside the sinks shuffle at
     ``spark.sql.shuffle.partitions``; the replay change logs are small,
-    so the drive right-sizes to 8 and restores the conf after (same
-    rationale as ``_drive_stream_to_memory`` — results are
-    partition-count invariant)."""
+    so the drive right-sizes to ``_DRIVE_PARTITIONS`` and restores the
+    conf after (same rationale as ``_drive_stream_to_memory`` — results
+    are partition-count invariant)."""
     stream, work = _open_batch_stream(spark, batches, schema, name)
     base = os.path.join(work, "base")
     ckpt = os.path.join(work, "ckpt")
@@ -619,11 +619,13 @@ def _drive_stream_to_memory(
     creation, and EVERY micro-batch then schedules that many state
     tasks per stateful operator whether or not they hold keys.  The
     replay change logs are deliberately small, so the harness
-    right-sizes to 8 partitions for the drive (the tuning any
-    production streaming job applies: state partitions sized to key
-    cardinality, not the batch-analytics default) and restores the
-    session conf before returning — results are partition-count
-    invariant, only the fixed per-batch task overhead changes."""
+    right-sizes to ``partitions`` — ``_DRIVE_PARTITIONS_JVM`` by
+    default, ``_DRIVE_PARTITIONS`` for the applyInPandasWithState
+    callers (the tuning any production streaming job applies: state
+    partitions sized to the work per key; see the constants' measured
+    rationale) — and restores the session conf before returning:
+    results are partition-count invariant, only the fixed per-batch
+    task overhead changes."""
     stream, work = _open_batch_stream(spark, batches, schema, name)
     ckpt = os.path.join(work, "ckpt")
     built = build(stream)
