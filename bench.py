@@ -193,8 +193,11 @@ HEADLINE = [
     "stream_session_restart_replay",
     "stream_interval_join_restart_replay",
     # round-13: adversarial curation gate (forced iterative components
-    # under a 30%-hot dup component)
+    # under a 30%-hot dup component), target-mixture resampling, and
+    # HTML boilerplate extraction
     "curation_hotcomponent_adversarial",
+    "curation_mixture_resample",
+    "text_html_boilerplate_strip",
 ]
 
 

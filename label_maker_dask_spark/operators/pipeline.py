@@ -79,6 +79,101 @@ def stratified_sample_hash(
     return df.where(b < pct)
 
 
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic down-sampling to a TARGET MIXTURE over
+    ``group_col`` — the data-mixing step of a pre-training pipeline
+    (rebalance languages/sources to target proportions before
+    training), as a pure function of the data.
+
+    ``weight`` is an integer Column giving each group's target weight
+    (e.g. ``when(col("lang") == "en", 2).otherwise(1)``); target share
+    of group g is ``w_g / Σw``.  The output size is the LARGEST dataset
+    achievable without up-sampling: the binding group (smallest
+    ``c_g / w_g``) keeps everything, every other group down-samples to
+    match the mixture.  All rates are computed in INTEGER arithmetic —
+    ``K = min_g floor(c_g·Σw / w_g)`` rows out, per-group keep
+    threshold ``floor(w_g·K·resolution / (Σw·c_g))`` — so a DuckDB
+    oracle replays the thresholds exactly; the per-row keep decision is
+    the salted content hash of ``(salt, group, id)`` against the
+    threshold, stable across runs, engines, and repartitioning (the
+    ``stratified_sample_hash`` contract, with data-dependent rates);
+    the raw polynomial fold is cube-mixed (``(h²%p)·h%p``, the same
+    avalanche step the KMV sketches use) before the modulus — the plain
+    fold is near-affine in trailing decimal digits, which concentrated
+    per-group keep rates far off target.
+
+    Scale shape: one map-side-collapsing count per group, two 1-row
+    aggregates, a broadcast of ``n_groups`` thresholds back onto the
+    fact, and a narrow filter — no shuffle of the corpus itself."""
+    g = F.col(group_col).cast("string")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_c"), F.max(weight).alias("_w")
+    )
+    s = counts.agg(F.sum("_w").alias("_sum_w"))
+    with_s = counts.crossJoin(F.broadcast(s))
+    k = with_s.agg(
+        F.min(F.expr("_c * _sum_w div _w")).alias("_k")
+    )
+    thr = (
+        with_s.crossJoin(F.broadcast(k))
+        .withColumn(
+            "_thr",
+            F.expr(f"_w * _k * {resolution} div (_sum_w * _c)"),
+        )
+        .select(group_col, "_thr")
+    )
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    raw = char_poly_hash(
+        F.concat(F.lit(salt + ":"), g, F.lit("|"), F.col(id_col).cast("string"))
+    )
+    h = (raw * raw % HASH_P) * raw % HASH_P % resolution
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .where(h < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def mixture_resample_keep_sql(
+    group_expr: str,
+    weight_sql: str,
+    id_expr: str = "doc_id",
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+    table: str = "documents",
+) -> str:
+    """DuckDB CTE prefix replaying :func:`mixture_resample`'s integer
+    threshold math; exposes ``mix_kept`` = the kept rows of ``table``."""
+    from label_maker_dask_spark.functions.text import HASH_P
+
+    raw = char_poly_hash_sql(
+        f"('{salt}:' || {group_expr}::VARCHAR || '|' || {id_expr}::VARCHAR)"
+    )
+    h = f"((({raw}) * ({raw}) % {HASH_P}) * ({raw}) % {HASH_P})"
+    return f"""
+    WITH mix_c AS (
+      SELECT {group_expr} AS g, count(*) AS c, max({weight_sql}) AS w
+      FROM {table} GROUP BY 1),
+    mix_s AS (SELECT sum(w) AS sum_w FROM mix_c),
+    mix_k AS (SELECT min(c * sum_w // w) AS k FROM mix_c, mix_s),
+    mix_t AS (
+      SELECT g, (w * k * {resolution}) // (sum_w * c) AS thr
+      FROM mix_c, mix_s, mix_k),
+    mix_kept AS (
+      SELECT d.* FROM {table} d
+      JOIN mix_t ON mix_t.g = {group_expr}
+      WHERE ({h}) % {resolution} < thr)
+    """
+
+
 def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row counts of email / phone / URL matches plus a combined flag —
     the triage pass before redaction.  Pure regexp_extract_all column

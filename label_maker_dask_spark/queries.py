@@ -3138,7 +3138,7 @@ _DRIVER_WINDOW = [
     "agg_distinct_nations_per_segment",
     "dedup_containment_lsh_pairs",
     "dedup_jaccard_exact_pairs",
-    "dedup_simhash_neardup_pairs",
+    "curation_mixture_resample",
     "events_sessionize_30m_chunked",
     "events_sliding_1h_30m",
     "join_asof_latest_order_merge",
@@ -3146,7 +3146,7 @@ _DRIVER_WINDOW = [
     "join_range_orders_near_event",
     "join_theta_acctbal",
     "similarity_neardup_cosine",
-    "text_fingerprints",
+    "text_html_boilerplate_strip",
 ]
 
 

@@ -1017,6 +1017,155 @@ def curation_hotcomponent_adversarial(spark, sf_dir):
     )
 
 
+def _mixture_resample_oracle(resolution: int = 1_000_000) -> str:
+    from label_maker_dask_spark.operators.pipeline import (
+        mixture_resample_keep_sql,
+    )
+
+    prefix = mixture_resample_keep_sql(
+        "lang", "CASE WHEN lang = 'en' THEN 2 ELSE 1 END",
+        resolution=resolution,
+    )
+    return f"""
+    {prefix},
+    summary AS (
+      SELECT c.g AS lang, c.c AS n_docs_in, c.w AS target_weight,
+             count(k.doc_id) AS n_kept
+      FROM mix_c c LEFT JOIN mix_kept k ON k.lang = c.g
+      GROUP BY 1, 2, 3)
+    SELECT lang, n_docs_in, target_weight, CAST(n_kept AS BIGINT) AS n_kept,
+           round(n_kept * 1.0 / sum(n_kept) OVER (), 6) AS achieved_share
+    FROM summary
+    """
+
+
+@register("curation_mixture_resample", _mixture_resample_oracle())
+def curation_mixture_resample(spark, sf_dir):
+    """Target-mixture RESAMPLING over the language column — the
+    data-mixing stage of a pre-training pipeline (rebalance the crawl
+    toward a target language mix before training) as a deterministic
+    pure function of the data: target weights en:2, every other
+    language 1; the binding group keeps all rows and every
+    over-represented group hash-down-samples to the exact integer
+    thresholds the oracle replays (``operators/pipeline.
+    mixture_resample``).  Output is the per-language audit: input
+    count, target weight, kept count, achieved share — the achieved
+    shares land on the w_g/Σw targets up to hash granularity, which is
+    the property a mixture audit checks.
+
+    Scale shape: one partial-agg count per language, two 1-row
+    aggregates, a broadcast of n_langs thresholds, and a narrow filter
+    — the corpus itself never shuffles."""
+    from label_maker_dask_spark.operators.pipeline import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
+    kept = mixture_resample(docs, "lang", w).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.max(w).alias("target_weight"),
+    )
+    joined = base.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs_in",
+        "target_weight",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+    from pyspark.sql import Window
+
+    return joined.withColumn(
+        "achieved_share",
+        F.round(F.col("n_kept") / F.sum("n_kept").over(Window.partitionBy()), 6),
+    )
+
+
+# deterministic synthetic HTML wrapper (the corpus is plain text, so the
+# extraction plumbing is what's under test, same convention as the PII
+# entry): nav/footer boilerplate plus a doc_id-keyed anchor span
+_HTML_WRAP_SQL = (
+    "('<html><nav><a href=\"/\">home</a> | <a href=\"/about\">about</a>'"
+    " || '</nav><p>' || text || '</p>'"
+    " || CASE WHEN doc_id % 3 = 0"
+    "         THEN '<p><a href=\"/ad\">click here to win doc '"
+    "              || doc_id::VARCHAR || '</a></p>'"
+    "         ELSE '' END"
+    " || '<footer>&copy; example</footer></html>')"
+)
+_TAG_RE = "<[^>]*>"
+_ANCHOR_RE = "<a[^>]*>[^<]*</a>"
+
+
+def _html_strip_oracle() -> str:
+    return f"""
+    WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
+    x AS (
+      SELECT doc_id,
+             length(trim(regexp_replace(html, '{_TAG_RE}', ' ', 'g')))
+               AS n_text_chars,
+             length(list_aggregate(
+               list_transform(
+                 regexp_extract_all(html, '{_ANCHOR_RE}'),
+                 a -> regexp_replace(a, '{_TAG_RE}', '', 'g')),
+               'string_agg', '')) AS n_anchor_chars
+      FROM h)
+    SELECT doc_id, n_text_chars, n_anchor_chars,
+           round(n_anchor_chars * 1.0 / n_text_chars, 6) AS link_density,
+           (n_anchor_chars * 1.0 / n_text_chars > 0.2) AS boilerplate_heavy
+    FROM x
+    """
+
+
+@register("text_html_boilerplate_strip", _html_strip_oracle())
+def text_html_boilerplate_strip(spark, sf_dir):
+    """HTML -> text EXTRACTION metrics, the stage every crawl pipeline
+    runs before any text analysis (C4/CCNet lineage: strip markup,
+    score link density, flag boilerplate-heavy pages).  The corpus is
+    plain text, so a deterministic HTML wrapper (nav/footer + a
+    doc_id-keyed ad anchor) is synthesized identically in both engines
+    first — the regexp tag-strip and anchor-text accounting are what's
+    under test.  Regexes are dialect-portable (no lookaround/backrefs:
+    Java and RE2 agree on ``{_TAG_RE}`` and non-backtracking anchor
+    bodies).  Pure JVM column algebra: regexp_replace / regexp_extract
+    -all / aggregate — no UDF, fully pushdown-friendly, embarrassingly
+    parallel at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><nav><a href="/">home</a> | <a href="/about">about</a>'),
+        F.lit("</nav><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<p><a href="/ad">click here to win doc '),
+                F.col("doc_id").cast("string"),
+                F.lit("</a></p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<footer>&copy; example</footer></html>"),
+    )
+    anchors = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(0))
+    anchor_text = F.aggregate(
+        F.transform(
+            anchors,
+            lambda a: F.regexp_replace(a, F.lit(_TAG_RE), F.lit("")),
+        ),
+        F.lit(""),
+        lambda acc, a: F.concat(acc, a),
+    )
+    n_text = F.length(F.trim(F.regexp_replace(html, F.lit(_TAG_RE), F.lit(" "))))
+    n_anchor = F.length(anchor_text)
+    return docs.select(
+        "doc_id",
+        n_text.alias("n_text_chars"),
+        n_anchor.alias("n_anchor_chars"),
+        F.round(n_anchor / n_text, 6).alias("link_density"),
+        (n_anchor / n_text > 0.2).alias("boilerplate_heavy"),
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -555,3 +555,37 @@ def test_asof_merge_drops_null_time_rows_like_range_form(spark):
         assert a == b, (direction, tol)
         assert all(lid != 2 for lid, _ in b), (direction, tol)
         assert all(rid != 11 for _, rid in b), (direction, tol)
+
+
+def test_mixture_resample_hits_targets_and_is_deterministic(spark):
+    """Target-mixture down-sampling (operators/pipeline.mixture_resample):
+    the binding group keeps everything, every other group lands within
+    hash granularity of its target share, the keep set is a pure
+    function of (salt, group, id), and no row is ever up-sampled."""
+    from label_maker_dask_spark.operators.pipeline import mixture_resample
+
+    rows = [(i, "en" if i % 10 < 6 else ("de" if i % 10 < 8 else "fr"))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
+    kept = mixture_resample(df, "lang", w)
+    counts = dict(
+        (r["lang"], r["n"])
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(counts.values())
+    # binding group: fr has c/w = 1000/1 vs en 3000/2, de 1000/1 ->
+    # fr and de tie as binding (rate 1): every fr/de row kept
+    assert counts["fr"] == 1000 and counts["de"] == 1000
+    # en target share 2/4 = 0.5 — within hash granularity
+    assert abs(counts["en"] / total - 0.5) < 0.03
+    assert counts["en"] < 3000  # actually down-sampled
+    # deterministic: identical keep set on re-run
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_resample(df, "lang", w).select("doc_id").collect()
+    )
+    assert a == b
+    # subset property: kept rows all exist in the input
+    assert kept.join(df, ["doc_id", "lang"], "left_anti").count() == 0

@@ -130,8 +130,11 @@ PROBES = [
     "stream_upsert_restart_replay",
     "stream_session_restart_replay",
     "stream_interval_join_restart_replay",
-    # round-13: giant-dup-component adversarial curation gate
+    # round-13: giant-dup-component adversarial curation gate,
+    # target-mixture resampling, HTML boilerplate extraction
     "curation_hotcomponent_adversarial",
+    "curation_mixture_resample",
+    "text_html_boilerplate_strip",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
