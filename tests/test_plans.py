@@ -410,3 +410,22 @@ def test_replay_batch_builders_have_no_python_row_fanout():
         "createDataFrame (python-partition fan-out on the hot path) — "
         "use spark.range(n) + lit columns"
     )
+
+
+def test_mixture_resample_broadcasts_thresholds_no_corpus_shuffle(spark):
+    """The mixture resampler's corpus path must stay narrow: thresholds
+    (n_groups rows) broadcast back onto the fact — a sort-merge join
+    here would shuffle the whole corpus just to apply a per-group
+    constant."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.pipeline import mixture_resample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
+    plan = (
+        mixture_resample(docs, "lang", w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
