@@ -198,6 +198,8 @@ HEADLINE = [
     "curation_hotcomponent_adversarial",
     "curation_mixture_resample",
     "text_html_boilerplate_strip",
+    "curation_repeat_upsample",
+    "curation_quality_funnel",
 ]
 
 

@@ -1166,6 +1166,181 @@ def text_html_boilerplate_strip(spark, sf_dir):
     )
 
 
+def _repeat_upsample_oracle(
+    resolution: int = 1_000_000, max_epochs: int = 4
+) -> str:
+    return f"""
+    WITH c AS (
+      SELECT lang AS g, count(*) AS c,
+             CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS w
+      FROM documents GROUP BY 1),
+    d AS (SELECT g, c, w, (c * {resolution}) // w AS dens FROM c),
+    a AS (SELECT max(dens) AS adens FROM d),
+    r AS (
+      SELECT g, c, w,
+             least({max_epochs},
+                   greatest(1, (2 * adens + dens) // (2 * dens))) AS epochs
+      FROM d, a),
+    expanded AS (
+      SELECT doc.lang AS g, unnest(generate_series(1, r.epochs)) AS epoch
+      FROM documents doc JOIN r ON r.g = doc.lang),
+    outc AS (SELECT g, count(*) AS n_rows_out FROM expanded GROUP BY g)
+    SELECT r.g AS lang, r.c AS n_docs_in, r.w AS target_weight,
+           CAST(r.epochs AS BIGINT) AS epochs,
+           CAST(o.n_rows_out AS BIGINT) AS n_rows_out,
+           round(o.n_rows_out * 1.0 / sum(o.n_rows_out) OVER (), 6)
+             AS achieved_share
+    FROM r JOIN outc o ON o.g = r.g
+    """
+
+
+@register("curation_repeat_upsample", _repeat_upsample_oracle())
+def curation_repeat_upsample(spark, sf_dir):
+    """Target-mixture UP-sampling by integer repetition — the
+    data-constrained mixing strategy (repeat under-represented
+    high-weight sources for multiple epochs instead of discarding the
+    over-represented ones; the complement of
+    ``curation_mixture_resample``).  Per group: weighted density
+    ``d_g = c_g·R/w_g``; the densest group anchors at 1 epoch and every
+    other group repeats ``round(d_anchor/d_g)`` times, clamped to
+    ``[1, max_epochs]`` — all integer arithmetic, so the oracle replays
+    the epoch table exactly.  The output counts come from ACTUALLY
+    exploding each doc ``epochs`` times (``explode(sequence(...))``
+    against a broadcast epoch table), not from multiplying — the gate
+    covers the expansion path a downstream shuffler would consume.
+
+    Scale shape: one partial-agg count per group, a 1-row max, an
+    n_groups broadcast, and a narrow explode whose fan-out is the epoch
+    count (bounded by ``max_epochs``) — no corpus shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    resolution, max_epochs = 1_000_000, 4
+    w = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c"), F.max(w).alias("w")
+    )
+    d = c.withColumn("dens", F.expr(f"c * {resolution} div w"))
+    a = d.agg(F.max("dens").alias("adens"))
+    r = d.crossJoin(F.broadcast(a)).withColumn(
+        "epochs",
+        F.least(
+            F.lit(max_epochs),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(2 * adens + dens) div (2 * dens)"),
+            ),
+        ),
+    )
+    expanded = (
+        docs.join(F.broadcast(r.select("lang", "epochs")), "lang")
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.col("epochs")))
+        )
+    )
+    outc = expanded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows_out")
+    )
+    from pyspark.sql import Window
+
+    return (
+        r.select("lang", F.col("c").alias("n_docs_in"),
+                 F.col("w").alias("target_weight"),
+                 F.col("epochs").cast("long").alias("epochs"))
+        .join(outc, "lang")
+        .select(
+            "lang", "n_docs_in", "target_weight", "epochs",
+            F.col("n_rows_out").cast("long").alias("n_rows_out"),
+            F.round(
+                F.col("n_rows_out")
+                / F.sum("n_rows_out").over(Window.partitionBy()),
+                6,
+            ).alias("achieved_share"),
+        )
+    )
+
+
+# thresholds deliberately sit INSIDE the corpus distributions (n_chars
+# p10-p90 = 114-484, tokens 21-88, mean word length 5.1-5.8) so every
+# stage has real attrition — a rule that never fires is not under test
+_FUNNEL_STAGES_SQL = {
+    "s1_min_length": "n_chars >= 150",
+    "s2_min_tokens": f"len({_TOKS_SQL}) >= 40",
+    "s3_mean_word_len": (
+        f"(n_chars * 1.0 / len({_TOKS_SQL})) BETWEEN 5.2 AND 5.75"
+    ),
+}
+
+
+def _quality_funnel_oracle() -> str:
+    conds = list(_FUNNEL_STAGES_SQL.items())
+    cum, rows = [], []
+    for i, (name, cond) in enumerate(conds):
+        cum.append(f"({cond})")
+        expr = " AND ".join(cum)
+        rows.append(
+            f"SELECT {i + 1} AS stage_no, '{name}' AS stage, "
+            f"count(*) AS n_candidates, "
+            f"CAST(sum(CASE WHEN {expr} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_pass FROM documents"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH f AS ({union})
+    SELECT stage_no, stage, n_candidates, n_pass,
+           round(n_pass * 1.0 / n_candidates, 6) AS pass_rate
+    FROM f
+    """
+
+
+@register("curation_quality_funnel", _quality_funnel_oracle())
+def curation_quality_funnel(spark, sf_dir):
+    """Quality-filter FUNNEL audit — the attrition table every curation
+    pipeline publishes (how many documents survive each rule,
+    cumulatively): minimum length, minimum token count, mean-word-length
+    band.  ONE corpus scan computes every stage via conditional sums
+    (``sum(when(cond1 & ... & condK, 1))``), never K filtered re-scans —
+    the shape that matters at 100 TB, where each extra pass is a full
+    read of the corpus.  The oracle states each stage as its own
+    aggregate over the same predicates; equality proves the fused
+    single-pass form computes the per-stage semantics exactly."""
+    from label_maker_dask_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    stages = [
+        ("s1_min_length", F.col("n_chars") >= 150),
+        ("s2_min_tokens", n_tok >= 40),
+        (
+            "s3_mean_word_len",
+            (F.col("n_chars") / n_tok).between(5.2, 5.75),
+        ),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_candidates")]
+    cum = None
+    for name, cond in stages:
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(name)
+        )
+    wide = docs.agg(*aggs)
+    tall = wide.selectExpr(
+        "n_candidates",
+        "stack(3, "
+        + ", ".join(
+            f"{i + 1}, '{name}', {name}" for i, (name, _) in enumerate(stages)
+        )
+        + ") AS (stage_no, stage, n_pass)",
+    )
+    return tall.select(
+        "stage_no",
+        "stage",
+        "n_candidates",
+        "n_pass",
+        F.round(F.col("n_pass") / F.col("n_candidates"), 6).alias(
+            "pass_rate"
+        ),
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -80,7 +80,7 @@ PINNED_DRIVER_WINDOW = [
     "agg_cube_segment_priority",
     "agg_distinct_nations_per_segment",
     "dedup_containment_lsh_pairs",
-    "dedup_jaccard_exact_pairs",
+    "curation_quality_funnel",
     "curation_mixture_resample",
     "events_sessionize_30m_chunked",
     "events_sliding_1h_30m",
@@ -88,7 +88,7 @@ PINNED_DRIVER_WINDOW = [
     "join_full_nation_supplier",
     "join_range_orders_near_event",
     "join_theta_acctbal",
-    "similarity_neardup_cosine",
+    "curation_repeat_upsample",
     "text_html_boilerplate_strip",
 ]
 

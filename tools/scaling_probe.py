@@ -135,6 +135,8 @@ PROBES = [
     "curation_hotcomponent_adversarial",
     "curation_mixture_resample",
     "text_html_boilerplate_strip",
+    "curation_repeat_upsample",
+    "curation_quality_funnel",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
