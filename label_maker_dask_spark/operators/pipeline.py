@@ -86,6 +86,7 @@ def mixture_resample(
     id_col: str = "doc_id",
     salt: str = "mix",
     resolution: int = 1_000_000,
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic down-sampling to a TARGET MIXTURE over
     ``group_col`` — the data-mixing step of a pre-training pipeline
@@ -111,24 +112,15 @@ def mixture_resample(
 
     Scale shape: one map-side-collapsing count per group, two 1-row
     aggregates, a broadcast of ``n_groups`` thresholds back onto the
-    fact, and a narrow filter — no shuffle of the corpus itself."""
+    fact, and a narrow filter — no shuffle of the corpus itself.
+
+    Pass ``thresholds`` (a :func:`mixture_thresholds` frame) to reuse
+    an already-computed threshold table — a caller that also reports
+    per-group counts would otherwise re-scan the corpus to re-derive
+    numbers this operator just aggregated."""
+    if thresholds is None:
+        thresholds = mixture_thresholds(df, group_col, weight, resolution)
     g = F.col(group_col).cast("string")
-    counts = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("_c"), F.max(weight).alias("_w")
-    )
-    s = counts.agg(F.sum("_w").alias("_sum_w"))
-    with_s = counts.crossJoin(F.broadcast(s))
-    k = with_s.agg(
-        F.min(F.expr("_c * _sum_w div _w")).alias("_k")
-    )
-    thr = (
-        with_s.crossJoin(F.broadcast(k))
-        .withColumn(
-            "_thr",
-            F.expr(f"_w * _k * {resolution} div (_sum_w * _c)"),
-        )
-        .select(group_col, "_thr")
-    )
     from label_maker_dask_spark.functions.text import HASH_P
 
     raw = char_poly_hash(
@@ -136,9 +128,39 @@ def mixture_resample(
     )
     h = (raw * raw % HASH_P) * raw % HASH_P % resolution
     return (
-        df.join(F.broadcast(thr), group_col)
+        df.join(F.broadcast(thresholds.select(group_col, "_thr")), group_col)
         .where(h < F.col("_thr"))
         .drop("_thr")
+    )
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    group_col: str,
+    weight: Column,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """The per-group threshold table behind :func:`mixture_resample`:
+    ``(group, _c, _w, _thr)`` — counts, weights, and the integer keep
+    threshold.  MATERIALIZED eagerly (n_groups rows): both the resample
+    filter and any caller-side audit consume it, and left lazy each
+    consumer would re-run the corpus count."""
+    from label_maker_dask_spark.operators.materialize import materialize
+
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_c"), F.max(weight).alias("_w")
+    )
+    s = counts.agg(F.sum("_w").alias("_sum_w"))
+    with_s = counts.crossJoin(F.broadcast(s))
+    k = with_s.agg(F.min(F.expr("_c * _sum_w div _w")).alias("_k"))
+    return (
+        with_s.crossJoin(F.broadcast(k))
+        .withColumn(
+            "_thr",
+            F.expr(f"_w * _k * {resolution} div (_sum_w * _c)"),
+        )
+        .select(group_col, "_c", "_w", "_thr")
+        .transform(materialize, eager=True)
     )
 
 
@@ -157,7 +179,9 @@ def mixture_resample_keep_sql(
     raw = char_poly_hash_sql(
         f"('{salt}:' || {group_expr}::VARCHAR || '|' || {id_expr}::VARCHAR)"
     )
-    h = f"((({raw}) * ({raw}) % {HASH_P}) * ({raw}) % {HASH_P})"
+    # bind the O(len)-per-row character fold ONCE as a column; the
+    # cube-mix then references the bound value, not three copies of
+    # the fold expression
     return f"""
     WITH mix_c AS (
       SELECT {group_expr} AS g, count(*) AS c, max({weight_sql}) AS w
@@ -167,10 +191,12 @@ def mixture_resample_keep_sql(
     mix_t AS (
       SELECT g, (w * k * {resolution}) // (sum_w * c) AS thr
       FROM mix_c, mix_s, mix_k),
+    mix_h AS (SELECT d.*, ({raw}) AS mix_raw FROM {table} d),
     mix_kept AS (
-      SELECT d.* FROM {table} d
+      SELECT mix_h.* EXCLUDE (mix_raw) FROM mix_h
       JOIN mix_t ON mix_t.g = {group_expr}
-      WHERE ({h}) % {resolution} < thr)
+      WHERE ((mix_raw * mix_raw % {HASH_P}) * mix_raw % {HASH_P})
+            % {resolution} < thr)
     """
 
 

@@ -3092,11 +3092,13 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # once-gated anchors staying for a second gating; every entry gated
 # in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
-    # ---- round-13 window: the final 31 never-gated backlog entries +
-    # the agg_approx_distinct_users re-gate (first green driver row) +
-    # the new adversarial curation gate, padded with the 17 stalest
-    # retirees (last gated r5-r7).  After this gate the catalog is
-    # 212/212 driver-proven and the rotation backlog is empty. ----
+    # ---- round-13 window (31 + 1 + 5 + 13 = 50): the final 31
+    # never-gated backlog entries + the agg_approx_distinct_users
+    # re-gate (first green driver row) + the 5 new round-13 entries
+    # (hot-component adversarial, mixture resample, HTML strip,
+    # repeat upsample, quality funnel), padded with 13 stale retirees
+    # (last gated r5-r9).  After this gate the 216-entry catalog is
+    # 216/216 driver-proven and the rotation backlog is empty. ----
     "curation_hotcomponent_adversarial",
     "agg_approx_distinct_users",
     "agg_approx_percentiles_sampled",

@@ -1056,16 +1056,23 @@ def curation_mixture_resample(spark, sf_dir):
     Scale shape: one partial-agg count per language, two 1-row
     aggregates, a broadcast of n_langs thresholds, and a narrow filter
     — the corpus itself never shuffles."""
-    from label_maker_dask_spark.operators.pipeline import mixture_resample
+    from label_maker_dask_spark.operators.pipeline import (
+        mixture_resample,
+        mixture_thresholds,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     w = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
-    kept = mixture_resample(docs, "lang", w).groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_kept")
-    )
-    base = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs_in"),
-        F.max(w).alias("target_weight"),
+    # one corpus count: the materialized threshold table feeds BOTH the
+    # resample filter and the audit's per-group input counts
+    thr = mixture_thresholds(docs, "lang", w)
+    kept = mixture_resample(docs, "lang", w, thresholds=thr).groupBy(
+        "lang"
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+    base = thr.select(
+        "lang",
+        F.col("_c").alias("n_docs_in"),
+        F.col("_w").alias("target_weight"),
     )
     joined = base.join(kept, "lang", "left").select(
         "lang",
@@ -1172,7 +1179,7 @@ def _repeat_upsample_oracle(
     return f"""
     WITH c AS (
       SELECT lang AS g, count(*) AS c,
-             CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS w
+             CASE WHEN lang = 'en' THEN 6 ELSE 1 END AS w
       FROM documents GROUP BY 1),
     d AS (SELECT g, c, w, (c * {resolution}) // w AS dens FROM c),
     a AS (SELECT max(dens) AS adens FROM d),
@@ -1208,13 +1215,19 @@ def curation_repeat_upsample(spark, sf_dir):
     exploding each doc ``epochs`` times (``explode(sequence(...))``
     against a broadcast epoch table), not from multiplying — the gate
     covers the expansion path a downstream shuffler would consume.
+    The en weight is 6 (not the resample twin's 2) DELIBERATELY: on
+    this corpus's language mix a weight of 2 computes epochs=1 for
+    every group at the gated scales, leaving the repetition machinery
+    tested only as an identity — at 6, en repeats 2-3x at every scale
+    (sf0.001 through sf1), so wrong sequence bounds or clamp inversion
+    hash-mismatch.
 
     Scale shape: one partial-agg count per group, a 1-row max, an
     n_groups broadcast, and a narrow explode whose fan-out is the epoch
     count (bounded by ``max_epochs``) — no corpus shuffle."""
     docs = _t(spark, sf_dir, "documents")
     resolution, max_epochs = 1_000_000, 4
-    w = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
+    w = F.when(F.col("lang") == "en", F.lit(6)).otherwise(F.lit(1))
     c = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("c"), F.max(w).alias("w")
     )

@@ -1278,8 +1278,10 @@ def stream_tile_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drive_tile_stream(spark, name: str, mode: str = None) -> DataFrame:
     """Shared drive for the two tile-feed twins: open the streaming
     connector (``mode`` selects simple vs partitioned), run a
-    checkpointed parquet sink on a 1-second trigger until the
-    closed-form grid count lands, and return the read-back frame."""
+    checkpointed parquet sink with back-to-back micro-batches
+    (0-second trigger; see the inline availableNow-unsafe note) until
+    the closed-form grid count lands, and return the read-back
+    frame."""
     import os
     import time
 

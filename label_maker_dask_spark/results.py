@@ -177,17 +177,25 @@ def _draw_box_outline(
     color: tuple[int, int, int],
 ) -> None:
     """1-px rectangle outline, PIL ``ImageDraw.rectangle`` semantics
-    (inclusive corners, clipped to the canvas) — reference
-    result.py:61-68."""
+    (inclusive corners) — reference result.py:61-68.  Clipping matches
+    PIL's raster behavior: an edge whose FIXED coordinate lies
+    off-canvas is simply not visible (never relocated onto the canvas
+    border); the in-range edges draw only their visible span."""
     h, w = arr.shape[:2]
-    x0c, x1c = max(0, min(x0, x1)), min(w - 1, max(x0, x1))
-    y0c, y1c = max(0, min(y0, y1)), min(h - 1, max(y0, y1))
-    if x0c > x1c or y0c > y1c:
-        return
-    arr[y0c, x0c : x1c + 1] = color
-    arr[y1c, x0c : x1c + 1] = color
-    arr[y0c : y1c + 1, x0c] = color
-    arr[y0c : y1c + 1, x1c] = color
+    xa, xb = min(x0, x1), max(x0, x1)
+    ya, yb = min(y0, y1), max(y0, y1)
+    xs, xe = max(0, xa), min(w - 1, xb)  # visible span of horizontal edges
+    ys, ye = max(0, ya), min(h - 1, yb)  # visible span of vertical edges
+    if xs <= xe:
+        if 0 <= ya < h:
+            arr[ya, xs : xe + 1] = color  # top edge
+        if 0 <= yb < h:
+            arr[yb, xs : xe + 1] = color  # bottom edge
+    if ys <= ye:
+        if 0 <= xa < w:
+            arr[ys : ye + 1, xa] = color  # left edge
+        if 0 <= xb < w:
+            arr[ys : ye + 1, xb] = color  # right edge
 
 
 def _card(title: str, body: str) -> str:

@@ -421,7 +421,7 @@ def test_mixture_resample_broadcasts_thresholds_no_corpus_shuffle(spark):
 
     from label_maker_dask_spark.operators.pipeline import mixture_resample
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
     w = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(1))
     plan = (
         mixture_resample(docs, "lang", w)

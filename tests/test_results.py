@@ -254,14 +254,19 @@ def test_draw_label_box_outline_parity_with_class_color():
 
 
 def test_draw_label_clips_out_of_canvas_boxes():
+    # PIL parity: edges whose fixed coordinate is off-canvas are NOT
+    # relocated onto the border — box (-10,-10,300,5) shows only its
+    # bottom edge (y=5), clipped to the visible x span
     d = ObjectDetectionResult(
         (15, 3, 7),
         [{"xmin": -10, "ymin": -10, "xmax": 300, "ymax": 5, "class": 1}],
         CLASSES,
     )
     arr = d.show_label().array
-    assert tuple(arr[0, 0]) == class_color(1)  # clipped left/top edge drawn
+    assert tuple(arr[5, 0]) == class_color(1)
     assert tuple(arr[5, 255]) == class_color(1)
+    assert tuple(arr[0, 0]) == (0, 0, 0)  # no phantom top/left edges
+    assert tuple(arr[100, 0]) == (0, 0, 0)  # left edge at x=-10 not drawn
     # drawing onto provided imagery mutates and returns the same wrapper
     img = d.show_image()
     out = d.draw_label(img)
