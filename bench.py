@@ -200,6 +200,8 @@ HEADLINE = [
     "text_html_boilerplate_strip",
     "curation_repeat_upsample",
     "curation_quality_funnel",
+    # round-13: custom-state (applyInPandasWithState) checkpoint restart
+    "stream_transitions_restart_replay",
 ]
 
 

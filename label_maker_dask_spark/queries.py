@@ -3092,13 +3092,14 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # once-gated anchors staying for a second gating; every entry gated
 # in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
-    # ---- round-13 window (31 + 1 + 5 + 13 = 50): the final 31
+    # ---- round-13 window (31 + 1 + 6 + 12 = 50): the final 31
     # never-gated backlog entries + the agg_approx_distinct_users
-    # re-gate (first green driver row) + the 5 new round-13 entries
+    # re-gate (first green driver row) + the 6 new round-13 entries
     # (hot-component adversarial, mixture resample, HTML strip,
-    # repeat upsample, quality funnel), padded with 13 stale retirees
-    # (last gated r5-r9).  After this gate the 216-entry catalog is
-    # 216/216 driver-proven and the rotation backlog is empty. ----
+    # repeat upsample, quality funnel, custom-state restart), padded
+    # with 12 stale retirees (last gated r5-r9).  After this gate the
+    # 217-entry catalog is 217/217 driver-proven and the rotation
+    # backlog is empty. ----
     "curation_hotcomponent_adversarial",
     "agg_approx_distinct_users",
     "agg_approx_percentiles_sampled",
@@ -3137,7 +3138,7 @@ _DRIVER_WINDOW = [
     "q4_order_priority",
     "q7_volume_shipping",
     "agg_cube_segment_priority",
-    "agg_distinct_nations_per_segment",
+    "stream_transitions_restart_replay",
     "dedup_containment_lsh_pairs",
     "curation_quality_funnel",
     "curation_mixture_resample",

@@ -1862,6 +1862,65 @@ def stream_transitions_stateful_replay(
     return out.groupBy("src", "dst").agg(F.sum("w").alias("w"))
 
 
+_TRANSITIONS_RESTART_REPLAY_ORACLE = (
+    _TRANSITIONS_STATEFUL_REPLAY_ORACLE.replace(
+        "user_id % 4 = 1", "user_id % 4 = 2"
+    )
+)
+# drift guard, same rationale as _SESSION_RESTART_REPLAY_ORACLE: a
+# silent no-op replace would gate the wrong slice far from the cause
+assert (
+    _TRANSITIONS_RESTART_REPLAY_ORACLE != _TRANSITIONS_STATEFUL_REPLAY_ORACLE
+), (
+    "transitions-restart oracle slice did not apply: the parent oracle "
+    "no longer contains the exact text 'user_id % 4 = 1'"
+)
+
+
+@register(
+    "stream_transitions_restart_replay", _TRANSITIONS_RESTART_REPLAY_ORACLE
+)
+def stream_transitions_restart_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM-STATE (``applyInPandasWithState``) recovery across a
+    checkpoint restart — the one state-store class the restart matrix
+    didn't yet gate (sink resume: ``stream_upsert_restart_replay``;
+    built-in aggregation state: ``stream_session_restart_replay``;
+    join buffers: ``stream_interval_join_restart_replay``; this entry
+    closes it with ARBITRARY user state).  Run 1 drains day terciles
+    1-2 and stops at a batch boundary; a NEW query on the SAME
+    checkpoint delivers tercile 3, so every transition that straddles
+    the tercile-2/3 boundary must be chained through a per-user
+    last-event-type row the resumed query RELOADED from the
+    checkpointed state store — custom state lost on restart drops
+    exactly those boundary edges, state applied twice double-counts
+    them, and both hash-mismatch against the whole-table lag oracle.
+    Disjoint 1-in-4 user slice (``user_id % 4 == 2``) from the
+    non-restart twin's, mirrored in the oracle."""
+    from label_maker_dask_spark.streaming.stateful import (
+        streaming_transition_counts,
+    )
+
+    batches = [
+        t.where(F.col("user_id") % 4 == 2)
+        for t in _events_raw_day_terciles(spark, sf_dir)
+    ]
+    out = _drive_stream_to_memory_with_restart(
+        spark,
+        batches,
+        _EVENTS_REPLAY_SCHEMA,
+        streaming_transition_counts,
+        "stream_transitions_restart_replay",
+        stop_after=2,
+        output_mode="append",
+        # applyInPandasWithState: per-key pandas compute scales with
+        # data, so keep full drive parallelism (see _DRIVE_PARTITIONS)
+        partitions=_DRIVE_PARTITIONS,
+    )
+    return out.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+
 _RUNNING_STATS_REPLAY_ORACLE = """
 SELECT user_id, count(*) AS n_events,
        CAST(sum(CAST(round(CAST(value AS DECIMAL(28,8)) * 100, 0)

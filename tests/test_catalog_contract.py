@@ -78,7 +78,7 @@ PINNED_DRIVER_WINDOW = [
     "q4_order_priority",
     "q7_volume_shipping",
     "agg_cube_segment_priority",
-    "agg_distinct_nations_per_segment",
+    "stream_transitions_restart_replay",
     "dedup_containment_lsh_pairs",
     "curation_quality_funnel",
     "curation_mixture_resample",

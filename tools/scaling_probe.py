@@ -137,6 +137,7 @@ PROBES = [
     "text_html_boilerplate_strip",
     "curation_repeat_upsample",
     "curation_quality_funnel",
+    "stream_transitions_restart_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
