@@ -1113,3 +1113,138 @@ def lsh_topk_stored(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the compression tier under every large ANN
+# deployment (FAISS ScalarQuantizer / vector-DB int8 storage).  Train a
+# per-dimension uniform quantizer over the corpus (one agg pass to 'dim'
+# rows), encode every vector as dim int8 codes (4x smaller than float32,
+# 8x smaller than float64), and score candidates with an integer dot
+# product — exact integer arithmetic, so unlike the float paths the
+# scores are bit-identical across engines with no rounding contract.
+# ---------------------------------------------------------------------------
+
+
+def sq8_train_ranges(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Train the SQ8 quantizer: per-dimension [min, max] over the corpus,
+    returned as ONE row holding two dim-length arrays (broadcastable).
+
+    Scale shape: posexplode -> groupBy(dim) is a map-side partial
+    aggregate collapsing to `dim` rows before the shuffle; the final
+    collect_list runs over `dim` rows.  No driver collect — the ranges
+    frame is crossJoin-broadcast into the encode pass."""
+    dims = embeddings.select(F.posexplode(vec_col).alias("d", "x")).select(
+        "d", F.col("x").cast("double").alias("x")
+    )
+    rng = dims.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return rng.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    ranges: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors as int8-range codes under a trained quantizer:
+    ``code_i = floor((x_i - mn_i) / (mx_i - mn_i) * 255) - 128``, in
+    [-128, 127].  A constant dimension (mx == mn) encodes to 0.  All
+    arithmetic is double ops + floor — deterministic and replayed exactly
+    by the SQL oracle.  Emits (id, code array, SRP bucket) so the codes
+    drop straight into the banded candidate join."""
+
+    def one(i):
+        x = F.element_at(F.col(vec_col), i).cast("double")
+        mn = F.element_at(F.col("mns"), i)
+        mx = F.element_at(F.col("mxs"), i)
+        u8 = F.floor(((x - mn) / F.nullif(mx - mn, F.lit(0.0))) * 255)
+        return (F.coalesce(u8, F.lit(128)) - 128).cast("long")
+
+    return embeddings.join(F.broadcast(ranges)).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)), one).alias("code"),
+        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+    )
+
+
+def sq8_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two code arrays — the SQ8 asymmetric-distance
+    analogue.  Pure BIGINT arithmetic: no FP rounding contract needed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq8_rescore_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: SRP-bucket candidate generation + int8 quantized
+    rescoring — the memory-bound production shape (float vectors never
+    touch the scoring join; only 1-byte-per-dim codes shuffle).
+
+    Stage 1 trains the quantizer (one agg pass), stage 2 encodes corpus
+    and filters the query subset from the SAME encoded frame (one plan,
+    Spark reuses the scan), stage 3 joins on the SRP bucket and ranks
+    candidates by integer code dot.  Ranking ties break on neighbor id,
+    so results are fully deterministic.  Recall vs exact cosine is the
+    ANN contract (bounded in tests); the quantization error adds at most
+    half a code step per dimension."""
+    ranges = sq8_train_ranges(embeddings, vec_col)
+    coded = sq8_encode(embeddings, ranges, dim, id_col, vec_col)
+    q = coded.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode"), "bucket"
+    )
+    scored = (
+        coded.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sq8_dot(F.col("qcode"), F.col("code")).alias("q8_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("q8_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "q8_score")
+    )
+
+
+def sq8_codes_sql(vec: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of :func:`sq8_train_ranges` + :func:`sq8_encode`: a CTE
+    body producing (vec_id, code, bucket) — same double arithmetic, same
+    floor, same SRP bucket — for hash-exact oracle replay."""
+    return f"""
+    dims AS (
+      SELECT generate_subscripts({vec}, 1) AS d, unnest({vec})::DOUBLE AS x
+      FROM embeddings),
+    rng AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d),
+    ranges AS (
+      SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM rng),
+    codes AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {dim}),
+               i -> coalesce(CAST(floor((({vec}[i]::DOUBLE - mns[i])
+                     / nullif(mxs[i] - mns[i], 0e0)) * 255) AS BIGINT), 128)
+                    - 128) AS code,
+             {srp_bucket_sql(vec, dim=dim)} AS bucket
+      FROM embeddings CROSS JOIN ranges)"""

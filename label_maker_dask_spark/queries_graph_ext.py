@@ -790,6 +790,107 @@ def graph_triangle_copurchase(spark, sf_dir):
     )
 
 
+
+_SEASONAL_DOW_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+dowd AS (SELECT event_type, day, dayofweek(day)::BIGINT AS dow, v FROM daily),
+stats AS (
+  SELECT event_type, dow, sum(v) AS s, sum(v * v) AS q, count(*) AS n
+  FROM dowd GROUP BY 1, 2),
+loo AS (
+  SELECT d.event_type, d.day, d.dow, d.v,
+         round((s.s - d.v) / nullif(s.n - 1, 0), 6) AS mu,
+         CASE WHEN s.n >= 4 THEN round(sqrt(greatest(0e0,
+           (s.q - d.v * d.v
+            - (s.n - 1) * ((s.s - d.v) / (s.n - 1))
+                        * ((s.s - d.v) / (s.n - 1)))
+           / (s.n - 2))), 6) END AS sd,
+         s.n AS n
+  FROM dowd d JOIN stats s ON d.event_type = s.event_type AND d.dow = s.dow)
+SELECT event_type, day, dow, v AS daily_value, mu AS dow_loo_mean,
+       CASE WHEN n >= 4 AND sd > 1e-9
+            THEN round((v - mu) / sd, 6) END AS seasonal_z,
+       CASE WHEN n >= 4 AND sd > 1e-9
+                 AND abs(round((v - mu) / sd, 6)) > 2.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM loo
+"""
+
+
+@register("anomaly_seasonal_dow_residual", _SEASONAL_DOW_ORACLE)
+def anomaly_seasonal_dow_residual(spark, sf_dir):
+    """Seasonality-adjusted anomaly detection: each (type, day) volume is
+    scored against the LEAVE-ONE-OUT mean/stddev of its own day-of-week
+    cohort — the weekly-seasonal complement of
+    anomaly_zscore_daily_events' trailing window (a quiet Sunday is
+    normal for Sundays even when it is a 3-sigma dip against the trailing
+    week).  Leave-one-out matters: include-self cohort stats cap any
+    single outlier's z at ~sqrt(n) (the spike inflates its own baseline
+    — masking); excluding the scored day restores unbounded sensitivity
+    (tests/test_graph.py pins a 5-Monday spike at z~758 that include-self
+    stats would pass at 1.79).  LOO stats come from cohort (n, sum,
+    sum-of-squares) in closed form — one agg, no per-row re-aggregation.
+    Flag at |z| > 2 with >=3 OTHER cohort samples (n >= 4).  Day-of-week
+    convention: 0 = Sunday (Spark dayofweek()-1 == DuckDB dayofweek()).
+
+    FP contract: daily v is rounded before stats; LOO mean and sd are
+    rounded before z; z compares rounded — every boundary decision reads
+    identical doubles in both engines.  Scale shape: the rollup collapses
+    map-side to #types x #days rows; the 7-cohort stats frame is tiny and
+    broadcast back — the fact table never shuffles twice."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    dowd = daily.select(
+        "event_type",
+        "day",
+        (F.dayofweek("day") - 1).cast("long").alias("dow"),
+        "v",
+    )
+    stats = dowd.groupBy("event_type", "dow").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v, s, q, n = F.col("v"), F.col("s"), F.col("q"), F.col("n")
+    mu = F.round((s - v) / F.nullif(n - 1, F.lit(0)), 6)
+    sd = F.when(
+        n >= 4,
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    (q - v * v - (n - 1) * ((s - v) / (n - 1)) * ((s - v) / (n - 1)))
+                    / (n - 2),
+                )
+            ),
+            6,
+        ),
+    )
+    loo = (
+        dowd.join(F.broadcast(stats), ["event_type", "dow"])
+        .select("event_type", "day", "dow", "v",
+                mu.alias("mu"), sd.alias("sd"), "n")
+    )
+    ok = (F.col("n") >= 4) & (F.col("sd") > 1e-9)
+    z = F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6)
+    return loo.select(
+        "event_type",
+        "day",
+        "dow",
+        F.col("v").alias("daily_value"),
+        F.col("mu").alias("dow_loo_mean"),
+        F.when(ok, z).alias("seasonal_z"),
+        F.when(ok & (F.abs(z) > 2.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

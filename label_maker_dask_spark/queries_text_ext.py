@@ -495,6 +495,175 @@ def text_vocab_coverage_top30(spark, sf_dir):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: quantized ANN, bigram-LM scoring, character entropy.
+# ---------------------------------------------------------------------------
+
+
+def _sq8_rescore_oracle(filter_pred: str, k: int = 5) -> str:
+    from label_maker_dask_spark.operators.similarity import sq8_codes_sql
+
+    return f"""
+    WITH {sq8_codes_sql()}
+    SELECT query_id, rank, neighbor_id, q8_score FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> q.code[i] * c.code[i])) AS BIGINT) AS q8_score,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(generate_series(1, 64),
+                     i -> q.code[i] * c.code[i])) DESC, c.vec_id ASC) AS rank
+      FROM codes q JOIN codes c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.{filter_pred}) WHERE rank <= {k}
+    """
+
+
+@register("similarity_sq8_rescore_ann", _sq8_rescore_oracle("vec_id % 25 = 0"))
+def similarity_sq8_rescore_ann(spark, sf_dir):
+    """Two-stage quantized ANN (similarity.sq8_rescore_topk): SRP buckets
+    generate candidates, int8 scalar-quantized codes rescore them — the
+    FAISS-SQ8 / vector-DB compression tier.  At 100 TB the win is memory
+    traffic: the scoring join shuffles 1-byte-per-dim codes (64 B/vector)
+    instead of float32 vectors (256 B), and the quantizer itself is one
+    corpus agg collapsing to `dim` rows.  Scores are pure BIGINT dots, so
+    the oracle hash-matches with NO float rounding contract — the only
+    ANN entry in the catalog with exact integer semantics end-to-end.
+    Same query subset as similarity_lsh_topk_ann, so recall of the
+    quantized ranking is directly comparable (tests/test_similarity.py
+    bounds it against exact cosine)."""
+    from label_maker_dask_spark.operators.similarity import sq8_rescore_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_rescore_topk(emb, F.col("vec_id") % 25 == 0, k=5)
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2),
+uni AS (
+  SELECT term, count(*) AS cnt FROM
+    (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+tot AS (SELECT sum(cnt) AS total FROM uni),
+bgc AS (SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY w1, w2),
+pfx AS (SELECT w1, sum(bcnt) AS pcnt FROM bgc GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln(0.75 * (bcnt::DOUBLE / pcnt)
+                  + 0.25 * (cnt::DOUBLE / total))), 6) AS avg_logprob
+FROM bg JOIN bgc USING (w1, w2) JOIN pfx USING (w1)
+JOIN uni ON uni.term = bg.w2 CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("text_bigram_logprob_interp", _BIGRAM_LM_ORACLE)
+def text_bigram_logprob_interp(spark, sf_dir):
+    """Perplexity filtering with a corpus-trained INTERPOLATED bigram LM
+    (the KenLM-lite quality signal): each document's mean
+    ln(0.75*P(w2|w1) + 0.25*P(w2)) over its bigram positions.  The
+    unigram interpolation floor means unseen-in-context words degrade
+    smoothly instead of -inf — the standard Jelinek-Mercer shape.
+    Documents with <2 tokens have no bigram positions and are excluded
+    (score undefined), matching the oracle exactly.
+
+    Scale shape: like text_unigram_logprob but with a second Zipf-bounded
+    model table (bigram counts) — the explode feeds frequency aggs that
+    collapse map-side; scoring is three joins against model tables orders
+    smaller than the corpus plus a broadcast 1-row total.  FP contract:
+    one ln per position, 6-dp round on the per-doc mean."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    bg = (
+        toks.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 1).alias("w1"),
+                    F.slice(F.col("t"), F.lit(2), n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").alias("total"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    pfx = bgc.groupBy("w1").agg(F.sum("bcnt").alias("pcnt"))
+    lp = F.log(
+        0.75 * (F.col("bcnt") / F.col("pcnt"))
+        + 0.25 * (F.col("cnt") / F.col("total"))
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(pfx, "w1")
+        .join(uni, bg["w2"] == uni["term"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c != '')) AS c
+  FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(cnt)::DOUBLE AS n FROM cc GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       round(-sum((cnt / n) * ln(cnt / n)) / ln(2.0), 6) AS char_entropy_bits,
+       CASE WHEN round(-sum((cnt / n) * ln(cnt / n)) / ln(2.0), 6) < 3.0
+            THEN 1 ELSE 0 END AS low_entropy
+FROM cc JOIN tot USING (doc_id)
+GROUP BY doc_id, n
+"""
+
+
+@register("text_char_entropy", _CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (bits/char) — the
+    cheapest junk detector in a pretraining curation funnel: keyboard
+    mashing, repeated padding, and base64 blobs all sit far from natural
+    text's ~4 bits.  Flag below 3.0 bits (computed on the ROUNDED value,
+    so the boundary decision can't straddle an ulp).
+
+    Scale shape: the char explode fans out ~n_chars rows but collapses
+    immediately in a map-side partial count to (doc, distinct-char) —
+    ~30-60 rows per doc; the entropy fold then runs per doc over that
+    alphabet-sized frame.  FP contract: the per-doc sum has <=~60 terms
+    of magnitude <=1; the 6-dp round absorbs summation-order noise."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).where(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cc.groupBy("doc_id").agg(F.sum("cnt").cast("double").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    ent = F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6)
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(ent.alias("char_entropy_bits"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            "char_entropy_bits",
+            F.when(F.col("char_entropy_bits") < 3.0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("low_entropy"),
+        )
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

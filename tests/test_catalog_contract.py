@@ -139,8 +139,12 @@ def test_catalog_outputs_are_scalar_and_oracle_columns_match(spark, oracle_con):
 # rotation gates them (a gated name lingering here also fails, keeping
 # the ledger honest).
 ROTATION_BACKLOG = [
-    # (empty since round 13: every catalog entry has either a
-    # committed driver-gate row or a seat in the current window)
+    # Added late in round 13 (after the r13 window was pinned with the
+    # final 31 never-gated entries): awaiting the round-14 rotation.
+    "similarity_sq8_rescore_ann",
+    "text_bigram_logprob_interp",
+    "text_char_entropy",
+    "anomaly_seasonal_dow_residual",
 ]
 
 

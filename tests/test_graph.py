@@ -277,3 +277,45 @@ def test_mad_anomaly_resists_outlier_masking(spark, tmp_path):
     quiet = [d for d, (_, f) in mad.items()
              if f == 1 and d not in ("2024-01-05", "2024-01-09")]
     assert quiet == []
+
+
+def test_seasonal_dow_residual_flags_cohort_outlier(spark, tmp_path):
+    """Four Mondays at ~10 plus one Monday at 500: the spike is anomalous
+    against the leave-one-out stats of its day-of-week cohort (z in the
+    hundreds — include-self stats would mask it at z = 1.79 < 2); the
+    flat Mondays are not flagged (the spike inflates THEIR loo stddev);
+    a cohort with < 4 samples gets no score."""
+    import pandas as pd
+
+    from label_maker_dask_spark.queries_graph_ext import (
+        anomaly_seasonal_dow_residual,
+    )
+
+    mondays = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22",
+               "2024-01-29"]
+    rows = []
+    for i, day in enumerate(mondays):
+        rows.append((i, day, 500.0 if i == 4 else 10.0 + i * 0.5))
+    # one lone Tuesday cohort member -> n < 3, no score
+    rows.append((9, "2024-01-02", 42.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "day", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["day"]) + pd.Timedelta(hours=3)
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf[["event_id", "ts", "value"]]).withColumn(
+        "user_id", F.lit(1)
+    ).withColumn("event_type", F.lit("x")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(f"{sf}/events.parquet")
+
+    out = {
+        str(r.day)[:10]: r
+        for r in anomaly_seasonal_dow_residual(spark, sf).collect()
+    }
+    assert out["2024-01-29"].is_anomaly == 1 and out["2024-01-29"].seasonal_z > 100
+    assert all(
+        out[d].is_anomaly == 0 for d in mondays[:4]
+    )
+    assert out["2024-01-02"].seasonal_z is None
+    # dow convention: 0 = Sunday, so all Mondays are cohort 1
+    assert all(out[d].dow == 1 for d in mondays)
+    assert out["2024-01-02"].dow == 2

@@ -588,3 +588,90 @@ def test_ivf_append_replay_and_torn_append_recovery(spark, tmp_path):
 
     with pytest.raises(ValueError, match="different stream run"):
         append_ivf_index_exactly_once(nxt, path, 2, "other-run")
+
+
+def test_sq8_codes_in_range_constant_dim_zero(spark):
+    """SQ8 codes live in [-128, 127]; min encodes to -128, max to 127;
+    a constant dimension (mx == mn) encodes to 0."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        sq8_encode,
+        sq8_train_ranges,
+    )
+
+    rows = [
+        Row(vec_id=1, embedding=[0.0, 5.0, -1.0, 7.0]),
+        Row(vec_id=2, embedding=[1.0, 5.0, 3.0, -7.0]),
+        Row(vec_id=3, embedding=[0.5, 5.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ranges = sq8_train_ranges(emb)
+    coded = {
+        r.vec_id: r.code
+        for r in sq8_encode(emb, ranges, dim=4).collect()
+    }
+    for code in coded.values():
+        assert all(-128 <= c <= 127 for c in code)
+    # dim 0: min holder (vec 1) -> -128, max holder (vec 2) -> 127
+    assert coded[1][0] == -128 and coded[2][0] == 127
+    # dim 1 constant -> 0 everywhere
+    assert all(coded[v][1] == 0 for v in coded)
+    # dim 3: min (vec 2) -> -128, max (vec 1) -> 127
+    assert coded[2][3] == -128 and coded[1][3] == 127
+
+
+def test_sq8_quantization_error_within_one_step(spark):
+    """Decoding a code to its cell's lower edge is within one quantizer
+    step of the original value (uniform-quantizer error bound)."""
+    import numpy as np
+
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.operators.similarity import (
+        sq8_encode,
+        sq8_train_ranges,
+    )
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    ranges = sq8_train_ranges(emb)
+    mns, mxs = ranges.collect()[0]
+    mns, mxs = np.array(mns), np.array(mxs)
+    step = (mxs - mns) / 255.0
+    for r in sq8_encode(emb, ranges).limit(50).collect():
+        orig = np.array(
+            emb.where(f"vec_id = {r.vec_id}").collect()[0].embedding,
+            dtype=np.float64,
+        )
+        decoded = mns + (np.array(r.code) + 128) * step
+        assert np.all(np.abs(orig - decoded) <= step + 1e-12)
+
+
+def test_sq8_rescore_ranking_agrees_with_exact_cosine(spark):
+    """The int8 rescorer ranks the SAME SRP-bucket candidates as lsh_topk;
+    its top-5 per query must substantially overlap the exact-cosine top-5
+    over those candidates (quantized dot is a faithful score proxy)."""
+    from pyspark.sql import functions as F
+
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.operators.similarity import sq8_rescore_topk
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, emb.where("vec_id % 25 = 0"), k=5).collect()
+    }
+    approx_rows = sq8_rescore_topk(
+        emb, F.col("vec_id") % 25 == 0, k=5
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert len(approx_rows) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"sq8-vs-exact-cosine candidate recall {recall}"
+    # integer scores: rank strictly by (score desc, id asc) within a query
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        for a, b in zip(rows, rows[1:]):
+            assert (a.q8_score, -a.neighbor_id) >= (b.q8_score, -b.neighbor_id)

@@ -90,3 +90,61 @@ def test_quality_score_bounds(spark):
     assert out[0] == 1.0                       # long, clean, stopworded
     assert 0.0 <= out[1] < 1.0
     assert 0.0 <= out[2] < 1.0                 # too short
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """Entropy of a single repeated char is 0 (flagged low); n distinct
+    equiprobable chars give exactly log2(n); natural text sits well above
+    the 3-bit flag line."""
+    import math
+
+    from label_maker_dask_spark.queries_text_ext import text_char_entropy
+
+    rows = [
+        Row(doc_id=0, text="aaaaaaaa", lang="en", source="s", n_chars=8),
+        Row(doc_id=1, text="abcdabcd", lang="en", source="s", n_chars=8),
+        Row(doc_id=2, text="the quick brown fox jumps over a lazy dog",
+            lang="en", source="s", n_chars=41),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in text_char_entropy(spark, sf).collect()}
+    assert out[0].char_entropy_bits == 0.0 and out[0].low_entropy == 1
+    assert abs(out[1].char_entropy_bits - math.log2(4)) < 1e-9
+    assert out[1].low_entropy == 1  # 2 bits < 3.0
+    assert out[2].char_entropy_bits > 3.0 and out[2].low_entropy == 0
+    assert out[2].n_chars == 41
+
+
+def test_bigram_logprob_interp_hand_computed(spark, tmp_path):
+    """Two-doc corpus small enough to hand-compute the interpolated
+    bigram LM: corpus 'a b a b' + 'a b c' -> bigram counts
+    (a,b)=3, (b,a)=1, (b,c)=1; prefix counts a=3, b=2; unigram counts
+    a=3, b=3, c=1, solo=1, total=8."""
+    import math
+
+    from label_maker_dask_spark.queries_text_ext import (
+        text_bigram_logprob_interp,
+    )
+
+    rows = [
+        Row(doc_id=0, text="a b a b", lang="en", source="s", n_chars=7),
+        Row(doc_id=1, text="a b c", lang="en", source="s", n_chars=5),
+        Row(doc_id=2, text="solo", lang="en", source="s", n_chars=4),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in text_bigram_logprob_interp(spark, sf).collect()}
+
+    def lp(bcnt, pcnt, ucnt):
+        return math.log(0.75 * (bcnt / pcnt) + 0.25 * (ucnt / 8))
+
+    # doc 0 positions: (a,b) (b,a) (a,b)
+    exp0 = (lp(3, 3, 3) + lp(1, 2, 3) + lp(3, 3, 3)) / 3
+    # doc 1 positions: (a,b) (b,c)
+    exp1 = (lp(3, 3, 3) + lp(1, 2, 1)) / 2
+    assert out[0].n_bigrams == 3
+    assert abs(out[0].avg_logprob - round(exp0, 6)) < 1e-9
+    assert out[1].n_bigrams == 2
+    assert abs(out[1].avg_logprob - round(exp1, 6)) < 1e-9
+    assert 2 not in out  # single-token doc has no bigram positions
