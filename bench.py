@@ -202,6 +202,15 @@ HEADLINE = [
     "curation_quality_funnel",
     # round-13: custom-state (applyInPandasWithState) checkpoint restart
     "stream_transitions_restart_replay",
+    # round-13: int8-quantized ANN rescoring, interpolated bigram LM,
+    # char-entropy junk flag, leave-one-out seasonal-residual anomaly
+    "similarity_sq8_rescore_ann",
+    "text_bigram_logprob_interp",
+    "text_char_entropy",
+    "anomaly_seasonal_dow_residual",
+    # round-13: product-quantization ADC rescoring (IVF/SQ8/PQ triad)
+    "similarity_pq_adc_topk_ann",
+    "text_source_kl_divergence",
 ]
 
 

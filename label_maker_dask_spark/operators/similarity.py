@@ -1248,3 +1248,252 @@ def sq8_codes_sql(vec: str = "embedding", dim: int = 64) -> str:
                     - 128) AS code,
              {srp_bucket_sql(vec, dim=dim)} AS bucket
       FROM embeddings CROSS JOIN ranges)"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the third member of the FAISS-style ANN triad
+# (IVF coarse partitioning / SQ8 scalar codes / PQ subspace codebooks).
+# Vectors are split into M subspaces; each subspace gets a small codebook
+# (deterministic lowest-id seeds + one integer-quantized Lloyd refinement —
+# the clustering.py trick, so a SQL oracle replays training bit-for-bit);
+# a vector is stored as M 1-byte codes (16x smaller than float32 at
+# M=8, dim=64).  Queries score candidates with the asymmetric distance
+# (ADC): sum over subspaces of ||q_m - codebook[m][code_m]||^2, each
+# subspace term quantized to an integer BEFORE the cross-subspace sum so
+# the only engine-order-sensitive step is order-free integer addition.
+# ---------------------------------------------------------------------------
+
+#: codebook mean quantization (1e-6 grid — same unit as clustering.py)
+PQ_MEAN_QUANT = 1_000_000
+#: per-subspace ADC distance quantization (1e-9 grid)
+PQ_DIST_QUANT = 1_000_000_000
+
+
+def pq_subvectors(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode vectors into (vec_id, m, sub) subspace rows, m in 1..n_sub,
+    each sub an array of ``sub_dim`` doubles (contiguous dim blocks)."""
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_sub)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(v, (m - 1) * sub_dim + 1, sub_dim).alias("sub"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+
+def _pq_sqdist(a: Column, b: Column) -> Column:
+    """Left-to-right squared-L2 fold (same element order as the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): broadcast the
+    (n_sub * k)-row codebook, argmin squared-L2 with lowest-code ties."""
+    j = subv.join(F.broadcast(codebooks), "m").withColumn(
+        "d", _pq_sqdist(F.col("sub"), F.col("cu"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("code").asc()
+    )
+    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+
+def pq_train_codebooks(
+    subv: DataFrame,
+    k: int = 16,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Train per-subspace codebooks: seed each subspace's k entries from
+    the k lowest-id vectors' subvectors (the IVF/k-means convention),
+    then run ``refine_iters`` Lloyd updates with integer-quantized exact
+    means (order-free accumulation — the oracle replays training).
+    Returns (m, code, cu).  A code that loses all members simply drops
+    out; encoding argmins over the surviving entries."""
+    wseed = Window.partitionBy("m").orderBy("vec_id")
+    cb = (
+        subv.withColumn("rn", F.row_number().over(wseed))
+        .where(F.col("rn") <= k)
+        .select("m", (F.col("rn") - 1).alias("code"), F.col("sub").alias("cu"))
+    )
+    for _ in range(refine_iters):
+        assigned = _pq_assign(subv, cb).select("m", "code", "sub")
+        qsum = assigned.select(
+            "m", "code", F.posexplode("sub").alias("pos0", "x")
+        ).groupBy("m", "code", "pos0").agg(
+            F.sum(F.round(F.col("x") * PQ_MEAN_QUANT).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cb = qsum.groupBy("m", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "s", "n"))),
+                lambda r: r["s"].cast("double") / (r["n"] * float(PQ_MEAN_QUANT)),
+            ).alias("cu")
+        )
+    return cb
+
+
+def pq_encode(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Encode every vector as (vec_id, m, code) rows — at rest this is
+    n_sub bytes per vector (vs 4*dim for float32)."""
+    return _pq_assign(subv, codebooks).select("vec_id", "m", "code")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: SRP-bucket candidate generation + PQ asymmetric-
+    distance rescoring.  Candidates carry only their n_sub codes; the
+    per-(query, subspace, code) distance is computed ONCE per needed
+    combination via the joins below (the classic ADC lookup-table shape:
+    at most |queries| * n_sub * n_codes distinct distance cells, however
+    many candidates there are), and the cross-subspace sum is order-free
+    integer addition on the 1e-9-quantized subspace terms.
+
+    Output ranks ascending by ADC distance (smaller = closer), ties to
+    the lower neighbor id; ``adc_dist`` is the rounded double distance."""
+    subv = pq_subvectors(embeddings, n_sub, sub_dim, id_col, vec_col)
+    cb = pq_train_codebooks(subv, k=n_codes)
+    codes = pq_encode(subv, cb)
+    bkt = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+    )
+    qids = bkt.where(query_pred).select(F.col("vec_id").alias("query_id"))
+    qsub = subv.join(
+        qids, subv["vec_id"] == qids["query_id"]
+    ).select("query_id", "m", F.col("sub").alias("qsub"))
+    qbkt = bkt.join(qids, bkt["vec_id"] == qids["query_id"]).select(
+        "query_id", "bucket"
+    )
+    cand = (
+        bkt.join(F.broadcast(qbkt), "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    pairm = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(cb), ["m", "code"])
+        .join(F.broadcast(qsub), ["query_id", "m"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_sqdist(F.col("qsub"), F.col("cu")) * PQ_DIST_QUANT)
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    adc = pairm.groupBy("query_id", "neighbor_id").agg(
+        F.sum("dm").alias("adc_nano")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_nano").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("adc_nano") / PQ_DIST_QUANT, 6).alias("adc_dist"),
+        )
+    )
+
+
+def pq_adc_oracle_sql(
+    filter_pred: str,
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk` — unrolls seed init, one Lloyd
+    refinement with the same integer-quantized means, encoding, the SRP
+    candidate join, and the integer-quantized ADC sum."""
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {sub_dim}), "
+        "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x,y) -> x + y)"
+    )
+    return f"""
+    WITH subv AS (
+      SELECT vec_id, m, v[(m-1)*{sub_dim}+1 : m*{sub_dim}] AS sub
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      CROSS JOIN (SELECT unnest(generate_series(1, {n_sub})) AS m)),
+    init AS (
+      SELECT m, rn - 1 AS code, sub AS cu FROM (
+        SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        FROM subv) WHERE rn <= {n_codes}),
+    a0 AS (
+      SELECT vec_id, m, code, sub FROM (
+        SELECT s.vec_id, s.m, i.code, s.sub,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 {sq.format(a='s.sub', b='i.cu')} ASC, i.code ASC) AS rn
+        FROM subv s JOIN init i USING (m)) WHERE rn = 1),
+    qsum AS (
+      SELECT m, code, pos,
+             sum(CAST(round(sub[pos] * {PQ_MEAN_QUANT}) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM (SELECT m, code, sub, unnest(generate_series(1, {sub_dim})) AS pos
+            FROM a0)
+      GROUP BY m, code, pos),
+    cb1 AS (
+      SELECT m, code,
+             list(CAST(s AS DOUBLE) / (n * {PQ_MEAN_QUANT}.0) ORDER BY pos)
+               AS cu
+      FROM qsum GROUP BY m, code),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 {sq.format(a='s.sub', b='c.cu')} ASC, c.code ASC) AS rn
+        FROM subv s JOIN cb1 c USING (m)) WHERE rn = 1),
+    bkt AS (SELECT vec_id, {srp_bucket_sql('embedding', dim=dim)} AS bucket
+            FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.{filter_pred}),
+    pairm AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(round({sq.format(a='qs.sub', b='cb.cu')}
+                  * {PQ_DIST_QUANT}) AS BIGINT) AS dm
+      FROM cand
+      JOIN codes co ON co.vec_id = cand.neighbor_id
+      JOIN cb1 cb ON cb.m = co.m AND cb.code = co.code
+      JOIN subv qs ON qs.vec_id = cand.query_id AND qs.m = co.m),
+    adc AS (
+      SELECT query_id, neighbor_id, sum(dm)::BIGINT AS adc_nano
+      FROM pairm GROUP BY query_id, neighbor_id)
+    SELECT query_id, rank, neighbor_id,
+           round(adc_nano / {PQ_DIST_QUANT}.0, 6) AS adc_dist
+    FROM (
+      SELECT query_id, neighbor_id, adc_nano,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_nano ASC, neighbor_id ASC) AS rank
+      FROM adc) WHERE rank <= {k}
+    """

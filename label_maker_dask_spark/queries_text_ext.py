@@ -664,6 +664,83 @@ def text_char_entropy(spark, sf_dir):
     )
 
 
+
+def _pq_adc_oracle():
+    from label_maker_dask_spark.operators.similarity import pq_adc_oracle_sql
+
+    return pq_adc_oracle_sql("vec_id % 25 = 0")
+
+
+@register("similarity_pq_adc_topk_ann", _pq_adc_oracle())
+def similarity_pq_adc_topk_ann(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_adc_topk): vectors stored
+    as 8 one-byte subspace codes (16x smaller than float32), candidates
+    from SRP buckets, ranking by asymmetric distance (ADC) — completing
+    the FAISS-style triad next to the IVF coarse index and the SQ8
+    scalar codes.  Codebooks train with deterministic lowest-id seeds +
+    one integer-quantized Lloyd refinement (the clustering.py trick), so
+    the DuckDB oracle replays TRAINING, encoding, and scoring exactly;
+    the cross-subspace ADC sum is order-free integer addition on
+    1e-9-quantized terms.  Recall vs exact cosine is bounded in
+    tests/test_similarity.py."""
+    from label_maker_dask_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, F.col("vec_id") % 25 == 0, k=5)
+
+
+
+_SOURCE_KL_ORACLE = f"""
+WITH tok AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+sc AS (SELECT source, term, count(*) AS scnt FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, sum(scnt) AS stot FROM sc GROUP BY 1),
+cc AS (SELECT term, count(*) AS ccnt FROM tok GROUP BY 1),
+ctot AS (SELECT sum(ccnt) AS ctot FROM cc)
+SELECT source, max(stot)::BIGINT AS n_tokens,
+       round(sum((scnt::DOUBLE / stot)
+             * ln((scnt::DOUBLE / stot) / (ccnt::DOUBLE / ctot))), 6)
+         AS kl_to_corpus
+FROM sc JOIN stot USING (source) JOIN cc USING (term) CROSS JOIN ctot
+GROUP BY source
+"""
+
+
+@register("text_source_kl_divergence", _SOURCE_KL_ORACLE)
+def text_source_kl_divergence(spark, sf_dir):
+    """Domain-shift scoring for mixture curation: KL(P_source || P_corpus)
+    over token distributions, per source — the signal behind data-mixture
+    weighting (an outlier source whose token distribution diverges from
+    the pool gets inspected / down-weighted before pretraining).  No
+    smoothing is needed: the corpus distribution includes every source,
+    so P_corpus(t) > 0 wherever P_source(t) > 0 and the KL is finite by
+    construction.
+
+    Scale shape: both distributions are Zipf-bounded aggregates (the
+    (source, term) matrix is #sources x vocab, orders below the corpus),
+    the corpus-total is a broadcast 1-row frame, and the per-source KL
+    sum runs over that bounded matrix — the corpus is scanned once per
+    distribution and never joined row-to-row.  FP contract: vocab-sized
+    double sum, 6-dp round (same tolerance class as the LM entries)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    sc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("scnt"))
+    stot = sc.groupBy("source").agg(F.sum("scnt").alias("stot"))
+    cc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ccnt"))
+    ctot = cc.agg(F.sum("ccnt").alias("ctot"))
+    ps = F.col("scnt") / F.col("stot")
+    pc = F.col("ccnt") / F.col("ctot")
+    return (
+        sc.join(stot, "source")
+        .join(cc, "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.max("stot").alias("n_tokens"),
+            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_to_corpus"),
+        )
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -145,6 +145,8 @@ ROTATION_BACKLOG = [
     "text_bigram_logprob_interp",
     "text_char_entropy",
     "anomaly_seasonal_dow_residual",
+    "similarity_pq_adc_topk_ann",
+    "text_source_kl_divergence",
 ]
 
 

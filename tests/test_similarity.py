@@ -675,3 +675,56 @@ def test_sq8_rescore_ranking_agrees_with_exact_cosine(spark):
         rows.sort(key=lambda r: r.rank)
         for a, b in zip(rows, rows[1:]):
             assert (a.q8_score, -a.neighbor_id) >= (b.q8_score, -b.neighbor_id)
+
+
+def test_pq_encoding_shape_and_codebook_bounds(spark):
+    """Every vector gets exactly n_sub codes; every code references a
+    live codebook entry; codebooks hold at most k entries per subspace."""
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.operators.similarity import (
+        pq_encode,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    subv = pq_subvectors(emb)
+    cb = pq_train_codebooks(subv, k=16)
+    codes = pq_encode(subv, cb)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [8]
+    cb_rows = cb.collect()
+    per_m = {}
+    for r in cb_rows:
+        per_m.setdefault(r.m, set()).add(r.code)
+        assert 0 <= r.code < 16 and len(r.cu) == 8
+    assert set(per_m) == set(range(1, 9))
+    assert all(len(s) <= 16 for s in per_m.values())
+    # every emitted code exists in its subspace codebook
+    live = {(r.m, r.code) for r in cb_rows}
+    assert all((r.m, r.code) in live for r in codes.collect())
+
+
+def test_pq_adc_ranking_agrees_with_exact_cosine(spark):
+    """PQ ADC top-5 over SRP candidates must substantially overlap the
+    exact-cosine top-5 over the same candidates (16x-compressed codes
+    remain a faithful distance proxy on this corpus)."""
+    from pyspark.sql import functions as F
+
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.operators.similarity import pq_adc_topk
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, emb.where("vec_id % 25 = 0"), k=5).collect()
+    }
+    approx_rows = pq_adc_topk(emb, F.col("vec_id") % 25 == 0, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert len(approx_rows) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"pq-vs-exact-cosine candidate recall {recall}"
+    for r in approx_rows:
+        assert r.adc_dist >= 0.0

@@ -148,3 +148,28 @@ def test_bigram_logprob_interp_hand_computed(spark, tmp_path):
     assert out[1].n_bigrams == 2
     assert abs(out[1].avg_logprob - round(exp1, 6)) < 1e-9
     assert 2 not in out  # single-token doc has no bigram positions
+
+
+def test_source_kl_divergence_hand_computed(spark, tmp_path):
+    """Two sources: one matching the corpus distribution exactly has
+    KL = its own distribution vs pooled (small); a disjoint-vocabulary
+    source has KL = ln(pool/source token share) per token."""
+    import math
+
+    from label_maker_dask_spark.queries_text_ext import (
+        text_source_kl_divergence,
+    )
+
+    rows = [
+        Row(doc_id=0, text="a a b b", lang="en", source="s1", n_chars=7),
+        Row(doc_id=1, text="c c c c", lang="en", source="s2", n_chars=7),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    out = {r.source: r for r in text_source_kl_divergence(spark, sf).collect()}
+    # corpus: a=2, b=2, c=4, total 8.
+    # s1: p(a)=p(b)=1/2 vs corpus 1/4 -> KL = ln(2)
+    # s2: p(c)=1 vs corpus 1/2      -> KL = ln(2)
+    assert out["s1"].n_tokens == 4 and out["s2"].n_tokens == 4
+    assert abs(out["s1"].kl_to_corpus - round(math.log(2), 6)) < 1e-9
+    assert abs(out["s2"].kl_to_corpus - round(math.log(2), 6)) < 1e-9

@@ -138,6 +138,13 @@ PROBES = [
     "curation_repeat_upsample",
     "curation_quality_funnel",
     "stream_transitions_restart_replay",
+    # round-13: quantized ANN rescore, bigram LM, char entropy, seasonal LOO
+    "similarity_sq8_rescore_ann",
+    "text_bigram_logprob_interp",
+    "text_char_entropy",
+    "anomaly_seasonal_dow_residual",
+    "similarity_pq_adc_topk_ann",
+    "text_source_kl_divergence",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
