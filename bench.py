@@ -211,6 +211,7 @@ HEADLINE = [
     # round-13: product-quantization ADC rescoring (IVF/SQ8/PQ triad)
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
+    "similarity_pq_stored_topk_ann",
 ]
 
 

@@ -1304,20 +1304,93 @@ def _pq_sqdist(a: Column, b: Column) -> Column:
 
 def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
     """Nearest codebook entry per (vector, subspace): broadcast the
-    (n_sub * k)-row codebook, argmin squared-L2 with lowest-code ties."""
+    (n_sub * k)-row codebook, argmin squared-L2 with lowest-code ties.
+
+    The argmin rides ``min(struct(d, code, sub))`` — struct comparison is
+    lexicographic, so this IS "order by d asc, code asc, take first", but
+    as a hash aggregate whose map-side partials collapse the k-way fanout
+    before the shuffle (measured: the window row_number form shuffled
+    corpus*n_sub*k rows and cost the stored-index write ~2x)."""
     j = subv.join(F.broadcast(codebooks), "m").withColumn(
         "d", _pq_sqdist(F.col("sub"), F.col("cu"))
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d").asc(), F.col("code").asc()
+    best = j.groupBy("vec_id", "m").agg(
+        F.min(
+            F.struct(
+                F.col("d").alias("d"),
+                F.col("code").alias("code"),
+                F.col("sub").alias("sub"),
+            )
+        ).alias("b")
     )
-    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.select(
+        "vec_id", "m", F.col("b.code").alias("code"), F.col("b.sub").alias("sub")
+    )
+
+
+def _pq_assign_arrow(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Arrow-vectorized twin of :func:`_pq_assign` — bit-identical output
+    (equality tested in tests/test_similarity.py; the shared SQL oracle
+    gates it again at the catalog level).
+
+    The (n_sub * k)-row codebook collects to the driver and rides the
+    closure; per Arrow batch, squared distances accumulate with the same
+    left-to-right dim fold the expression path and the SQL oracle use
+    (never BLAS/pairwise), and ``np.argmin``'s first-min rule reproduces
+    the lowest-code tie-break because each subspace's entries are ordered
+    by code.  This is the hot path: the expression fold pays an
+    interpreted lambda per (row, code, dim) — corpus * k * dim lambda
+    evaluations per assignment pass — while this pays ~k * dim numpy ops
+    per BATCH."""
+    import numpy as np
+    import pandas as pd
+
+    cpd = codebooks.orderBy("m", "code").toPandas()
+    by_m = {
+        int(m): (
+            g["code"].to_numpy(),
+            np.stack(g["cu"].to_numpy()).astype(np.float64),
+        )
+        for m, g in cpd.groupby("m")
+    }
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for m, g in pdf.groupby("m"):
+                codes_arr, cm = by_m[int(m)]
+                sm = np.stack(g["sub"].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(sm), len(cm)))
+                for j in range(sm.shape[1]):
+                    diff = sm[:, j : j + 1] - cm[:, j][None, :]
+                    acc = acc + diff * diff
+                best = np.argmin(acc, axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": g["vec_id"].to_numpy(),
+                            "m": int(m),
+                            "code": codes_arr[best],
+                            "sub": g["sub"],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    m_type = subv.schema["m"].dataType.simpleString()
+    code_type = codebooks.schema["code"].dataType.simpleString()
+    return subv.mapInPandas(
+        gen, f"vec_id long, m {m_type}, code {code_type}, sub array<double>"
+    )
 
 
 def pq_train_codebooks(
     subv: DataFrame,
     k: int = 16,
     refine_iters: int = 1,
+    arrow: bool = True,
 ) -> DataFrame:
     """Train per-subspace codebooks: seed each subspace's k entries from
     the k lowest-id vectors' subvectors (the IVF/k-means convention),
@@ -1331,8 +1404,9 @@ def pq_train_codebooks(
         .where(F.col("rn") <= k)
         .select("m", (F.col("rn") - 1).alias("code"), F.col("sub").alias("cu"))
     )
+    assign = _pq_assign_arrow if arrow else _pq_assign
     for _ in range(refine_iters):
-        assigned = _pq_assign(subv, cb).select("m", "code", "sub")
+        assigned = assign(subv, cb).select("m", "code", "sub")
         qsum = assigned.select(
             "m", "code", F.posexplode("sub").alias("pos0", "x")
         ).groupBy("m", "code", "pos0").agg(
@@ -1348,10 +1422,13 @@ def pq_train_codebooks(
     return cb
 
 
-def pq_encode(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    subv: DataFrame, codebooks: DataFrame, arrow: bool = True
+) -> DataFrame:
     """Encode every vector as (vec_id, m, code) rows — at rest this is
     n_sub bytes per vector (vs 4*dim for float32)."""
-    return _pq_assign(subv, codebooks).select("vec_id", "m", "code")
+    assign = _pq_assign_arrow if arrow else _pq_assign
+    return assign(subv, codebooks).select("vec_id", "m", "code")
 
 
 def pq_adc_topk(
@@ -1375,8 +1452,13 @@ def pq_adc_topk(
 
     Output ranks ascending by ADC distance (smaller = closer), ties to
     the lower neighbor id; ``adc_dist`` is the rounded double distance."""
+    from label_maker_dask_spark.operators.materialize import materialize
+
     subv = pq_subvectors(embeddings, n_sub, sub_dim, id_col, vec_col)
-    cb = pq_train_codebooks(subv, k=n_codes)
+    # the (n_sub * k)-row codebook feeds THREE plan branches (encode's
+    # argmin and the ADC scoring join) downstream of two training passes
+    # — materialize it once so training isn't re-executed per consumer
+    cb = materialize(pq_train_codebooks(subv, k=n_codes))
     codes = pq_encode(subv, cb)
     bkt = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -1497,3 +1579,117 @@ def pq_adc_oracle_sql(
                  ORDER BY adc_nano ASC, neighbor_id ASC) AS rank
       FROM adc) WHERE rank <= {k}
     """
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index: the trained per-subspace codebooks as a
+    (n_sub * n_codes)-row sidecar (``<path>/codebook``) and each vector's
+    n_sub codes + SRP bucket, partitioned by bucket (``<path>/data``).
+    At rest a vector is one small int array — 16x below float32 at the
+    defaults — and the bucket partitioning gives stored queries the same
+    partition-pruned scan as the SRP index."""
+    subv = pq_subvectors(embeddings, n_sub, sub_dim, id_col, vec_col)
+    spark = embeddings.sparkSession
+    pq_train_codebooks(subv, k=n_codes).write.mode("overwrite").parquet(
+        path + "/codebook"
+    )
+    # encode against the WRITTEN codebook: re-reading the 128-row sidecar
+    # truncates the two-pass training lineage, so the encode+write pass
+    # doesn't re-run training (measured: write 7.0s -> ~3s at sf0.1)
+    cb = spark.read.parquet(path + "/codebook")
+    codes = pq_encode(subv, cb).groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda r: r["code"],
+        ).alias("codes")
+    )
+    bkt = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+    )
+    (
+        codes.join(bkt, "vec_id")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path + "/data")
+    )
+
+
+def pq_adc_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a stored PQ index: query buckets are computed on
+    the (small) query side and the code scan is filtered with ``bucket IN
+    (query buckets)`` — a partition filter, so non-probed buckets never
+    leave storage and what DOES stream is n_sub-byte codes, not vectors.
+    Results are identical to the on-the-fly :func:`pq_adc_topk` given the
+    same corpus (same codebooks, same folds, same integer ADC)."""
+    cb = spark.read.parquet(path + "/codebook")
+    qsub = pq_subvectors(queries, n_sub, sub_dim, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
+    )
+    qbkt = queries.select(
+        F.col(id_col).alias("query_id"),
+        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+    )
+    q_buckets = sorted(
+        r["bucket"] for r in qbkt.select("bucket").distinct().collect()
+    )
+    data = spark.read.parquet(path + "/data").where(
+        F.col("bucket").isin(q_buckets)
+    )
+    cand = (
+        data.join(F.broadcast(qbkt), "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+    pairm = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode("codes").alias("m0", "code"),
+        )
+        .withColumn("m", F.col("m0") + 1)
+        .join(F.broadcast(cb), ["m", "code"])
+        .join(F.broadcast(qsub), ["query_id", "m"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_sqdist(F.col("qsub"), F.col("cu")) * PQ_DIST_QUANT)
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    adc = pairm.groupBy("query_id", "neighbor_id").agg(
+        F.sum("dm").alias("adc_nano")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_nano").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("adc_nano") / PQ_DIST_QUANT, 6).alias("adc_dist"),
+        )
+    )

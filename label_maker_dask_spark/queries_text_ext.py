@@ -741,6 +741,31 @@ def text_source_kl_divergence(spark, sf_dir):
     )
 
 
+
+@register("similarity_pq_stored_topk_ann", _pq_adc_oracle())
+def similarity_pq_stored_topk_ann(spark, sf_dir):
+    """The STORED form of the PQ index (similarity.write_pq_index +
+    pq_adc_topk_stored): codebooks persist as a 128-row sidecar, vectors
+    persist as 8 one-byte codes partitioned by SRP bucket, and the query
+    path prunes non-probed buckets at the parquet scan — the at-rest
+    shape a 100 TB deployment runs (the float corpus is cold storage;
+    reads touch only probed buckets' codes).  Same oracle as
+    similarity_pq_adc_topk_ann, so the driver hash-match is the proof
+    that write-then-read returns exactly the on-the-fly results."""
+    from label_maker_dask_spark.operators.similarity import (
+        pq_adc_topk_stored,
+        write_pq_index,
+    )
+    from label_maker_dask_spark.queries_shared import session_tmpdir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = session_tmpdir("pq_index", "pq") + "/index"
+    write_pq_index(emb, path)
+    return pq_adc_topk_stored(
+        spark, path, emb.where(F.col("vec_id") % 25 == 0), k=5
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

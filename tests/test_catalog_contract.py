@@ -147,6 +147,7 @@ ROTATION_BACKLOG = [
     "anomaly_seasonal_dow_residual",
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
+    "similarity_pq_stored_topk_ann",
 ]
 
 

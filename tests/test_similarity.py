@@ -728,3 +728,71 @@ def test_pq_adc_ranking_agrees_with_exact_cosine(spark):
     assert recall >= 0.5, f"pq-vs-exact-cosine candidate recall {recall}"
     for r in approx_rows:
         assert r.adc_dist >= 0.0
+
+
+def test_pq_stored_index_matches_onthefly_and_prunes(spark, tmp_path):
+    """The stored PQ index returns exactly the on-the-fly results, and the
+    code scan carries a bucket partition filter (non-probed buckets never
+    leave storage)."""
+    from pyspark.sql import functions as F
+
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_stored,
+        write_pq_index,
+    )
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pq")
+    write_pq_index(emb, path)
+    queries = emb.where("vec_id % 25 = 0")
+    stored = pq_adc_topk_stored(spark, path, queries, k=5)
+    onthefly = pq_adc_topk(emb, F.col("vec_id") % 25 == 0, k=5)
+    srows = sorted(map(tuple, stored.collect()))
+    orows = sorted(map(tuple, onthefly.collect()))
+    assert srows == orows and len(srows) > 0
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan  # partition filter reaches the scan
+    # the sidecar is the (n_sub * n_codes)-row codebook
+    cb = spark.read.parquet(path + "/codebook")
+    assert cb.count() <= 8 * 16
+    # at rest each vector is its 8 codes + bucket, no float vectors
+    data = spark.read.parquet(path + "/data")
+    assert set(data.columns) == {"vec_id", "codes", "bucket"}
+
+
+def test_pq_arrow_assignment_bit_identical_to_expression(spark):
+    """The Arrow argmin path must equal the interpreted expression path
+    exactly — same folds, same lowest-code ties — on real embeddings
+    AND with a constructed exact tie."""
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.operators.similarity import (
+        _pq_assign,
+        _pq_assign_arrow,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    subv = pq_subvectors(emb)
+    cb = pq_train_codebooks(subv, k=16, refine_iters=0)
+    expr = sorted(
+        (r.vec_id, r.m, r.code) for r in _pq_assign(subv, cb).collect()
+    )
+    arrow = sorted(
+        (r.vec_id, r.m, r.code) for r in _pq_assign_arrow(subv, cb).collect()
+    )
+    assert expr == arrow and len(expr) == emb.count() * 8
+
+    # constructed tie: two identical codebook entries -> lowest code wins
+    dup = spark.createDataFrame(
+        [(1, 0, [0.0] * 8), (1, 1, [0.0] * 8), (1, 2, [9.0] * 8)],
+        "m int, code int, cu array<double>",
+    )
+    one = spark.createDataFrame(
+        [(7, 1, [0.0] * 8)], "vec_id long, m int, sub array<double>"
+    )
+    for fn in (_pq_assign, _pq_assign_arrow):
+        got = fn(one, dup).collect()
+        assert [(r.vec_id, r.m, r.code) for r in got] == [(7, 1, 0)]

@@ -145,6 +145,7 @@ PROBES = [
     "anomaly_seasonal_dow_residual",
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
+    "similarity_pq_stored_topk_ann",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
