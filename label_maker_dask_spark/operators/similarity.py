@@ -873,36 +873,41 @@ def _ivf_state_write(path: str, name: str, state: dict) -> None:
     os.replace(tmp, os.path.join(path, name))
 
 
-def _ivf_cell_inventory(path: str) -> dict:
+def _partition_inventory(path: str, prefix: str) -> dict:
     import os
 
     data = os.path.join(path, "data")
     inv = {}
     if os.path.isdir(data):
         for name in os.listdir(data):
-            if name.startswith("cell="):
+            if name.startswith(prefix):
                 inv[name] = sorted(os.listdir(os.path.join(data, name)))
     return inv
 
 
-def append_ivf_index_exactly_once(
-    new_embeddings: DataFrame,
+def _ivf_cell_inventory(path: str) -> dict:
+    return _partition_inventory(path, "cell=")
+
+
+def _append_index_exactly_once(
     path: str,
     batch_id: int,
-    run_id: Optional[str] = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    run_id,
+    inventory,
+    do_append,
+    what: str,
 ) -> bool:
-    """:func:`append_ivf_index` with replay safety — the building block of
-    the streaming index sink.  A bare append is NOT idempotent: replaying
-    a crashed micro-batch would append its vectors twice, silently
-    corrupting every subsequent query.  This wrapper brackets the append
-    with an intent record holding the PRE-append file inventory of every
-    cell: a replay that finds the intent deletes any file the inventory
-    doesn't list (the torn append's partials), then re-appends; a replay
-    of a fully-applied batch is skipped by the applied marker; a foreign
-    run id raises (batch ids reset with the checkpoint).  Returns True
-    when the batch was applied, False on an already-applied replay."""
+    """Shared replay-safety bracket for partitioned index appends (IVF
+    cells, PQ buckets).  A bare append is NOT idempotent: replaying a
+    crashed micro-batch would append its vectors twice, silently
+    corrupting every subsequent query.  The append is bracketed with an
+    intent record holding the PRE-append file inventory of every
+    partition: a replay that finds the intent deletes any file the
+    inventory doesn't list (the torn append's partials), then
+    re-appends; a replay of a fully-applied batch is skipped by the
+    applied marker; a foreign run id raises (batch ids reset with the
+    checkpoint).  Returns True when the batch was applied, False on an
+    already-applied replay."""
     import os
     import shutil
 
@@ -913,7 +918,7 @@ def append_ivf_index_exactly_once(
         and applied.get("run") != run_id
     ):
         raise ValueError(
-            f"ivf append: index {path!r} was maintained by a different "
+            f"{what} append: index {path!r} was maintained by a different "
             f"stream run ({applied.get('run')!r}, this run {run_id!r}); "
             "recreate index and checkpoint together."
         )
@@ -923,9 +928,9 @@ def append_ivf_index_exactly_once(
     if intent is not None:
         if int(intent.get("batch", -1)) == batch_id:
             # torn append of THIS batch: remove its partial files
-            for cell, files in _ivf_cell_inventory(path).items():
-                keep = set(intent.get("existing", {}).get(cell, []))
-                cdir = os.path.join(path, "data", cell)
+            for part, files in inventory().items():
+                keep = set(intent.get("existing", {}).get(part, []))
+                cdir = os.path.join(path, "data", part)
                 for f in files:
                     if f not in keep:
                         fp = os.path.join(cdir, f)
@@ -938,13 +943,33 @@ def append_ivf_index_exactly_once(
     _ivf_state_write(
         path,
         "_lmds_appending",
-        {"run": run_id, "batch": batch_id,
-         "existing": _ivf_cell_inventory(path)},
+        {"run": run_id, "batch": batch_id, "existing": inventory()},
     )
-    append_ivf_index(new_embeddings, path, id_col, vec_col)
+    do_append()
     _ivf_state_write(path, "_lmds_applied", {"run": run_id, "batch": batch_id})
     os.remove(os.path.join(path, "_lmds_appending"))
     return True
+
+
+def append_ivf_index_exactly_once(
+    new_embeddings: DataFrame,
+    path: str,
+    batch_id: int,
+    run_id: Optional[str] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """:func:`append_ivf_index` under the shared replay-safety bracket
+    (:func:`_append_index_exactly_once`) — the building block of the
+    streaming index sink."""
+    return _append_index_exactly_once(
+        path,
+        batch_id,
+        run_id,
+        lambda: _ivf_cell_inventory(path),
+        lambda: append_ivf_index(new_embeddings, path, id_col, vec_col),
+        "ivf",
+    )
 
 
 def stream_embeddings_to_ivf_index(
@@ -1693,3 +1718,100 @@ def pq_adc_topk_stored(
             F.round(F.col("adc_nano") / PQ_DIST_QUANT, 6).alias("adc_dist"),
         )
     )
+
+
+def append_pq_index(
+    new_embeddings: DataFrame,
+    path: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a stored PQ index WITHOUT retraining:
+    new rows are encoded under the index's *existing* codebooks (the
+    sidecar is read, never recomputed — the PQ analogue of IVF's frozen
+    coarse quantizer) and appended as new files inside their bucket
+    partitions.  Queries against the appended index equal queries against
+    the union encoded under the same codebooks, because encoding and ADC
+    depend only on the codebooks — which this operation never changes.
+    Codebook drift under a shifting corpus is handled by a REBUILD
+    (write_pq_index on the union), the same policy trade as IVF's
+    rebalance; per-bucket small-file accumulation compacts with
+    ``sources.layout.compact_small_files``."""
+    spark = new_embeddings.sparkSession
+    cb = spark.read.parquet(path + "/codebook")
+    subv = pq_subvectors(new_embeddings, n_sub, sub_dim, id_col, vec_col)
+    codes = pq_encode(subv, cb).groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda r: r["code"],
+        ).alias("codes")
+    )
+    bkt = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+    )
+    (
+        codes.join(bkt, "vec_id")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(path + "/data")
+    )
+
+
+def append_pq_index_exactly_once(
+    new_embeddings: DataFrame,
+    path: str,
+    batch_id: int,
+    run_id=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """:func:`append_pq_index` under the shared replay-safety bracket
+    (:func:`_append_index_exactly_once`, bucket partitions)."""
+    return _append_index_exactly_once(
+        path,
+        batch_id,
+        run_id,
+        lambda: _partition_inventory(path, "bucket="),
+        lambda: append_pq_index(
+            new_embeddings, path, id_col=id_col, vec_col=vec_col
+        ),
+        "pq",
+    )
+
+
+def stream_embeddings_to_pq_index(
+    new_embeddings: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Continuously grow a stored PQ index from an embedding stream: each
+    micro-batch encodes under the frozen codebooks and appends
+    exactly-once (:func:`append_pq_index_exactly_once`) — the PQ half of
+    the index-maintenance loop (the IVF twin adds drift-triggered
+    rebalance; PQ drift policy is rebuild, see :func:`append_pq_index`)."""
+    from label_maker_dask_spark.streaming.upsert import ensure_run_id
+
+    run_id = ensure_run_id(checkpoint)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_pq_index_exactly_once(
+            batch, path, batch_id, run_id, id_col, vec_col
+        )
+
+    writer = (
+        new_embeddings.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

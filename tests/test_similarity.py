@@ -796,3 +796,116 @@ def test_pq_arrow_assignment_bit_identical_to_expression(spark):
     for fn in (_pq_assign, _pq_assign_arrow):
         got = fn(one, dup).collect()
         assert [(r.vec_id, r.m, r.code) for r in got] == [(7, 1, 0)]
+
+
+def test_pq_append_composes_and_replays_exactly_once(spark, tmp_path):
+    """Appending in one step vs two sub-batches yields identical stored
+    queries (frozen-codebook encode composes); a replayed batch id is
+    skipped; a torn append's partial files are removed on replay; a
+    foreign run id raises."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        _ivf_state_read,
+        _ivf_state_write,
+        append_pq_index,
+        append_pq_index_exactly_once,
+        pq_adc_topk_stored,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half1 = emb.where(F.col("vec_id") < 250)
+    h2a = emb.where((F.col("vec_id") >= 250) & (F.col("vec_id") < 400))
+    h2b = emb.where(F.col("vec_id") >= 400)
+    queries = emb.where("vec_id % 25 = 0")
+
+    one = str(tmp_path / "one")
+    write_pq_index(half1, one)
+    append_pq_index(h2a.unionByName(h2b), one)
+
+    two = str(tmp_path / "two")
+    write_pq_index(half1, two)
+    assert append_pq_index_exactly_once(h2a, two, 1, "run-a")
+    assert append_pq_index_exactly_once(h2b, two, 2, "run-a")
+    a = sorted(map(tuple, pq_adc_topk_stored(spark, one, queries).collect()))
+    b = sorted(map(tuple, pq_adc_topk_stored(spark, two, queries).collect()))
+    assert a == b and len(a) > 0
+
+    # replay of an applied batch: skipped, index unchanged
+    before = sorted(map(tuple, pq_adc_topk_stored(spark, two, queries).collect()))
+    assert not append_pq_index_exactly_once(h2b, two, 2, "run-a")
+    after = sorted(map(tuple, pq_adc_topk_stored(spark, two, queries).collect()))
+    assert before == after
+
+    # torn append: fake an intent for batch 3 with the CURRENT inventory,
+    # then drop an alien partial file into a bucket dir; the replay must
+    # remove it before re-appending
+    from label_maker_dask_spark.operators.similarity import (
+        _partition_inventory,
+    )
+
+    _ivf_state_write(
+        two, "_lmds_appending",
+        {"run": "run-a", "batch": 3,
+         "existing": _partition_inventory(two, "bucket=")},
+    )
+    bucket_dir = next(
+        d for d in os.listdir(os.path.join(two, "data"))
+        if d.startswith("bucket=")
+    )
+    partial = os.path.join(two, "data", bucket_dir, "part-torn.parquet")
+    open(partial, "w").write("junk")
+    assert append_pq_index_exactly_once(h2b.limit(0).unionByName(h2a.limit(5)), two, 3, "run-a")
+    assert not os.path.exists(partial)
+
+    # foreign run id: batch ids reset with the checkpoint -> refuse
+    with _pytest.raises(ValueError, match="different stream run"):
+        append_pq_index_exactly_once(h2a, two, 4, "run-b")
+    assert _ivf_state_read(two, "_lmds_applied")["run"] == "run-a"
+
+
+def test_streaming_pq_maintenance_matches_oneshot(spark, tmp_path):
+    """The streaming PQ sink equals a one-shot append of the same vectors
+    (frozen codebooks, exactly-once batches)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        append_pq_index,
+        pq_adc_topk_stored,
+        stream_embeddings_to_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo = emb.where(F.col("vec_id") < 100)
+    mid = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 300))
+    hi = emb.where(F.col("vec_id") >= 300)
+    queries = emb.where("vec_id % 25 = 0")
+
+    streamed = str(tmp_path / "streamed")
+    write_pq_index(lo, streamed)
+    feed = str(tmp_path / "feed")
+    mid.coalesce(1).write.mode("append").parquet(feed)
+    _time.sleep(1.1)
+    hi.coalesce(1).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stream_embeddings_to_pq_index(stream, streamed, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    oneshot = str(tmp_path / "oneshot")
+    write_pq_index(lo, oneshot)
+    append_pq_index(mid.unionByName(hi), oneshot)
+
+    a = sorted(map(tuple, pq_adc_topk_stored(spark, streamed, queries).collect()))
+    b = sorted(map(tuple, pq_adc_topk_stored(spark, oneshot, queries).collect()))
+    assert a == b and len(a) > 0
