@@ -212,6 +212,12 @@ HEADLINE = [
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
     "similarity_pq_stored_topk_ann",
+    # stream_pq_index_replay is driver-gated and scaling-probed but NOT
+    # benched: its cell would be ~10s of one-time index-BUILD machinery
+    # (bootstrap codebook train + 222-dir partitioned write) repeated
+    # per bench pass — a fixed build cost, not a query-path regression
+    # signal (the query path is covered by the two PQ entries above;
+    # the append path by the probe's sf sweep).
 ]
 
 

@@ -1538,10 +1538,15 @@ def pq_adc_oracle_sql(
     sub_dim: int = 8,
     n_codes: int = 16,
     dim: int = 64,
+    corpus_pred: str = "TRUE",
+    train_pred: str = "TRUE",
 ) -> str:
     """DuckDB twin of :func:`pq_adc_topk` — unrolls seed init, one Lloyd
     refinement with the same integer-quantized means, encoding, the SRP
-    candidate join, and the integer-quantized ADC sum."""
+    candidate join, and the integer-quantized ADC sum.  ``corpus_pred``
+    restricts the indexed corpus; ``train_pred`` restricts which corpus
+    rows TRAIN the codebooks (the incremental-maintenance contract:
+    appended vectors encode under codebooks they never trained)."""
     sq = (
         f"list_reduce(list_transform(generate_series(1, {sub_dim}), "
         "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x,y) -> x + y)"
@@ -1549,18 +1554,20 @@ def pq_adc_oracle_sql(
     return f"""
     WITH subv AS (
       SELECT vec_id, m, v[(m-1)*{sub_dim}+1 : m*{sub_dim}] AS sub
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE {corpus_pred})
       CROSS JOIN (SELECT unnest(generate_series(1, {n_sub})) AS m)),
+    tsub AS (SELECT * FROM subv WHERE {train_pred}),
     init AS (
       SELECT m, rn - 1 AS code, sub AS cu FROM (
         SELECT m, sub, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-        FROM subv) WHERE rn <= {n_codes}),
+        FROM tsub) WHERE rn <= {n_codes}),
     a0 AS (
       SELECT vec_id, m, code, sub FROM (
         SELECT s.vec_id, s.m, i.code, s.sub,
                row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
                  {sq.format(a='s.sub', b='i.cu')} ASC, i.code ASC) AS rn
-        FROM subv s JOIN init i USING (m)) WHERE rn = 1),
+        FROM tsub s JOIN init i USING (m)) WHERE rn = 1),
     qsum AS (
       SELECT m, code, pos,
              sum(CAST(round(sub[pos] * {PQ_MEAN_QUANT}) AS BIGINT)) AS s,
@@ -1580,7 +1587,7 @@ def pq_adc_oracle_sql(
                  {sq.format(a='s.sub', b='c.cu')} ASC, c.code ASC) AS rn
         FROM subv s JOIN cb1 c USING (m)) WHERE rn = 1),
     bkt AS (SELECT vec_id, {srp_bucket_sql('embedding', dim=dim)} AS bucket
-            FROM embeddings),
+            FROM embeddings WHERE {corpus_pred}),
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
@@ -1643,6 +1650,10 @@ def write_pq_index(
     )
     (
         codes.join(bkt, "vec_id")
+        # cluster rows by bucket before the dynamic-partition write: each
+        # bucket directory is then written by exactly one task (one file,
+        # no cross-task handle fanout)
+        .repartition(F.col("bucket"))
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(path + "/data")
@@ -1666,6 +1677,8 @@ def pq_adc_topk_stored(
     leave storage and what DOES stream is n_sub-byte codes, not vectors.
     Results are identical to the on-the-fly :func:`pq_adc_topk` given the
     same corpus (same codebooks, same folds, same integer ADC)."""
+    import os
+
     cb = spark.read.parquet(path + "/codebook")
     qsub = pq_subvectors(queries, n_sub, sub_dim, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
@@ -1679,7 +1692,19 @@ def pq_adc_topk_stored(
     )
     data = spark.read.parquet(path + "/data").where(
         F.col("bucket").isin(q_buckets)
-    )
+    ).select("vec_id", "codes", "bucket")
+    delta_dir = os.path.join(path, "data", "_delta")
+    if os.path.isdir(delta_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(delta_dir)
+    ):
+        # the append delta zone (underscore-prefixed: invisible to the
+        # base read above).  Bucket pruning here is parquet row-group
+        # stats (deltas are bucket-sorted), not directory pruning —
+        # compact_pq_index restores full partition pruning.
+        delta = spark.read.parquet(delta_dir).where(
+            F.col("bucket").isin(q_buckets)
+        ).select("vec_id", "codes", "bucket")
+        data = data.unionByName(delta)
     cand = (
         data.join(F.broadcast(qbkt), "bucket")
         .where(F.col("query_id") != F.col("vec_id"))
@@ -1732,14 +1757,22 @@ def append_pq_index(
     """Incrementally add vectors to a stored PQ index WITHOUT retraining:
     new rows are encoded under the index's *existing* codebooks (the
     sidecar is read, never recomputed — the PQ analogue of IVF's frozen
-    coarse quantizer) and appended as new files inside their bucket
-    partitions.  Queries against the appended index equal queries against
-    the union encoded under the same codebooks, because encoding and ADC
-    depend only on the codebooks — which this operation never changes.
+    coarse quantizer) and land in the DELTA ZONE (``data/_delta``, the
+    LSM shape): one bucket-sorted file per append instead of a write
+    into every touched bucket partition (measured: the per-partition
+    append paid ~220 directory writes for a few hundred rows — 3.1 s of
+    machinery per micro-batch at bench scale; the delta file pays one).
+    Readers union the partition-pruned base with the delta zone (the
+    bucket sort gives parquet row-group stats, so bucket predicates
+    skip within the delta files too); :func:`compact_pq_index` folds
+    accumulated deltas into the bucket partitions crash-safely.
+
+    Queries against the appended index equal queries against the union
+    encoded under the same codebooks, because encoding and ADC depend
+    only on the codebooks — which this operation never changes.
     Codebook drift under a shifting corpus is handled by a REBUILD
     (write_pq_index on the union), the same policy trade as IVF's
-    rebalance; per-bucket small-file accumulation compacts with
-    ``sources.layout.compact_small_files``."""
+    rebalance."""
     spark = new_embeddings.sparkSession
     cb = spark.read.parquet(path + "/codebook")
     subv = pq_subvectors(new_embeddings, n_sub, sub_dim, id_col, vec_col)
@@ -1755,10 +1788,91 @@ def append_pq_index(
     )
     (
         codes.join(bkt, "vec_id")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .parquet(path + "/data/_delta")
+    )
+
+
+def _pq_delta_inventory(path: str) -> dict:
+    import os
+
+    d = os.path.join(path, "data", "_delta")
+    if not os.path.isdir(d):
+        return {}
+    return {"_delta": sorted(os.listdir(d))}
+
+
+def recover_pq_compaction(path: str) -> None:
+    """Finish or roll back a torn :func:`compact_pq_index`.  Two torn
+    states are possible, each marked: ``_lmds_compacting`` (fold
+    incomplete — remove base files the intent's inventory doesn't list;
+    the delta files are still intact, so the fold simply reruns) and
+    ``_lmds_compacted`` (fold complete, delta deletion incomplete —
+    delete the listed delta files; idempotent).  Called automatically by
+    :func:`compact_pq_index`; call directly before serving reads after a
+    crash mid-compaction."""
+    import os
+    import shutil
+
+    intent = _ivf_state_read(path, "_lmds_compacting")
+    if intent is not None:
+        for part, files in _partition_inventory(path, "bucket=").items():
+            keep = set(intent.get("existing", {}).get(part, []))
+            cdir = os.path.join(path, "data", part)
+            for f in files:
+                if f not in keep:
+                    fp = os.path.join(cdir, f)
+                    (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
+            if not keep and not os.listdir(cdir):
+                os.rmdir(cdir)
+        os.remove(os.path.join(path, "_lmds_compacting"))
+    applied = _ivf_state_read(path, "_lmds_compacted")
+    if applied is not None:
+        ddir = os.path.join(path, "data", "_delta")
+        for f in applied.get("deltas", []):
+            fp = os.path.join(ddir, f)
+            if os.path.exists(fp):
+                os.remove(fp)
+        os.remove(os.path.join(path, "_lmds_compacted"))
+
+
+def compact_pq_index(spark, path: str) -> int:
+    """Fold the delta zone into the bucket partitions — the maintenance
+    job that keeps stored reads partition-pruned as appends accumulate.
+    Crash-safe in every window: an intent written BEFORE the fold holds
+    the pre-fold base inventory (a torn fold's partials are removed and
+    the fold reruns — delta files are never touched until the fold is
+    complete), and a completion record written BEFORE delta deletion
+    makes the deletion idempotent.  Returns the number of delta files
+    folded (0 = nothing to do)."""
+    import os
+
+    recover_pq_compaction(path)
+    deltas = _pq_delta_inventory(path).get("_delta", [])
+    data_files = [f for f in deltas if not f.startswith(("_", "."))]
+    if not data_files:
+        return 0
+    _ivf_state_write(
+        path,
+        "_lmds_compacting",
+        {"existing": _partition_inventory(path, "bucket=")},
+    )
+    ddir = os.path.join(path, "data", "_delta")
+    (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in data_files])
         .write.partitionBy("bucket")
         .mode("append")
         .parquet(path + "/data")
     )
+    os.remove(os.path.join(path, "_lmds_compacting"))
+    _ivf_state_write(path, "_lmds_compacted", {"deltas": deltas})
+    for f in deltas:
+        fp = os.path.join(ddir, f)
+        if os.path.exists(fp):
+            os.remove(fp)
+    os.remove(os.path.join(path, "_lmds_compacted"))
+    return len(data_files)
 
 
 def append_pq_index_exactly_once(
@@ -1775,7 +1889,7 @@ def append_pq_index_exactly_once(
         path,
         batch_id,
         run_id,
-        lambda: _partition_inventory(path, "bucket="),
+        lambda: _pq_delta_inventory(path),
         lambda: append_pq_index(
             new_embeddings, path, id_col=id_col, vec_col=vec_col
         ),

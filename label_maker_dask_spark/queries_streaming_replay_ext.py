@@ -2177,6 +2177,57 @@ def stream_transitions_hotkey_replay(
     return out.groupBy("src", "dst").agg(F.sum("w").alias("w"))
 
 
+
+def _pq_stream_oracle():
+    from label_maker_dask_spark.operators.similarity import pq_adc_oracle_sql
+
+    return pq_adc_oracle_sql(
+        "vec_id % 50 = 0",
+        corpus_pred="vec_id % 2 = 0",
+        train_pred="vec_id % 8 = 0",
+    )
+
+
+@register("stream_pq_index_replay", _pq_stream_oracle())
+def stream_pq_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index's streaming-maintenance loop under the value-hash
+    gate: the codebooks train on the 1-in-8 bootstrap slice
+    (``write_pq_index``), three micro-batches of NEW vectors then flow
+    through the real exactly-once append sink
+    (``stream_embeddings_to_pq_index``: frozen codebooks, intent/
+    inventory replay bracket), and the maintained index answers the
+    stored ADC query.  The oracle replays training ON THE BOOTSTRAP
+    SLICE ONLY and encoding on the full ingested corpus — so a sink that
+    retrains per batch, re-appends a replayed batch, or drops a
+    micro-batch hash-mismatches.  Corpus sliced 1-in-2 (the stream-twin
+    slicing convention; the theorem is slice-invariant)."""
+    from label_maker_dask_spark.operators.similarity import (
+        pq_adc_topk_stored,
+        stream_embeddings_to_pq_index,
+        write_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    boot = emb.where(F.col("vec_id") % 8 == 0)
+    rest = emb.where(F.col("vec_id") % 8 != 0)
+    batches = [rest.where(F.col("vec_id") % 6 == i) for i in (0, 2, 4)]
+
+    def sink(stream, base, ckpt):
+        write_pq_index(boot, base)
+        return stream_embeddings_to_pq_index(stream, base, ckpt)
+
+    base = _drive_replay(
+        spark,
+        batches,
+        "vec_id long, embedding array<float>",
+        sink,
+        "stream_pq_index_replay",
+    )
+    return pq_adc_topk_stored(
+        spark, base, emb.where(F.col("vec_id") % 50 == 0), k=5
+    )
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

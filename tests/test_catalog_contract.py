@@ -148,6 +148,7 @@ ROTATION_BACKLOG = [
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
     "similarity_pq_stored_topk_ann",
+    "stream_pq_index_replay",
 ]
 
 

@@ -842,22 +842,18 @@ def test_pq_append_composes_and_replays_exactly_once(spark, tmp_path):
     assert before == after
 
     # torn append: fake an intent for batch 3 with the CURRENT inventory,
-    # then drop an alien partial file into a bucket dir; the replay must
-    # remove it before re-appending
+    # then drop an alien partial file into the delta zone; the replay
+    # must remove it before re-appending
     from label_maker_dask_spark.operators.similarity import (
-        _partition_inventory,
+        _pq_delta_inventory,
     )
 
     _ivf_state_write(
         two, "_lmds_appending",
         {"run": "run-a", "batch": 3,
-         "existing": _partition_inventory(two, "bucket=")},
+         "existing": _pq_delta_inventory(two)},
     )
-    bucket_dir = next(
-        d for d in os.listdir(os.path.join(two, "data"))
-        if d.startswith("bucket=")
-    )
-    partial = os.path.join(two, "data", bucket_dir, "part-torn.parquet")
+    partial = os.path.join(two, "data", "_delta", "part-torn.parquet")
     open(partial, "w").write("junk")
     assert append_pq_index_exactly_once(h2b.limit(0).unionByName(h2a.limit(5)), two, 3, "run-a")
     assert not os.path.exists(partial)
@@ -909,3 +905,63 @@ def test_streaming_pq_maintenance_matches_oneshot(spark, tmp_path):
     a = sorted(map(tuple, pq_adc_topk_stored(spark, streamed, queries).collect()))
     b = sorted(map(tuple, pq_adc_topk_stored(spark, oneshot, queries).collect()))
     assert a == b and len(a) > 0
+
+
+def test_pq_compaction_folds_delta_and_recovers(spark, tmp_path):
+    """compact_pq_index folds the delta zone into bucket partitions with
+    identical query results; a torn fold (intent present, partial base
+    files) rolls back and reruns; a torn delete (completion record
+    present) finishes idempotently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        _ivf_state_read,
+        _ivf_state_write,
+        _partition_inventory,
+        _pq_delta_inventory,
+        append_pq_index,
+        compact_pq_index,
+        pq_adc_topk_stored,
+        recover_pq_compaction,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id % 25 = 0")
+    idx = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") < 300), idx)
+    append_pq_index(emb.where(F.col("vec_id") >= 300), idx)
+    assert _pq_delta_inventory(idx)  # delta zone populated
+
+    before = sorted(map(tuple, pq_adc_topk_stored(spark, idx, queries).collect()))
+    n = compact_pq_index(spark, idx)
+    assert n > 0
+    assert not _pq_delta_inventory(idx).get("_delta")
+    after = sorted(map(tuple, pq_adc_topk_stored(spark, idx, queries).collect()))
+    assert before == after and len(after) > 0
+    assert compact_pq_index(spark, idx) == 0  # nothing left to fold
+
+    # torn fold: append more, then fake an intent + alien base partial
+    append_pq_index(emb.where(F.col("vec_id") < 50), idx)
+    _ivf_state_write(
+        idx, "_lmds_compacting",
+        {"existing": _partition_inventory(idx, "bucket=")},
+    )
+    bdir = next(
+        d for d in os.listdir(os.path.join(idx, "data"))
+        if d.startswith("bucket=")
+    )
+    partial = os.path.join(idx, "data", bdir, "part-torn.parquet")
+    open(partial, "w").write("junk")
+    assert compact_pq_index(spark, idx) > 0  # recovery removed the partial
+    assert not os.path.exists(partial)
+
+    # torn delete: completion record listing a still-present delta file
+    append_pq_index(emb.where(F.col("vec_id") < 20), idx)
+    leftover = _pq_delta_inventory(idx)["_delta"]
+    _ivf_state_write(idx, "_lmds_compacted", {"deltas": leftover})
+    recover_pq_compaction(idx)
+    assert not _pq_delta_inventory(idx).get("_delta")
+    assert _ivf_state_read(idx, "_lmds_compacted") is None

@@ -146,6 +146,7 @@ PROBES = [
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
     "similarity_pq_stored_topk_ann",
+    "stream_pq_index_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
