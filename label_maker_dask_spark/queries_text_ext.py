@@ -766,6 +766,73 @@ def similarity_pq_stored_topk_ann(spark, sf_dir):
     )
 
 
+
+def _srp_skew_oracle():
+    from label_maker_dask_spark.operators.similarity import srp_bucket_sql
+
+    return f"""
+    WITH b AS (SELECT {srp_bucket_sql("embedding")} AS bucket FROM embeddings),
+    c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS nbuckets,
+                 CAST(sum(n * n) AS BIGINT) AS pairwork FROM c),
+    top AS (SELECT bucket, n FROM c ORDER BY n DESC, bucket ASC LIMIT 20),
+    r AS (SELECT bucket, n,
+                 row_number() OVER (ORDER BY n DESC, bucket ASC) AS rank
+          FROM top)
+    SELECT rank, bucket, CAST(n AS BIGINT) AS n_vectors,
+           round(n * 1.0 / tot, 6) AS share,
+           round(n * n * 1.0 / pairwork, 6) AS pairwork_share,
+           nbuckets AS n_buckets
+    FROM r, t
+    """
+
+
+@register("profile_srp_bucket_skew", _srp_skew_oracle())
+def profile_srp_bucket_skew(spark, sf_dir):
+    """LSH bucket-skew profiler: the 20 heaviest SRP buckets with each
+    one's occupancy share AND pair-work share (n_b^2 / sum n^2 — the
+    fraction of the candidate join's pairwise cost that single bucket
+    owns).  This is the pre-flight audit for every SRP-bucketed operator
+    in the catalog (lsh_topk, sq8/pq rescoring, embedding near-dup): LSH
+    candidate cost is sum-of-squares over bucket occupancy, so a bucket
+    holding 5% of a 100 TB corpus owns ~60x its share of the join — the
+    signal to raise n_planes, add multi-probe, or route that bucket
+    through a capped/salted path BEFORE the job runs, exactly as
+    profile_join_key_skew_lineitem informs the relational join choice.
+
+    Scale shape: one map-side-collapsing count per bucket (<=256 groups),
+    a 3-field broadcast total, TakeOrdered top-20; the bucket expression
+    itself is the deterministic integer-arithmetic SRP fold."""
+    from label_maker_dask_spark.operators.similarity import srp_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    counts = emb.select(srp_bucket(F.col("embedding")).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("nbuckets"),
+        F.sum(F.col("n") * F.col("n")).alias("pairwork"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("bucket").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("bucket").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "bucket",
+            F.col("n").alias("n_vectors"),
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+            F.round(F.col("n") * F.col("n") / F.col("pairwork"), 6).alias(
+                "pairwork_share"
+            ),
+            F.col("nbuckets").alias("n_buckets"),
+        )
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

@@ -149,6 +149,7 @@ ROTATION_BACKLOG = [
     "text_source_kl_divergence",
     "similarity_pq_stored_topk_ann",
     "stream_pq_index_replay",
+    "profile_srp_bucket_skew",
 ]
 
 

@@ -147,6 +147,7 @@ PROBES = [
     "text_source_kl_divergence",
     "similarity_pq_stored_topk_ann",
     "stream_pq_index_replay",
+    "profile_srp_bucket_skew",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
