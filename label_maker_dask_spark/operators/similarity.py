@@ -1404,10 +1404,12 @@ def _pq_assign_arrow(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
                 )
             yield pd.concat(out)
 
+    id_type = subv.schema["vec_id"].dataType.simpleString()
     m_type = subv.schema["m"].dataType.simpleString()
     code_type = codebooks.schema["code"].dataType.simpleString()
     return subv.mapInPandas(
-        gen, f"vec_id long, m {m_type}, code {code_type}, sub array<double>"
+        gen,
+        f"vec_id {id_type}, m {m_type}, code {code_type}, sub array<double>",
     )
 
 
@@ -1454,6 +1456,67 @@ def pq_encode(
     n_sub bytes per vector (vs 4*dim for float32)."""
     assign = _pq_assign_arrow if arrow else _pq_assign
     return assign(subv, codebooks).select("vec_id", "m", "code")
+
+
+def _pq_geometry(codebooks: DataFrame) -> tuple:
+    """(n_sub, sub_dim, dim) derived from a codebook frame — the stored
+    sidecar is the source of truth for index geometry, so maintenance
+    and stored-query paths can never encode with mismatched defaults."""
+    row = codebooks.select(
+        F.max("m").alias("n_sub"), F.max(F.size("cu")).alias("sub_dim")
+    ).collect()[0]
+    n_sub, sub_dim = int(row["n_sub"]), int(row["sub_dim"])
+    return n_sub, sub_dim, n_sub * sub_dim
+
+
+def _pq_pack_codes(
+    embeddings: DataFrame,
+    cb: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Encode under ``cb`` and pack to the at-rest row shape
+    (vec_id, codes array ordered by subspace, SRP bucket) — the ONE
+    definition of the stored layout, shared by the index build and the
+    delta append so base and delta rows can never diverge."""
+    subv = pq_subvectors(embeddings, n_sub, sub_dim, id_col, vec_col)
+    codes = pq_encode(subv, cb).groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda r: r["code"],
+        ).alias("codes")
+    )
+    bkt = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+    )
+    return codes.join(bkt, "vec_id")
+
+
+def _pq_rank_adc(pairm: DataFrame, k: int) -> DataFrame:
+    """Shared ADC tail: order-free integer cross-subspace sum, rank
+    ascending by distance with lower-id ties, emit the rounded double
+    distance.  One definition — the on-the-fly and stored paths MUST
+    rank identically or the catalog gate's hash-equality breaks."""
+    adc = pairm.groupBy("query_id", "neighbor_id").agg(
+        F.sum("dm").alias("adc_nano")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_nano").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("adc_nano") / PQ_DIST_QUANT, 6).alias("adc_dist"),
+        )
+    )
 
 
 def pq_adc_topk(
@@ -1513,22 +1576,7 @@ def pq_adc_topk(
             .alias("dm"),
         )
     )
-    adc = pairm.groupBy("query_id", "neighbor_id").agg(
-        F.sum("dm").alias("adc_nano")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_nano").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round(F.col("adc_nano") / PQ_DIST_QUANT, 6).alias("adc_dist"),
-        )
-    )
+    return _pq_rank_adc(pairm, k)
 
 
 def pq_adc_oracle_sql(
@@ -1638,18 +1686,8 @@ def write_pq_index(
     # truncates the two-pass training lineage, so the encode+write pass
     # doesn't re-run training (measured: write 7.0s -> ~3s at sf0.1)
     cb = spark.read.parquet(path + "/codebook")
-    codes = pq_encode(subv, cb).groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "code"))),
-            lambda r: r["code"],
-        ).alias("codes")
-    )
-    bkt = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
-    )
     (
-        codes.join(bkt, "vec_id")
+        _pq_pack_codes(embeddings, cb, n_sub, sub_dim, dim, id_col, vec_col)
         # cluster rows by bucket before the dynamic-partition write: each
         # bucket directory is then written by exactly one task (one file,
         # no cross-task handle fanout)
@@ -1665,9 +1703,6 @@ def pq_adc_topk_stored(
     path: str,
     queries: DataFrame,
     k: int = 5,
-    n_sub: int = 8,
-    sub_dim: int = 8,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1675,11 +1710,14 @@ def pq_adc_topk_stored(
     the (small) query side and the code scan is filtered with ``bucket IN
     (query buckets)`` — a partition filter, so non-probed buckets never
     leave storage and what DOES stream is n_sub-byte codes, not vectors.
-    Results are identical to the on-the-fly :func:`pq_adc_topk` given the
-    same corpus (same codebooks, same folds, same integer ADC)."""
+    Index geometry (n_sub, sub_dim, dim) is derived from the stored
+    codebook sidecar, never assumed.  Results are identical to the
+    on-the-fly :func:`pq_adc_topk` given the same corpus (same
+    codebooks, same folds, same integer ADC)."""
     import os
 
     cb = spark.read.parquet(path + "/codebook")
+    n_sub, sub_dim, dim = _pq_geometry(cb)
     qsub = pq_subvectors(queries, n_sub, sub_dim, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
     )
@@ -1727,30 +1765,12 @@ def pq_adc_topk_stored(
             .alias("dm"),
         )
     )
-    adc = pairm.groupBy("query_id", "neighbor_id").agg(
-        F.sum("dm").alias("adc_nano")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_nano").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.round(F.col("adc_nano") / PQ_DIST_QUANT, 6).alias("adc_dist"),
-        )
-    )
+    return _pq_rank_adc(pairm, k)
 
 
 def append_pq_index(
     new_embeddings: DataFrame,
     path: str,
-    n_sub: int = 8,
-    sub_dim: int = 8,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -1772,22 +1792,14 @@ def append_pq_index(
     only on the codebooks — which this operation never changes.
     Codebook drift under a shifting corpus is handled by a REBUILD
     (write_pq_index on the union), the same policy trade as IVF's
-    rebalance."""
+    rebalance.  Geometry (n_sub, sub_dim, dim) comes from the stored
+    sidecar — an index built with non-default geometry appends
+    correctly without the caller restating it."""
     spark = new_embeddings.sparkSession
     cb = spark.read.parquet(path + "/codebook")
-    subv = pq_subvectors(new_embeddings, n_sub, sub_dim, id_col, vec_col)
-    codes = pq_encode(subv, cb).groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "code"))),
-            lambda r: r["code"],
-        ).alias("codes")
-    )
-    bkt = new_embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
-    )
+    n_sub, sub_dim, dim = _pq_geometry(cb)
     (
-        codes.join(bkt, "vec_id")
+        _pq_pack_codes(new_embeddings, cb, n_sub, sub_dim, dim, id_col, vec_col)
         .sortWithinPartitions("bucket")
         .write.mode("append")
         .parquet(path + "/data/_delta")
@@ -1805,16 +1817,35 @@ def _pq_delta_inventory(path: str) -> dict:
 
 def recover_pq_compaction(path: str) -> None:
     """Finish or roll back a torn :func:`compact_pq_index`.  Two torn
-    states are possible, each marked: ``_lmds_compacting`` (fold
+    states are possible, each marked: ``_lmds_compacting`` alone (fold
     incomplete — remove base files the intent's inventory doesn't list;
     the delta files are still intact, so the fold simply reruns) and
     ``_lmds_compacted`` (fold complete, delta deletion incomplete —
-    delete the listed delta files; idempotent).  Called automatically by
+    delete the listed delta files; idempotent; takes PRECEDENCE over a
+    lingering intent, which is retired without rollback because the
+    completion record proves the fold's output is the legitimate base).
+    Called automatically by
     :func:`compact_pq_index`; call directly before serving reads after a
     crash mid-compaction."""
     import os
     import shutil
 
+    # COMPLETION takes precedence: if the record exists the fold already
+    # finished, so a still-present intent must NOT roll anything back
+    # (the fold's output is the legitimate base now) — it is simply
+    # retired and the delta deletion finishes idempotently.
+    applied = _ivf_state_read(path, "_lmds_compacted")
+    if applied is not None:
+        intent_p = os.path.join(path, "_lmds_compacting")
+        if os.path.exists(intent_p):
+            os.remove(intent_p)
+        ddir = os.path.join(path, "data", "_delta")
+        for f in applied.get("deltas", []):
+            fp = os.path.join(ddir, f)
+            if os.path.exists(fp):
+                os.remove(fp)
+        os.remove(os.path.join(path, "_lmds_compacted"))
+        return
     intent = _ivf_state_read(path, "_lmds_compacting")
     if intent is not None:
         for part, files in _partition_inventory(path, "bucket=").items():
@@ -1827,14 +1858,6 @@ def recover_pq_compaction(path: str) -> None:
             if not keep and not os.listdir(cdir):
                 os.rmdir(cdir)
         os.remove(os.path.join(path, "_lmds_compacting"))
-    applied = _ivf_state_read(path, "_lmds_compacted")
-    if applied is not None:
-        ddir = os.path.join(path, "data", "_delta")
-        for f in applied.get("deltas", []):
-            fp = os.path.join(ddir, f)
-            if os.path.exists(fp):
-                os.remove(fp)
-        os.remove(os.path.join(path, "_lmds_compacted"))
 
 
 def compact_pq_index(spark, path: str) -> int:
@@ -1843,9 +1866,11 @@ def compact_pq_index(spark, path: str) -> int:
     Crash-safe in every window: an intent written BEFORE the fold holds
     the pre-fold base inventory (a torn fold's partials are removed and
     the fold reruns — delta files are never touched until the fold is
-    complete), and a completion record written BEFORE delta deletion
-    makes the deletion idempotent.  Returns the number of delta files
-    folded (0 = nothing to do)."""
+    complete), and the completion record is written BEFORE the intent is
+    retired — so there is no instant where the fold's output exists with
+    no marker (recovery gives the completion record precedence).  Delta
+    deletion after the completion record is idempotent.  Returns the
+    number of delta files folded (0 = nothing to do)."""
     import os
 
     recover_pq_compaction(path)
@@ -1865,8 +1890,12 @@ def compact_pq_index(spark, path: str) -> int:
         .mode("append")
         .parquet(path + "/data")
     )
-    os.remove(os.path.join(path, "_lmds_compacting"))
+    # completion record FIRST, then retire the intent: every crash
+    # window is now covered (intent alone -> roll back and rerun, delta
+    # intact; completion present -> fold final, recovery only finishes
+    # the idempotent delta deletion — never rolls back)
     _ivf_state_write(path, "_lmds_compacted", {"deltas": deltas})
+    os.remove(os.path.join(path, "_lmds_compacting"))
     for f in deltas:
         fp = os.path.join(ddir, f)
         if os.path.exists(fp):

@@ -965,3 +965,109 @@ def test_pq_compaction_folds_delta_and_recovers(spark, tmp_path):
     recover_pq_compaction(idx)
     assert not _pq_delta_inventory(idx).get("_delta")
     assert _ivf_state_read(idx, "_lmds_compacted") is None
+
+
+def test_pq_compaction_completion_precedes_intent(spark, tmp_path):
+    """The crash window BETWEEN the completion record and intent
+    retirement: recovery must honor the completion record (fold is
+    final) and must NOT roll the folded files back — the failure that
+    would silently duplicate every folded vector."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        _ivf_state_write,
+        _partition_inventory,
+        _pq_delta_inventory,
+        append_pq_index,
+        pq_adc_topk_stored,
+        recover_pq_compaction,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id % 25 = 0")
+    idx = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") < 300), idx)
+    pre_fold_inventory = _partition_inventory(idx, "bucket=")
+    append_pq_index(emb.where(F.col("vec_id") >= 300), idx)
+    deltas = _pq_delta_inventory(idx)["_delta"]
+
+    # manually perform the fold (what compact does before its markers)
+    ddir = os.path.join(idx, "data", "_delta")
+    (
+        spark.read.parquet(*[
+            os.path.join(ddir, f) for f in deltas
+            if not f.startswith(("_", "."))
+        ])
+        .write.partitionBy("bucket").mode("append").parquet(idx + "/data")
+    )
+    # crash state: completion record written, intent NOT yet retired
+    _ivf_state_write(idx, "_lmds_compacting",
+                     {"existing": pre_fold_inventory})
+    _ivf_state_write(idx, "_lmds_compacted", {"deltas": deltas})
+
+    recover_pq_compaction(idx)
+    # folded files kept (not rolled back), deltas gone, markers cleared
+    assert not _pq_delta_inventory(idx).get("_delta")
+    assert not os.path.exists(os.path.join(idx, "_lmds_compacting"))
+    assert not os.path.exists(os.path.join(idx, "_lmds_compacted"))
+    got = pq_adc_topk_stored(spark, idx, queries).collect()
+    # every vector present exactly once: no neighbor may pair with itself,
+    # and the full corpus must be reachable (500 vectors -> nonzero hits
+    # for every query bucket that has companions)
+    assert len(got) > 0
+    ids = spark.read.parquet(idx + "/data").groupBy("vec_id").count()
+    assert ids.where("count > 1").count() == 0  # the duplication bug
+    assert ids.count() == emb.count()
+
+
+def test_pq_nondefault_geometry_roundtrip(spark, tmp_path):
+    """An index built with non-default geometry (16 subspaces x 4 dims)
+    appends and queries correctly: geometry is derived from the stored
+    codebook sidecar, never assumed from defaults."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        append_pq_index,
+        pq_adc_topk,
+        pq_adc_topk_stored,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id % 25 = 0")
+    idx = str(tmp_path / "idx16")
+    write_pq_index(emb, idx, n_sub=16, sub_dim=4)
+    stored = sorted(map(tuple, pq_adc_topk_stored(spark, idx, queries).collect()))
+    onthefly = sorted(map(tuple, pq_adc_topk(
+        emb, F.col("vec_id") % 25 == 0, n_sub=16, sub_dim=4).collect()))
+    assert stored == onthefly and len(stored) > 0
+
+    # append under the same sidecar: codes stay 16-wide
+    idx2 = str(tmp_path / "idx16b")
+    write_pq_index(emb.where(F.col("vec_id") < 300), idx2, n_sub=16, sub_dim=4)
+    append_pq_index(emb.where(F.col("vec_id") >= 300), idx2)
+    import os
+    delta = spark.read.parquet(os.path.join(idx2, "data", "_delta"))
+    assert delta.select(F.size("codes")).distinct().collect()[0][0] == 16
+
+
+def test_pq_arrow_assignment_nonlong_id(spark):
+    """The Arrow assigner derives the id column's type from the input
+    schema (a string-keyed corpus must not be coerced to long)."""
+    from label_maker_dask_spark.operators.similarity import (
+        _pq_assign_arrow,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    rows = [(f"doc-{i}", [float(i + j) for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "doc_key string, vec array<float>")
+    subv = pq_subvectors(emb, n_sub=2, sub_dim=4,
+                         id_col="doc_key", vec_col="vec")
+    cb = pq_train_codebooks(subv, k=4, refine_iters=0)
+    got = _pq_assign_arrow(subv, cb).collect()
+    assert len(got) == 40
+    assert all(isinstance(r.vec_id, str) for r in got)
