@@ -429,3 +429,30 @@ def test_mixture_resample_broadcasts_thresholds_no_corpus_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sq8_rescore_broadcasts_quantizer_and_queries(spark):
+    """The SQ8 plan must broadcast both the one-row quantizer ranges and
+    the query-code side — the corpus never shuffles for either — and the
+    candidate join must be a broadcast join on the bucket id."""
+    plan = plan_of(Q.QUERIES["similarity_sq8_rescore_ann"](spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    # ranking stays a per-query window, never a global sort
+    assert "rank <= 5" in plan or "row_number" in plan
+
+
+def test_pq_adc_broadcasts_codebook_and_query_subvectors(spark):
+    """The PQ ADC scoring joins must broadcast the (n_sub*k)-row codebook
+    and the query subvectors; only candidate codes flow through the
+    non-broadcast side."""
+    plan = plan_of(Q.QUERIES["similarity_pq_adc_topk_ann"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_srp_skew_profiler_is_takeordered(spark):
+    """The bucket-skew profiler's top-20 must be TakeOrdered, never a
+    full sort of the bucket histogram."""
+    plan = plan_of(Q.QUERIES["profile_srp_bucket_skew"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
