@@ -213,6 +213,7 @@ HEADLINE = [
     "text_source_kl_divergence",
     "similarity_pq_stored_topk_ann",
     "profile_srp_bucket_skew",
+    "similarity_hotbucket_dedup_adversarial",
     # stream_pq_index_replay is driver-gated and scaling-probed but NOT
     # benched: its cell would be ~10s of one-time index-BUILD machinery
     # (bootstrap codebook train + 222-dir partitioned write) repeated

@@ -833,6 +833,105 @@ def profile_srp_bucket_skew(spark, sf_dir):
     )
 
 
+
+def _hotbucket_oracle():
+    from label_maker_dask_spark.operators.similarity import (
+        sq8_codes_sql,
+        srp_bucket_sql,
+    )
+
+    bucket = srp_bucket_sql("embedding")
+    codes_cte = sq8_codes_sql().replace(
+        "FROM embeddings", "FROM embeddings2"
+    ).lstrip()
+    return f"""
+    WITH hub AS (SELECT embedding AS hub_vec FROM embeddings WHERE vec_id = 0),
+    mod AS (
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id % 10 < 3 THEN h.hub_vec
+                  ELSE e.embedding END AS embedding
+      FROM embeddings e CROSS JOIN hub h),
+    embeddings2 AS (SELECT * FROM mod),
+    {codes_cte},
+    reps AS (SELECT min(vec_id) AS vec_id FROM codes GROUP BY code),
+    dedup AS (SELECT m.vec_id, m.embedding FROM mod m JOIN reps USING (vec_id)),
+    s1 AS (
+      SELECT 'adversarial' AS stage, bucket, count(*) AS n FROM
+        (SELECT {bucket} AS bucket FROM mod AS t(vec_id, embedding))
+      GROUP BY 2),
+    s2 AS (
+      SELECT 'code_deduped' AS stage, bucket, count(*) AS n FROM
+        (SELECT {bucket} AS bucket FROM dedup AS t(vec_id, embedding))
+      GROUP BY 2),
+    u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    SELECT stage, CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(max(n) * 1.0 / sum(n), 6) AS top_share,
+           round(max(n * n) * 1.0 / sum(n * n), 6) AS top_pairwork_share
+    FROM u GROUP BY stage
+    """
+
+
+@register("similarity_hotbucket_dedup_adversarial", _hotbucket_oracle())
+def similarity_hotbucket_dedup_adversarial(spark, sf_dir):
+    """The LSH hot-bucket pathology and its production fix, end-to-end
+    under the gate.  Adversarial corpus: 30% of all vectors replaced by
+    ONE hub vector — duplicate-heavy crawls do this, and no amount of
+    extra hyperplanes splits identical vectors, so one SRP bucket owns
+    ~(0.3N)^2 of the candidate join (top_pairwork_share ~0.9 in the
+    'adversarial' row).  The fix quantization enables: SQ8 code arrays
+    are an exact-duplicate signature (identical vectors -> identical
+    codes), so grouping by code and keeping the lowest id collapses the
+    hub to one representative BEFORE indexing — the 'code_deduped' row's
+    pair-work share drops back to the natural distribution.  This is the
+    profile_srp_bucket_skew -> dedup -> index pipeline a 100 TB corpus
+    runs when the profiler flags a hot bucket.
+
+    Scale shape: the corpus modification is a broadcast of one hub row;
+    code-signature dedup is a hash aggregate on 64-byte keys (map-side
+    collapsing — exactly exact-dedup's shape); both profile stages are
+    <=256-group aggregates."""
+    from label_maker_dask_spark.operators.similarity import (
+        sq8_encode,
+        sq8_train_ranges,
+        srp_bucket,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hub = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("hub_vec")
+    )
+    mod = emb.crossJoin(F.broadcast(hub)).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 < 3, F.col("hub_vec"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+    def stage_stats(df, stage):
+        counts = df.select(
+            srp_bucket(F.col("embedding")).alias("bucket")
+        ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        nn = F.col("n") * F.col("n")
+        return counts.agg(
+            F.lit(stage).alias("stage"),
+            F.sum("n").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+            F.round(F.max(nn) / F.sum(nn), 6).alias("top_pairwork_share"),
+        )
+
+    ranges = sq8_train_ranges(mod)
+    coded = sq8_encode(mod, ranges)
+    reps = coded.groupBy("code").agg(F.min("vec_id").alias("vec_id")).select(
+        "vec_id"
+    )
+    dedup = mod.join(reps, "vec_id")
+    return stage_stats(mod, "adversarial").unionByName(
+        stage_stats(dedup, "code_deduped")
+    )
+
+
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's

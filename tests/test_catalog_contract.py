@@ -150,6 +150,7 @@ ROTATION_BACKLOG = [
     "similarity_pq_stored_topk_ann",
     "stream_pq_index_replay",
     "profile_srp_bucket_skew",
+    "similarity_hotbucket_dedup_adversarial",
 ]
 
 

@@ -148,6 +148,7 @@ PROBES = [
     "similarity_pq_stored_topk_ann",
     "stream_pq_index_replay",
     "profile_srp_bucket_skew",
+    "similarity_hotbucket_dedup_adversarial",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
