@@ -214,6 +214,7 @@ HEADLINE = [
     "similarity_pq_stored_topk_ann",
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
+    "curation_token_budget_select",
     # stream_pq_index_replay is driver-gated and scaling-probed but NOT
     # benched: its cell would be ~10s of one-time index-BUILD machinery
     # (bootstrap codebook train + 222-dir partitioned write) repeated

@@ -135,3 +135,72 @@ def distributed_ntile(
         bucket_col,
         ntile_from_rank(F.col("_grank"), F.col("_gtotal"), n),
     ).drop("_grank", "_gtotal")
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence,
+    value_col: str,
+    cumsum_col: str = "global_cumsum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus the exact running total of ``value_col`` under the
+    global ``order_cols`` order (include a unique tiebreaker), computed
+    without any single task holding the full order — the prefix-sum
+    behind budget-constrained selection ("keep best docs until B
+    tokens"), quota assignment, and exact CDFs.
+
+    Same shape as :func:`with_global_rank`: range-repartition on the
+    order (a distributed sort), per-partition local cumsum (bounded
+    windows), and a broadcast of per-partition VALUE TOTALS turning
+    local prefixes into global ones.  ``value_col`` must be integral
+    (long) — integer addition is order-free, so the result is exact and
+    engine-independent; quantize floats first (the catalog convention).
+    ``total_col`` optionally attaches the grand total (the budget
+    denominator) to every row."""
+    reserved = {"_pid", "_lcs", "_off", "_n", cumsum_col} | (
+        {total_col} if total_col else set()
+    )
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_global_cumsum reserves column names {sorted(reserved)}; "
+            f"rename the clashing input columns ({sorted(clash)})"
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # same one-boundary-draw contract as with_global_rank: both branches
+    # must see the SAME range partitioning (see the comment there)
+    d = d.transform(materialize, eager=False)
+    sizes = d.groupBy("_pid").agg(F.sum(value_col).alias("_c"))
+    wo = Window.orderBy("_pid")  # partition-count rows: tiny window
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_c")
+        .over(
+            wo.rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summed = (
+        d.withColumn("_lcs", F.sum(value_col).over(wl))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(cumsum_col, F.col("_off") + F.col("_lcs"))
+    )
+    keep = [*df.columns, cumsum_col] + ([total_col] if total_col else [])
+    if total_col:
+        summed = summed.withColumn(total_col, F.col("_n"))
+    return summed.select(*keep)

@@ -1356,6 +1356,68 @@ def curation_quality_funnel(spark, sf_dir):
 
 # Re-sort the registry storage after THIS module's registrations: when an
 # ext module is the process's first catalog import, queries.py's own
+
+def _token_budget_oracle() -> str:
+    from label_maker_dask_spark.queries import _TOKS_SQL
+
+    return f"""
+    WITH t0 AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round({_quality_sql()}, 6) AS quality
+      FROM t0 WHERE len(toks) > 0),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM c CROSS JOIN tot
+    WHERE cum_tokens <= (total - (total % 2)) / 2
+    """
+
+
+@register("curation_token_budget_select", _token_budget_oracle())
+def curation_token_budget_select(spark, sf_dir):
+    """Budget-constrained selection — "keep the best documents until the
+    token budget is spent" (here: half the corpus's tokens), the
+    selection rule behind quality-pruned pretraining mixes.  Documents
+    are ordered (quality desc, doc_id asc) and kept while the running
+    token total stays within budget: a PREFIX of the quality order, so
+    the output is deterministic and the budget is never exceeded.
+
+    Scale shape: the running total rides
+    ``operators/rank.with_global_cumsum`` — a range-repartitioned
+    distributed prefix-sum (per-partition local cumsum + broadcast
+    partition totals), NOT an unpartitioned window (which would plan as
+    a single task holding the fully sorted corpus; the round-9 probe
+    measured a 13x blowup on exactly that shape).  The oracle replays
+    the same semantics with DuckDB's plain window — the hash match
+    proves the distributed prefix-sum is partition-independent.  Token
+    counts are integers, so the cumsum is exact in both engines."""
+    from label_maker_dask_spark.functions.text import quality_score, tokens
+    from label_maker_dask_spark.operators.rank import with_global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    ).where(F.col("n_tokens") > 0)
+    c = with_global_cumsum(
+        t,
+        [F.desc("quality"), F.asc("doc_id")],
+        "n_tokens",
+        cumsum_col="cum_tokens",
+        total_col="_total",
+    )
+    budget = (F.col("_total") - F.col("_total") % 2) / 2
+    return c.where(F.col("cum_tokens") <= budget).select(
+        "doc_id", "quality", "n_tokens", "cum_tokens"
+    )
+
+
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's
 # @register calls execute — without this call the late registrations would
 # append behind the curated order for C-level dict consumers.

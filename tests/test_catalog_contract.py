@@ -151,6 +151,7 @@ ROTATION_BACKLOG = [
     "stream_pq_index_replay",
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
+    "curation_token_budget_select",
 ]
 
 

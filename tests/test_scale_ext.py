@@ -230,3 +230,58 @@ def test_distributed_ntile_equals_window_ntile(spark):
             for r in distributed_ntile(df, n, order).collect()
         }
         assert got == want, (n, order)
+
+
+def test_global_cumsum_equals_window_form_and_avoids_single_task(spark):
+    """with_global_cumsum must equal the unpartitioned-window prefix sum
+    exactly (including duplicate order keys broken by the tiebreaker)
+    and must plan a RANGE repartition, never a single-task global
+    window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.rank import with_global_cumsum
+
+    rows = [(i, (i * 7) % 5, (i * 13) % 9 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key long, v long")
+    got = {
+        r.id: r.cs
+        for r in with_global_cumsum(
+            df, [F.desc("key"), F.asc("id")], "v", cumsum_col="cs"
+        ).collect()
+    }
+    w = W.orderBy(F.desc("key"), F.asc("id")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    want = {
+        r.id: r.cs
+        for r in df.withColumn("cs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+    plan_df = with_global_cumsum(
+        df, [F.desc("key"), F.asc("id")], "v", cumsum_col="cs"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    # the range exchange itself is hidden behind the materialize
+    # (lineage-truncating localCheckpoint — same as with_global_rank);
+    # what must be visible is that every window is PARTITIONED by _pid
+    # (bounded per-partition cumsums), never an unpartitioned global one
+    assert "_pid" in plan
+
+
+def test_global_cumsum_reserved_columns_raise(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.rank import with_global_cumsum
+
+    df = spark.createDataFrame([(1, 2)], "id long, _pid long")
+    with _pytest.raises(ValueError, match="reserves column names"):
+        with_global_cumsum(df, [F.asc("id")], "id")

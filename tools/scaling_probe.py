@@ -149,6 +149,7 @@ PROBES = [
     "stream_pq_index_replay",
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
+    "curation_token_budget_select",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
