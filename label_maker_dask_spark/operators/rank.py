@@ -37,6 +37,49 @@ def _idiv(a: Column, b: Column) -> Column:
     return ((a - a % b) / b).cast("long")
 
 
+def _range_partitioned_offsets(
+    df: DataFrame, order_cols: Sequence, agg_col
+):
+    """Shared prologue of the distributed rank/prefix-sum pair: range-
+    repartition on the order (a sampled-boundary distributed sort), tag
+    rows with their partition id, and compute per-partition exclusive
+    offsets + the grand total of ``agg_col`` over a partition-count-sized
+    window.
+
+    The partitioned frame is MATERIALIZED once (lazy checkpoint) before
+    either consumer reads it: the offsets branch and the per-row branch
+    both consume it, and evaluated independently each would re-run
+    repartitionByRange with a DIFFERENT RangePartitioner boundary draw
+    (its seed varies per RDD instance), silently applying one
+    partitioning's offsets to another's local positions — observed as
+    unequal ntile buckets at sf1 while every small-data test stayed
+    green.  Returns ``(d, offs, cols)``: the pinned frame, the
+    broadcastable (_pid, _off, _n) frame, and the normalized sort
+    columns."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.transform(materialize, eager=False)
+    sizes = d.groupBy("_pid").agg(agg_col.alias("_c"))
+    wo = Window.orderBy("_pid")  # partition-count rows: tiny window
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_c")
+        .over(
+            wo.rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+    )
+    return d, offs, cols
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: Sequence,
@@ -61,37 +104,8 @@ def with_global_rank(
             f"with_global_rank reserves column names {sorted(reserved)}; "
             f"rename the clashing input columns ({sorted(clash)})"
         )
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    d = df.repartitionByRange(*cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # MATERIALIZE the partitioned frame once (lazy checkpoint: computed
-    # inside the caller's action, then cached + lineage-truncated).  The
-    # offsets branch and the rank branch both consume `d`; evaluated
-    # independently, each would re-run repartitionByRange and
-    # RangePartitioner would SAMPLE DIFFERENT BOUNDARIES (its seed
-    # varies per RDD instance), silently applying one partitioning's
-    # offsets to another's local ranks — observed as unequal ntile
-    # buckets at sf1 while every small-data test stayed green.  The
-    # checkpoint pins one boundary draw for both consumers.
-    d = d.transform(materialize, eager=False)
-    sizes = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    wo = Window.orderBy("_pid")  # partition-count rows: tiny window
-    offs = sizes.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_c").over(
-                wo.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("_off"),
-        F.sum("_c")
-        .over(
-            wo.rangeBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("_n"),
+    d, offs, cols = _range_partitioned_offsets(
+        df, order_cols, F.count(F.lit(1))
     )
     wl = Window.partitionBy("_pid").orderBy(*cols)
     ranked = (
@@ -156,6 +170,10 @@ def with_global_cumsum(
     local prefixes into global ones.  ``value_col`` must be integral
     (long) — integer addition is order-free, so the result is exact and
     engine-independent; quantize floats first (the catalog convention).
+    NULL values count as 0 (documented divergence from the
+    unpartitioned-window form, whose prefix stays NULL until the first
+    non-null value globally — a quirk no budget consumer wants and one
+    a partitioned prefix-sum cannot reproduce).
     ``total_col`` optionally attaches the grand total (the budget
     denominator) to every row."""
     reserved = {"_pid", "_lcs", "_off", "_n", cumsum_col} | (
@@ -167,36 +185,21 @@ def with_global_cumsum(
             f"with_global_cumsum reserves column names {sorted(reserved)}; "
             f"rename the clashing input columns ({sorted(clash)})"
         )
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    d = df.repartitionByRange(*cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # same one-boundary-draw contract as with_global_rank: both branches
-    # must see the SAME range partitioning (see the comment there)
-    d = d.transform(materialize, eager=False)
-    sizes = d.groupBy("_pid").agg(F.sum(value_col).alias("_c"))
-    wo = Window.orderBy("_pid")  # partition-count rows: tiny window
-    offs = sizes.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("_off"),
-        F.sum("_c")
-        .over(
-            wo.rangeBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("_n"),
-    )
+    # NULL contract: treat NULL values as 0 (coalesce BEFORE both the
+    # offsets agg and the local cumsum) — the unpartitioned-window form
+    # would instead leave a NULL prefix until the first non-null value
+    # globally, a quirk no budget/quota consumer wants, and one the
+    # partitioned form cannot reproduce anyway (a partition of all-NULL
+    # prefix rows cannot know the global carry was NULL vs 0)
+    v = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+    d, offs, cols = _range_partitioned_offsets(df, order_cols, F.sum(v))
     wl = (
         Window.partitionBy("_pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     summed = (
-        d.withColumn("_lcs", F.sum(value_col).over(wl))
+        d.withColumn("_lcs", F.sum(v).over(wl))
         .join(F.broadcast(offs), "_pid")
         .withColumn(cumsum_col, F.col("_off") + F.col("_lcs"))
     )

@@ -1254,14 +1254,17 @@ def sq8_rescore_topk(
     )
 
 
-def sq8_codes_sql(vec: str = "embedding", dim: int = 64) -> str:
+def sq8_codes_sql(
+    vec: str = "embedding", dim: int = 64, table: str = "embeddings"
+) -> str:
     """DuckDB twin of :func:`sq8_train_ranges` + :func:`sq8_encode`: a CTE
     body producing (vec_id, code, bucket) — same double arithmetic, same
-    floor, same SRP bucket — for hash-exact oracle replay."""
+    floor, same SRP bucket — for hash-exact oracle replay.  ``table``
+    names the source relation (a view or upstream CTE)."""
     return f"""
     dims AS (
       SELECT generate_subscripts({vec}, 1) AS d, unnest({vec})::DOUBLE AS x
-      FROM embeddings),
+      FROM {table}),
     rng AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d),
     ranges AS (
       SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM rng),
@@ -1272,7 +1275,7 @@ def sq8_codes_sql(vec: str = "embedding", dim: int = 64) -> str:
                      / nullif(mxs[i] - mns[i], 0e0)) * 255) AS BIGINT), 128)
                     - 128) AS code,
              {srp_bucket_sql(vec, dim=dim)} AS bucket
-      FROM embeddings CROSS JOIN ranges)"""
+      FROM {table} CROSS JOIN ranges)"""
 
 
 # ---------------------------------------------------------------------------

@@ -1354,9 +1354,6 @@ def curation_quality_funnel(spark, sf_dir):
     )
 
 
-# Re-sort the registry storage after THIS module's registrations: when an
-# ext module is the process's first catalog import, queries.py's own
-
 def _token_budget_oracle() -> str:
     from label_maker_dask_spark.queries import _TOKS_SQL
 
@@ -1418,6 +1415,8 @@ def curation_token_budget_select(spark, sf_dir):
     )
 
 
+# Re-sort the registry storage after THIS module's registrations: when an
+# ext module is the process's first catalog import, queries.py's own
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's
 # @register calls execute — without this call the late registrations would
 # append behind the curated order for C-level dict consumers.

@@ -841,9 +841,7 @@ def _hotbucket_oracle():
     )
 
     bucket = srp_bucket_sql("embedding")
-    codes_cte = sq8_codes_sql().replace(
-        "FROM embeddings", "FROM embeddings2"
-    ).lstrip()
+    codes_cte = sq8_codes_sql(table="embeddings2").lstrip()
     return f"""
     WITH hub AS (SELECT embedding AS hub_vec FROM embeddings WHERE vec_id = 0),
     mod AS (
@@ -913,8 +911,9 @@ def similarity_hotbucket_dedup_adversarial(spark, sf_dir):
             srp_bucket(F.col("embedding")).alias("bucket")
         ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
         nn = F.col("n") * F.col("n")
-        return counts.agg(
-            F.lit(stage).alias("stage"),
+        # groupBy on the stage literal (not a global agg): an empty
+        # corpus yields ZERO rows, matching the oracle's GROUP BY
+        return counts.groupBy(F.lit(stage).alias("stage")).agg(
             F.sum("n").alias("n_vectors"),
             F.count(F.lit(1)).alias("n_buckets"),
             F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),

@@ -271,9 +271,16 @@ def test_global_cumsum_equals_window_form_and_avoids_single_task(spark):
     plan = buf.getvalue()
     # the range exchange itself is hidden behind the materialize
     # (lineage-truncating localCheckpoint — same as with_global_rank);
-    # what must be visible is that every window is PARTITIONED by _pid
-    # (bounded per-partition cumsums), never an unpartitioned global one
-    assert "_pid" in plan
+    # what must be visible is that every window spec involves _pid —
+    # either partitioned by it (the bounded per-row cumsum) or ordered
+    # over it (the partition-count offsets window).  A regression back
+    # to an unpartitioned Window.orderBy(key, id) (the single-task
+    # 13x shape) would produce a spec WITHOUT _pid and fail here.
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert specs, "expected window specs in the plan"
+    assert all("_pid" in line for line in specs), specs
 
 
 def test_global_cumsum_reserved_columns_raise(spark):
@@ -285,3 +292,21 @@ def test_global_cumsum_reserved_columns_raise(spark):
     df = spark.createDataFrame([(1, 2)], "id long, _pid long")
     with _pytest.raises(ValueError, match="reserves column names"):
         with_global_cumsum(df, [F.asc("id")], "id")
+
+
+def test_global_cumsum_null_values_count_as_zero(spark):
+    """NULLs in value_col count as 0 (the documented contract): the
+    running total carries through NULL rows instead of going NULL."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.rank import with_global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, 7)], "id long, v long"
+    )
+    got = {
+        r.id: r.cs
+        for r in with_global_cumsum(df, [F.asc("id")], "v",
+                                    cumsum_col="cs").collect()
+    }
+    assert got == {1: 0, 2: 5, 3: 5, 4: 12}
