@@ -29,6 +29,11 @@ QUERIES = [
     "text_bpe_token_counts",
     "text_bm25_top_docs",
     "text_vocab_coverage_top30",
+    # round-13 text additions: LM scoring and entropy scale with tokens
+    # (and chars) per document, not just document count
+    "text_bigram_logprob_interp",
+    "text_char_entropy",
+    "text_source_kl_divergence",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
