@@ -215,6 +215,8 @@ HEADLINE = [
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
     "curation_token_budget_select",
+    # round-13: additive schema evolution across a mid-log restart
+    "stream_upsert_schema_evolution_replay",
     # stream_pq_index_replay is driver-gated and scaling-probed but NOT
     # benched: its cell would be ~10s of one-time index-BUILD machinery
     # (bootstrap codebook train + 222-dir partitioned write) repeated

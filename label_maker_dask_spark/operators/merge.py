@@ -41,6 +41,7 @@ def merge_upsert(
     broadcast_source: bool = False,
     action_col: Optional[str] = None,
     assume_unique_source: bool = False,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Apply ``source`` onto ``target`` by ``keys``; returns the merged table.
 
@@ -60,11 +61,30 @@ def merge_upsert(
     matched path would fan out the target, so only set it when the
     guarantee is structural, not hoped-for.
 
+    ``evolve_schema`` enables ADDITIVE schema evolution: source columns
+    absent from the target (the upstream producer added a field) widen
+    the target with typed NULLs before the merge, so matched rows take
+    the new values and pre-evolution rows read NULL — the Delta-style
+    ``mergeSchema`` contract.  Additive only: a type CHANGE on an
+    existing column is not evolution and still surfaces as the union's
+    type error.  Off by default — a silently-widening merge can mask a
+    malformed change feed.
+
     100 TB posture: module docstring — broadcast left-join for matches,
     keys-only anti-join for inserts, nothing collected but the (small,
     by MERGE contract) source's duplicate-key guard — and that guard is
     skippable where uniqueness is structural.
     """
+    if evolve_schema:
+        meta = {delete_col} if delete_col else set()
+        new_fields = [
+            f for f in source.schema.fields
+            if f.name not in set(target.columns) | meta
+        ]
+        for f in new_fields:
+            target = target.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
     if update_cols is None:
         shared = set(target.columns) & set(source.columns)
         update_cols = [c for c in target.columns if c in shared and c not in keys]

@@ -2228,6 +2228,115 @@ def stream_pq_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END
+         + CASE WHEN o_orderkey % 11 = 0 THEN 500 ELSE 0 END
+         AS totalprice_cents,
+       CASE WHEN o_orderkey % 11 = 0 THEN o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
+@register("stream_upsert_schema_evolution_replay", _SCHEMA_EVOLUTION_ORACLE)
+def stream_upsert_schema_evolution_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION through the real upsert sink, in the
+    shape it actually happens: the change feed runs two batches (a
+    snapshot and price updates), the stream STOPS at a batch boundary,
+    and a new query resumes on the same checkpoint with a WIDENED source
+    schema — batch 3's updates carry a brand-new ``o_orderstatus``
+    column (the upstream producer deployed a new field).  The sink's
+    ``evolve_schema`` merge widens the base with typed NULLs, so rows
+    last touched before the column existed read NULL and batch-3-touched
+    rows carry the value.  The oracle states the end state per key — a
+    sink that silently DROPS the new column (the default), retroactively
+    fills old rows, or loses the evolution across the swap all
+    hash-mismatch.  (The bucket-pruned sink deliberately refuses this
+    knob: untouched bucket files would keep the old schema.)"""
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_upsert_to_parquet,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("totalprice_cents"),
+    )
+    k = F.col("o_orderkey")
+    b0 = orders.drop("o_orderstatus").withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    b1 = (
+        orders.drop("o_orderstatus")
+        .where(k % 7 == 0)
+        .withColumn("totalprice_cents", F.col("totalprice_cents") + 1000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    b2 = (
+        orders.where(k % 11 == 0)
+        .withColumn(
+            "totalprice_cents",
+            F.col("totalprice_cents")
+            + F.when(k % 7 == 0, 1000).otherwise(0)
+            + 500,
+        )
+        .withColumn("seq", F.lit(3).cast("long"))
+        .select(
+            "o_orderkey", "o_custkey", "totalprice_cents", "o_orderstatus",
+            "seq",
+        )
+    )
+    schema_a = (
+        "o_orderkey long, o_custkey long, totalprice_cents long, seq long"
+    )
+    schema_b = (
+        "o_orderkey long, o_custkey long, totalprice_cents long, "
+        "o_orderstatus string, seq long"
+    )
+
+    # two-leg restart drive with DIFFERENT schemas per leg (the rolling-
+    # upgrade shape _drive_replay_with_restart models, plus the widened
+    # leg-2 source schema; leg-1 files re-listed under schema B are
+    # skipped by the file source's committed log, never re-read)
+    work = _replay_workdir("stream_upsert_schema_evolution_replay")
+    changes_dir = os.path.join(work, "changes")
+    os.makedirs(changes_dir, exist_ok=True)
+    base = os.path.join(work, "base")
+    ckpt = os.path.join(work, "ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
+
+    def run(bs, schema):
+        _write_ordered_batches(bs, changes_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(changes_dir)
+        )
+        q = stream_upsert_to_parquet(
+            stream, base, ckpt, keys=["o_orderkey"], seq_col="seq",
+            evolve_schema=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("schema evolution replay: drain timed out")
+
+    try:
+        run([b0, b1], schema_a)
+        run([b2], schema_b)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(base)
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

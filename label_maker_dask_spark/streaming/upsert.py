@@ -206,11 +206,20 @@ def stream_upsert_to_parquet(
     update_cols: Optional[Sequence[str]] = None,
     delete_col: Optional[str] = None,
     available_now: bool = True,
+    evolve_schema: bool = False,
 ):
     """Start a streaming query applying ``changes`` onto the parquet table
     at ``base_path``; returns the StreamingQuery.  The base table need not
     exist yet — the first batch creates it (minus ``seq_col``/
-    ``delete_col``, which are change-log metadata, not table columns)."""
+    ``delete_col``, which are change-log metadata, not table columns).
+
+    ``evolve_schema`` passes through to :func:`merge_upsert`: a NEW
+    column appearing in the change feed (the rolling-upgrade shape — the
+    stream restarts with a widened source schema) widens the base with
+    typed NULLs instead of being silently dropped.  Safe here because
+    this sink REWRITES the base each batch, so the stored table always
+    has exactly one schema; the bucket-pruned sink rewrites only touched
+    buckets and deliberately does NOT offer this knob."""
 
     # the stored table's schema, cached after the first read/write so later
     # batches skip the footer-inference job a bare read pays every time
@@ -237,6 +246,7 @@ def stream_upsert_to_parquet(
                 delete_col=delete_col,
                 broadcast_source=True,
                 assume_unique_source=True,  # compact_last_per_key guarantees it
+                evolve_schema=evolve_schema,
             )
         else:
             first = compacted

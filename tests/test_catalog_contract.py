@@ -152,6 +152,7 @@ ROTATION_BACKLOG = [
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
     "curation_token_budget_select",
+    "stream_upsert_schema_evolution_replay",
 ]
 
 

@@ -181,3 +181,35 @@ def test_resample_ohlc_single_shuffle_plan(spark):
     # one exchange (the group-by), zero window/sort operators
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_merge_upsert_evolve_schema_additive(spark):
+    """evolve_schema=True widens the target with typed NULLs for
+    source-only columns: matched rows take the new value, untouched rows
+    read NULL, inserts carry it; the default (False) silently keeps the
+    target schema; change-log metadata (delete_col) never becomes a
+    table column."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    source = spark.createDataFrame(
+        [(2, 21, "fresh", False), (4, 40, "new", False),
+         (3, 0, None, True)],
+        "k long, v long, note string, is_del boolean",
+    )
+
+    out = merge_upsert(
+        target, source, keys=["k"], delete_col="is_del", evolve_schema=True
+    )
+    assert set(out.columns) == {"k", "v", "note"}
+    rows = {r.k: (r.v, r.note) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (21, "fresh"), 4: (40, "new")}
+
+    # default: the new column is NOT adopted (target schema preserved)
+    legacy = merge_upsert(target, source, keys=["k"], delete_col="is_del")
+    assert set(legacy.columns) == {"k", "v"}
+    assert {r.k: r.v for r in legacy.collect()} == {1: 10, 2: 21, 4: 40}

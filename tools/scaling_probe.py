@@ -150,6 +150,7 @@ PROBES = [
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
     "curation_token_budget_select",
+    "stream_upsert_schema_evolution_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
