@@ -217,6 +217,7 @@ HEADLINE = [
     "curation_token_budget_select",
     # round-13: additive schema evolution across a mid-log restart
     "stream_upsert_schema_evolution_replay",
+    "spatial_tile_pyramid_rollup",
     # stream_pq_index_replay is driver-gated and scaling-probed but NOT
     # benched: its cell would be ~10s of one-time index-BUILD machinery
     # (bootstrap codebook train + 222-dir partitioned write) repeated

@@ -922,6 +922,81 @@ def spatial_points_to_tiles_z6(spark, sf_dir):
     )
 
 
+_PYRAMID_ORACLE = """
+WITH pts AS (
+  SELECT (event_id * 7919 % 36000) / 100.0 - 180.0 AS lon,
+         (event_id * 104729 % 16000) / 100.0 - 80.0 AS lat
+  FROM events),
+z10 AS (
+  SELECT CAST(least(1023.0, greatest(0.0,
+           floor((lon / 360.0 + 0.5) * 1024.0))) AS INT) AS x,
+         CAST(least(1023.0, greatest(0.0,
+           floor((0.5 - 0.25 * ln((1.0 + sin(radians(lat)))
+                                  / (1.0 - sin(radians(lat)))) / pi())
+                 * 1024.0))) AS INT) AS y,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2),
+z8 AS (SELECT x >> 2 AS x, y >> 2 AS y, sum(n) AS n FROM z10 GROUP BY 1, 2),
+z6 AS (SELECT x >> 2 AS x, y >> 2 AS y, sum(n) AS n FROM z8 GROUP BY 1, 2)
+SELECT 10 AS zoom, x, y, CAST(n AS BIGINT) AS n_points FROM z10
+UNION ALL
+SELECT 8, x, y, CAST(n AS BIGINT) FROM z8
+UNION ALL
+SELECT 6, x, y, CAST(n AS BIGINT) FROM z6
+"""
+
+
+@register("spatial_tile_pyramid_rollup", _PYRAMID_ORACLE)
+def spatial_tile_pyramid_rollup(spark, sf_dir):
+    """Tile-pyramid rollup — the hierarchical-aggregate shape every tile
+    service materializes: points bin ONCE at the finest zoom (z10), and
+    every coarser level derives from the CHILD AGGREGATE by integer
+    coordinate shifts (z8 = z10 tiles >> 2, z6 = z8 >> 2) — the fact
+    table is scanned exactly once, and each rollup step aggregates
+    tile-count-bounded rows (1M -> 65k -> 4k cells max), the hypertable
+    continuous-aggregate pattern applied to space instead of time.
+    Consistency is arithmetic, not approximate: floor(v * 1024) >> 4 ==
+    floor(v * 64), so the derived z6 counts equal direct z6 binning
+    (spatial_points_to_tiles_z6 gates that same math directly).
+
+    Scale shape: point->tile is codegen column math; the z10 count is
+    the only fact-sized shuffle; the two parent rollups shuffle tile
+    aggregates orders smaller than the input."""
+    from label_maker_dask_spark.tiles import lnglat_to_tile_cols
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+    tile = lnglat_to_tile_cols(F.col("lon"), F.col("lat"), zoom=10)
+    z10 = (
+        pts.select(
+            tile.getField("x").alias("x"), tile.getField("y").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def parent(child):
+        return child.groupBy(
+            F.shiftright("x", 2).alias("x"), F.shiftright("y", 2).alias("y")
+        ).agg(F.sum("n").alias("n"))
+
+    z8 = parent(z10)
+    z6 = parent(z8)
+
+    def leveled(df, zoom):
+        return df.select(
+            F.lit(zoom).alias("zoom"), "x", "y",
+            F.col("n").cast("long").alias("n_points"),
+        )
+
+    return (
+        leveled(z10, 10).unionByName(leveled(z8, 8)).unionByName(leveled(z6, 6))
+    )
+
+
 _VARIANT_ORACLE = """
 WITH x AS (
   SELECT event_type,

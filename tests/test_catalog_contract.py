@@ -153,6 +153,7 @@ ROTATION_BACKLOG = [
     "similarity_hotbucket_dedup_adversarial",
     "curation_token_budget_select",
     "stream_upsert_schema_evolution_replay",
+    "spatial_tile_pyramid_rollup",
 ]
 
 

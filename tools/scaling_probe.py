@@ -151,6 +151,7 @@ PROBES = [
     "similarity_hotbucket_dedup_adversarial",
     "curation_token_budget_select",
     "stream_upsert_schema_evolution_replay",
+    "spatial_tile_pyramid_rollup",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
