@@ -76,18 +76,34 @@ def merge_upsert(
     skippable where uniqueness is structural.
     """
     if evolve_schema:
-        meta = {delete_col} if delete_col else set()
+        # case-INSENSITIVE existence check: Spark's default resolution is
+        # case-insensitive, so a source 'note' next to a target 'Note' is
+        # the SAME column — treating it as new would withColumn-REPLACE
+        # the existing data with typed NULLs (silent data loss)
+        meta = {delete_col.lower()} if delete_col else set()
+        existing = {c.lower() for c in target.columns} | meta
         new_fields = [
             f for f in source.schema.fields
-            if f.name not in set(target.columns) | meta
+            if f.name.lower() not in existing
         ]
         for f in new_fields:
             target = target.withColumn(
                 f.name, F.lit(None).cast(f.dataType)
             )
+        if update_cols is not None and new_fields:
+            # an explicit update list predates the evolved columns; the
+            # feature's contract is that matched rows TAKE the new
+            # values, so the evolved names join the update set
+            update_cols = list(update_cols) + [f.name for f in new_fields]
     if update_cols is None:
-        shared = set(target.columns) & set(source.columns)
-        update_cols = [c for c in target.columns if c in shared and c not in keys]
+        # shared-column detection is case-INSENSITIVE, matching Spark's
+        # default column resolution (a target 'Note' and a source 'note'
+        # are the same column to the join below)
+        src_lower = {c.lower() for c in source.columns}
+        update_cols = [
+            c for c in target.columns
+            if c.lower() in src_lower and c not in keys
+        ]
     if "_s_present" in source.columns:
         raise ValueError(
             "merge_upsert: source must not already carry a '_s_present' column"
@@ -142,9 +158,11 @@ def merge_upsert(
         .where(_not_deleted())
     )
     ins_cols = []
-    src_cols = set(source.columns)
+    src_cols = {c.lower() for c in source.columns}
     for f in target.schema.fields:
-        if f.name in keys or (f.name in update_cols and f.name in src_cols):
+        if f.name in keys or (
+            f.name in update_cols and f.name.lower() in src_cols
+        ):
             ins_cols.append(F.col(f.name))
         else:
             ins_cols.append(F.lit(None).cast(f.dataType).alias(f.name))

@@ -141,7 +141,7 @@ def _drive_replay(spark, batches, schema: str, start_sink, name: str) -> str:
 
 
 def _drive_replay_with_restart(
-    spark, batches, schema: str, start_sink, name: str, stop_after: int = 1
+    spark, batches, schema, start_sink, name: str, stop_after: int = 1
 ) -> str:
     """The RESTART variant of :func:`_drive_replay`: the change log is
     delivered across TWO query runs sharing one checkpoint.  Run 1 sees
@@ -154,7 +154,12 @@ def _drive_replay_with_restart(
     on the same checkpoint SHARES the run id — the continuation path
     ``ensure_run_id`` exists to allow), and the batch-id marker keeps
     the merge exactly-once.  Deterministic by construction: no timing
-    races, the stop point is which files exist, not when a poll fired."""
+    races, the stop point is which files exist, not when a poll fired.
+
+    ``schema`` is either one string (both legs) or a (leg1, leg2) pair —
+    the rolling-upgrade shape where the resumed query declares a WIDENED
+    source schema (leg-1 files re-listed under the wider schema are
+    skipped by the source's committed log, never re-read)."""
     work = _replay_workdir(name)
     changes_dir = os.path.join(work, "changes")
     os.makedirs(changes_dir, exist_ok=True)
@@ -163,10 +168,14 @@ def _drive_replay_with_restart(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
 
-    def run(bs):
+    schemas = (
+        (schema, schema) if isinstance(schema, str) else tuple(schema)
+    )
+
+    def run(bs, leg_schema):
         _write_ordered_batches(bs, changes_dir)
         stream = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(leg_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(changes_dir)
         )
@@ -176,8 +185,8 @@ def _drive_replay_with_restart(
             raise RuntimeError(f"{name}: drain timed out")
 
     try:
-        run(batches[:stop_after])
-        run(batches[stop_after:])
+        run(batches[:stop_after], schemas[0])
+        run(batches[stop_after:], schemas[1])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return base
@@ -2302,38 +2311,16 @@ def stream_upsert_schema_evolution_replay(
         "o_orderstatus string, seq long"
     )
 
-    # two-leg restart drive with DIFFERENT schemas per leg (the rolling-
-    # upgrade shape _drive_replay_with_restart models, plus the widened
-    # leg-2 source schema; leg-1 files re-listed under schema B are
-    # skipped by the file source's committed log, never re-read)
-    work = _replay_workdir("stream_upsert_schema_evolution_replay")
-    changes_dir = os.path.join(work, "changes")
-    os.makedirs(changes_dir, exist_ok=True)
-    base = os.path.join(work, "base")
-    ckpt = os.path.join(work, "ckpt")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _DRIVE_PARTITIONS)
-
-    def run(bs, schema):
-        _write_ordered_batches(bs, changes_dir)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(changes_dir)
-        )
-        q = stream_upsert_to_parquet(
-            stream, base, ckpt, keys=["o_orderkey"], seq_col="seq",
-            evolve_schema=True,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("schema evolution replay: drain timed out")
-
-    try:
-        run([b0, b1], schema_a)
-        run([b2], schema_b)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    base = _drive_replay_with_restart(
+        spark,
+        [b0, b1, b2],
+        (schema_a, schema_b),
+        lambda s, b, c: stream_upsert_to_parquet(
+            s, b, c, keys=["o_orderkey"], seq_col="seq", evolve_schema=True
+        ),
+        "stream_upsert_schema_evolution_replay",
+        stop_after=2,
+    )
     return spark.read.parquet(base)
 
 

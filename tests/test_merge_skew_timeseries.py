@@ -213,3 +213,40 @@ def test_merge_upsert_evolve_schema_additive(spark):
     legacy = merge_upsert(target, source, keys=["k"], delete_col="is_del")
     assert set(legacy.columns) == {"k", "v"}
     assert {r.k: r.v for r in legacy.collect()} == {1: 10, 2: 21, 4: 40}
+
+
+def test_merge_upsert_evolve_schema_case_insensitive_existing(spark):
+    """A source column differing from an existing target column only by
+    case is the SAME column under Spark's default resolution — evolution
+    must NOT treat it as new (which would withColumn-replace the
+    existing data with NULLs)."""
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10, "keepme"), (2, 20, "also")], "k long, v long, Note string"
+    )
+    source = spark.createDataFrame(
+        [(2, 21, "fresh")], "k long, v long, note string"
+    )
+    out = merge_upsert(target, source, keys=["k"], evolve_schema=True)
+    rows = {r.k: (r.v, r[2]) for r in out.collect()}
+    # unmatched row keeps its value; matched row takes the update
+    assert rows == {1: (10, "keepme"), 2: (21, "fresh")}
+
+
+def test_merge_upsert_evolve_schema_with_explicit_update_cols(spark):
+    """evolve_schema + an explicit update_cols list: the evolved column
+    still takes source values on matched rows and inserts (the contract
+    'matched rows take the new values' holds regardless of how
+    update_cols was supplied)."""
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    source = spark.createDataFrame(
+        [(2, 21, "fresh"), (3, 30, "new")], "k long, v long, note string"
+    )
+    out = merge_upsert(
+        target, source, keys=["k"], update_cols=["v"], evolve_schema=True
+    )
+    rows = {r.k: (r.v, r.note) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (21, "fresh"), 3: (30, "new")}
