@@ -1877,6 +1877,21 @@ def compact_pq_index(spark, path: str) -> int:
     import os
 
     recover_pq_compaction(path)
+    # A pending APPEND intent means the delta zone may hold a torn
+    # batch's partial files.  Folding them into the base partitions
+    # would put them beyond the replay bracket's reach
+    # (:func:`_append_index_exactly_once` rolls back only delta files
+    # absent from its pre-append inventory), so the replayed re-append
+    # would then duplicate the partially-applied vectors in query
+    # results.  Refuse and let the stream replay/recover first.
+    if _ivf_state_read(path, "_lmds_appending") is not None:
+        raise RuntimeError(
+            f"compact_pq_index: index {path!r} has a pending append "
+            "intent (_lmds_appending) — a crashed streaming append may "
+            "have left partial delta files.  Let the stream replay "
+            "(append_pq_index_exactly_once recovers the torn batch) "
+            "before compacting."
+        )
     deltas = _pq_delta_inventory(path).get("_delta", [])
     data_files = [f for f in deltas if not f.startswith(("_", "."))]
     if not data_files:

@@ -640,7 +640,14 @@ def text_char_entropy(spark, sf_dir):
     immediately in a map-side partial count to (doc, distinct-char) —
     ~30-60 rows per doc; the entropy fold then runs per doc over that
     alphabet-sized frame.  FP contract: the per-doc sum has <=~60 terms
-    of magnitude <=1; the 6-dp round absorbs summation-order noise."""
+    of magnitude <=1; the 6-dp round absorbs summation-order noise.
+
+    Unicode contract: Spark's ``split(text, '')`` is CODEPOINT-safe —
+    the Java regex engine advances by code points, so an empty match
+    never lands inside a surrogate pair (verified: both engines yield
+    ['a','😀','b'] for 'a😀b') — and DuckDB's ``string_split(text, '')``
+    splits by code point too, so non-BMP characters (emoji, rare CJK)
+    count identically in both engines."""
     docs = _t(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id", F.explode(F.split("text", "")).alias("c")

@@ -967,6 +967,53 @@ def test_pq_compaction_folds_delta_and_recovers(spark, tmp_path):
     assert _ivf_state_read(idx, "_lmds_compacted") is None
 
 
+def test_pq_compaction_refuses_pending_append_intent(spark, tmp_path):
+    """compact_pq_index must REFUSE while an append intent is pending: a
+    crashed streaming append may have left partial delta files, and
+    folding them into the base partitions would put them beyond the
+    replay bracket's rollback (which only removes delta files absent
+    from its pre-append inventory) — the replayed re-append would then
+    duplicate the partially-applied vectors in query results."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        _ivf_state_write,
+        _pq_delta_inventory,
+        append_pq_index,
+        append_pq_index_exactly_once,
+        compact_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") < 300), idx)
+
+    # crash state: intent written, delta files partially appended
+    batch = emb.where(F.col("vec_id") >= 300)
+    _ivf_state_write(
+        idx, "_lmds_appending",
+        {"run": "r1", "batch": 0, "existing": _pq_delta_inventory(idx)},
+    )
+    append_pq_index(batch, idx)  # the "torn" files of the in-flight batch
+
+    with pytest.raises(RuntimeError, match="pending append intent"):
+        compact_pq_index(spark, idx)
+    assert _pq_delta_inventory(idx)["_delta"]  # delta zone untouched
+
+    # the stream replay recovers the torn batch; compaction then works
+    # and the corpus holds every vector exactly once
+    assert append_pq_index_exactly_once(batch, idx, 0, "r1")
+    assert compact_pq_index(spark, idx) > 0
+    ids = spark.read.parquet(idx + "/data").groupBy("vec_id").count()
+    assert ids.where("count > 1").count() == 0
+    assert ids.count() == emb.count()
+    assert not os.path.exists(os.path.join(idx, "_lmds_appending"))
+
+
 def test_pq_compaction_completion_precedes_intent(spark, tmp_path):
     """The crash window BETWEEN the completion record and intent
     retirement: recovery must honor the completion record (fold is

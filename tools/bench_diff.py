@@ -80,6 +80,10 @@ def main() -> None:
               ", ".join(only_new))
 
     have = [k for k in FLOOR if k in new]
+    if not have:
+        print("BASELINE floor subset: no floor-subset queries present "
+              "in the new bench JSON")
+        return
     ours = sum(new[k] for k in have)
     floor = sum(FLOOR[k] for k in have)
     print(f"BASELINE floor subset ({len(have)}/22): "
