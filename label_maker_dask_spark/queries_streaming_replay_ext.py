@@ -1313,6 +1313,11 @@ def _drive_tile_stream(spark, name: str, mode: str = None) -> DataFrame:
     )
     if mode:
         reader = reader.option("streamingMode", mode)
+        if mode == "partitioned":
+            # durable committed-frontier floor beside the checkpoint:
+            # closes the double-crash re-delivery window (see the
+            # commit() docstring in sources/tile_source.py)
+            reader = reader.option("floordir", ckpt)
     q = (
         reader.load()
         .writeStream.format("parquet")

@@ -276,6 +276,38 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
         # opt-in call trace (restart debugging): driver-side planner
         # calls append one line each to this path
         self._dbg = options.get("debuglog")
+        # opt-in DURABLE floor (option floordir=<checkpoint dir>):
+        # commit(end) persists the committed frontier beside the
+        # checkpoint, and a fresh post-restart reader loads it here —
+        # closing the documented double-crash residual where a replayed
+        # catch-up batch whose start predates the true frontier would
+        # re-deliver committed stripes on a reader whose in-memory
+        # floor reset to ymin.  Without the option, behavior is
+        # unchanged (reader-local floor only).
+        self._floor_file = None
+        fdir = options.get("floordir")
+        if fdir:
+            import json
+            import os
+
+            os.makedirs(fdir, exist_ok=True)
+            self._floor_file = os.path.join(fdir, "_slippy_floor.json")
+            self._floor_key = {"zoom": self.zoom, "bounds": bounds}
+            if os.path.exists(self._floor_file):
+                with open(self._floor_file) as fh:
+                    st = json.load(fh)
+                if (
+                    st.get("zoom") != self.zoom
+                    or st.get("bounds") != bounds
+                ):
+                    raise ValueError(
+                        "slippy_tiles floordir holds a floor for a "
+                        f"different grid ({st.get('zoom')}, "
+                        f"{st.get('bounds')}) than this query "
+                        f"({self.zoom}, {bounds}); use a fresh "
+                        "checkpoint/floordir per grid."
+                    )
+                self._floor = max(self.ymin, int(st["y"]))
 
     def _log(self, msg: str) -> None:
         if self._dbg:
@@ -303,19 +335,17 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
         # delivery below the observed frontier, so a batch planned
         # from a regressed offset re-delivers nothing.
         #
-        # RESIDUAL GAP (documented, not reachable in the measured call
-        # order): the floor is reader-local, so it is not airtight
-        # across TWO failures in that hypothetical reordered sequence.
-        # If a first restart logged a catch-up batch with start below
-        # the true frontier (e.g. (96,102) after frontier 99) and the
-        # driver crashed BEFORE that batch committed, the next restart
-        # replays (96,102) on a fresh reader whose floor is ymin and
-        # re-delivers committed stripes 96-98.  Closing it would need
-        # the learned floor persisted beside the checkpoint (the
-        # ensure_run_id pattern); we document instead because the
-        # triggering call order has never been observed
-        # (test_latest_offset_regression_double_crash_gap pins the
-        # exact residual behavior).
+        # The former RESIDUAL GAP (a reader-local floor is not airtight
+        # across TWO failures in that hypothetical reordered sequence:
+        # a first restart logs a catch-up batch with start below the
+        # true frontier, the driver crashes before it commits, and the
+        # next restart replays it on a fresh reader whose floor reset
+        # to ymin, re-delivering committed stripes) is CLOSED when the
+        # ``floordir`` option is set: commit() persists the committed
+        # frontier beside the checkpoint and __init__ reloads it, so
+        # the replay's committed prefix is clipped even on a fresh
+        # reader (test_latest_offset_regression_double_crash_gap proves
+        # both the bare-reader residual and the floordir closure).
         cur = max(
             getattr(self, "_cur", self.ymin),
             getattr(self, "_floor", self.ymin),
@@ -361,7 +391,28 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
             yield (part.zoom, x, part.y)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing external to acknowledge
+        # Spark calls this once a batch up to `end` is durably committed
+        # in the checkpoint — the one moment the COMMITTED frontier is
+        # known exactly.  With floordir set, persist it atomically
+        # (tmp + rename) so a fresh post-restart reader starts with the
+        # committed frontier as its floor: a replayed catch-up batch
+        # whose start predates it gets its committed stripes clipped in
+        # partitions().  The persisted value can never exceed the
+        # committed frontier, so the clip can never drop uncommitted
+        # data; a crash between checkpoint commit and this call merely
+        # leaves the floor one batch low (safe — commits are never
+        # replayed).
+        self._log(f"commit({end})")
+        y = int(end["y"])
+        self._floor = max(getattr(self, "_floor", self.ymin), y)
+        if self._floor_file is not None:
+            import json
+            import os
+
+            tmp = self._floor_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({**self._floor_key, "y": self._floor}, fh)
+            os.replace(tmp, self._floor_file)
 
 
 def register_tile_source(spark) -> None:

@@ -290,47 +290,68 @@ def test_partitioned_stream_restart_end_to_end(spark, tmp_path):
     assert sorted(rows) == sorted(expected)  # full grid, no duplicates
 
 
-def test_latest_offset_regression_double_crash_gap():
-    """Pins the DOCUMENTED residual of the reader-local floor (see the
-    latestOffset comment in tile_source.py): the defense-in-depth clip
-    is not airtight across TWO failures under the hypothetical
-    latestOffset-before-partitions restart order.  Sequence: a first
-    restarted reader plans the catch-up batch (96, 102) whose start is
-    below the true frontier 99; the driver crashes BEFORE that batch
-    commits; the second restarted reader replays (96, 102) with floor
-    = ymin and RE-DELIVERS committed stripes 96-98.  This call order
-    has never been observed (Spark hands the frontier through a
-    partitions() call first), so the behavior is recorded here as a
-    known gap rather than fixed — closing it would need the learned
-    floor persisted beside the checkpoint.  If a reader change makes
-    this test fail because the replay IS clipped, the gap got closed:
-    move the assertion, don't delete it."""
+def test_latest_offset_regression_double_crash_gap(tmp_path):
+    """The double-crash residual of the reader-local floor, and its
+    CLOSURE via the ``floordir`` option.  Sequence (hypothetical
+    latestOffset-before-partitions restart order): run 1 commits up to
+    frontier 99; a first restarted reader plans a catch-up batch whose
+    start is below that frontier; the driver crashes BEFORE it commits;
+    the second restarted reader replays the range on a fresh reader.
+
+    WITHOUT floordir the in-memory floor reset to ymin and committed
+    stripes 96-98 re-deliver (the documented residual — pinned below so
+    a behavior change is noticed).  WITH floordir, commit() persisted
+    frontier 99 beside the checkpoint, the fresh reader reloads it, and
+    the replay's committed prefix is clipped: the gap is closed."""
     from label_maker_dask_spark.sources.tile_source import (
         SlippyTilePartitionedStreamReader,
     )
 
     opts = {"bounds": "-10,36,10,44", "zoom": "8", "rowsperbatch": "3"}
-    # frontier reaches 99 (committed) in run 1
+    # --- bare reader: the residual persists (unchanged behavior) ---
     r1 = SlippyTilePartitionedStreamReader(opts)
     r1.latestOffset()
     r1.partitions({"y": 93}, {"y": 96})
     r1.latestOffset()
     r1.partitions({"y": 96}, {"y": 99})
+    r1.commit({"y": 99})  # no floordir: commit is a no-op
 
-    # restart 1 (hypothetical latestOffset-first order): the regressed
-    # offset is logged as a batch end, the NEXT batch starts below the
-    # frontier -> Spark logs catch-up batch (96, 102); crash before
-    # commit
     r2 = SlippyTilePartitionedStreamReader(opts)
-    regressed = r2.latestOffset()
-    assert regressed == {"y": 96}
-    nxt = r2.latestOffset()
-    assert nxt == {"y": 99}  # no partitions() call fast-forwarded it
-    # (suppose the WAL now holds (96, 99) uncommitted)
+    assert r2.latestOffset() == {"y": 96}
+    assert r2.latestOffset() == {"y": 99}
+    # (suppose the WAL now holds (96, 99) uncommitted; crash)
 
-    # restart 2: fresh reader replays the uncommitted (96, 99) range
-    # verbatim — floor is ymin, stripes 96-98 re-deliver even though
-    # they committed in run 1.  THIS is the residual gap.
     r3 = SlippyTilePartitionedStreamReader(opts)
     replay = [p.y for p in r3.partitions({"y": 96}, {"y": 99})]
-    assert replay == [96, 97, 98]
+    assert replay == [96, 97, 98]  # the residual: re-delivery
+
+    # --- floordir set: the same double-crash replay is clipped ---
+    fopts = {**opts, "floordir": str(tmp_path / "ckpt")}
+    d1 = SlippyTilePartitionedStreamReader(fopts)
+    d1.latestOffset()
+    d1.partitions({"y": 93}, {"y": 96})
+    d1.commit({"y": 96})
+    d1.latestOffset()
+    d1.partitions({"y": 96}, {"y": 99})
+    d1.commit({"y": 99})  # durable frontier: 99
+
+    d2 = SlippyTilePartitionedStreamReader(fopts)
+    d2.latestOffset()  # crash before anything commits in this run
+
+    d3 = SlippyTilePartitionedStreamReader(fopts)
+    parts = d3.partitions({"y": 96}, {"y": 99})
+    rows = [r for p in parts for r in d3.read(p)]
+    assert rows == []  # committed stripes never re-deliver
+
+    # and a legitimately uncommitted suffix still delivers in full
+    d4 = SlippyTilePartitionedStreamReader(fopts)
+    tail = [p.y for p in d4.partitions({"y": 96}, {"y": 102})]
+    assert tail == [99, 100, 101]
+
+    # a different grid refuses the stale floor file loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="different grid"):
+        SlippyTilePartitionedStreamReader(
+            {**fopts, "zoom": "9"}
+        )
