@@ -211,7 +211,13 @@ HEADLINE = [
     # round-13: product-quantization ADC rescoring (IVF/SQ8/PQ triad)
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
+    # round-14: the PQ index phases SPLIT — the build entry (train +
+    # bucket-partitioned write, process-shared index) runs FIRST so the
+    # stored/join read entries time the read path alone; a read-path
+    # regression can no longer hide behind training noise
+    "similarity_pq_index_build",
     "similarity_pq_stored_topk_ann",
+    "similarity_pq_join_topk_ann",
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
     "curation_token_budget_select",
@@ -224,6 +230,10 @@ HEADLINE = [
     # per bench pass — a fixed build cost, not a query-path regression
     # signal (the query path is covered by the two PQ entries above;
     # the append path by the probe's sf sweep).
+    # round-14: object-detection labels end-to-end and the COG windowed
+    # read through the engine-written fixture raster
+    "detection_labels_e2e",
+    "raster_cog_window_channel_sums",
 ]
 
 

@@ -1582,28 +1582,23 @@ def pq_adc_topk(
     return _pq_rank_adc(pairm, k)
 
 
-def pq_adc_oracle_sql(
-    filter_pred: str,
-    k: int = 5,
-    n_sub: int = 8,
-    sub_dim: int = 8,
-    n_codes: int = 16,
-    dim: int = 64,
-    corpus_pred: str = "TRUE",
-    train_pred: str = "TRUE",
+def _pq_train_ctes_sql(
+    n_sub: int,
+    sub_dim: int,
+    n_codes: int,
+    dim: int,
+    corpus_pred: str,
+    train_pred: str,
 ) -> str:
-    """DuckDB twin of :func:`pq_adc_topk` — unrolls seed init, one Lloyd
-    refinement with the same integer-quantized means, encoding, the SRP
-    candidate join, and the integer-quantized ADC sum.  ``corpus_pred``
-    restricts the indexed corpus; ``train_pred`` restricts which corpus
-    rows TRAIN the codebooks (the incremental-maintenance contract:
-    appended vectors encode under codebooks they never trained)."""
+    """The shared DuckDB CTE prefix replaying PQ training + encoding +
+    SRP bucketing (``subv``/``cb1``/``codes``/``bkt``) — used by the ADC
+    query oracle and the index-build stats oracle so the two can never
+    drift."""
     sq = (
         f"list_reduce(list_transform(generate_series(1, {sub_dim}), "
         "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x,y) -> x + y)"
     )
-    return f"""
-    WITH subv AS (
+    return f"""subv AS (
       SELECT vec_id, m, v[(m-1)*{sub_dim}+1 : m*{sub_dim}] AS sub
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             WHERE {corpus_pred})
@@ -1638,7 +1633,34 @@ def pq_adc_oracle_sql(
                  {sq.format(a='s.sub', b='c.cu')} ASC, c.code ASC) AS rn
         FROM subv s JOIN cb1 c USING (m)) WHERE rn = 1),
     bkt AS (SELECT vec_id, {srp_bucket_sql('embedding', dim=dim)} AS bucket
-            FROM embeddings WHERE {corpus_pred}),
+            FROM embeddings WHERE {corpus_pred})"""
+
+
+def pq_adc_oracle_sql(
+    filter_pred: str,
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    corpus_pred: str = "TRUE",
+    train_pred: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk` — unrolls seed init, one Lloyd
+    refinement with the same integer-quantized means, encoding, the SRP
+    candidate join, and the integer-quantized ADC sum.  ``corpus_pred``
+    restricts the indexed corpus; ``train_pred`` restricts which corpus
+    rows TRAIN the codebooks (the incremental-maintenance contract:
+    appended vectors encode under codebooks they never trained)."""
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {sub_dim}), "
+        "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x,y) -> x + y)"
+    )
+    ctes = _pq_train_ctes_sql(
+        n_sub, sub_dim, n_codes, dim, corpus_pred, train_pred
+    )
+    return f"""
+    WITH {ctes},
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
@@ -1661,6 +1683,30 @@ def pq_adc_oracle_sql(
              row_number() OVER (PARTITION BY query_id
                  ORDER BY adc_nano ASC, neighbor_id ASC) AS rank
       FROM adc) WHERE rank <= {k}
+    """
+
+
+def pq_index_stats_oracle_sql(
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the stored index's per-bucket content: vector
+    count plus two code checksums per SRP bucket.  Replays the SAME
+    training/encode/bucket CTEs as the ADC oracle, so a green row proves
+    the bytes :func:`write_pq_index` persisted (codes AND bucket
+    assignment) — the training+write phase gated separately from the
+    read phase."""
+    ctes = _pq_train_ctes_sql(n_sub, sub_dim, n_codes, dim, "TRUE", "TRUE")
+    return f"""
+    WITH {ctes}
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(sum(m * code) AS BIGINT) AS code_wsum
+    FROM codes JOIN bkt USING (vec_id)
+    GROUP BY bucket
     """
 
 
@@ -1731,21 +1777,7 @@ def pq_adc_topk_stored(
     q_buckets = sorted(
         r["bucket"] for r in qbkt.select("bucket").distinct().collect()
     )
-    data = spark.read.parquet(path + "/data").where(
-        F.col("bucket").isin(q_buckets)
-    ).select("vec_id", "codes", "bucket")
-    delta_dir = os.path.join(path, "data", "_delta")
-    if os.path.isdir(delta_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(delta_dir)
-    ):
-        # the append delta zone (underscore-prefixed: invisible to the
-        # base read above).  Bucket pruning here is parquet row-group
-        # stats (deltas are bucket-sorted), not directory pruning —
-        # compact_pq_index restores full partition pruning.
-        delta = spark.read.parquet(delta_dir).where(
-            F.col("bucket").isin(q_buckets)
-        ).select("vec_id", "codes", "bucket")
-        data = data.unionByName(delta)
+    data = _pq_read_codes(spark, path, q_buckets)
     cand = (
         data.join(F.broadcast(qbkt), "bucket")
         .where(F.col("query_id") != F.col("vec_id"))
@@ -1760,6 +1792,90 @@ def pq_adc_topk_stored(
         .withColumn("m", F.col("m0") + 1)
         .join(F.broadcast(cb), ["m", "code"])
         .join(F.broadcast(qsub), ["query_id", "m"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_sqdist(F.col("qsub"), F.col("cu")) * PQ_DIST_QUANT)
+            .cast("long")
+            .alias("dm"),
+        )
+    )
+    return _pq_rank_adc(pairm, k)
+
+
+def _pq_read_codes(spark, path: str, buckets=None) -> DataFrame:
+    """Stored code rows (vec_id, codes, bucket): the bucket-partitioned
+    base, optionally pruned to ``buckets`` (a partition filter — non-
+    probed buckets never leave storage), unioned with the append delta
+    zone when present.  Delta bucket pruning is parquet row-group stats
+    (deltas are bucket-sorted), not directory pruning —
+    :func:`compact_pq_index` restores full partition pruning."""
+    import os
+
+    data = spark.read.parquet(path + "/data")
+    if buckets is not None:
+        data = data.where(F.col("bucket").isin(buckets))
+    data = data.select("vec_id", "codes", "bucket")
+    delta_dir = os.path.join(path, "data", "_delta")
+    if os.path.isdir(delta_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(delta_dir)
+    ):
+        delta = spark.read.parquet(delta_dir)
+        if buckets is not None:
+            delta = delta.where(F.col("bucket").isin(buckets))
+        data = data.unionByName(delta.select("vec_id", "codes", "bucket"))
+    return data
+
+
+def pq_adc_topk_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stored-PQ ANN where BOTH sides are corpus-sized — the k-NN-graph
+    shape (:func:`ivf_topk_join`'s PQ twin).  :func:`pq_adc_topk_stored`
+    collects the distinct query buckets and broadcasts the query frame —
+    right for probe workloads, wrong when the query set IS the corpus.
+    Here nothing reaches the driver: query buckets/subvectors stay
+    distributed, candidates come from a plain shuffle join on the bucket
+    id, and the per-(query, subspace) ADC term joins the (corpus-sized)
+    query subvector frame on its shuffle key.  The tiny codebook sidecar
+    is still broadcast.  Same codes, same integer ADC fold, same
+    ranking — results are bit-identical to the broadcast form over the
+    same index (shared oracle).
+
+    100 TB posture: with corpus-sized queries every bucket is probed, so
+    the full-index scan is the workload, not a missed pruning; the join
+    shuffles per-bucket candidate volume (sum of squares over bucket
+    occupancy — profile with ``profile_srp_bucket_skew``, route hot
+    buckets via the adversarial dedup gate)."""
+    cb = spark.read.parquet(path + "/codebook")
+    n_sub, sub_dim, dim = _pq_geometry(cb)
+    qsub = pq_subvectors(queries, n_sub, sub_dim, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
+    )
+    qbkt = queries.select(
+        F.col(id_col).alias("query_id"),
+        srp_bucket(F.col(vec_col), dim=dim).alias("bucket"),
+    )
+    cand = (
+        _pq_read_codes(spark, path)
+        .join(qbkt, "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+    pairm = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode("codes").alias("m0", "code"),
+        )
+        .withColumn("m", F.col("m0") + 1)
+        .join(F.broadcast(cb), ["m", "code"])
+        .join(qsub, ["query_id", "m"])
         .select(
             "query_id",
             "neighbor_id",

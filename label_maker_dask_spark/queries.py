@@ -3092,64 +3092,65 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # once-gated anchors staying for a second gating; every entry gated
 # in >=2 rounds rotated out with its evidence banked.
 _DRIVER_WINDOW = [
-    # ---- round-13 window (31 + 1 + 6 + 12 = 50): the final 31
-    # never-gated backlog entries + the agg_approx_distinct_users
-    # re-gate (first green driver row) + the 6 new round-13 entries
-    # (hot-component adversarial, mixture resample, HTML strip,
-    # repeat upsample, quality funnel, custom-state restart), padded
-    # with 12 stale retirees (last gated r5-r9).  After this gate the
-    # 217-entry catalog is 217/217 driver-proven and the rotation
-    # backlog is empty. ----
-    "curation_hotcomponent_adversarial",
-    "agg_approx_distinct_users",
-    "agg_approx_percentiles_sampled",
-    "agg_corr_covar_by_returnflag",
-    "agg_histogram_order_totals",
-    "agg_kmv_merged_weekly_users",
-    "agg_kmv_setops_weekday_weekend",
-    "analytics_chi2_event_type_by_hour",
-    "analytics_event_path_trigrams",
-    "analytics_event_type_cooccurrence",
-    "attribution_last_touch",
-    "curation_semdedup_cluster_profiles",
-    "dedup_cluster_representatives",
-    "dedup_fuzzy_part_names",
-    "embedding_kmeans_clusters_arrow",
-    "graph_event_transitions_chunked",
-    "join_asof_forward_next_event",
-    "profile_join_key_skew_lineitem",
-    "quality_expectations_orders",
-    "sample_stratified_by_lang",
-    "sample_weighted_by_quality",
-    "segmentation_buffered_ring_areas",
-    "similarity_neardup_srp_ann",
-    "text_bigram_top20",
-    "text_chunk_sliding_overlap",
-    "text_repetition_bigrams",
-    "text_vocab_coverage_top30",
-    "timeseries_gapfill_daily_revenue",
-    "timeseries_multigrain_revenue",
-    "timeseries_rolling_slope_daily_revenue",
-    "timeseries_trailing_p90_value",
-    "udf_scalar_sigmoid_score",
-    "udtf_chunk_documents",
-    "q8_market_share",
-    "q2_min_price_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "agg_cube_segment_priority",
-    "stream_transitions_restart_replay",
-    "dedup_containment_lsh_pairs",
-    "curation_quality_funnel",
-    "curation_mixture_resample",
-    "events_sessionize_30m_chunked",
-    "events_sliding_1h_30m",
-    "join_asof_latest_order_merge",
-    "join_full_nation_supplier",
-    "join_range_orders_near_event",
-    "join_theta_acctbal",
-    "curation_repeat_upsample",
-    "text_html_boilerplate_strip",
+    # ---- round-14 window (13 + 4 + 33 = 50): the 13 round-13 entries
+    # the driver never gated (judge-replayed green in r13 — this gate
+    # makes the proof driver-side), the 4 new round-14 entries (the PQ
+    # build/read phase split + join-form twin, object-detection labels
+    # end-to-end, the COG windowed-read gate), and 33 stale retirees
+    # (last gated r7-r9).  similarity_pq_index_build is deliberately
+    # ordered before the two PQ read entries: the index is process-
+    # shared, so in-order drives charge training to the build cell and
+    # the read cells time the read path alone. ----
+    "similarity_sq8_rescore_ann",
+    "text_bigram_logprob_interp",
+    "text_char_entropy",
+    "anomaly_seasonal_dow_residual",
+    "similarity_pq_adc_topk_ann",
+    "text_source_kl_divergence",
+    "similarity_pq_index_build",
+    "similarity_pq_stored_topk_ann",
+    "similarity_pq_join_topk_ann",
+    "stream_pq_index_replay",
+    "profile_srp_bucket_skew",
+    "similarity_hotbucket_dedup_adversarial",
+    "curation_token_budget_select",
+    "stream_upsert_schema_evolution_replay",
+    "spatial_tile_pyramid_rollup",
+    "detection_labels_e2e",
+    "raster_cog_window_channel_sums",
+    "agg_distinct_nations_per_segment",
+    "dedup_containment_pairs",
+    "dedup_jaccard_exact_pairs",
+    "set_intersect_customer_supplier_nations",
+    "dedup_simhash_signatures",
+    "distinct_user_event_types",
+    "set_except_customer_only_nations",
+    "similarity_neardup_cosine",
+    "text_fingerprints",
+    "text_quality_by_source",
+    "text_token_stats_by_lang",
+    "union_by_name_parties",
+    "window_lag_value_delta",
+    "join_asof_tolerance_90d",
+    "split_hash_train_val_test",
+    "agg_grouping_sets",
+    "agg_rollup_region_nation",
+    "anomaly_mad_daily_events",
+    "contamination_3gram_overlap",
+    "dedup_simhash_neardup_pairs",
+    "events_tumbling_hourly",
+    "graph_pagerank_transitions",
+    "join_anti_customers_without_orders",
+    "join_left_order_item_counts",
+    "join_semi_customers_with_orders",
+    "join_skew_salted_brand_revenue",
+    "multimodal_image_channel_stats",
+    "profile_orders_columns",
+    "q10_returned_items",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "scalar_array_map_json",
+    "scalar_string_date_funcs",
 ]
 
 

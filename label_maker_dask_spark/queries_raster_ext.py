@@ -243,6 +243,98 @@ def _seg_buffered_oracle() -> str:
     """
 
 
+# object-detection end-to-end: same synthetic features, but through
+# labels.detection_labels (reference label.py:24-35) — a feature matching
+# k classes emits k boxes (no overwrite), ordered by (feature id, class
+# index).  Buffers are integer-valued floats so the tile-space expansion
+# stays exactly representable and the HALF_EVEN pixel rounding replays
+# bit-for-bit in DuckDB (round_even == Python round == Spark bround).
+_DET_BUFFERS = (0.0, 2.0, 8.0)
+_DET_CLASSES = [
+    {**c, "buffer": b} for c, b in zip(_SEG_CLASSES, _DET_BUFFERS)
+]
+
+
+def _det_e2e_oracle() -> str:
+    preds = [
+        filter_sql(
+            c["filter"],
+            properties="props",
+            geometry_type="'Polygon'",
+            feature_id="event_id",
+            map_lookup=_GL_ORACLE_LOOKUP,
+        )
+        for c in _SEG_CLASSES
+    ]
+    c = _slot_coords_sql()
+
+    def box(cid: int, b: float) -> str:
+        px = "CAST(round_even(({v}) * 255.0 / 4096, 0) AS INT)"
+        x0 = px.format(v=f"({c['x0']}) - {b}")
+        y0 = px.format(v=f"({c['y1']}) + {b}")  # ymax -> y-flip -> ymin
+        x1 = px.format(v=f"({c['x1']}) + {b}")
+        y1 = px.format(v=f"({c['y0']}) - {b}")  # ymin -> y-flip -> ymax
+        cl = "greatest(0, least(255, {v}))"
+        return (
+            f"SELECT tile_id, event_id, {cid} AS class_id, "
+            f"{cl.format(v=f'{x0} - 4')} AS xmin, "
+            f"{cl.format(v=f'(255 - {y0}) - 4')} AS ymin, "
+            f"{cl.format(v=f'{x1} + 4')} AS xmax, "
+            f"{cl.format(v=f'(255 - {y1}) + 4')} AS ymax "
+            f"FROM sel WHERE {preds[cid - 1]}"
+        )
+
+    parts = " UNION ALL ".join(
+        box(i + 1, b) for i, b in enumerate(_DET_BUFFERS)
+    )
+    return f"""
+    WITH f AS (
+      SELECT user_id % {_N_TILES} AS tile_id, event_id, props,
+             row_number() OVER (PARTITION BY user_id % {_N_TILES}
+                                ORDER BY event_id) - 1 AS slot
+      FROM events),
+    sel AS (SELECT tile_id, event_id, props, slot FROM f
+            WHERE slot < {_MAX_FEATS}),
+    boxes AS ({parts})
+    SELECT tile_id,
+           CAST(row_number() OVER (PARTITION BY tile_id
+                              ORDER BY event_id, class_id) - 1
+                AS INT) AS box_idx,
+           xmin, ymin, xmax, ymax, class_id
+    FROM boxes
+    """
+
+
+@register("detection_labels_e2e", _det_e2e_oracle())
+def detection_labels_e2e(spark, sf_dir):
+    """Object-detection labels end-to-end (labels.detection_labels over
+    synthetic rectangle features, reference label.py:24-35,122-131):
+    per-tile box arrays with buffer-as-bounds-expansion, 4096→255
+    HALF_EVEN conversion, y-flip, ±4 pad, clamp, and the reference's
+    deterministic (feature id, class index) order — posexploded to one
+    row per box so the oracle checks values AND order.
+
+    Scale: feature synthesis is narrow column math, the label agg is one
+    shuffle on the tile key, and every box is pure whole-stage-codegen
+    column arithmetic — no UDF, no geometry library."""
+    from label_maker_dask_spark.labels import detection_labels
+
+    feats = _synth_rect_features(spark, sf_dir)
+    labels = detection_labels(feats, _DET_CLASSES, tile_cols=("tile_id",))
+    box = F.col("box")
+    return labels.select(
+        "tile_id", F.posexplode("label").alias("box_idx", "box")
+    ).select(
+        "tile_id",
+        "box_idx",
+        box["xmin"].alias("xmin"),
+        box["ymin"].alias("ymin"),
+        box["xmax"].alias("xmax"),
+        box["ymax"].alias("ymax"),
+        box["class"].alias("class_id"),
+    )
+
+
 @register("segmentation_buffered_ring_areas", _seg_buffered_oracle())
 def segmentation_buffered_ring_areas(spark, sf_dir):
     """Buffered segmentation end-to-end WITHOUT a geometry library: each
@@ -264,6 +356,124 @@ def segmentation_buffered_ring_areas(spark, sf_dir):
 # bottom-of-module finalize runs mid-circular-import, BEFORE this module's
 # @register calls execute — without this call the late registrations would
 # append behind the curated order for C-level dict consumers.
+# --------------------------------------------------------------------------
+# COG windowed-read gate: an engine-WRITTEN GeoTIFF (sources/tiff_write,
+# tiled + deflate + predictor — the COG interior shape) read back through
+# the from-scratch windowed reader (sources/tiff.py) per slippy tile.
+#
+# Geometry is chosen so the nearest-neighbor resample is FP-exact: the
+# raster spans the full world at z=4 with width 4096, so sample column
+# col(j) = x*256 + j + 0.5 before floor — every term an exact binary
+# fraction (sx = 360/4096, tile width 22.5°), no boundary ulp risk.
+# Pixel values depend only on (column, channel): value = (col*7 +
+# ch*13) % 256.  Row sampling is still gated — a row mapped out of
+# raster would zero-mask and break the sums (rasters span ±90°, slippy
+# rows land in (14, 497) of 512) — but per-tile channel sums reduce to
+# closed-form integer math DuckDB replays exactly.
+# --------------------------------------------------------------------------
+
+_COG_ZOOM = 4
+_COG_XS = list(range(16))
+_COG_YS = [0, 5, 8, 15]  # edge rows stress the top/bottom of the raster
+_COG_FIXTURE: dict = {}
+
+
+def _cog_fixture_bytes() -> bytes:
+    """Encode the synthetic world COG once per process.  The bytes ship
+    with the task closure (deflate + constant columns keep them tiny),
+    so executors need no shared filesystem — on a real cluster the same
+    entry runs unchanged; a production read swaps in HttpRangeSource."""
+    data = _COG_FIXTURE.get("data")
+    if data is None:
+        from label_maker_dask_spark.sources.tiff_write import write_geotiff
+
+        cols = np.arange(4096)
+        arr = np.zeros((512, 4096, 3), dtype=np.uint8)
+        for ch in range(3):
+            arr[:, :, ch] = ((cols * 7 + ch * 13) % 256)[None, :]
+        data = write_geotiff(
+            arr,
+            (-180.0, -90.0, 180.0, 90.0),
+            tiled=True,
+            compression=8,
+            predictor=2,
+        )
+        _COG_FIXTURE["data"] = data
+    return data
+
+
+def _cog_oracle() -> str:
+    xs = ", ".join(map(str, _COG_XS))
+    ys = ", ".join(map(str, _COG_YS))
+    return f"""
+    WITH tx AS (SELECT unnest([{xs}]) AS x),
+    ty AS (SELECT unnest([{ys}]) AS y),
+    j AS (SELECT unnest(generate_series(0, 255)) AS j),
+    ch AS (SELECT unnest([0, 1, 2]) AS channel)
+    SELECT CAST({_COG_ZOOM} AS INT) AS z, CAST(x AS INT) AS x,
+           CAST(y AS INT) AS y, CAST(channel AS INT) AS channel,
+           CAST(256 * sum(((x * 256 + j) * 7 + channel * 13) % 256)
+                AS BIGINT) AS px_sum
+    FROM tx, ty, j, ch
+    GROUP BY x, y, channel
+    """
+
+
+@register("raster_cog_window_channel_sums", _cog_oracle())
+def raster_cog_window_channel_sums(spark, sf_dir):
+    """The COG read path under the cross-engine gate: write a synthetic
+    world GeoTIFF with the engine's own sink (tiled 256px, deflate,
+    horizontal predictor — sources/tiff_write), then read one 256×256
+    window per slippy tile through the from-scratch reader
+    (sources/tiff.py read_tile: georeferenced window → only intersecting
+    internal tile COLUMNS decode → nearest-neighbor resample) on the
+    executors, and emit per-(tile, channel) pixel sums the oracle
+    replays in closed form.  This puts A11's TIFF machinery under the
+    same value-hash gate the PNG path has via
+    multimodal_image_channel_stats (reference reads COG via rio-tiler,
+    utils.py:87-100).
+
+    Scale shape: one task per tile partition, each decoding only its
+    window's internal tiles through a process-cached open file — the
+    same access pattern a 1000-executor tile fetch runs against remote
+    COGs (HttpRangeSource swaps in for the local file)."""
+    tiles = spark.createDataFrame(
+        [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],
+        "z int, x int, y int",
+    ).repartition(8)
+    data = _cog_fixture_bytes()
+
+    def sums(batches):
+        from label_maker_dask_spark.sources.tiff import (
+            TiffFile,
+            read_tile,
+        )
+
+        tif = TiffFile(data)
+        for pdf in batches:
+            out = []
+            for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                px = read_tile(tif, int(z), int(x), int(y))
+                for ch in range(px.shape[2]):
+                    out.append(
+                        (
+                            int(z),
+                            int(x),
+                            int(y),
+                            ch,
+                            int(px[:, :, ch].astype(np.int64).sum()),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "channel", "px_sum"]
+                )
+
+    return tiles.mapInPandas(
+        sums, "z int, x int, y int, channel int, px_sum long"
+    )
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

@@ -749,6 +749,59 @@ def text_source_kl_divergence(spark, sf_dir):
 
 
 
+#: process-lifetime shared PQ index per sf_dir — the build (training +
+#: write) runs once and its cost lands in the similarity_pq_index_build
+#: bench cell, so the stored/join READ entries time the read path alone
+#: (a read regression can't hide behind training noise).  Every entry
+#: still builds on first use, so each is independently correct when run
+#: in isolation.
+_PQ_SHARED: dict = {}
+
+
+def _pq_shared_index(spark, sf_dir) -> str:
+    from label_maker_dask_spark.operators.similarity import write_pq_index
+    from label_maker_dask_spark.queries_shared import session_tmpdir
+
+    path = _PQ_SHARED.get(sf_dir)
+    if path is None:
+        path = session_tmpdir("pq_index", "pq_shared") + "/index"
+        write_pq_index(_t(spark, sf_dir, "embeddings"), path)
+        _PQ_SHARED[sf_dir] = path
+    return path
+
+
+def _pq_build_oracle():
+    from label_maker_dask_spark.operators.similarity import (
+        pq_index_stats_oracle_sql,
+    )
+
+    return pq_index_stats_oracle_sql()
+
+
+@register("similarity_pq_index_build", _pq_build_oracle())
+def similarity_pq_index_build(spark, sf_dir):
+    """The PQ index BUILD phase as its own gated entry: train codebooks,
+    encode the corpus, persist (write_pq_index), then read back per-
+    bucket content stats — vector count and two code checksums per SRP
+    bucket.  The oracle replays training+encoding+bucketing in SQL, so
+    a green row proves the persisted BYTES, and the bench cell carries
+    the training/write cost so the stored/join read entries (which
+    reuse this process-shared index) time the read path alone."""
+    idx = _pq_shared_index(spark, sf_dir)
+    from label_maker_dask_spark.operators.similarity import _pq_read_codes
+
+    ex = _pq_read_codes(spark, idx).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "vec_id",
+        F.posexplode("codes").alias("m0", "code"),
+    )
+    return ex.groupBy("bucket").agg(
+        F.count_distinct("vec_id").alias("n_vectors"),
+        F.sum("code").alias("code_sum"),
+        F.sum((F.col("m0") + 1) * F.col("code")).alias("code_wsum"),
+    )
+
+
 @register("similarity_pq_stored_topk_ann", _pq_adc_oracle())
 def similarity_pq_stored_topk_ann(spark, sf_dir):
     """The STORED form of the PQ index (similarity.write_pq_index +
@@ -758,18 +811,41 @@ def similarity_pq_stored_topk_ann(spark, sf_dir):
     shape a 100 TB deployment runs (the float corpus is cold storage;
     reads touch only probed buckets' codes).  Same oracle as
     similarity_pq_adc_topk_ann, so the driver hash-match is the proof
-    that write-then-read returns exactly the on-the-fly results."""
-    from label_maker_dask_spark.operators.similarity import (
-        pq_adc_topk_stored,
-        write_pq_index,
-    )
-    from label_maker_dask_spark.queries_shared import session_tmpdir
+    that write-then-read returns exactly the on-the-fly results.  The
+    index is the process-shared build (similarity_pq_index_build owns
+    its bench cost); this entry times the broadcast-query READ path."""
+    from label_maker_dask_spark.operators.similarity import pq_adc_topk_stored
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = session_tmpdir("pq_index", "pq") + "/index"
-    write_pq_index(emb, path)
+    path = _pq_shared_index(spark, sf_dir)
     return pq_adc_topk_stored(
         spark, path, emb.where(F.col("vec_id") % 25 == 0), k=5
+    )
+
+
+def _pq_join_oracle():
+    from label_maker_dask_spark.operators.similarity import pq_adc_oracle_sql
+
+    return pq_adc_oracle_sql("vec_id % 21 = 0")
+
+
+@register("similarity_pq_join_topk_ann", _pq_join_oracle())
+def similarity_pq_join_topk_ann(spark, sf_dir):
+    """The corpus-sized-query form of the stored PQ index
+    (similarity.pq_adc_topk_join, the PQ twin of
+    similarity_ivf_join_topk_ann's shape): query buckets and subvectors
+    stay distributed, candidates come from a shuffle join on the bucket
+    id, and NOTHING reaches the driver — the k-NN-graph workload the
+    broadcast form (capped query collect) deliberately refuses.  Same
+    codes, same integer ADC fold, same oracle family — the hash gate
+    proves join-form results equal the broadcast form's over the same
+    stored index."""
+    from label_maker_dask_spark.operators.similarity import pq_adc_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _pq_shared_index(spark, sf_dir)
+    return pq_adc_topk_join(
+        spark, path, emb.where(F.col("vec_id") % 21 == 0), k=5
     )
 
 
