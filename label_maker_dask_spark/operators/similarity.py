@@ -772,6 +772,20 @@ def _rebalance_ivf_round(
     import pandas as pd
 
     recover_ivf_rebalance(path)
+    # Same hazard as compact_pq_index: a pending APPEND intent means a
+    # crashed streaming append may have left partial files in the cell
+    # partitions.  Splitting/rewriting those cells would carry the torn
+    # rows into new files the replay bracket's inventory rollback can't
+    # identify, so the replayed re-append would duplicate them.  Refuse
+    # and let the stream replay/recover first.
+    if _ivf_state_read(path, "_lmds_appending") is not None:
+        raise RuntimeError(
+            f"rebalance_ivf_index: index {path!r} has a pending append "
+            "intent (_lmds_appending) — a crashed streaming append may "
+            "have left partial cell files.  Let the stream replay "
+            "(append_ivf_index_exactly_once recovers the torn batch) "
+            "before rebalancing."
+        )
     data = spark.read.parquet(path + "/data")
     counts = {
         r["cell"]: r["n"]

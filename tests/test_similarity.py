@@ -1014,6 +1014,50 @@ def test_pq_compaction_refuses_pending_append_intent(spark, tmp_path):
     assert not os.path.exists(os.path.join(idx, "_lmds_appending"))
 
 
+def test_ivf_rebalance_refuses_pending_append_intent(spark, tmp_path):
+    """rebalance_ivf_index must refuse while an append intent is
+    pending — the IVF twin of the PQ-compaction guard: splitting a cell
+    that holds a torn append's partial files would rewrite those rows
+    into new files the replay bracket's inventory rollback can't
+    identify, so the replayed re-append would duplicate them."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        _ivf_cell_inventory,
+        _ivf_state_write,
+        append_ivf_index,
+        append_ivf_index_exactly_once,
+        rebalance_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    write_ivf_index(emb.where(F.col("vec_id") < 300), idx, n_cells=8)
+
+    batch = emb.where(F.col("vec_id") >= 300)
+    _ivf_state_write(
+        idx, "_lmds_appending",
+        {"run": "r1", "batch": 0, "existing": _ivf_cell_inventory(idx)},
+    )
+    append_ivf_index(batch, idx)  # the torn batch's in-flight files
+
+    with pytest.raises(RuntimeError, match="pending append intent"):
+        rebalance_ivf_index(spark, idx, threshold=0.5)
+
+    # after the stream replay recovers, rebalance works and the corpus
+    # holds every vector exactly once
+    assert append_ivf_index_exactly_once(batch, idx, 0, "r1")
+    rebalance_ivf_index(spark, idx, threshold=0.5)
+    ids = spark.read.parquet(idx + "/data").groupBy("vec_id").count()
+    assert ids.where("count > 1").count() == 0
+    assert ids.count() == emb.count()
+    assert not os.path.exists(os.path.join(idx, "_lmds_appending"))
+
+
 def test_pq_compaction_completion_precedes_intent(spark, tmp_path):
     """The crash window BETWEEN the completion record and intent
     retirement: recovery must honor the completion record (fold is

@@ -35,7 +35,7 @@ def inflated(spark, factor: int):
     distribution, decorrelated SRP buckets."""
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(BASE)
+    emb = spark.read.parquet(BASE).select("vec_id", "embedding")
     stride = 10_000_000
     parts = [emb]
     v = F.col("embedding")
