@@ -234,6 +234,8 @@ HEADLINE = [
     # read through the engine-written fixture raster
     "detection_labels_e2e",
     "raster_cog_window_channel_sums",
+    "mvt_roundtrip_feature_stats",
+    "raster_cog_window_channel_sums_3857",
 ]
 
 

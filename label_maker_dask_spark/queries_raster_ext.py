@@ -378,27 +378,42 @@ _COG_YS = [0, 5, 8, 15]  # edge rows stress the top/bottom of the raster
 _COG_FIXTURE: dict = {}
 
 
-def _cog_fixture_bytes() -> bytes:
-    """Encode the synthetic world COG once per process.  The bytes ship
-    with the task closure (deflate + constant columns keep them tiny),
-    so executors need no shared filesystem — on a real cluster the same
-    entry runs unchanged; a production read swaps in HttpRangeSource."""
-    data = _COG_FIXTURE.get("data")
+def _cog_fixture_bytes(epsg: int = 4326) -> bytes:
+    """Encode the synthetic world COG once per process (per CRS).  The
+    bytes ship with the task closure (deflate + constant columns keep
+    them tiny), so executors need no shared filesystem — on a real
+    cluster the same entry runs unchanged; a production read swaps in
+    HttpRangeSource.
+
+    EPSG:3857 twin: the raster spans the full web-mercator square
+    (±πR), so sample column (xs − origin)/sx is the SAME x*256 + j + 0.5
+    ratio — the πR factor scales numerator and denominator alike, and
+    the half-pixel margin absorbs the reprojection chain's ulps — while
+    rows run through the ``_to_3857`` branch of read_tile."""
+    data = _COG_FIXTURE.get(epsg)
     if data is None:
+        import math
+
         from label_maker_dask_spark.sources.tiff_write import write_geotiff
 
         cols = np.arange(4096)
         arr = np.zeros((512, 4096, 3), dtype=np.uint8)
         for ch in range(3):
             arr[:, :, ch] = ((cols * 7 + ch * 13) % 256)[None, :]
+        if epsg == 4326:
+            bounds = (-180.0, -90.0, 180.0, 90.0)
+        else:
+            b = math.pi * 6378137.0
+            bounds = (-b, -b, b, b)
         data = write_geotiff(
             arr,
-            (-180.0, -90.0, 180.0, 90.0),
+            bounds,
             tiled=True,
             compression=8,
             predictor=2,
+            epsg=epsg,
         )
-        _COG_FIXTURE["data"] = data
+        _COG_FIXTURE[epsg] = data
     return data
 
 
@@ -437,11 +452,28 @@ def raster_cog_window_channel_sums(spark, sf_dir):
     window's internal tiles through a process-cached open file — the
     same access pattern a 1000-executor tile fetch runs against remote
     COGs (HttpRangeSource swaps in for the local file)."""
+    return _cog_channel_sums(spark, epsg=4326)
+
+
+@register("raster_cog_window_channel_sums_3857", _cog_oracle())
+def raster_cog_window_channel_sums_3857(spark, sf_dir):
+    """The EPSG:3857 twin of raster_cog_window_channel_sums: the fixture
+    raster spans the full web-mercator square, so every windowed read
+    exercises the ``_to_3857`` reprojection branch of read_tile
+    (sources/tiff.py — the WMS/projected-COG path, reference
+    utils.py:72-100 via rio-tiler's mercator handling) while the oracle
+    stays the same closed form: the πR factor scales sample positions
+    and pixel size alike, leaving the exact x*256 + j + 0.5 column
+    ratio."""
+    return _cog_channel_sums(spark, epsg=3857)
+
+
+def _cog_channel_sums(spark, epsg: int):
     tiles = spark.createDataFrame(
         [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],
         "z int, x int, y int",
     ).repartition(8)
-    data = _cog_fixture_bytes()
+    data = _cog_fixture_bytes(epsg)
 
     def sums(batches):
         from label_maker_dask_spark.sources.tiff import (
@@ -471,6 +503,189 @@ def raster_cog_window_channel_sums(spark, sf_dir):
 
     return tiles.mapInPandas(
         sums, "z int, x int, y int, channel int, px_sum long"
+    )
+
+
+# --------------------------------------------------------------------------
+# MVT round-trip gate: tiles ENCODED by the engine's vector-tile writer
+# (sources/mvt_write — from-scratch protobuf wire format) and decoded by
+# the from-scratch decoder (sources/mvt.py) through the REAL feature
+# pipeline (decoding_tile_fetcher -> fetch_features mapInPandas).  Per
+# tile the synthetic features are pure integer functions of (x, y), so
+# DuckDB replays the expected ids, property values, and decoded
+# (y-flipped) coordinate sums in closed form — any drift in varint /
+# zigzag / command assembly / tag resolution / ring closure breaks the
+# value hash.  This is A2's decoder under the cross-engine gate the way
+# raster_cog_window_channel_sums gates A11's TIFF reader.
+# --------------------------------------------------------------------------
+
+_MVT_ZOOM = 6
+_MVT_RANGE = list(range(20, 28))  # 8x8 tile block
+
+
+def _mvt_synth_features(x: int, y: int) -> list:
+    """Deterministic per-tile features (raw y-down tile coords)."""
+    feats = []
+    npts = 1 + (x * 31 + y * 17) % 5
+    for j in range(npts):
+        feats.append(
+            {
+                "id": (x * 64 + y) * 100 + j,
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [
+                        (x * 37 + j * 91) % 4096,
+                        (y * 53 + j * 71) % 4096,
+                    ],
+                },
+                "properties": {
+                    "k": (x * 7 + y * 3 + j * 5) % 100,
+                    "name": f"c{(x + y + j) % 7}",
+                },
+            }
+        )
+    lx, ly = (x * 11) % 2048, (y * 13) % 2048
+    feats.append(
+        {
+            "id": 9000000 + x * 64 + y,
+            "geometry": {
+                "type": "LineString",
+                "coordinates": [
+                    [lx, ly],
+                    [lx + 512, ly + 256],
+                    [lx + 1024, ly],
+                ],
+            },
+            "properties": {"k": (x + y) % 100},
+        }
+    )
+    sx0, sy0 = (x * 19) % 3000, (y * 23) % 3000
+    s = 100 + (x + y) % 50
+    feats.append(
+        {
+            "id": 9500000 + x * 64 + y,
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [sx0, sy0],
+                        [sx0 + s, sy0],
+                        [sx0 + s, sy0 + s],
+                        [sx0, sy0 + s],
+                        [sx0, sy0],
+                    ]
+                ],
+            },
+            "properties": {"k": (x * y) % 100},
+        }
+    )
+    return feats
+
+
+def _mvt_synth_bytes(z: int, x: int, y: int) -> bytes:
+    from label_maker_dask_spark.sources.mvt_write import encode_mvt
+
+    return encode_mvt({"osm": _mvt_synth_features(x, y)})
+
+
+def _mvt_roundtrip_oracle() -> str:
+    rng = ", ".join(map(str, _MVT_RANGE))
+    return f"""
+    WITH g AS (
+      SELECT gx.x, gy.y
+      FROM (SELECT unnest([{rng}]) AS x) gx,
+           (SELECT unnest([{rng}]) AS y) gy),
+    pts AS (
+      SELECT x, y, unnest(generate_series(0, (x*31 + y*17) % 5)) AS j
+      FROM g),
+    point_rows AS (
+      SELECT x, y, 'Point' AS geometry_type,
+             (x*64 + y)*100 + j AS id,
+             (x*7 + y*3 + j*5) % 100 AS k,
+             ((x*37 + j*91) % 4096) + 4096 - ((y*53 + j*71) % 4096) AS csum
+      FROM pts),
+    line_rows AS (
+      SELECT x, y, 'LineString' AS geometry_type,
+             9000000 + x*64 + y AS id,
+             (x + y) % 100 AS k,
+             3*((x*11) % 2048) + 1536
+               + 3*4096 - 3*((y*13) % 2048) - 256 AS csum
+      FROM g),
+    poly_rows AS (
+      SELECT x, y, 'Polygon' AS geometry_type,
+             9500000 + x*64 + y AS id,
+             (x * y) % 100 AS k,
+             5*((x*19) % 3000) + 2*(100 + (x + y) % 50)
+               + 5*4096 - 5*((y*23) % 3000) - 2*(100 + (x + y) % 50) AS csum
+      FROM g),
+    allrows AS (
+      SELECT * FROM point_rows UNION ALL
+      SELECT * FROM line_rows UNION ALL
+      SELECT * FROM poly_rows)
+    SELECT CAST({_MVT_ZOOM} AS INT) AS z, CAST(x AS BIGINT) AS x,
+           CAST(y AS BIGINT) AS y, geometry_type,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(id) AS BIGINT) AS sum_id,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(csum) AS BIGINT) AS coord_sum
+    FROM allrows
+    GROUP BY x, y, geometry_type
+    """
+
+
+@register("mvt_roundtrip_feature_stats", _mvt_roundtrip_oracle())
+def mvt_roundtrip_feature_stats(spark, sf_dir):
+    """Vector-tile encode→decode round trip under the value-hash gate:
+    synthetic per-tile features encode through the engine's MVT writer
+    and decode through the production pipeline (sources/mvt.py decoder
+    inside decoding_tile_fetcher → fetch_features mapInPandas, the A2/A3
+    path, reference main.py:41 + label.py:13), then aggregate per
+    (tile, geometry type): feature count, id sum, property-k sum, and
+    the decoded coordinate sum (default y-UP flip, polygon rings closed
+    with the duplicated first vertex — both conventions the oracle
+    replays in closed form).
+
+    Scale shape: one executor task per tile partition, encode+decode
+    both pure-Python-over-bytes per tile (no driver involvement), and
+    the aggregate is a narrow groupBy on the tile key."""
+    from label_maker_dask_spark.sources.vector_tiles import (
+        decoding_tile_fetcher,
+        fetch_features,
+    )
+
+    tiles = spark.createDataFrame(
+        [(int(_MVT_ZOOM), int(x), int(y)) for x in _MVT_RANGE for y in _MVT_RANGE],
+        "z int, x long, y long",
+    ).repartition(8)
+    feats = fetch_features(
+        tiles, tile_fetcher=decoding_tile_fetcher(_mvt_synth_bytes)
+    )
+    nums = F.filter(
+        F.split(F.regexp_replace("geometry", "[^0-9,]", ""), ","),
+        lambda s: s != "",
+    )
+    coord_sum = F.aggregate(
+        F.transform(nums, lambda s: s.cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return (
+        feats.select(
+            "z",
+            "x",
+            "y",
+            "geometry_type",
+            "id",
+            F.col("properties")["k"].cast("long").alias("k"),
+            coord_sum.alias("csum"),
+        )
+        .groupBy("z", "x", "y", "geometry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("id").alias("sum_id"),
+            F.sum("k").alias("sum_k"),
+            F.sum("csum").alias("coord_sum"),
+        )
     )
 
 

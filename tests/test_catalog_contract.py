@@ -139,9 +139,10 @@ def test_catalog_outputs_are_scalar_and_oracle_columns_match(spark, oracle_con):
 # rotation gates them (a gated name lingering here also fails, keeping
 # the ledger honest).
 ROTATION_BACKLOG: list = [
-    # Empty after the round-14 rotation: every catalog entry is either
-    # already driver-gated or scheduled in the current window.  New
-    # entries added after a round's window is pinned go here.
+    # Added after the round-14 window was pinned: awaiting the round-15
+    # rotation (judge-replayable locally via tools/check_oracle.py).
+    "mvt_roundtrip_feature_stats",
+    "raster_cog_window_channel_sums_3857",
 ]
 
 

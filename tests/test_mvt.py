@@ -184,3 +184,65 @@ def test_unclosed_ring_keeps_sign_alignment():
     assert len(g["coordinates"]) == 2
     assert len(g["coordinates"][0]) == 1  # open shell stands alone
     assert len(g["coordinates"][1]) == 2  # shell2 keeps its hole
+
+
+# --- engine writer (sources/mvt_write) round-trips through the decoder ------
+
+
+def test_engine_writer_roundtrip_all_geometries():
+    """encode_mvt output decodes through sources/mvt.py with identical
+    ids, typed properties, and geometries (raw y-down equality and the
+    default y-up flip), across every supported geometry family."""
+    from label_maker_dask_spark.sources.mvt_write import encode_mvt
+
+    feats = [
+        {"id": 7, "geometry": {"type": "Point", "coordinates": [100, 200]},
+         "properties": {"k": 12, "name": "alpha", "neg": -5,
+                        "f": 2.5, "b": True}},
+        {"id": 8, "geometry": {"type": "LineString",
+                               "coordinates": [[0, 0], [5, 5], [5, 0]]},
+         "properties": {"k": 12}},
+        {"id": 9, "geometry": {"type": "Polygon",
+                               "coordinates": [[[2, 2], [10, 2], [10, 10],
+                                                [2, 10], [2, 2]]]},
+         "properties": {"name": "alpha"}},
+        {"geometry": {"type": "MultiPoint",
+                      "coordinates": [[1, 2], [3, 4]]}, "properties": {}},
+        {"id": 11, "geometry": {"type": "MultiLineString",
+                                "coordinates": [[[0, 0], [1, 1]],
+                                                [[2, 2], [3, 3]]]},
+         "properties": {}},
+    ]
+    raw = mvt.decode(encode_mvt({"osm": feats}), y_coord_down=True)["osm"]
+    assert raw["extent"] == 4096 and len(raw["features"]) == 5
+    p0, p1, p2, p3, p4 = raw["features"]
+    assert p0["id"] == 7 and p0["properties"] == {
+        "k": 12, "name": "alpha", "neg": -5, "f": 2.5, "b": True}
+    assert p0["geometry"] == {"type": "Point", "coordinates": [100, 200]}
+    assert p1["geometry"]["coordinates"] == [[0, 0], [5, 5], [5, 0]]
+    ring = p2["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) == 5  # ClosePath re-closes
+    assert ring[:-1] == [[2, 2], [10, 2], [10, 10], [2, 10]]
+    assert p3["geometry"] == {"type": "MultiPoint",
+                              "coordinates": [[1, 2], [3, 4]]}
+    assert p4["geometry"]["coordinates"] == [[[0, 0], [1, 1]],
+                                             [[2, 2], [3, 3]]]
+    # value dedup: "alpha" and 12 each stored once in the layer tables
+    flipped = mvt.decode(encode_mvt({"osm": feats}))["osm"]["features"][0]
+    assert flipped["geometry"]["coordinates"] == [100, 4096 - 200]
+
+
+def test_engine_writer_value_table_dedup():
+    from label_maker_dask_spark.sources.mvt_write import encode_mvt
+
+    feats = [
+        {"id": i, "geometry": {"type": "Point", "coordinates": [i, i]},
+         "properties": {"k": 5, "s": "same"}}
+        for i in range(40)
+    ]
+    buf = encode_mvt({"osm": feats})
+    # 40 features sharing 2 keys + 2 values: the layer must stay small
+    # (dedup tables), far under the no-dedup 40*(2 keys + 2 values) size
+    assert len(buf) < 1200
+    decoded = mvt.decode(buf)["osm"]["features"]
+    assert all(f["properties"] == {"k": 5, "s": "same"} for f in decoded)
