@@ -1014,6 +1014,31 @@ def test_pq_compaction_refuses_pending_append_intent(spark, tmp_path):
     assert not os.path.exists(os.path.join(idx, "_lmds_appending"))
 
 
+def test_pq_join_form_equals_broadcast_form(spark, tmp_path):
+    """pq_adc_topk_join (shuffle-join, corpus-sized queries) must return
+    exactly pq_adc_topk_stored's results over the same stored index —
+    including with an uncompacted delta zone, so both read paths union
+    base + delta identically."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        append_pq_index,
+        pq_adc_topk_join,
+        pq_adc_topk_stored,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 21 == 0)
+    idx = str(tmp_path / "idx")
+    write_pq_index(emb.where(F.col("vec_id") < 350), idx)
+    append_pq_index(emb.where(F.col("vec_id") >= 350), idx)  # delta zone
+
+    a = sorted(map(tuple, pq_adc_topk_stored(spark, idx, queries).collect()))
+    b = sorted(map(tuple, pq_adc_topk_join(spark, idx, queries).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_ivf_rebalance_refuses_pending_append_intent(spark, tmp_path):
     """rebalance_ivf_index must refuse while an append intent is
     pending — the IVF twin of the PQ-compaction guard: splitting a cell
