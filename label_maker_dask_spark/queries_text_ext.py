@@ -758,13 +758,20 @@ def text_source_kl_divergence(spark, sf_dir):
 _PQ_SHARED: dict = {}
 
 
-def _pq_shared_index(spark, sf_dir) -> str:
+def _pq_shared_index(spark, sf_dir, rebuild: bool = False) -> str:
+    """``rebuild=True`` (the build entry) re-trains and re-writes EVERY
+    invocation — bench runs best-of-2, and a build-once cache would let
+    the second pass report a near-zero build cell (masking exactly the
+    cost the phase split exists to expose).  The read entries pass
+    ``rebuild=False`` and reuse whatever build ran last; the write is
+    deterministic, so a rebuild never changes read results."""
     from label_maker_dask_spark.operators.similarity import write_pq_index
     from label_maker_dask_spark.queries_shared import session_tmpdir
 
     path = _PQ_SHARED.get(sf_dir)
-    if path is None:
-        path = session_tmpdir("pq_index", "pq_shared") + "/index"
+    if path is None or rebuild:
+        if path is None:
+            path = session_tmpdir("pq_index", "pq_shared") + "/index"
         write_pq_index(_t(spark, sf_dir, "embeddings"), path)
         _PQ_SHARED[sf_dir] = path
     return path
@@ -787,7 +794,7 @@ def similarity_pq_index_build(spark, sf_dir):
     a green row proves the persisted BYTES, and the bench cell carries
     the training/write cost so the stored/join read entries (which
     reuse this process-shared index) time the read path alone."""
-    idx = _pq_shared_index(spark, sf_dir)
+    idx = _pq_shared_index(spark, sf_dir, rebuild=True)
     from label_maker_dask_spark.operators.similarity import _pq_read_codes
 
     ex = _pq_read_codes(spark, idx).select(
