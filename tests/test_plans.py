@@ -456,3 +456,68 @@ def test_srp_skew_profiler_is_takeordered(spark):
     full sort of the bucket histogram."""
     plan = plan_of(Q.QUERIES["profile_srp_bucket_skew"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def _n_ops(plan: str, name: str) -> int:
+    """Count physical operators by their numbered detail header —
+    explain("formatted") prints each op twice (tree + detail), so a raw
+    substring count double-counts."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.M))
+
+
+def test_detection_e2e_single_shuffle_no_python_udf(spark):
+    """The object-detection e2e pipeline is pure column math (pixel
+    convert/flip/pad/clamp inside codegen) up to ONE per-tile aggregate
+    shuffle plus the posexplode — no Python UDF anywhere."""
+    plan = plan_of(Q.QUERIES["detection_labels_e2e"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # window (slot assignment) + tile aggregate: bounded exchanges
+    n_exchanges = _n_ops(plan, "Exchange")
+    assert n_exchanges <= 3, f"expected <=3 Exchange nodes, saw {n_exchanges}"
+
+
+def test_cog_entry_is_one_arrow_pass(spark):
+    """The COG windowed-read gate is one executor-side Arrow stage over
+    the tile list plus its repartition — decode work never leaves the
+    mapInPandas operator."""
+    plan = plan_of(Q.QUERIES["raster_cog_window_channel_sums"](spark, SF))
+    assert _n_ops(plan, "MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_mvt_roundtrip_one_arrow_pass_one_shuffle(spark):
+    """Encode+decode both live inside the single fetch_features
+    mapInPandas; the only shuffles are the tile repartition and the
+    per-(tile, geometry type) aggregate."""
+    plan = plan_of(Q.QUERIES["mvt_roundtrip_feature_stats"](spark, SF))
+    assert _n_ops(plan, "MapInPandas") == 1
+    n_exchanges = _n_ops(plan, "Exchange")
+    assert n_exchanges <= 3, f"expected <=3 Exchange nodes, saw {n_exchanges}"
+
+
+def test_pq_join_form_never_broadcasts_query_subvectors(spark):
+    """The PQ join twin's contract: the codebook sidecar may broadcast,
+    but the corpus-sized query subvector frame must meet the candidate
+    stream in a shuffle join — the LOGICAL plan carries no broadcast
+    hint on it (AQE may still pick broadcast at toy scale from size
+    stats; the hint is what would force it at 100 TB)."""
+    from label_maker_dask_spark.operators.similarity import (
+        pq_adc_topk_join,
+        write_pq_index,
+    )
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        idx = d + "/idx"
+        write_pq_index(emb, idx)
+        df = pq_adc_topk_join(
+            spark, idx, emb.where(F.col("vec_id") % 21 == 0)
+        )
+        logical = df._jdf.queryExecution().logical().toString()
+    # exactly one broadcast hint in the whole tree: the codebook
+    assert logical.count("ResolvedHint") == 1
