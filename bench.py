@@ -236,6 +236,9 @@ HEADLINE = [
     "raster_cog_window_channel_sums",
     "mvt_roundtrip_feature_stats",
     "raster_cog_window_channel_sums_3857",
+    # round-14: distributed BPE merge training (12 rounds over the
+    # word-type table; one corpus pass + 12 narrow aggregations)
+    "text_bpe_train_merges",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Distributed BPE merge training — the tokenizer-TRAINING half of the
+text family (the counting half is ``text_bpe_token_counts``'s regex
+pre-tokenizer).
+
+Classic byte-pair-encoding learns a merge list: start from characters,
+repeatedly merge the globally most frequent adjacent symbol pair.  The
+production-shaped decomposition (what HF tokenizers / SentencePiece do)
+is:
+
+1. ONE corpus-scale pass aggregates the word-frequency table — the only
+   step that touches every token; everything after runs on word TYPES,
+   a Zipf-bounded frame orders of magnitude smaller than the corpus.
+2. Each merge round is a narrow aggregation over the type table
+   (adjacent-pair counts weighted by word frequency), an argmax, and a
+   per-type symbol-sequence rewrite.  Exactly ONE row (the winning
+   pair) reaches the driver per round — the same bounded-collect
+   contract as the IVF centroid seeds.
+
+Determinism / oracle replay: symbol sequences are stored as strings
+joined by a double US separator (``\\x1f\\x1f``, a character no token
+contains — tokens are whitespace-split so they never contain control
+separators we strip below), and a merge is ONE literal ``replace`` of
+``US + left + US US + right + US`` with ``US + left·right + US`` on the
+US-padded sequence.  Because symbols never contain US, the pattern can
+only match at true symbol boundaries, and the double-separator join
+keeps consecutive disjoint occurrences from sharing boundary characters
+— so Spark's ``replace`` and DuckDB's ``replace`` (both left-to-right,
+non-overlapping) rewrite identically, and the greedy left-to-right
+semantics are exactly classic BPE's within-word merge order.  Ties on
+the argmax break by pair string ascending (byte order in both engines).
+
+100 TB posture: step 1 is the corpus scan (map-side combinable word
+count); each round is O(types) with a 1-row collect; lineage is
+truncated per round via :func:`materialize` so round r never replays
+rounds 0..r-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from label_maker_dask_spark.operators.materialize import materialize
+
+#: unit separator — the symbol-boundary character (never inside a symbol)
+US = "\x1f"
+#: end-of-word marker symbol (standard BPE; like any symbol it may also
+#: be formed by merges of its characters — the classic accepted collision)
+EOW = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-scale pass: whitespace tokens -> (word, freq).
+    Control/separator characters are stripped from tokens so the US
+    invariant holds on arbitrary input."""
+    toks = F.explode(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    ).alias("word")
+    return (
+        docs.select(toks)
+        .select(F.regexp_replace("word", "[\\x00-\\x1f]", "").alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_seq() -> F.Column:
+    # characters (codepoint-safe split) joined by US US, plus the EOW
+    # marker as the final symbol
+    chars = F.filter(F.split("word", ""), lambda c: c != "")
+    return F.concat(
+        F.array_join(chars, US + US), F.lit(US + US + EOW)
+    )
+
+
+def _pair_counts(state: DataFrame) -> DataFrame:
+    syms = F.split("seq", US + US)
+    n = F.size(syms)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(US), F.element_at(syms, i + 1)
+            ),
+        )
+    ).alias("pair")
+    return (
+        state.select(pair, "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges over ``docs[text_col]``; returns the
+    merge list — the tokenizer artifact — as (merge_rank, left_sym,
+    right_sym, pair_count), ordered by rank."""
+    spark = docs.sparkSession
+    state = materialize(
+        word_frequencies(docs, text_col).select(
+            _initial_seq().alias("seq"), "freq"
+        )
+    )
+    merges = []
+    for r in range(rounds):
+        best = (
+            _pair_counts(state)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["pair"].split(US)
+        merges.append((r, left, right, int(best[0]["cnt"])))
+        pat = US + left + US + US + right + US
+        rep = US + left + right + US
+        padded = F.concat(F.lit(US), F.col("seq"), F.lit(US))
+        replaced = F.replace(padded, F.lit(pat), F.lit(rep))
+        state = materialize(
+            state.select(
+                F.substring(
+                    replaced, 2, F.length(replaced) - 2
+                ).alias("seq"),
+                "freq",
+            )
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_merges_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin: unrolls every round — pair counts from the previous
+    state, argmax with the identical (count desc, pair asc) tie-break,
+    the identical padded literal replace — so the driver's hash gate
+    proves training end-to-end."""
+    us = "chr(31)"
+    ss = f"({us} || {us})"
+    # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by
+    # default, which makes round r re-derive rounds 0..r-1 once per
+    # reference — exponential in rounds (measured: 6 rounds hung).
+    # Materializing each round's state/argmax makes the unroll linear.
+    parts = [
+        f"""w AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT regexp_replace(t, '[\\x00-\\x1f]', '', 'g') AS word
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text),
+                     '\\s+'), t -> t != '')) AS t FROM documents))
+      WHERE word != '' GROUP BY word),
+    s0 AS MATERIALIZED (
+      SELECT list_aggregate(list_filter(string_split(word, ''),
+                 c -> c != ''), 'string_agg', {ss})
+               || {ss} || '</w>' AS seq,
+             freq
+      FROM w)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT sy[i] || {us} || sy[i+1] AS pair, sum(freq) AS cnt
+      FROM (SELECT string_split(seq, {ss}) AS sy, freq FROM s{r}),
+           LATERAL (SELECT unnest(generate_series(1,
+                        greatest(len(sy) - 1, 0))) AS i)
+      WHERE len(sy) >= 2
+      GROUP BY 1),
+    b{r} AS MATERIALIZED (
+      SELECT string_split(pair, {us})[1] AS l,
+             string_split(pair, {us})[2] AS r,
+             cnt
+      FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s{r + 1} AS MATERIALIZED (
+      SELECT substr(x, 2, length(x) - 2) AS seq, freq FROM (
+        SELECT replace({us} || seq || {us},
+                       {us} || (SELECT l FROM b{r}) || {ss}
+                            || (SELECT r FROM b{r}) || {us},
+                       {us} || (SELECT l FROM b{r})
+                            || (SELECT r FROM b{r}) || {us}) AS x,
+               freq
+        FROM s{r}))"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(rounds)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT * FROM ({finals}) ORDER BY merge_rank
+    """
+
+
+__all__ = ["bpe_train_merges", "bpe_merges_oracle_sql", "word_frequencies"]

@@ -1031,3 +1031,25 @@ from label_maker_dask_spark.queries import (  # noqa: E402
 )
 
 _refinalize()
+
+
+def _bpe_merges_oracle():
+    from label_maker_dask_spark.operators.bpe import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql(12)
+
+
+@register("text_bpe_train_merges", _bpe_merges_oracle())
+def text_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE merge TRAINING (operators/bpe.py) — the
+    tokenizer-training operator the counting-side text entries assume:
+    one corpus-scale word-frequency pass, then 12 merge rounds over the
+    Zipf-bounded word-TYPE table (pair counts weighted by frequency,
+    global argmax with byte-order tie-break, one literal boundary-safe
+    replace per round; exactly one row reaches the driver per round).
+    The oracle unrolls all 12 rounds with materialized CTEs, so the
+    hash gate proves training end-to-end — the learned merge list IS
+    the output artifact."""
+    from label_maker_dask_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=12)

@@ -143,6 +143,7 @@ ROTATION_BACKLOG: list = [
     # rotation (judge-replayable locally via tools/check_oracle.py).
     "mvt_roundtrip_feature_stats",
     "raster_cog_window_channel_sums_3857",
+    "text_bpe_train_merges",
 ]
 
 
