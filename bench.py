@@ -239,6 +239,7 @@ HEADLINE = [
     # round-14: distributed BPE merge training (12 rounds over the
     # word-type table; one corpus pass + 12 narrow aggregations)
     "text_bpe_train_merges",
+    "text_bpe_tokenize_corpus",
 ]
 
 

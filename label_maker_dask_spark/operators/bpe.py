@@ -57,10 +57,30 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).alias("word")
     return (
         docs.select(toks)
-        .select(F.regexp_replace("word", "[\\x00-\\x1f]", "").alias("word"))
+        .select(_word_norm_col("word").alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _word_norm_col(c) -> F.Column:
+    return F.regexp_replace(c, "[\\x00-\\x1f]", "")
+
+
+def doc_word_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, word) rows under the SAME normalization as
+    :func:`word_frequencies` — the join side for applying a trained
+    tokenizer per document."""
+    toks = F.explode(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    ).alias("word")
+    return (
+        docs.select(id_col, toks)
+        .select(id_col, _word_norm_col("word").alias("word"))
+        .where(F.col("word") != "")
     )
 
 
@@ -100,10 +120,28 @@ def bpe_train_merges(
     """Learn ``rounds`` BPE merges over ``docs[text_col]``; returns the
     merge list — the tokenizer artifact — as (merge_rank, left_sym,
     right_sym, pair_count), ordered by rank."""
-    spark = docs.sparkSession
+    merges, _ = _train(docs, rounds, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_tokenized_words(
+    docs: DataFrame, rounds: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Train ``rounds`` merges, then return the trained tokenizer APPLIED
+    to every word type: (word, n_symbols, freq) — join a corpus's tokens
+    to this frame (broadcast; it is the Zipf-bounded type table) to
+    tokenize at scale without re-running any merge."""
+    _, state = _train(docs, rounds, text_col)
+    n = F.size(F.split("seq", US + US))
+    return state.select("word", n.alias("n_symbols"), "freq")
+
+
+def _train(docs: DataFrame, rounds: int, text_col: str):
     state = materialize(
         word_frequencies(docs, text_col).select(
-            _initial_seq().alias("seq"), "freq"
+            "word", _initial_seq().alias("seq"), "freq"
         )
     )
     merges = []
@@ -124,15 +162,14 @@ def bpe_train_merges(
         replaced = F.replace(padded, F.lit(pat), F.lit(rep))
         state = materialize(
             state.select(
+                "word",
                 F.substring(
                     replaced, 2, F.length(replaced) - 2
                 ).alias("seq"),
                 "freq",
             )
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
-    )
+    return merges, state
 
 
 def bpe_merges_oracle_sql(rounds: int = 8) -> str:
@@ -140,6 +177,43 @@ def bpe_merges_oracle_sql(rounds: int = 8) -> str:
     state, argmax with the identical (count desc, pair asc) tie-break,
     the identical padded literal replace — so the driver's hash gate
     proves training end-to-end."""
+    ctes = _bpe_ctes_sql(rounds)
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(rounds)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT * FROM ({finals}) ORDER BY merge_rank
+    """
+
+
+def bpe_tokenize_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of training + APPLICATION: per-document word and
+    symbol counts under the round-``rounds`` tokenizer (the trained
+    state joined back to each document's tokens)."""
+    us = "chr(31)"
+    ss = f"({us} || {us})"
+    ctes = _bpe_ctes_sql(rounds)
+    return f"""
+    WITH {ctes},
+    wl AS MATERIALIZED (
+      SELECT word, len(string_split(seq, {ss})) AS n_syms
+      FROM s{rounds}),
+    dtoks AS (
+      SELECT doc_id, regexp_replace(t, '[\\x00-\\x1f]', '', 'g') AS word
+      FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text),
+                   '\\s+'), t -> t != '')) AS t FROM documents)),
+    dw AS (SELECT doc_id, word FROM dtoks WHERE word != '')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_syms) AS BIGINT) AS n_symbols
+    FROM dw JOIN wl USING (word)
+    GROUP BY doc_id
+    """
+
+
+def _bpe_ctes_sql(rounds: int) -> str:
     us = "chr(31)"
     ss = f"({us} || {us})"
     # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by
@@ -154,7 +228,8 @@ def bpe_merges_oracle_sql(rounds: int = 8) -> str:
                      '\\s+'), t -> t != '')) AS t FROM documents))
       WHERE word != '' GROUP BY word),
     s0 AS MATERIALIZED (
-      SELECT list_aggregate(list_filter(string_split(word, ''),
+      SELECT word,
+             list_aggregate(list_filter(string_split(word, ''),
                  c -> c != ''), 'string_agg', {ss})
                || {ss} || '</w>' AS seq,
              freq
@@ -175,8 +250,8 @@ def bpe_merges_oracle_sql(rounds: int = 8) -> str:
              cnt
       FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
     s{r + 1} AS MATERIALIZED (
-      SELECT substr(x, 2, length(x) - 2) AS seq, freq FROM (
-        SELECT replace({us} || seq || {us},
+      SELECT word, substr(x, 2, length(x) - 2) AS seq, freq FROM (
+        SELECT word, replace({us} || seq || {us},
                        {us} || (SELECT l FROM b{r}) || {ss}
                             || (SELECT r FROM b{r}) || {us},
                        {us} || (SELECT l FROM b{r})
@@ -184,16 +259,14 @@ def bpe_merges_oracle_sql(rounds: int = 8) -> str:
                freq
         FROM s{r}))"""
         )
-    finals = " UNION ALL ".join(
-        f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
-        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
-        for r in range(rounds)
-    )
-    ctes = ",\n    ".join(parts)
-    return f"""
-    WITH {ctes}
-    SELECT * FROM ({finals}) ORDER BY merge_rank
-    """
+    return ",\n    ".join(parts)
 
 
-__all__ = ["bpe_train_merges", "bpe_merges_oracle_sql", "word_frequencies"]
+__all__ = [
+    "bpe_train_merges",
+    "bpe_tokenized_words",
+    "bpe_merges_oracle_sql",
+    "bpe_tokenize_oracle_sql",
+    "word_frequencies",
+    "doc_word_rows",
+]

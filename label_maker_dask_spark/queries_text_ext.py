@@ -1053,3 +1053,35 @@ def text_bpe_train_merges(spark, sf_dir):
     from label_maker_dask_spark.operators.bpe import bpe_train_merges
 
     return bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=12)
+
+
+def _bpe_tokenize_oracle():
+    from label_maker_dask_spark.operators.bpe import bpe_tokenize_oracle_sql
+
+    return bpe_tokenize_oracle_sql(12)
+
+
+@register("text_bpe_tokenize_corpus", _bpe_tokenize_oracle())
+def text_bpe_tokenize_corpus(spark, sf_dir):
+    """The trained BPE tokenizer APPLIED: per-document word and symbol
+    counts under the 12-merge tokenizer text_bpe_train_merges learns —
+    train → apply → count as one gated loop (the compression-ratio
+    signal a tokenizer-sizing pass reads).  Application is a broadcast
+    join of each document's tokens against the Zipf-bounded word-type
+    table (word → n_symbols); no merge ever re-runs per document."""
+    from label_maker_dask_spark.operators.bpe import (
+        bpe_tokenized_words,
+        doc_word_rows,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wl = bpe_tokenized_words(docs, rounds=12)
+    return (
+        doc_word_rows(docs)
+        .join(F.broadcast(wl.select("word", "n_symbols")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").alias("n_symbols"),
+        )
+    )

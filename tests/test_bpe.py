@@ -90,3 +90,64 @@ def test_bpe_exhausts_gracefully(spark):
     got = [tuple(r) for r in bpe_train_merges(docs, rounds=5).collect()]
     # 'a </w>' -> 'a</w>' is the only merge; then every word is one symbol
     assert got == [(0, "a", "</w>", 3)]
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    """Applying the trained tokenizer per document matches the pure-
+    Python reference's final word->symbols mapping summed per doc."""
+    from label_maker_dask_spark.operators.bpe import (
+        bpe_tokenized_words,
+        doc_word_rows,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps while the quick fox runs",
+        "aaa aaab aab ab ab ab abb abab ababab",
+    ]
+    # reference: replay merges on the word-type dict
+    words = {}
+    for t in texts:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    state = {w: tuple(list(w) + ["</w>"]) for w in words}
+    from tests.test_bpe import _reference_bpe
+
+    merges = _reference_bpe(texts, 6)
+    for _, a, b, _c in merges:
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    want = sorted(
+        (d, sum(1 for w in t.split() for _ in [0]),
+         sum(len(state[w]) for w in t.split()))
+        for d, t in enumerate(texts)
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    wl = bpe_tokenized_words(docs, rounds=6)
+    got = sorted(
+        map(
+            tuple,
+            doc_word_rows(docs)
+            .join(wl.select("word", "n_symbols"), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_symbols").alias("n_symbols"),
+            )
+            .collect(),
+        )
+    )
+    want = [(d, nw, int(ns)) for d, nw, ns in want]
+    got = [(d, nw, int(ns)) for d, nw, ns in got]
+    assert got == want

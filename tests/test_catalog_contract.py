@@ -144,6 +144,7 @@ ROTATION_BACKLOG: list = [
     "mvt_roundtrip_feature_stats",
     "raster_cog_window_channel_sums_3857",
     "text_bpe_train_merges",
+    "text_bpe_tokenize_corpus",
 ]
 
 
