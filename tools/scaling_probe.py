@@ -152,6 +152,15 @@ PROBES = [
     "curation_token_budget_select",
     "stream_upsert_schema_evolution_replay",
     "spatial_tile_pyramid_rollup",
+    # round-14: PQ phase split + join twin, detection e2e, BPE training
+    # and application.  (The COG/MVT round-trip gates are fixed-size
+    # synthetic fixtures — sf-independent by construction, not probed.)
+    "similarity_pq_index_build",
+    "similarity_pq_stored_topk_ann",
+    "similarity_pq_join_topk_ann",
+    "detection_labels_e2e",
+    "text_bpe_train_merges",
+    "text_bpe_tokenize_corpus",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
