@@ -249,6 +249,61 @@ def main() -> None:
         f"queries"
     )
 
+    # ---- Part 9 (round 14): tokenizer training + codec sinks --------------
+    # Train a BPE merge list distributively (one corpus pass, then merge
+    # rounds over the Zipf-bounded word-type table), apply it per
+    # document, and round-trip raster/vector tiles through the engine's
+    # own GeoTIFF and MVT writers.
+    from label_maker_dask_spark.operators.bpe import (
+        bpe_tokenized_words,
+        bpe_train_merges,
+        doc_word_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train_merges(docs, rounds=8)
+    first = merges.orderBy("merge_rank").first()
+    wl = bpe_tokenized_words(docs, rounds=8)
+    compression = (
+        doc_word_rows(docs)
+        .join(wl.select("word", "n_symbols"), "word")
+        .agg(
+            F.sum("n_symbols").alias("syms"),
+            F.count(F.lit(1)).alias("words"),
+        )
+        .first()
+    )
+    print(
+        f"BPE: first merge {first['left_sym']!r}+{first['right_sym']!r} "
+        f"(count {first['pair_count']}); corpus tokenizes to "
+        f"{compression['syms']} symbols over {compression['words']} words"
+    )
+
+    import numpy as np
+
+    from label_maker_dask_spark.sources import mvt
+    from label_maker_dask_spark.sources.mvt_write import encode_mvt
+    from label_maker_dask_spark.sources.tiff import TiffFile, read_tile
+    from label_maker_dask_spark.sources.tiff_write import write_geotiff
+
+    arr = np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3)
+    tif = TiffFile(
+        write_geotiff(arr, (-180, -90, 180, 90), tiled=True, compression=8)
+    )
+    window = read_tile(tif, 4, 7, 5)
+    tile = mvt.decode(
+        encode_mvt({"osm": [{
+            "id": 1,
+            "geometry": {"type": "Point", "coordinates": [100, 200]},
+            "properties": {"class": "water"},
+        }]})
+    )
+    print(
+        f"codec sinks: engine-written COG window {window.shape}, "
+        f"engine-written MVT decodes "
+        f"{len(tile['osm']['features'])} feature(s)"
+    )
+
     spark.stop()
 
 
