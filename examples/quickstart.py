@@ -254,16 +254,11 @@ def main() -> None:
     # rounds over the Zipf-bounded word-type table), apply it per
     # document, and round-trip raster/vector tiles through the engine's
     # own GeoTIFF and MVT writers.
-    from label_maker_dask_spark.operators.bpe import (
-        bpe_tokenized_words,
-        bpe_train_merges,
-        doc_word_rows,
-    )
+    from label_maker_dask_spark.operators.bpe import bpe_train, doc_word_rows
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = bpe_train_merges(docs, rounds=8)
+    merges, wl = bpe_train(docs, rounds=8)  # one training run, both artifacts
     first = merges.orderBy("merge_rank").first()
-    wl = bpe_tokenized_words(docs, rounds=8)
     compression = (
         doc_word_rows(docs)
         .join(wl.select("word", "n_symbols"), "word")

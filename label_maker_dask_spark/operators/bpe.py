@@ -48,40 +48,37 @@ US = "\x1f"
 EOW = "</w>"
 
 
+def _word_rows(docs: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """THE tokenize+normalize chain (whitespace split, control-char
+    strip, empty drop) — one definition, so the training side and the
+    per-document application side can never drift apart."""
+    toks = F.explode(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    ).alias("word")
+    norm = F.regexp_replace("word", "[\\x00-\\x1f]", "")
+    return (
+        docs.select(*keep_cols, toks)
+        .select(*keep_cols, norm.alias("word"))
+        .where(F.col("word") != "")
+    )
+
+
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The one corpus-scale pass: whitespace tokens -> (word, freq).
     Control/separator characters are stripped from tokens so the US
     invariant holds on arbitrary input."""
-    toks = F.explode(
-        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    ).alias("word")
-    return (
-        docs.select(toks)
-        .select(_word_norm_col("word").alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    return _word_rows(docs, text_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq")
     )
-
-
-def _word_norm_col(c) -> F.Column:
-    return F.regexp_replace(c, "[\\x00-\\x1f]", "")
 
 
 def doc_word_rows(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, word) rows under the SAME normalization as
-    :func:`word_frequencies` — the join side for applying a trained
-    tokenizer per document."""
-    toks = F.explode(
-        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    ).alias("word")
-    return (
-        docs.select(id_col, toks)
-        .select(id_col, _word_norm_col("word").alias("word"))
-        .where(F.col("word") != "")
-    )
+    :func:`word_frequencies` (shared chain) — the join side for
+    applying a trained tokenizer per document."""
+    return _word_rows(docs, text_col, id_col)
 
 
 def _initial_seq() -> F.Column:
@@ -114,16 +111,31 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
+def bpe_train(
+    docs: DataFrame, rounds: int = 8, text_col: str = "text"
+) -> tuple:
+    """One training run, BOTH artifacts: ``(merges, tokenized_words)``
+    — the merge list as (merge_rank, left_sym, right_sym, pair_count)
+    and the trained tokenizer applied to every word type as
+    (word, n_symbols, freq).  Use this when you need both;
+    :func:`bpe_train_merges` / :func:`bpe_tokenized_words` are
+    single-artifact conveniences that each run training once."""
+    merges, state = _train(docs, rounds, text_col)
+    mdf = docs.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+    n = F.size(F.split("seq", US + US))
+    return mdf, state.select("word", n.alias("n_symbols"), "freq")
+
+
 def bpe_train_merges(
     docs: DataFrame, rounds: int = 8, text_col: str = "text"
 ) -> DataFrame:
     """Learn ``rounds`` BPE merges over ``docs[text_col]``; returns the
     merge list — the tokenizer artifact — as (merge_rank, left_sym,
     right_sym, pair_count), ordered by rank."""
-    merges, _ = _train(docs, rounds, text_col)
-    return docs.sparkSession.createDataFrame(
-        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
-    )
+    return bpe_train(docs, rounds, text_col)[0]
 
 
 def bpe_tokenized_words(
@@ -133,9 +145,7 @@ def bpe_tokenized_words(
     to every word type: (word, n_symbols, freq) — join a corpus's tokens
     to this frame (broadcast; it is the Zipf-bounded type table) to
     tokenize at scale without re-running any merge."""
-    _, state = _train(docs, rounds, text_col)
-    n = F.size(F.split("seq", US + US))
-    return state.select("word", n.alias("n_symbols"), "freq")
+    return bpe_train(docs, rounds, text_col)[1]
 
 
 def _train(docs: DataFrame, rounds: int, text_col: str):
@@ -251,11 +261,14 @@ def _bpe_ctes_sql(rounds: int) -> str:
       FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
     s{r + 1} AS MATERIALIZED (
       SELECT word, substr(x, 2, length(x) - 2) AS seq, freq FROM (
+        -- coalesce to the identity replace (US -> US) when b{{r}} is
+        -- empty: a dried-out round must leave every sequence unchanged
+        -- (the Spark side breaks out of the loop), not NULL-propagate
         SELECT word, replace({us} || seq || {us},
-                       {us} || (SELECT l FROM b{r}) || {ss}
-                            || (SELECT r FROM b{r}) || {us},
-                       {us} || (SELECT l FROM b{r})
-                            || (SELECT r FROM b{r}) || {us}) AS x,
+                       coalesce({us} || (SELECT l FROM b{r}) || {ss}
+                            || (SELECT r FROM b{r}) || {us}, {us}),
+                       coalesce({us} || (SELECT l FROM b{r})
+                            || (SELECT r FROM b{r}) || {us}, {us})) AS x,
                freq
         FROM s{r}))"""
         )
@@ -263,6 +276,7 @@ def _bpe_ctes_sql(rounds: int) -> str:
 
 
 __all__ = [
+    "bpe_train",
     "bpe_train_merges",
     "bpe_tokenized_words",
     "bpe_merges_oracle_sql",

@@ -1777,8 +1777,6 @@ def pq_adc_topk_stored(
     codebook sidecar, never assumed.  Results are identical to the
     on-the-fly :func:`pq_adc_topk` given the same corpus (same
     codebooks, same folds, same integer ADC)."""
-    import os
-
     cb = spark.read.parquet(path + "/codebook")
     n_sub, sub_dim, dim = _pq_geometry(cb)
     qsub = pq_subvectors(queries, n_sub, sub_dim, id_col, vec_col).select(

@@ -1314,10 +1314,18 @@ def _drive_tile_stream(spark, name: str, mode: str = None) -> DataFrame:
     if mode:
         reader = reader.option("streamingMode", mode)
         if mode == "partitioned":
-            # durable committed-frontier floor beside the checkpoint:
-            # closes the double-crash re-delivery window (see the
-            # commit() docstring in sources/tile_source.py)
-            reader = reader.option("floordir", ckpt)
+            # durable committed-frontier floor beside the checkpoint,
+            # BOUND to the checkpoint's run id: closes the double-crash
+            # re-delivery window (commit() docstring, tile_source.py)
+            # while a fresh checkpoint's new run id makes any stale
+            # floor for the same grid inert instead of data-losing
+            from label_maker_dask_spark.streaming.upsert import (
+                ensure_run_id,
+            )
+
+            reader = reader.option("floordir", ckpt).option(
+                "floorrunid", ensure_run_id(ckpt)
+            )
     q = (
         reader.load()
         .writeStream.format("parquet")

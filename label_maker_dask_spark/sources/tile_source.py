@@ -292,7 +292,22 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
 
             os.makedirs(fdir, exist_ok=True)
             self._floor_file = os.path.join(fdir, "_slippy_floor.json")
-            self._floor_key = {"zoom": self.zoom, "bounds": bounds}
+            # Bind the floor to the query's checkpoint run id when the
+            # caller provides one (option floorrunid, from
+            # streaming.upsert.ensure_run_id(checkpoint)): a FRESH query
+            # (new/cleared checkpoint -> new run id) must NOT inherit a
+            # stale floor for the same grid — it would silently never
+            # deliver the old run's range.  A stale same-grid floor with
+            # a different run id is ignored (full re-delivery is the
+            # correct fresh-run behavior) and overwritten on the first
+            # commit; a different GRID still refuses loudly (config
+            # error, not a fresh run).
+            self._floor_run = options.get("floorrunid")
+            self._floor_key = {
+                "zoom": self.zoom,
+                "bounds": bounds,
+                "run": self._floor_run,
+            }
             if os.path.exists(self._floor_file):
                 with open(self._floor_file) as fh:
                     st = json.load(fh)
@@ -307,7 +322,8 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
                         f"({self.zoom}, {bounds}); use a fresh "
                         "checkpoint/floordir per grid."
                     )
-                self._floor = max(self.ymin, int(st["y"]))
+                if st.get("run") == self._floor_run:
+                    self._floor = max(self.ymin, int(st["y"]))
 
     def _log(self, msg: str) -> None:
         if self._dbg:

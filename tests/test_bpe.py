@@ -151,3 +151,46 @@ def test_bpe_tokenize_matches_reference(spark):
     want = [(d, nw, int(ns)) for d, nw, ns in want]
     got = [(d, nw, int(ns)) for d, nw, ns in got]
     assert got == want
+
+
+def test_bpe_tokenize_oracle_survives_dryout(spark):
+    """Training that dries out before `rounds` merges must leave the
+    oracle's final state intact (identity replace on empty argmax), not
+    NULL-propagated — Spark and the oracle must agree on the per-doc
+    symbol counts."""
+    import duckdb
+    import pandas as pd
+
+    from label_maker_dask_spark.operators.bpe import (
+        bpe_tokenize_oracle_sql,
+        bpe_tokenized_words,
+        doc_word_rows,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [(1, "ab ab")]
+    docs = spark.createDataFrame(texts, "doc_id int, text string")
+    wl = bpe_tokenized_words(docs, rounds=4)
+    got = sorted(
+        map(
+            tuple,
+            doc_word_rows(docs)
+            .join(wl.select("word", "n_symbols"), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_symbols").alias("n_symbols"),
+            )
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    want = sorted(
+        map(tuple, con.execute(bpe_tokenize_oracle_sql(4)).fetchall())
+    )
+    assert got == want
+    assert all(ns is not None for _, _, ns in want)
+    # 'ab' -> merges exhaust at 2 ('a'+'b', then 'ab'+'</w>'): one
+    # symbol per word
+    assert want == [(1, 2, 2)]

@@ -355,3 +355,32 @@ def test_latest_offset_regression_double_crash_gap(tmp_path):
         SlippyTilePartitionedStreamReader(
             {**fopts, "zoom": "9"}
         )
+
+    # --- run-id binding: a FRESH query must not inherit a stale floor -
+    ropts = {**opts, "floordir": str(tmp_path / "ckpt2"),
+             "floorrunid": "run-A"}
+    e1 = SlippyTilePartitionedStreamReader(ropts)
+    e1.partitions({"y": 93}, {"y": 96})
+    e1.commit({"y": 96})  # durable floor bound to run-A
+
+    # same run id (restart of the same query): floor honored
+    e2 = SlippyTilePartitionedStreamReader(ropts)
+    rows = [r for p in e2.partitions({"y": 93}, {"y": 96})
+            for r in e2.read(p)]
+    assert rows == []  # committed range clipped
+
+    # NEW run id (fresh checkpoint, same grid + floordir): the stale
+    # floor is ignored — the old range DELIVERS again (fresh-run
+    # semantics), no silent data loss
+    e3 = SlippyTilePartitionedStreamReader(
+        {**ropts, "floorrunid": "run-B"}
+    )
+    ys = sorted({p.y for p in e3.partitions({"y": 93}, {"y": 96})})
+    assert ys == [93, 94, 95]
+    e3.commit({"y": 96})  # and the file re-binds to run-B
+    e4 = SlippyTilePartitionedStreamReader(
+        {**ropts, "floorrunid": "run-B"}
+    )
+    rows = [r for p in e4.partitions({"y": 93}, {"y": 96})
+            for r in e4.read(p)]
+    assert rows == []
