@@ -240,6 +240,7 @@ HEADLINE = [
     # word-type table; one corpus pass + 12 narrow aggregations)
     "text_bpe_train_merges",
     "text_bpe_tokenize_corpus",
+    "text_bpe_vocab",
 ]
 
 

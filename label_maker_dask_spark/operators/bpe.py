@@ -148,6 +148,42 @@ def bpe_tokenized_words(
     return bpe_train(docs, rounds, text_col)[1]
 
 
+def bpe_symbol_vocab(
+    docs: DataFrame, rounds: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """The VOCABULARY artifact: every symbol of the round-``rounds``
+    tokenizer with the number of word types containing it and its total
+    corpus occurrence count (each in-word occurrence weighted by word
+    frequency) — the vocab-sizing table next to the merge list."""
+    _, state = _train(docs, rounds, text_col)
+    sym = F.explode(F.split("seq", US + US)).alias("symbol")
+    return (
+        state.select("word", sym, "freq")
+        .groupBy("symbol")
+        .agg(
+            F.count_distinct("word").alias("n_types"),
+            F.sum("freq").alias("total_count"),
+        )
+    )
+
+
+def bpe_vocab_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_symbol_vocab` over the shared training
+    CTE chain."""
+    us = "chr(31)"
+    ss = f"({us} || {us})"
+    ctes = _bpe_ctes_sql(rounds)
+    return f"""
+    WITH {ctes}
+    SELECT symbol,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+           CAST(sum(freq) AS BIGINT) AS total_count
+    FROM (SELECT word, unnest(string_split(seq, {ss})) AS symbol, freq
+          FROM s{rounds})
+    GROUP BY symbol
+    """
+
+
 def _train(docs: DataFrame, rounds: int, text_col: str):
     state = materialize(
         word_frequencies(docs, text_col).select(
@@ -277,6 +313,8 @@ def _bpe_ctes_sql(rounds: int) -> str:
 
 __all__ = [
     "bpe_train",
+    "bpe_symbol_vocab",
+    "bpe_vocab_oracle_sql",
     "bpe_train_merges",
     "bpe_tokenized_words",
     "bpe_merges_oracle_sql",

@@ -1085,3 +1085,24 @@ def text_bpe_tokenize_corpus(spark, sf_dir):
             F.sum("n_symbols").alias("n_symbols"),
         )
     )
+
+
+def _bpe_vocab_oracle():
+    from label_maker_dask_spark.operators.bpe import bpe_vocab_oracle_sql
+
+    return bpe_vocab_oracle_sql(12)
+
+
+@register("text_bpe_vocab", _bpe_vocab_oracle())
+def text_bpe_vocab(spark, sf_dir):
+    """The trained tokenizer's VOCABULARY (operators/bpe.py
+    bpe_symbol_vocab): every symbol after 12 merges with its word-type
+    spread and frequency-weighted corpus count — completing the BPE
+    triad (merge list -> vocabulary -> corpus application) under the
+    same unrolled training oracle.  The vocab table is alphabet + 12
+    merged symbols at most — tiny, but each row's counts fold the whole
+    type table, so the gate checks the final training state
+    exhaustively."""
+    from label_maker_dask_spark.operators.bpe import bpe_symbol_vocab
+
+    return bpe_symbol_vocab(_t(spark, sf_dir, "documents"), rounds=12)

@@ -145,6 +145,7 @@ ROTATION_BACKLOG: list = [
     "raster_cog_window_channel_sums_3857",
     "text_bpe_train_merges",
     "text_bpe_tokenize_corpus",
+    "text_bpe_vocab",
 ]
 
 
