@@ -241,6 +241,7 @@ HEADLINE = [
     "text_bpe_train_merges",
     "text_bpe_tokenize_corpus",
     "text_bpe_vocab",
+    "stream_bpe_word_freq_replay",
 ]
 
 

@@ -184,11 +184,25 @@ def bpe_vocab_oracle_sql(rounds: int = 8) -> str:
     """
 
 
-def _train(docs: DataFrame, rounds: int, text_col: str):
+def bpe_train_merges_from_frequencies(
+    freqs: DataFrame, rounds: int = 8
+) -> DataFrame:
+    """Train from an EXISTING (word, freq) table — e.g. one maintained
+    incrementally by the additive streaming sink — instead of scanning a
+    corpus.  Because word counts are batch-split invariant, training on
+    a stream-maintained table must equal batch training on the same
+    corpus (gated by stream_bpe_word_freq_replay)."""
+    merges, _ = _train(None, rounds, "text", freqs=freqs)
+    return freqs.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _train(docs, rounds: int, text_col: str, freqs: DataFrame = None):
+    wf = freqs if freqs is not None else word_frequencies(docs, text_col)
     state = materialize(
-        word_frequencies(docs, text_col).select(
-            "word", _initial_seq().alias("seq"), "freq"
-        )
+        wf.select("word", _initial_seq().alias("seq"), "freq")
     )
     merges = []
     for r in range(rounds):
@@ -313,6 +327,7 @@ def _bpe_ctes_sql(rounds: int) -> str:
 
 __all__ = [
     "bpe_train",
+    "bpe_train_merges_from_frequencies",
     "bpe_symbol_vocab",
     "bpe_vocab_oracle_sql",
     "bpe_train_merges",

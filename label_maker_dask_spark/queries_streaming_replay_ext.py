@@ -2342,3 +2342,53 @@ from label_maker_dask_spark.queries import (  # noqa: E402
 )
 
 _refinalize()
+
+
+def _bpe_stream_oracle():
+    from label_maker_dask_spark.operators.bpe import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql(12)
+
+
+@register("stream_bpe_word_freq_replay", _bpe_stream_oracle())
+def stream_bpe_word_freq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training over a STREAM-MAINTAINED word-frequency table:
+    three per-batch word-count deltas (docs split by doc_id % 3) drive
+    the real additive accumulate sink (exactly-once, in-table marker),
+    and BPE merges then train FROM the maintained table
+    (operators/bpe.py bpe_train_merges_from_frequencies).  Word counts
+    are batch-split invariant, so the oracle is the BATCH training
+    oracle verbatim — the hash gate proves continuous word-count
+    ingestion composes with training to the identical merge list (the
+    production shape: the corpus scan is amortized into the stream, and
+    retraining is a types-table job, never a corpus rescan)."""
+    from label_maker_dask_spark.operators.bpe import (
+        bpe_train_merges_from_frequencies,
+        doc_word_rows,
+    )
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_accumulate_to_parquet,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = doc_word_rows(docs).select(
+        "word", F.lit(1).cast("long").alias("freq"),
+        (F.col("doc_id") % 3).alias("b"),
+    )
+    batches = [
+        words.where(F.col("b") == i)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+        for i in range(3)
+    ]
+    base = _drive_replay(
+        spark,
+        batches,
+        "word string, freq long",
+        lambda s, b, c: stream_accumulate_to_parquet(
+            s, b, c, keys=["word"], sum_cols=["freq"]
+        ),
+        "stream_bpe_word_freq_replay",
+    )
+    maintained = spark.read.parquet(base).select("word", "freq")
+    return bpe_train_merges_from_frequencies(maintained, rounds=12)

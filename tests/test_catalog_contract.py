@@ -146,6 +146,7 @@ ROTATION_BACKLOG: list = [
     "text_bpe_train_merges",
     "text_bpe_tokenize_corpus",
     "text_bpe_vocab",
+    "stream_bpe_word_freq_replay",
 ]
 
 
