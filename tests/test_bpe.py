@@ -194,3 +194,40 @@ def test_bpe_tokenize_oracle_survives_dryout(spark):
     # 'ab' -> merges exhaust at 2 ('a'+'b', then 'ab'+'</w>'): one
     # symbol per word
     assert want == [(1, 2, 2)]
+
+
+def test_bpe_property_random_corpora(spark):
+    """Hypothesis sweep: random small corpora (random alphabets, word
+    lengths, repetition structure) must train to exactly the pure-Python
+    reference's merge list — ties, dry-out, and single-char words
+    included."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from label_maker_dask_spark.operators.bpe import bpe_train_merges
+
+    word = st.text(alphabet="abcxy", min_size=1, max_size=5)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(word, min_size=1, max_size=8).map(" ".join),
+            min_size=1,
+            max_size=5,
+        ),
+        rounds=st.integers(1, 5),
+    )
+    def check(docs, rounds):
+        want = _reference_bpe(docs, rounds)
+        df = spark.createDataFrame([(t,) for t in docs], "text string")
+        got = [tuple(r) for r in bpe_train_merges(df, rounds).collect()]
+        assert got == want
+
+    check()
