@@ -24,9 +24,16 @@ HASH_MULT = 31
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
+#: whitespace spelled EXPLICITLY (never \s): Java's \s includes \x0B
+#: while RE2's does not, so a bare \s+ silently diverges between Spark
+#: and the DuckDB oracles on vertical-tab input.  One class, both
+#: engines, every text operator (the same rule _BPE_RE documents).
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty string -> empty array."""
-    t = F.split(F.trim(text), r"\s+")
+    t = F.split(F.trim(text), WS_CLASS)
     return F.filter(t, lambda x: x != "")
 
 

@@ -52,9 +52,9 @@ def _word_rows(docs: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
     """THE tokenize+normalize chain (whitespace split, control-char
     strip, empty drop) — one definition, so the training side and the
     per-document application side can never drift apart."""
-    toks = F.explode(
-        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    ).alias("word")
+    from label_maker_dask_spark.functions.text import tokens
+
+    toks = F.explode(tokens(F.col(text_col))).alias("word")
     norm = F.regexp_replace("word", "[\\x00-\\x1f]", "")
     return (
         docs.select(*keep_cols, toks)
@@ -264,7 +264,7 @@ def bpe_tokenize_oracle_sql(rounds: int = 8) -> str:
     dtoks AS (
       SELECT doc_id, regexp_replace(t, '[\\x00-\\x1f]', '', 'g') AS word
       FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text),
-                   '\\s+'), t -> t != '')) AS t FROM documents)),
+                   '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '')) AS t FROM documents)),
     dw AS (SELECT doc_id, word FROM dtoks WHERE word != '')
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(n_syms) AS BIGINT) AS n_symbols
@@ -285,7 +285,7 @@ def _bpe_ctes_sql(rounds: int) -> str:
       SELECT word, count(*) AS freq FROM (
         SELECT regexp_replace(t, '[\\x00-\\x1f]', '', 'g') AS word
         FROM (SELECT unnest(list_filter(string_split_regex(trim(text),
-                     '\\s+'), t -> t != '')) AS t FROM documents))
+                     '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '')) AS t FROM documents))
       WHERE word != '' GROUP BY word),
     s0 AS MATERIALIZED (
       SELECT word,

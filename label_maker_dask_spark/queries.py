@@ -835,7 +835,7 @@ def _shingle_cte(n: int = 3) -> str:
     into shingle hashes, per-doc list_distinct)."""
     from label_maker_dask_spark.functions.text import shingle_hashes_sql
 
-    toks = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+    toks = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '')"
     shs = shingle_hashes_sql("t", n)
     return f"""
     toks AS (SELECT doc_id, {toks} AS t FROM documents),
@@ -1012,7 +1012,7 @@ def _simhash_oracle(bits: int = D.SIMHASH_BITS) -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+             list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '') AS t
       FROM documents),
     hashes AS (
       SELECT doc_id, list_transform(t, t -> {fold}) AS hs FROM toks)
@@ -1204,7 +1204,10 @@ ORACLES["similarity_neardup_cosine"] = _neardup_oracle()
 # --- text analysis -----------------------------------------------------------
 
 _PUNCT_RE = r"[^.,;:!?'\"()\[\]{}-]"
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+#: whitespace spelled explicitly (functions/text.py WS_CLASS rationale:
+#: Java's \s includes \x0B, RE2's does not — a bare \s+ silently
+#: diverges between the Spark tokenizer and these oracles)
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '')"
 
 
 @register(

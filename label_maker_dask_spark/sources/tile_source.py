@@ -322,8 +322,23 @@ class SlippyTilePartitionedStreamReader(DataSourceStreamReader):
                         f"({self.zoom}, {bounds}); use a fresh "
                         "checkpoint/floordir per grid."
                     )
-                if st.get("run") == self._floor_run:
+                # honor the floor when the run ids match OR the stored
+                # file predates the binding (no "run" key — legacy /
+                # unbound writer): dropping a legacy floor on a
+                # CONTINUING checkpoint would reopen exactly the
+                # double-crash window it closes.  Only a file bound to
+                # a DIFFERENT run id is stale-by-proof (fresh
+                # checkpoint) and ignored; the next commit rebinds.
+                if (
+                    st.get("run") == self._floor_run
+                    or st.get("run") is None
+                ):
                     self._floor = max(self.ymin, int(st["y"]))
+                else:
+                    self._log(
+                        f"stale floor ignored (run {st.get('run')!r} != "
+                        f"{self._floor_run!r})"
+                    )
 
     def _log(self, msg: str) -> None:
         if self._dbg:

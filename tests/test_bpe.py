@@ -231,3 +231,28 @@ def test_bpe_property_random_corpora(spark):
         assert got == want
 
     check()
+
+
+def test_bpe_vertical_tab_whitespace_parity(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the tokenizer spells
+    the whitespace class explicitly so BOTH engines split a vertical
+    tab.  Cross-engine BPE training on \\x0B input must hash-match."""
+    import duckdb
+    import pandas as pd
+
+    from label_maker_dask_spark.operators.bpe import (
+        bpe_merges_oracle_sql,
+        bpe_train_merges,
+    )
+
+    texts = [(1, "ab\x0bcd ef ab"), (2, "cd\x0bef ab cd")]
+    docs = spark.createDataFrame(texts, "doc_id int, text string")
+    got = [tuple(r) for r in bpe_train_merges(docs, rounds=3).collect()]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(texts, columns=["doc_id", "text"])
+    )
+    want = [
+        tuple(r) for r in con.execute(bpe_merges_oracle_sql(3)).fetchall()
+    ]
+    assert got == want and len(got) == 3

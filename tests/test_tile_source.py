@@ -384,3 +384,20 @@ def test_latest_offset_regression_double_crash_gap(tmp_path):
     rows = [r for p in e4.partitions({"y": 93}, {"y": 96})
             for r in e4.read(p)]
     assert rows == []
+
+    # LEGACY floor file (written before the run binding, no "run" key)
+    # on a continuing checkpoint: must still be honored — dropping it
+    # would reopen the double-crash window across an upgrade
+    import json
+
+    lopts = {**opts, "floordir": str(tmp_path / "ckpt3"),
+             "floorrunid": "run-C"}
+    (tmp_path / "ckpt3").mkdir()
+    (tmp_path / "ckpt3" / "_slippy_floor.json").write_text(
+        json.dumps({"zoom": 8, "bounds": [-10.0, 36.0, 10.0, 44.0],
+                    "y": 96})
+    )
+    e5 = SlippyTilePartitionedStreamReader(lopts)
+    rows = [r for p in e5.partitions({"y": 93}, {"y": 96})
+            for r in e5.read(p)]
+    assert rows == []  # legacy committed range still clipped
