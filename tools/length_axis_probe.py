@@ -34,6 +34,12 @@ QUERIES = [
     "text_bigram_logprob_interp",
     "text_char_entropy",
     "text_source_kl_divergence",
+    # round-14: BPE training/application — length inflation multiplies
+    # token MASS x16 while the word-TYPE table stays constant (self-
+    # concatenation repeats the same words), so only the one corpus-
+    # scale word-count pass may grow; merge rounds are type-bound
+    "text_bpe_train_merges",
+    "text_bpe_tokenize_corpus",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
