@@ -242,6 +242,7 @@ HEADLINE = [
     "text_bpe_tokenize_corpus",
     "text_bpe_vocab",
     "stream_bpe_word_freq_replay",
+    "raster_geotiff_striped_channel_sums",
 ]
 
 

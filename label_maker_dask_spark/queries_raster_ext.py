@@ -378,7 +378,7 @@ _COG_YS = [0, 5, 8, 15]  # edge rows stress the top/bottom of the raster
 _COG_FIXTURE: dict = {}
 
 
-def _cog_fixture_bytes(epsg: int = 4326) -> bytes:
+def _cog_fixture_bytes(epsg: int = 4326, tiled: bool = True) -> bytes:
     """Encode the synthetic world COG once per process (per CRS).  The
     bytes ship with the task closure (deflate + constant columns keep
     them tiny), so executors need no shared filesystem — on a real
@@ -390,7 +390,8 @@ def _cog_fixture_bytes(epsg: int = 4326) -> bytes:
     ratio — the πR factor scales numerator and denominator alike, and
     the half-pixel margin absorbs the reprojection chain's ulps — while
     rows run through the ``_to_3857`` branch of read_tile."""
-    data = _COG_FIXTURE.get(epsg)
+    key = (epsg, tiled)
+    data = _COG_FIXTURE.get(key)
     if data is None:
         import math
 
@@ -408,12 +409,12 @@ def _cog_fixture_bytes(epsg: int = 4326) -> bytes:
         data = write_geotiff(
             arr,
             bounds,
-            tiled=True,
+            tiled=tiled,
             compression=8,
             predictor=2,
             epsg=epsg,
         )
-        _COG_FIXTURE[epsg] = data
+        _COG_FIXTURE[key] = data
     return data
 
 
@@ -468,12 +469,24 @@ def raster_cog_window_channel_sums_3857(spark, sf_dir):
     return _cog_channel_sums(spark, epsg=3857)
 
 
-def _cog_channel_sums(spark, epsg: int):
+@register("raster_geotiff_striped_channel_sums", _cog_oracle())
+def raster_geotiff_striped_channel_sums(spark, sf_dir):
+    """The STRIPED GeoTIFF layout twin: the same world raster written
+    with row strips (RowsPerStrip) instead of internal tiles, read
+    through read_tile's strip-decode branch (sources/tiff.py read_rows
+    decodes only intersecting strips) under the identical closed-form
+    oracle — so both physical layouts the from-scratch reader supports
+    are cross-engine gated (reference reads both via rio-tiler,
+    utils.py:55-62)."""
+    return _cog_channel_sums(spark, epsg=4326, tiled=False)
+
+
+def _cog_channel_sums(spark, epsg: int, tiled: bool = True):
     tiles = spark.createDataFrame(
         [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],
         "z int, x int, y int",
     ).repartition(8)
-    data = _cog_fixture_bytes(epsg)
+    data = _cog_fixture_bytes(epsg, tiled)
 
     def sums(batches):
         from label_maker_dask_spark.sources.tiff import (

@@ -147,6 +147,7 @@ ROTATION_BACKLOG: list = [
     "text_bpe_tokenize_corpus",
     "text_bpe_vocab",
     "stream_bpe_word_freq_replay",
+    "raster_geotiff_striped_channel_sums",
 ]
 
 
