@@ -481,6 +481,129 @@ def raster_geotiff_striped_channel_sums(spark, sf_dir):
     return _cog_channel_sums(spark, epsg=4326, tiled=False)
 
 
+# --------------------------------------------------------------------------
+# WMS read path under the same gate: the PRODUCTION wms_image_fetcher
+# (templated {bbox}, WMS 1.3.0 axis order, densified EPSG:3857
+# reprojection — reference utils.py:65-95) driven against a strict
+# hermetic GetMap "server" injected as http_get.  The server re-derives
+# the slippy tile PURELY from the bbox in the request URL — so a wrong
+# projection, a missed 1.3.0 y-first swap, or a mis-templated URL fails
+# loudly instead of returning convenient pixels — and serves a 256×256
+# engine-written GeoTIFF whose pixel values are the same closed-form
+# column function the COG entries use.  One oracle (_cog_oracle) gates
+# three transports: local COG window, striped GeoTIFF, and WMS GetMap.
+# --------------------------------------------------------------------------
+
+_WMS_TEMPLATE = (
+    "https://wms.example/geoserver/wms?SERVICE=WMS&VERSION=1.3.0"
+    "&REQUEST=GetMap&LAYERS=world&CRS=EPSG:3857&BBOX={bbox}"
+    "&WIDTH=256&HEIGHT=256&FORMAT=image/geotiff"
+)
+
+
+def _wms_fixture_server(url: str) -> bytes:
+    """Hermetic GetMap endpoint: parse the request's bbox (1.3.0 y-first,
+    EPSG:3857 — the reference's unconditional swap, utils.py:87-90),
+    recover which z=4 slippy tile it denotes, and render that tile's
+    closed-form pixels as an engine-written GeoTIFF.  Tolerances are
+    tight (1e-6 of a tile): the fetcher's whole job is producing THIS
+    bbox, so anything off-grid is a bug, not noise."""
+    import math
+    from urllib.parse import parse_qs, urlparse
+
+    from label_maker_dask_spark.sources.tiff_write import write_geotiff
+
+    q = parse_qs(urlparse(url.lower()).query)
+    if (q.get("version") or [""])[0] != "1.3.0":
+        raise ValueError(f"fixture server wants WMS 1.3.0, got url {url!r}")
+    if (q.get("crs") or [""])[0] != "epsg:3857":
+        raise ValueError(f"fixture server wants EPSG:3857, got url {url!r}")
+    vals = [float(v) for v in (q.get("bbox") or [""])[0].split(",")]
+    ymin, xmin, ymax, xmax = vals  # 1.3.0: y-first
+    half = math.pi * 6378137.0
+    size = 2.0 * half / (1 << _COG_ZOOM)
+    fx = (xmin + half) / size
+    fy = (half - ymax) / size
+    tx, ty = round(fx), round(fy)
+    if (
+        abs(fx - tx) > 1e-6
+        or abs(fy - ty) > 1e-6
+        or abs((xmax - xmin) / size - 1.0) > 1e-6
+        or abs((ymax - ymin) / size - 1.0) > 1e-6
+    ):
+        raise ValueError(f"bbox {vals} is not a z={_COG_ZOOM} tile")
+    cols = np.arange(tx * 256, tx * 256 + 256)
+    arr = np.zeros((256, 256, 3), dtype=np.uint8)
+    for ch in range(3):
+        arr[:, :, ch] = ((cols * 7 + ch * 13) % 256)[None, :]
+    return write_geotiff(
+        arr,
+        (xmin, ymin, xmax, ymax),
+        tiled=True,
+        compression=8,
+        predictor=2,
+        epsg=3857,
+    )
+
+
+@register("raster_wms_window_channel_sums", _cog_oracle())
+def raster_wms_window_channel_sums(spark, sf_dir):
+    """The WMS read path (A12) under the cross-engine value-hash gate:
+    tiles flow through the PRODUCTION ``wms_image_fetcher`` — slippy
+    tile → WGS84 bbox → densified EPSG:3857 envelope (sources/crs.py)
+    → WMS 1.3.0 y-first axis order → templated ``{bbox}`` URL — against
+    a strict fixture GetMap server that re-derives the tile from the
+    request URL alone and serves engine-written GeoTIFF bytes, decoded
+    executor-side by the from-scratch TIFF reader.  Any drift anywhere
+    in the bbox chain makes the server refuse (red err cell) or the
+    sums mismatch; the oracle is the same closed form as the COG
+    entries (reference fetches WMS GetMap per tile, utils.py:65-95).
+
+    Scale shape: identical to a production WMS ingest — one executor
+    task per tile partition, each fetch independent (swap http_get for
+    the default pooled-requests transport and the same plan runs
+    against a live endpoint)."""
+    from label_maker_dask_spark.sources.imagery import (
+        fetch_images,
+        wms_image_fetcher,
+    )
+
+    tiles = spark.createDataFrame(
+        [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],
+        "z int, x long, y long",
+    ).repartition(8)
+    fetcher = wms_image_fetcher(_WMS_TEMPLATE, http_get=_wms_fixture_server)
+    images = fetch_images(tiles, image_fetcher=fetcher)
+
+    def sums(batches):
+        from label_maker_dask_spark.sources.tiff import TiffFile
+
+        for pdf in batches:
+            out = []
+            for z, x, y, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["image"]
+            ):
+                px = TiffFile(bytes(blob)).read_rows(0, 256)
+                for ch in range(px.shape[2]):
+                    out.append(
+                        (
+                            int(z),
+                            int(x),
+                            int(y),
+                            ch,
+                            int(px[:, :, ch].astype(np.int64).sum()),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "channel", "px_sum"]
+                )
+
+    return images.mapInPandas(
+        sums, "z int, x int, y int, channel int, px_sum long"
+    )
+
+
 def _cog_channel_sums(spark, epsg: int, tiled: bool = True):
     tiles = spark.createDataFrame(
         [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],

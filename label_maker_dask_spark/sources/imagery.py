@@ -83,20 +83,35 @@ def tms_image_fetcher(imagery: str) -> ImageFetcher:
     return fetch
 
 
-def wms_image_fetcher(imagery: str) -> ImageFetcher:
+def wms_image_fetcher(
+    imagery: str, http_get: Optional[Callable[[str], bytes]] = None
+) -> ImageFetcher:
     """WMS GetMap with the tile's bbox in the requested CRS (reference
     utils.py:176-206).  The bbox is reprojected from WGS84 with a
     densified envelope transform (sources/crs.py — the pure-math twin of
     the reference's rasterio ``transform_bounds(..., densify_pts=21)``,
     utils.py:81-84): EPSG:4326/CRS:84, Web/World Mercator and all UTM
     zones built-in, pyproj for the long tail.  An unsupported CRS raises
-    here, at plan time, not per task."""
-    import requests
+    here, at plan time, not per task.
 
+    ``http_get`` injects the transport (url -> body bytes): custom auth,
+    a retrying client, or a hermetic fixture server (the
+    ``raster_wms_window_channel_sums`` gate).  Default is a pooled
+    ``requests`` session, imported only when actually needed so the
+    injectable path stays dependency-free."""
     from label_maker_dask_spark.sources.crs import project_fn, transform_bounds
     from label_maker_dask_spark.tiles import tile_ul_lat_scalar, tile_ul_lng_scalar
 
-    session = requests.Session()
+    if http_get is None:
+        import requests
+
+        session = requests.Session()
+
+        def http_get(url: str) -> bytes:
+            resp = session.get(url, timeout=30)
+            resp.raise_for_status()
+            return resp.content
+
     # parse only the query string: feeding the full URL to parse_qs would
     # glue "https://host/path?" onto the first parameter's key, silently
     # losing e.g. a leading version=1.3.0 (and with it the axis swap)
@@ -122,9 +137,7 @@ def wms_image_fetcher(imagery: str) -> ImageFetcher:
             [ymin, xmin, ymax, xmax] if version == "1.3.0" else [xmin, ymin, xmax, ymax]
         )
         url = imagery.replace("{bbox}", ",".join(str(b) for b in bbox))
-        resp = session.get(url, timeout=30)
-        resp.raise_for_status()
-        return resp.content
+        return http_get(url)
 
     # expose the parsed protocol params for tests/introspection
     fetch.version = version  # type: ignore[attr-defined]
