@@ -2607,6 +2607,102 @@ def multimodal_video_frame_sample(spark, sf_dir):
     )
 
 
+def _jpeg_tile_oracle() -> str:
+    """Literal expected sums from the committed JPEG fixture module.
+
+    The constants are the native decoder's output on JVM-encoded bytes,
+    transitively pinned to javax.imageio by
+    tests/test_multimodal.py::test_jpeg_fixture_tiles_vs_jvm — see
+    multimodal/jpeg_tiles_fixture.py for the independence chain."""
+    from label_maker_dask_spark.multimodal.jpeg_tiles_fixture import (
+        EXPECTED_SUMS,
+    )
+
+    values = ", ".join(
+        f"({z}, {x}, {y}, {c}, {s})" for z, x, y, c, s in EXPECTED_SUMS
+    )
+    return (
+        "SELECT CAST(z AS INT) AS z, CAST(x AS INT) AS x, "
+        "CAST(y AS INT) AS y, CAST(channel AS INT) AS channel, "
+        "CAST(px_sum AS BIGINT) AS px_sum "
+        f"FROM (VALUES {values}) AS t(z, x, y, channel, px_sum)"
+    )
+
+
+@register("multimodal_jpeg_tile_channel_sums", _jpeg_tile_oracle())
+def multimodal_jpeg_tile_channel_sums(spark, sf_dir):
+    """The from-scratch JPEG decoder (multimodal/jpeg.py, the largest
+    native codec) on an oracle-gated path: fixture JPEG tiles —
+    grayscale + RGB (writer-default 4:2:0 chroma), baseline +
+    progressive, all encoded by javax.imageio and committed — flow
+    through the production ``fetch_images`` scan (A9/A10 shape,
+    reference utils.py:52,62 decodes TMS JPEG via PIL) and decode
+    executor-side via ``decode_compressed("jpeg")`` to per-(tile,
+    channel) pixel sums.  The oracle is the committed expected-sums
+    table, pinned to the independent JVM decoder by pytest (per-sample
+    |delta| <= 1 grayscale near-tie rounding, documented chroma
+    tolerance for RGB); the hash gate then proves the distributed path
+    reproduces the native decode bit-for-bit.
+
+    Scale shape: one executor task per tile partition; decode is
+    numpy-vectorized per tile (Huffman is the only per-symbol loop) and
+    embarrassingly parallel — identical to a production TMS ingest."""
+    import numpy as np
+    import pandas as pd
+
+    from label_maker_dask_spark.multimodal.jpeg_tiles_fixture import (
+        JPEG_B64,
+        XS,
+        YS,
+        ZOOM,
+        tile_bytes,
+    )
+    from label_maker_dask_spark.sources.imagery import fetch_images
+
+    tiles = spark.createDataFrame(
+        [(int(ZOOM), int(x), int(y)) for x in XS for y in YS],
+        "z int, x long, y long",
+    ).repartition(8)
+    blobs = {k: tile_bytes(*k) for k in JPEG_B64}
+
+    images = fetch_images(
+        tiles, image_fetcher=lambda z, x, y: blobs[(x, y)]
+    )
+
+    def sums(batches):
+        from label_maker_dask_spark.multimodal.images import (
+            decode_compressed,
+        )
+
+        dec = decode_compressed("jpeg")
+        for pdf in batches:
+            out = []
+            for z, x, y, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["image"]
+            ):
+                px = dec(bytes(blob))
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                for ch in range(px.shape[2]):
+                    out.append(
+                        (
+                            int(z),
+                            int(x),
+                            int(y),
+                            ch,
+                            int(px[:, :, ch].astype(np.int64).sum()),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "channel", "px_sum"]
+                )
+
+    return images.mapInPandas(
+        sums, "z int, x int, y int, channel int, px_sum long"
+    )
+
+
 #: power-of-two n_cells ladder targeting ~64 vectors per cell, floor 16
 #: — constant per-cell occupancy keeps probe work per query CONSTANT as
 #: the corpus grows (n_probe x occupancy), where a fixed cell count

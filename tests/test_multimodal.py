@@ -156,3 +156,46 @@ def test_phash_arrow_bit_identical_to_expression_form(spark):
         for r in phash63_columns(px, "px", use_arrow=False).collect()
     }
     assert fast == slow and len(fast) == 500
+
+
+def test_jpeg_fixture_tiles_vs_jvm(spark):
+    """Pin the committed JPEG fixture tiles (the oracle constants of
+    multimodal_jpeg_tile_channel_sums) to the independent JVM decoder:
+    grayscale within per-sample |delta| <= 1 (the two spec IDCTs round
+    near-ties differently — float einsum here, scaled-integer in the
+    JVM; bit-exactness is pattern-dependent luck, see
+    test_jpeg.test_gray_bit_exact_vs_jvm's fixed stream), RGB within
+    the documented chroma tolerance, and the baked EXPECTED_SUMS must
+    equal the native decode exactly."""
+    from tests.test_jpeg import _jvm_tools
+
+    from label_maker_dask_spark.multimodal.jpeg import decode_jpeg
+    from label_maker_dask_spark.multimodal.jpeg_tiles_fixture import (
+        EXPECTED_SUMS,
+        JPEG_B64,
+        tile_bytes,
+    )
+
+    _, decode_rgb, decode_gray = _jvm_tools(spark)
+    expected = {
+        (x, y, c): s for _, x, y, c, s in EXPECTED_SUMS
+    }
+    seen = set()
+    for (x, y) in sorted(JPEG_B64):
+        blob = tile_bytes(x, y)
+        ours = decode_jpeg(blob)
+        if ours.ndim == 2:  # grayscale: near-tie rounding only
+            theirs = decode_gray(blob)
+            d = np.abs(ours.astype(int) - theirs.astype(int))
+            assert d.max() <= 1 and d.mean() <= 0.02
+            planes = ours[:, :, None]
+        else:  # RGB: documented chroma tolerance vs JVM
+            theirs = decode_rgb(blob)
+            d = np.abs(ours.astype(int) - theirs.astype(int))
+            assert d.max() <= 4 and d.mean() <= 1.0
+            planes = ours
+        for ch in range(planes.shape[2]):
+            s = int(planes[:, :, ch].astype(np.int64).sum())
+            assert expected[(x, y, ch)] == s, (x, y, ch)
+            seen.add((x, y, ch))
+    assert seen == set(expected)  # no stale baked rows
