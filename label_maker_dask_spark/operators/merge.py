@@ -30,6 +30,40 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: numeric widening lattice rank (byte < short < int < long)
+_INT_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
+#: decimal digits needed to hold each integer type exactly
+_INT_DIGITS = {1: 3, 2: 5, 3: 10, 4: 19}
+
+
+def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """Whether casting ``src`` -> ``dst`` is LOSSLESS for every value —
+    the only type changes ``evolve_schema`` applies (the Delta/Iceberg
+    type-widening contract).  Integer up-casts along the rank lattice;
+    float->double; integer->float/double only when the mantissa covers
+    the full integer range (so int->float and long->double, both lossy
+    past 2^24 / 2^53, are NOT widening); decimal scale/precision bumps
+    that keep both the integer and fractional digit budgets; and
+    integer->decimal with enough integer digits."""
+    sc, dc = type(src), type(dst)
+    if sc in _INT_RANK and dc in _INT_RANK:
+        return _INT_RANK[sc] < _INT_RANK[dc]
+    if sc is T.FloatType and dc is T.DoubleType:
+        return True
+    if sc in _INT_RANK and dc in (T.FloatType, T.DoubleType):
+        bits = {1: 8, 2: 16, 3: 32, 4: 64}[_INT_RANK[sc]]
+        mantissa = 24 if dc is T.FloatType else 53
+        return bits - 1 <= mantissa
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (
+            dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+    if sc in _INT_RANK and isinstance(dst, T.DecimalType):
+        return dst.precision - dst.scale >= _INT_DIGITS[_INT_RANK[sc]]
+    return False
 
 
 def merge_upsert(
@@ -61,27 +95,78 @@ def merge_upsert(
     matched path would fan out the target, so only set it when the
     guarantee is structural, not hoped-for.
 
-    ``evolve_schema`` enables ADDITIVE schema evolution: source columns
-    absent from the target (the upstream producer added a field) widen
-    the target with typed NULLs before the merge, so matched rows take
-    the new values and pre-evolution rows read NULL — the Delta-style
-    ``mergeSchema`` contract.  Additive only: a type CHANGE on an
-    existing column is not evolution and still surfaces as the union's
-    type error.  Off by default — a silently-widening merge can mask a
-    malformed change feed.
+    ``evolve_schema`` enables schema evolution, two forms:
+
+    - ADDITIVE: source columns absent from the target (the upstream
+      producer added a field) widen the target with typed NULLs before
+      the merge, so matched rows take the new values and pre-evolution
+      rows read NULL — the Delta-style ``mergeSchema`` contract.
+    - TYPE WIDENING: a shared column whose source type is a LOSSLESS
+      up-cast of the target's (int->bigint, float->double, a decimal
+      precision/scale bump — :func:`_is_widening`) up-casts the stored
+      column; the narrower direction (an old producer still emitting
+      int into an already-widened bigint table) up-casts the source
+      side so the stored schema never narrows.  A lossy or incompatible
+      change (long->int, string->int, int->float) raises naming the
+      column.
+
+    Off by default — and WITHOUT the flag any shared-column type
+    mismatch raises instead of letting union coercion silently rewrite
+    the stored schema (a malformed change feed changing a column's type
+    must be loud).
 
     100 TB posture: module docstring — broadcast left-join for matches,
     keys-only anti-join for inserts, nothing collected but the (small,
     by MERGE contract) source's duplicate-key guard — and that guard is
     skippable where uniqueness is structural.
     """
+    # case-INSENSITIVE matching throughout: Spark's default resolution is
+    # case-insensitive, so a source 'note' next to a target 'Note' is
+    # the SAME column — treating it as new would withColumn-REPLACE
+    # the existing data with typed NULLs (silent data loss)
+    meta = {delete_col.lower()} if delete_col else set()
+    tgt_by_lower = {f.name.lower(): f for f in target.schema.fields}
+    mismatched = [
+        (tgt_by_lower[f.name.lower()], f)
+        for f in source.schema.fields
+        if f.name.lower() not in meta
+        and f.name.lower() in tgt_by_lower
+        and tgt_by_lower[f.name.lower()].dataType != f.dataType
+    ]
+    if mismatched and not evolve_schema:
+        detail = ", ".join(
+            f"{tf.name}: target {tf.dataType.simpleString()} vs source "
+            f"{f.dataType.simpleString()}"
+            for tf, f in mismatched
+        )
+        raise ValueError(
+            f"merge_upsert: shared column type mismatch ({detail}). "
+            "Pass evolve_schema=True to apply lossless type widening; "
+            "without it a type drift in the change feed must be loud, "
+            "not silently coerced into a stored-schema rewrite."
+        )
     if evolve_schema:
-        # case-INSENSITIVE existence check: Spark's default resolution is
-        # case-insensitive, so a source 'note' next to a target 'Note' is
-        # the SAME column — treating it as new would withColumn-REPLACE
-        # the existing data with typed NULLs (silent data loss)
-        meta = {delete_col.lower()} if delete_col else set()
-        existing = {c.lower() for c in target.columns} | meta
+        for tf, f in mismatched:
+            if _is_widening(tf.dataType, f.dataType):
+                # stored column up-casts (int table, bigint feed)
+                target = target.withColumn(
+                    tf.name, F.col(tf.name).cast(f.dataType)
+                )
+            elif _is_widening(f.dataType, tf.dataType):
+                # old producer still emits the narrow type: up-cast the
+                # batch so the stored schema never narrows
+                source = source.withColumn(
+                    f.name, F.col(f.name).cast(tf.dataType)
+                )
+            else:
+                raise ValueError(
+                    f"merge_upsert: column {tf.name!r} type change "
+                    f"{tf.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} is not a lossless "
+                    "widening; refusing to evolve (rewrite the table "
+                    "explicitly if this change is intended)"
+                )
+        existing = set(tgt_by_lower) | meta
         new_fields = [
             f for f in source.schema.fields
             if f.name.lower() not in existing

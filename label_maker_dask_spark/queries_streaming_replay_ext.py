@@ -2337,6 +2337,85 @@ def stream_upsert_schema_evolution_replay(
     return spark.read.parquet(base)
 
 
+_TYPE_WIDENING_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END
+         + CASE WHEN o_orderkey % 11 = 0 THEN 10000000000 ELSE 0 END
+         AS totalprice_cents
+FROM orders
+"""
+
+
+@register("stream_upsert_type_widening_replay", _TYPE_WIDENING_ORACLE)
+def stream_upsert_type_widening_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TYPE-WIDENING schema evolution through the real upsert sink — the
+    OTHER common upstream deploy next to the added-column twin
+    (``stream_upsert_schema_evolution_replay``): the change feed runs
+    two batches with ``totalprice_cents`` as INT, the stream stops at a
+    batch boundary, and the resumed query declares the column widened
+    to BIGINT with batch 3 carrying values past 2^33 (a cent counter
+    outgrowing int32 is exactly how this happens in production).  The
+    sink's ``evolve_schema`` merge up-casts the stored column via the
+    lossless-widening lattice (operators/merge.py ``_is_widening``);
+    without the flag the type drift now raises instead of silently
+    coercing.  The oracle states the per-key end state — a sink that
+    truncates to int (wrapping the big values), drops batch 3, or
+    re-applies a batch across the restart all hash-mismatch."""
+    from label_maker_dask_spark.streaming.upsert import (
+        stream_upsert_to_parquet,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("int")
+        .alias("totalprice_cents"),
+    )
+    k = F.col("o_orderkey")
+    b0 = orders.withColumn("seq", F.lit(1).cast("long"))
+    b1 = (
+        orders.where(k % 7 == 0)
+        .withColumn(
+            "totalprice_cents",
+            (F.col("totalprice_cents") + 1000).cast("int"),
+        )
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    b2 = (
+        orders.where(k % 11 == 0)
+        .withColumn(
+            "totalprice_cents",
+            F.col("totalprice_cents").cast("long")
+            + F.when(k % 7 == 0, 1000).otherwise(0)
+            + F.lit(10_000_000_000),
+        )
+        .withColumn("seq", F.lit(3).cast("long"))
+    )
+    schema_narrow = (
+        "o_orderkey long, o_custkey long, totalprice_cents int, seq long"
+    )
+    schema_wide = (
+        "o_orderkey long, o_custkey long, totalprice_cents long, seq long"
+    )
+
+    base = _drive_replay_with_restart(
+        spark,
+        [b0, b1, b2],
+        (schema_narrow, schema_wide),
+        lambda s, b, c: stream_upsert_to_parquet(
+            s, b, c, keys=["o_orderkey"], seq_col="seq", evolve_schema=True
+        ),
+        "stream_upsert_type_widening_replay",
+        stop_after=2,
+    )
+    return spark.read.parquet(base)
+
+
 from label_maker_dask_spark.queries import (  # noqa: E402
     _finalize_registry_order as _refinalize,
 )

@@ -105,3 +105,77 @@ def test_assume_unique_source_same_result_when_unique(spark):
             ).collect()
         }
         assert got == expect
+
+
+def test_type_mismatch_raises_without_evolve(spark):
+    """A shared-column type drift in the feed must be loud, not a silent
+    union-coerced stored-schema rewrite."""
+    import pytest
+
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10)], "k long, v int")
+    source = spark.createDataFrame([(2, 20)], "k long, v long")
+    with pytest.raises(ValueError, match="type mismatch"):
+        merge_upsert(target, source, keys=["k"])
+
+
+def test_type_widening_int_to_bigint(spark):
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k long, v int")
+    source = spark.createDataFrame(
+        [(2, 10_000_000_000), (3, 30)], "k long, v long"
+    )
+    out = merge_upsert(target, source, keys=["k"], evolve_schema=True)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {(r.k, r.v) for r in out.collect()} == {
+        (1, 10), (2, 10_000_000_000), (3, 30)
+    }
+
+
+def test_type_widening_narrow_source_upcasts(spark):
+    """Old producer still emitting int into an already-widened bigint
+    table: the batch up-casts; the stored schema never narrows."""
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10_000_000_000)], "k long, v long"
+    )
+    source = spark.createDataFrame([(1, 7), (2, 8)], "k long, v int")
+    out = merge_upsert(target, source, keys=["k"], evolve_schema=True)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 7), (2, 8)}
+
+
+def test_lossy_type_change_refused_even_with_evolve(spark):
+    import pytest
+
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10)], "k long, v long")
+    source = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        merge_upsert(target, source, keys=["k"], evolve_schema=True)
+
+
+def test_widening_lattice():
+    from pyspark.sql import types as T
+
+    from label_maker_dask_spark.operators.merge import _is_widening
+
+    assert _is_widening(T.IntegerType(), T.LongType())
+    assert _is_widening(T.ShortType(), T.IntegerType())
+    assert _is_widening(T.FloatType(), T.DoubleType())
+    assert _is_widening(T.IntegerType(), T.DoubleType())
+    assert _is_widening(T.ShortType(), T.FloatType())
+    assert _is_widening(T.DecimalType(12, 2), T.DecimalType(18, 4))
+    assert _is_widening(T.IntegerType(), T.DecimalType(12, 2))
+    # lossy directions stay out
+    assert not _is_widening(T.LongType(), T.IntegerType())
+    assert not _is_widening(T.IntegerType(), T.FloatType())     # 2^31 > 2^24
+    assert not _is_widening(T.LongType(), T.DoubleType())       # 2^63 > 2^53
+    assert not _is_widening(T.DecimalType(18, 4), T.DecimalType(12, 2))
+    assert not _is_widening(T.DecimalType(12, 2), T.DecimalType(13, 4))
+    assert not _is_widening(T.LongType(), T.DecimalType(12, 2))
+    assert not _is_widening(T.StringType(), T.LongType())
