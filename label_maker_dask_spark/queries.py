@@ -3167,89 +3167,79 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # Everything outside the window is still covered by the full local
 # replay (tools/check_oracle.py) and the pinned contract test
 # (tests/test_catalog_contract.py) makes reorderings intentional.
-# ROTATION POLICY (round 10, standing): the driver's correctness gate
-# sees exactly the FIRST 50 names here, so this window is the only
-# driver-side evidence channel.  Each round, ~half the slots rotate to
-# catalog entries that have never appeared in any committed
-# CORRECTNESS_r*.json (tests/test_catalog_contract.py tracks the
-# coverage ledger), until every query has been driver-gated at least
-# once; the other half are stable family anchors (one per operator
-# family) that keep cross-round continuity.  Entries rotated OUT remain
-# covered by the full local replay (tools/check_oracle.py, 173/173).
-# Round 11 rotated in 36 never-gated entries (the remaining 8 TPC-H,
-# 13 streaming replay twins, the table-lifecycle gates, and the first
-# adversarial hot-key entries).  Round 12: 39 first-time entries —
-# the 12 round-11 newcomers the judge verified (remaining streaming
-# twins, both tile-source connector forms, the three leftover
-# adversarial entries, the incremental Z-order append), 23 long-stable
-# r1-r4 tail entries (pivot/unpivot, the window-function family,
-# scalar fns, funnel, the multimodal stats family, spatial,
-# dedup/similarity backlog), and the FOUR entries new this round (the
-# hot-key interval-join twin plus the three-member restart triptych:
-# checkpoint-restart upsert sink, state-store recovery session
-# aggregation, join-state recovery interval join) — with 11
-# once-gated anchors staying for a second gating; every entry gated
-# in >=2 rounds rotated out with its evidence banked.
+# ROTATION POLICY (round 15, now MECHANICAL): the driver's correctness
+# gate sees exactly the FIRST 50 names here, so this window is the only
+# driver-side evidence channel.  From round 15 on the window is DERIVED,
+# not hand-picked: ``tools/rotate_window.py`` reads every committed
+# CORRECTNESS_r*.json and emits (1) all entries never driver-gated green
+# — which automatically includes entries new this round — in catalog
+# alphabetical order, then (2) the least-recently-gated entries
+# ascending by last gated round (alphabetical tie-break) until the 50
+# slots fill.  A small PRECEDENCE list keeps shared-artifact builders
+# (the PQ index build) ahead of their readers for timing attribution.
+# ``tests/test_catalog_contract.py`` asserts this list matches the
+# derivation, so adding a catalog entry without re-running the tool
+# fails pytest.  With 244 entries and 50 slots the policy bounds full
+# driver re-proof at ceil(244/50) = 5 rounds; entries rotated out stay
+# covered by the full local replay (tools/check_oracle.py).
+#
+# Round-15 derivation: the 7 round-14 entries the driver never gated
+# (judge-replayed green in r14 — this window makes the proof driver-
+# side: the BPE triad + stream twin, the MVT round trip, the 3857 COG
+# and striped-GeoTIFF twins), the 3 entries NEW this round (the WMS and
+# JPEG decode gates, the type-widening restart replay), and 40 stale
+# retirees last gated r9-r10.
 _DRIVER_WINDOW = [
-    # ---- round-14 window (13 + 4 + 33 = 50): the 13 round-13 entries
-    # the driver never gated (judge-replayed green in r13 — this gate
-    # makes the proof driver-side), the 4 new round-14 entries (the PQ
-    # build/read phase split + join-form twin, object-detection labels
-    # end-to-end, the COG windowed-read gate), and 33 stale retirees
-    # (last gated r7-r9).  similarity_pq_index_build is deliberately
-    # ordered before the two PQ read entries: the index is process-
-    # shared, so in-order drives charge training to the build cell and
-    # the read cells time the read path alone. ----
-    "similarity_sq8_rescore_ann",
-    "text_bigram_logprob_interp",
-    "text_char_entropy",
-    "anomaly_seasonal_dow_residual",
-    "similarity_pq_adc_topk_ann",
-    "text_source_kl_divergence",
-    "similarity_pq_index_build",
-    "similarity_pq_stored_topk_ann",
-    "similarity_pq_join_topk_ann",
-    "stream_pq_index_replay",
-    "profile_srp_bucket_skew",
-    "similarity_hotbucket_dedup_adversarial",
-    "curation_token_budget_select",
-    "stream_upsert_schema_evolution_replay",
-    "spatial_tile_pyramid_rollup",
-    "detection_labels_e2e",
-    "raster_cog_window_channel_sums",
-    "agg_distinct_nations_per_segment",
-    "dedup_containment_pairs",
-    "dedup_jaccard_exact_pairs",
-    "set_intersect_customer_supplier_nations",
-    "dedup_simhash_signatures",
-    "distinct_user_event_types",
-    "set_except_customer_only_nations",
-    "similarity_neardup_cosine",
-    "text_fingerprints",
-    "text_quality_by_source",
-    "text_token_stats_by_lang",
-    "union_by_name_parties",
-    "window_lag_value_delta",
-    "join_asof_tolerance_90d",
-    "split_hash_train_val_test",
-    "agg_grouping_sets",
-    "agg_rollup_region_nation",
-    "anomaly_mad_daily_events",
-    "contamination_3gram_overlap",
-    "dedup_simhash_neardup_pairs",
-    "events_tumbling_hourly",
-    "graph_pagerank_transitions",
-    "join_anti_customers_without_orders",
-    "join_left_order_item_counts",
-    "join_semi_customers_with_orders",
-    "join_skew_salted_brand_revenue",
-    "multimodal_image_channel_stats",
-    "profile_orders_columns",
-    "q10_returned_items",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "scalar_array_map_json",
-    "scalar_string_date_funcs",
+    "multimodal_jpeg_tile_channel_sums",
+    "mvt_roundtrip_feature_stats",
+    "raster_cog_window_channel_sums_3857",
+    "raster_geotiff_striped_channel_sums",
+    "raster_wms_window_channel_sums",
+    "stream_bpe_word_freq_replay",
+    "stream_upsert_type_widening_replay",
+    "text_bpe_tokenize_corpus",
+    "text_bpe_train_merges",
+    "text_bpe_vocab",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk_ann",
+    "sort_limit_global_top50",
+    "text_lang_id",
+    "text_stats_per_doc",
+    "timeseries_gapfill_interpolated",
+    "timeseries_ohlc_hourly_by_type",
+    "udf_grouped_median",
+    "window_running_order_total",
+    "window_top3_orders_per_customer",
+    "agg_cms_daily_merged_user_counts",
+    "agg_exact_percentiles",
+    "agg_kmv_trailing7_users",
+    "agg_mode_priority_by_status",
+    "agg_winsorized_mean_price",
+    "analytics_equidepth_histogram_price",
+    "analytics_rfm_customer_segments",
+    "anomaly_zscore_daily_events",
+    "classification_labels_flagship",
+    "curation_end_to_end",
+    "curation_leakage_safe_split",
+    "dedup_components_simhash60",
+    "dedup_exact_sha256",
+    "dedup_minhash_lsh_pairs",
+    "detection_pixel_bbox_math",
+    "events_sessionize_30m",
+    "glfilter_select_events",
+    "join_asof_latest_order",
+    "join_asof_nearest_order_event",
+    "join_bloom_pruned_order_revenue",
+    "multimodal_audio_rms_windows",
+    "multimodal_phash_neardup_pairs",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q21_suppliers_who_shipped_last",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "scd2_user_state_history",
 ]
 
 

@@ -40,62 +40,91 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
-    "similarity_sq8_rescore_ann",
-    "text_bigram_logprob_interp",
-    "text_char_entropy",
-    "anomaly_seasonal_dow_residual",
-    "similarity_pq_adc_topk_ann",
-    "text_source_kl_divergence",
-    "similarity_pq_index_build",
-    "similarity_pq_stored_topk_ann",
-    "similarity_pq_join_topk_ann",
-    "stream_pq_index_replay",
-    "profile_srp_bucket_skew",
-    "similarity_hotbucket_dedup_adversarial",
-    "curation_token_budget_select",
-    "stream_upsert_schema_evolution_replay",
-    "spatial_tile_pyramid_rollup",
-    "detection_labels_e2e",
-    "raster_cog_window_channel_sums",
-    "agg_distinct_nations_per_segment",
-    "dedup_containment_pairs",
-    "dedup_jaccard_exact_pairs",
-    "set_intersect_customer_supplier_nations",
-    "dedup_simhash_signatures",
-    "distinct_user_event_types",
-    "set_except_customer_only_nations",
-    "similarity_neardup_cosine",
-    "text_fingerprints",
-    "text_quality_by_source",
-    "text_token_stats_by_lang",
-    "union_by_name_parties",
-    "window_lag_value_delta",
-    "join_asof_tolerance_90d",
-    "split_hash_train_val_test",
-    "agg_grouping_sets",
-    "agg_rollup_region_nation",
-    "anomaly_mad_daily_events",
-    "contamination_3gram_overlap",
-    "dedup_simhash_neardup_pairs",
-    "events_tumbling_hourly",
-    "graph_pagerank_transitions",
-    "join_anti_customers_without_orders",
-    "join_left_order_item_counts",
-    "join_semi_customers_with_orders",
-    "join_skew_salted_brand_revenue",
-    "multimodal_image_channel_stats",
-    "profile_orders_columns",
-    "q10_returned_items",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "scalar_array_map_json",
-    "scalar_string_date_funcs",
+    "multimodal_jpeg_tile_channel_sums",
+    "mvt_roundtrip_feature_stats",
+    "raster_cog_window_channel_sums_3857",
+    "raster_geotiff_striped_channel_sums",
+    "raster_wms_window_channel_sums",
+    "stream_bpe_word_freq_replay",
+    "stream_upsert_type_widening_replay",
+    "text_bpe_tokenize_corpus",
+    "text_bpe_train_merges",
+    "text_bpe_vocab",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk_ann",
+    "sort_limit_global_top50",
+    "text_lang_id",
+    "text_stats_per_doc",
+    "timeseries_gapfill_interpolated",
+    "timeseries_ohlc_hourly_by_type",
+    "udf_grouped_median",
+    "window_running_order_total",
+    "window_top3_orders_per_customer",
+    "agg_cms_daily_merged_user_counts",
+    "agg_exact_percentiles",
+    "agg_kmv_trailing7_users",
+    "agg_mode_priority_by_status",
+    "agg_winsorized_mean_price",
+    "analytics_equidepth_histogram_price",
+    "analytics_rfm_customer_segments",
+    "anomaly_zscore_daily_events",
+    "classification_labels_flagship",
+    "curation_end_to_end",
+    "curation_leakage_safe_split",
+    "dedup_components_simhash60",
+    "dedup_exact_sha256",
+    "dedup_minhash_lsh_pairs",
+    "detection_pixel_bbox_math",
+    "events_sessionize_30m",
+    "glfilter_select_events",
+    "join_asof_latest_order",
+    "join_asof_nearest_order_event",
+    "join_bloom_pruned_order_revenue",
+    "multimodal_audio_rms_windows",
+    "multimodal_phash_neardup_pairs",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q21_suppliers_who_shipped_last",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "scd2_user_state_history",
 ]
 
 
 def test_driver_window_is_pinned():
     assert list(Q.QUERIES)[:50] == PINNED_DRIVER_WINDOW
     Q.validate_driver_window()
+
+
+def test_window_matches_rotation_derivation():
+    """Round-15 policy: the window is DERIVED, not hand-picked.  The
+    committed _DRIVER_WINDOW must equal tools/rotate_window.py's
+    derivation (never-gated entries first — which automatically pulls in
+    entries new this round — then least-recently-gated), computed over
+    the gating history MINUS the correctness file this very window
+    produced (same exclusion as test_window_retirement_discipline: the
+    round's closing gate must not retroactively flip the rotation
+    decision that preceded it).  Adding a catalog entry without
+    re-running the tool fails here."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", os.path.join(repo, "tools", "rotate_window.py")
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    history = rw.gating_history(
+        repo, exclude_window=set(PINNED_DRIVER_WINDOW)
+    )
+    derived = rw.derive_window(
+        sorted(dict.keys(Q.QUERIES)), repo, last=history
+    )
+    assert list(Q._DRIVER_WINDOW) == derived
+    assert PINNED_DRIVER_WINDOW == list(Q._DRIVER_WINDOW)
 
 
 def test_driver_window_entries_all_have_value_hash_oracles():
@@ -139,15 +168,9 @@ def test_catalog_outputs_are_scalar_and_oracle_columns_match(spark, oracle_con):
 # rotation gates them (a gated name lingering here also fails, keeping
 # the ledger honest).
 ROTATION_BACKLOG: list = [
-    # Added after the round-14 window was pinned: awaiting the round-15
-    # rotation (judge-replayable locally via tools/check_oracle.py).
-    "mvt_roundtrip_feature_stats",
-    "raster_cog_window_channel_sums_3857",
-    "text_bpe_train_merges",
-    "text_bpe_tokenize_corpus",
-    "text_bpe_vocab",
-    "stream_bpe_word_freq_replay",
-    "raster_geotiff_striped_channel_sums",
+    # empty since round 15: the window is now DERIVED from the gating
+    # history (tools/rotate_window.py), so new entries flow into the
+    # next window mechanically instead of waiting here.
 ]
 
 

@@ -56,8 +56,15 @@ PRECEDENCE = [
 ]
 
 
-def gating_history(repo: str = REPO) -> Dict[str, int]:
-    """name -> last round gated green (absent = never gated)."""
+def gating_history(
+    repo: str = REPO, exclude_window: set | None = None
+) -> Dict[str, int]:
+    """name -> last round gated green (absent = never gated).
+
+    ``exclude_window``: skip any correctness file whose key set equals
+    this window — the file the current window itself produced.  The
+    contract test uses it so a round's closing gate doesn't flip the
+    derivation check red for the rotation decision that preceded it."""
     last: Dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -67,6 +74,8 @@ def gating_history(repo: str = REPO) -> Dict[str, int]:
         try:
             data = json.load(open(path))
         except (OSError, json.JSONDecodeError):
+            continue
+        if exclude_window is not None and set(data) == exclude_window:
             continue
         for name, res in data.items():
             if not isinstance(res, dict):
@@ -81,8 +90,17 @@ def gating_history(repo: str = REPO) -> Dict[str, int]:
     return last
 
 
-def derive_window(catalog: List[str], repo: str = REPO) -> List[str]:
-    last = gating_history(repo)
+def derive_window(
+    catalog: List[str],
+    repo: str = REPO,
+    last: Dict[str, int] | None = None,
+) -> List[str]:
+    """``last`` overrides the on-disk gating history — the contract test
+    passes a history that EXCLUDES the correctness file this very window
+    produced (a round's closing gate must not retroactively invalidate
+    the rotation decision that preceded it)."""
+    if last is None:
+        last = gating_history(repo)
     never = sorted(n for n in catalog if n not in last)
     gated = sorted(
         (n for n in catalog if n in last), key=lambda n: (last[n], n)
