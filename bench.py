@@ -11,7 +11,13 @@ its per-query minimum.  One shared JVM runs every query back-to-back, so
 a single pass charges late-suite entries 25-50% of GC/page-cache drift
 (measured; SCALE.md documents the same effect for the sf1 probes) — the
 min of two interleaved passes attributes deltas to plan changes, not to
-suite position."""
+suite position.  The relative spread between the two passes is recorded
+per query ("spread" in the JSON) so tools/bench_diff.py can classify a
+drift as within-noise or a real regression.
+
+Coverage contract (round 15): HEADLINE + EXCLUDED must cover the query
+catalog exactly — main() fails loudly otherwise, so no entry can be
+correctness-green yet invisibly unbenched."""
 
 from __future__ import annotations
 
@@ -243,7 +249,123 @@ HEADLINE = [
     "text_bpe_vocab",
     "stream_bpe_word_freq_replay",
     "raster_geotiff_striped_channel_sums",
+    # ------------------------------------------------------------------
+    # round-15 (r14 verdict item 2): the bench blind spot closed — every
+    # remaining catalog entry joins the suite, and main() now ASSERTS
+    # full coverage (benched + EXCLUDED == catalog), so a future entry
+    # that is correctness-green but unbenched fails the bench run loudly
+    # instead of regressing invisibly.  Grouped by family; the guarded
+    # quadratic oracle twins are affordable at sf0.1 (documents 5k,
+    # embeddings 2k — far under their 100k fail-fast thresholds).
+    # ------------------------------------------------------------------
+    # TPC-H tail
+    "q2_min_price_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_part_value_concentration",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promotion_part_suppliers",
+    "q22_global_sales_opportunity",
+    # joins / sets / sort-limit
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_full_nation_supplier",
+    "join_range_orders_near_event",
+    "join_theta_acctbal",
+    "set_intersect_customer_supplier_nations",
+    "set_except_customer_only_nations",
+    "union_by_name_parties",
+    "distinct_user_event_types",
+    "sort_limit_global_top50",
+    "sort_limit_offset_page3",
+    # aggregation / window / scalar surface
+    "agg_cube_segment_priority",
+    "agg_grouping_sets",
+    "agg_distinct_nations_per_segment",
+    "agg_exact_percentiles",
+    "agg_histogram_order_totals",
+    "agg_corr_covar_by_returnflag",
+    "window_lag_value_delta",
+    "window_ntile_length_deciles",
+    "window_percent_rank_cume_dist",
+    "window_top3_orders_with_ties",
+    "window_trailing_1h_user_activity",
+    "scalar_string_date_funcs",
+    "scalar_array_map_json",
+    "scalar_null_semantics",
+    "scalar_array_algebra",
+    "scalar_date_arithmetic",
+    "scalar_variant_extract",
+    "unpivot_lineitem_metrics",
+    "explode_outer_returned_lines",
+    # events / timeseries / analytics
+    "events_sliding_1h_30m",
+    "events_funnel_signup_view_purchase",
+    "events_cohort_weekly_retention",
+    "timeseries_gapfill_daily_revenue",
+    "analytics_event_type_cooccurrence",
+    "stateful_running_user_stats",
+    "graph_event_transitions",
+    # dedup / similarity (incl. the guarded exact twins — the
+    # verification baselines of the banded/LSH scale paths)
+    "dedup_jaccard_exact_pairs",
+    "dedup_containment_pairs",
+    "dedup_simhash16_neardup_pairs",
+    "dedup_cluster_representatives",
+    "similarity_neardup_cosine",
+    "similarity_neardup_srp_ann",
+    "similarity_ivf_topk_ann",
+    # text / curation
+    "text_lang_id",
+    "text_fingerprints",
+    "text_quality_by_source",
+    "text_token_stats_by_lang",
+    "text_bigram_top20",
+    "text_bpe_token_counts",
+    "split_hash_train_val_test",
+    "sample_stratified_by_lang",
+    "sample_exact_k_per_lang",
+    "pack_sequences_512",
+    # multimodal + raster/vector tile gates
+    "multimodal_image_channel_stats",
+    "multimodal_image_resize_stats",
+    "multimodal_video_frame_sample",
+    "multimodal_audio_rms_windows",
+    "multimodal_jpeg_tile_channel_sums",
+    "raster_wms_window_channel_sums",
+    "raster_wms_utm_window_channel_sums",
+    "detection_pixel_bbox_math",
+    "spatial_points_to_tiles_z6",
+    # UDF/UDTF surface (the pandas/Arrow API entries)
+    "udf_grouped_median",
+    "udf_scalar_sigmoid_score",
+    "udf_cogroup_orders_events",
+    "udtf_chunk_documents",
+    # round-15 streaming addition
+    "stream_upsert_type_widening_replay",
 ]
+
+#: Catalog entries deliberately NOT benched — each with the reason the
+#: bench cell would mislead.  main() asserts HEADLINE + EXCLUDED covers
+#: the catalog exactly, so this list is the only way to skip.
+EXCLUDED = {
+    "stream_pq_index_replay": (
+        "cell would be ~10s of one-time index-BUILD machinery (bootstrap "
+        "codebook train + 222-dir partitioned write) repeated per bench "
+        "pass — a fixed build cost, not a query-path regression signal; "
+        "the query path is benched by similarity_pq_stored_topk_ann/"
+        "_join_, the build by similarity_pq_index_build, the append path "
+        "by the SCALE.md sf sweep"
+    ),
+}
 
 
 def main() -> None:
@@ -280,19 +402,37 @@ def main() -> None:
                 pass
         spark.catalog.clearCache()
 
-    times: dict[str, float] = {}
+    # full-coverage contract (r14 verdict item 2): every catalog entry is
+    # benched or consciously excluded with a reason — a new entry that is
+    # neither fails the bench run loudly instead of regressing invisibly
+    catalog = set(Q.QUERIES)
+    uncovered = sorted(catalog - set(HEADLINE) - set(EXCLUDED))
+    stale = sorted((set(HEADLINE) | set(EXCLUDED)) - catalog)
+    overlap = sorted(set(HEADLINE) & set(EXCLUDED))
+    if uncovered or stale or overlap:
+        raise SystemExit(
+            f"bench coverage broken — uncovered: {uncovered}, "
+            f"stale names: {stale}, benched-and-excluded: {overlap}"
+        )
+
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(2):
         for name in HEADLINE:
             fn = Q.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in times or dt < times[name]:
-                times[name] = dt
+            runs[name].append(round(time.perf_counter() - t0, 3))
             # release any persist() a query pipeline holds so later
             # queries aren't measured under someone else's cache pressure
             spark.catalog.clearCache()
-    times = {name: times[name] for name in HEADLINE}
+    # per-query minimum is the reported time (suite-position drift is
+    # one-sided noise); the relative pass spread rides along so
+    # tools/bench_diff.py can tell noise from regression per query
+    times = {name: min(rs) for name, rs in runs.items()}
+    spread = {
+        name: round((max(rs) - min(rs)) / min(rs), 3) if min(rs) > 0 else 0.0
+        for name, rs in runs.items()
+    }
 
     total = round(sum(times.values()), 3)
     record = json.dumps(
@@ -301,6 +441,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": times,
+            "spread": spread,
             "sf": sf,
         }
     )

@@ -3186,14 +3186,15 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # Round-15 derivation: the 7 round-14 entries the driver never gated
 # (judge-replayed green in r14 — this window makes the proof driver-
 # side: the BPE triad + stream twin, the MVT round trip, the 3857 COG
-# and striped-GeoTIFF twins), the 3 entries NEW this round (the WMS and
-# JPEG decode gates, the type-widening restart replay), and 40 stale
-# retirees last gated r9-r10.
+# and striped-GeoTIFF twins), the 4 entries NEW this round (the WMS
+# 3857 + UTM gates, the JPEG decode gate, the type-widening restart
+# replay), and 39 stale retirees last gated r9-r10.
 _DRIVER_WINDOW = [
     "multimodal_jpeg_tile_channel_sums",
     "mvt_roundtrip_feature_stats",
     "raster_cog_window_channel_sums_3857",
     "raster_geotiff_striped_channel_sums",
+    "raster_wms_utm_window_channel_sums",
     "raster_wms_window_channel_sums",
     "stream_bpe_word_freq_replay",
     "stream_upsert_type_widening_replay",
@@ -3239,7 +3240,6 @@ _DRIVER_WINDOW = [
     "q21_suppliers_who_shipped_last",
     "q3_shipping_priority",
     "q9_product_profit",
-    "scd2_user_state_history",
 ]
 
 

@@ -604,6 +604,222 @@ def raster_wms_window_channel_sums(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# UTM WMS twin: the transverse-Mercator branch of sources/crs.py (the
+# Karney–Krüger series) under the cross-engine gate, against an
+# INDEPENDENT projection: the fixture server validates each requested
+# bbox with the classic USGS Snyder (1987) forward TM series — a
+# different derivation and different series coefficients, agreeing with
+# Karney only if both are right (the two differ at the sub-mm level
+# inside a zone; the server's tolerance is 1 m against ~20 km tiles).
+# Also exercises the WMS 1.1.1 branch: srs= param, x-first bbox (no
+# 1.3.0 axis swap).
+# --------------------------------------------------------------------------
+
+_WMS_UTM_ZOOM = 7
+_WMS_UTM_XS = [68, 69, 70]          # 11.25°E .. 19.69°E around zone 33
+_WMS_UTM_YS = [44, 45, 46, 47, 48, 49]  # ~38.8°N .. ~48.9°N
+
+_WMS_UTM_TEMPLATE = (
+    "https://wms.example/geoserver/wms?SERVICE=WMS&VERSION=1.1.1"
+    "&REQUEST=GetMap&LAYERS=world&SRS=EPSG:32633&BBOX={bbox}"
+    "&WIDTH=256&HEIGHT=256&FORMAT=image/geotiff"
+)
+
+
+def _snyder_utm33(lon: float, lat: float):
+    """USGS Snyder (1987) forward transverse Mercator, UTM zone 33N —
+    the INDEPENDENT twin of sources/crs.py's Karney–Krüger series
+    (Map Projections: A Working Manual, eqs 8-9..8-15 + 3-21).  Exists
+    only to referee the engine's projection in this fixture server;
+    production code never calls it."""
+    import math
+
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    k0, lon0 = 0.9996, 15.0
+    phi = math.radians(lat)
+    sin_p, cos_p, tan_p = math.sin(phi), math.cos(phi), math.tan(phi)
+    n = a / math.sqrt(1.0 - e2 * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = ep2 * cos_p * cos_p
+    aa = math.radians(lon - lon0) * cos_p
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    m = a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+        - (35 * e6 / 3072) * math.sin(6 * phi)
+    )
+    x = k0 * n * (
+        aa
+        + (1 - t + c) * aa**3 / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * aa**5 / 120
+    ) + 500_000.0
+    y = k0 * (
+        m
+        + n * tan_p
+        * (
+            aa * aa / 2
+            + (5 - t + 9 * c + 4 * c * c) * aa**4 / 24
+            + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * aa**6 / 720
+        )
+    )
+    return x, y
+
+
+def _snyder_envelope(z: int, x: int, y: int, densify_pts: int = 21):
+    """The tile's densified UTM envelope under the SNYDER projection —
+    the same edge-sampling contract as sources/crs.transform_bounds, so
+    the only thing that can disagree with the engine's bbox is the
+    projection math itself."""
+    from label_maker_dask_spark.tiles import (
+        tile_ul_lat_scalar,
+        tile_ul_lng_scalar,
+    )
+
+    west = tile_ul_lng_scalar(x, z)
+    east = tile_ul_lng_scalar(x + 1, z)
+    north = tile_ul_lat_scalar(y, z)
+    south = tile_ul_lat_scalar(y + 1, z)
+    n = densify_pts + 1
+    pts = []
+    for i in range(n + 1):
+        t = i / n
+        lon = west + (east - west) * t
+        lat = south + (north - south) * t
+        pts.extend(
+            [(lon, south), (lon, north), (west, lat), (east, lat)]
+        )
+    xs, ys = zip(*(_snyder_utm33(lon, lat) for lon, lat in pts))
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _wms_utm_fixture_server(url: str) -> bytes:
+    """Hermetic UTM GetMap endpoint: parse the 1.1.1 x-first bbox and
+    find WHICH candidate tile's Snyder envelope it matches within 1 m —
+    a biased Karney series, a missed srs parse, or a wrongly-applied
+    1.3.0 swap leaves no candidate and raises."""
+    from urllib.parse import parse_qs, urlparse
+
+    from label_maker_dask_spark.sources.tiff_write import write_geotiff
+
+    q = parse_qs(urlparse(url.lower()).query)
+    if (q.get("version") or [""])[0] != "1.1.1":
+        raise ValueError(f"fixture server wants WMS 1.1.1, got url {url!r}")
+    if (q.get("srs") or [""])[0] != "epsg:32633":
+        raise ValueError(f"fixture server wants EPSG:32633, got {url!r}")
+    got = [float(v) for v in (q.get("bbox") or [""])[0].split(",")]
+    xmin, ymin, xmax, ymax = got  # 1.1.1: x-first, no axis swap
+    hits = []
+    for tx in _WMS_UTM_XS:
+        for ty in _WMS_UTM_YS:
+            exp = _snyder_envelope(_WMS_UTM_ZOOM, tx, ty)
+            if all(abs(g - e) <= 1.0 for g, e in zip(got, exp)):
+                hits.append((tx, ty))
+    if len(hits) != 1:
+        raise ValueError(
+            f"bbox {got} matches {len(hits)} candidate tiles under the "
+            "independent Snyder projection (want exactly 1) — the "
+            "engine-side UTM bbox chain is off"
+        )
+    tx, _ = hits[0]
+    cols = np.arange(tx * 256, tx * 256 + 256)
+    arr = np.zeros((256, 256, 3), dtype=np.uint8)
+    for ch in range(3):
+        arr[:, :, ch] = ((cols * 7 + ch * 13) % 256)[None, :]
+    return write_geotiff(
+        arr,
+        (xmin, ymin, xmax, ymax),
+        tiled=True,
+        compression=8,
+        predictor=2,
+        epsg=3857,  # georeferencing tag unused by the sums decode
+    )
+
+
+def _wms_utm_oracle() -> str:
+    xs = ", ".join(map(str, _WMS_UTM_XS))
+    ys = ", ".join(map(str, _WMS_UTM_YS))
+    return f"""
+    WITH tx AS (SELECT unnest([{xs}]) AS x),
+    ty AS (SELECT unnest([{ys}]) AS y),
+    j AS (SELECT unnest(generate_series(0, 255)) AS j),
+    ch AS (SELECT unnest([0, 1, 2]) AS channel)
+    SELECT CAST({_WMS_UTM_ZOOM} AS INT) AS z, CAST(x AS INT) AS x,
+           CAST(y AS INT) AS y, CAST(channel AS INT) AS channel,
+           CAST(256 * sum(((x * 256 + j) * 7 + channel * 13) % 256)
+                AS BIGINT) AS px_sum
+    FROM tx, ty, j, ch
+    GROUP BY x, y, channel
+    """
+
+
+@register("raster_wms_utm_window_channel_sums", _wms_utm_oracle())
+def raster_wms_utm_window_channel_sums(spark, sf_dir):
+    """The UTM (transverse-Mercator) WMS path under the cross-engine
+    gate: 18 tiles around UTM zone 33 flow through the production
+    ``wms_image_fetcher`` on its 1.1.1 branch (``srs=`` param, x-first
+    bbox — no axis swap), with the bbox chain reprojected through the
+    Karney–Krüger series (sources/crs.py).  The fixture server referees
+    every bbox against an INDEPENDENT projection — the USGS Snyder
+    forward TM series, a different derivation agreeing with Karney only
+    if both are right — and serves closed-form pixels only on a unique
+    1 m match, so a biased series coefficient, a missed ``srs`` parse,
+    or a wrongly-applied axis swap is a loud red cell, not convenient
+    pixels.  Completes A12's CRS coverage: 4326 identity, 3857 (1.3.0
+    twin), and the UTM long tail are all value-hash gated.
+
+    Scale shape: identical to the 3857 twin — one executor task per
+    tile partition, projection resolved once at plan time."""
+    from label_maker_dask_spark.sources.imagery import (
+        fetch_images,
+        wms_image_fetcher,
+    )
+
+    tiles = spark.createDataFrame(
+        [
+            (int(_WMS_UTM_ZOOM), int(x), int(y))
+            for x in _WMS_UTM_XS
+            for y in _WMS_UTM_YS
+        ],
+        "z int, x long, y long",
+    ).repartition(6)
+    fetcher = wms_image_fetcher(
+        _WMS_UTM_TEMPLATE, http_get=_wms_utm_fixture_server
+    )
+    images = fetch_images(tiles, image_fetcher=fetcher)
+
+    def sums(batches):
+        from label_maker_dask_spark.sources.tiff import TiffFile
+
+        for pdf in batches:
+            out = []
+            for z, x, y, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["image"]
+            ):
+                px = TiffFile(bytes(blob)).read_rows(0, 256)
+                for ch in range(px.shape[2]):
+                    out.append(
+                        (
+                            int(z),
+                            int(x),
+                            int(y),
+                            ch,
+                            int(px[:, :, ch].astype(np.int64).sum()),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "channel", "px_sum"]
+                )
+
+    return images.mapInPandas(
+        sums, "z int, x int, y int, channel int, px_sum long"
+    )
+
+
 def _cog_channel_sums(spark, epsg: int, tiled: bool = True):
     tiles = spark.createDataFrame(
         [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],

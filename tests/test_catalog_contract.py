@@ -44,6 +44,7 @@ PINNED_DRIVER_WINDOW = [
     "mvt_roundtrip_feature_stats",
     "raster_cog_window_channel_sums_3857",
     "raster_geotiff_striped_channel_sums",
+    "raster_wms_utm_window_channel_sums",
     "raster_wms_window_channel_sums",
     "stream_bpe_word_freq_replay",
     "stream_upsert_type_widening_replay",
@@ -89,7 +90,6 @@ PINNED_DRIVER_WINDOW = [
     "q21_suppliers_who_shipped_last",
     "q3_shipping_priority",
     "q9_product_profit",
-    "scd2_user_state_history",
 ]
 
 

@@ -1,7 +1,7 @@
 """Compare two bench JSON files (BENCH_LOCAL.json snapshots — the
 driver's BENCH_r*.json wraps its record differently and is not
-parsed here): per-query
-ratios, median drift, worst regressions, and the BASELINE.md floor
+parsed here): per-query ratios classified against the recorded pass
+spread (noise vs regression), median drift, and the BASELINE.md floor
 subset — the per-round regression triage this repo otherwise re-derives
 inline every time.
 
@@ -10,6 +10,15 @@ Usage:
 
 With one argument, compares against the committed BENCH_LOCAL.json at
 HEAD (via `git show`).  Ratio = new/old; >1 is slower.
+
+Noise classification (round 15, r14 verdict item 5): bench.py records
+each query's relative spread between its two passes.  A drift counts as
+a REGRESSION only when the ratio exceeds ``1 + band`` where ``band =
+max(0.15, 2 * (spread_new + spread_old))`` — within the band it is
+reported as drift-within-noise, so driver-side machine noise (the r14
+streaming ~1.3x that was flat locally) is classifiable without manually
+cross-checking two files.  Old files without a "spread" key degrade to
+the flat 15% band.
 """
 
 from __future__ import annotations
@@ -39,23 +48,32 @@ FLOOR = {
 
 def _load(path: str) -> dict:
     with open(path) as fh:
-        return json.load(fh)["queries"]
+        return json.load(fh)
+
+
+def _band(k: str, new_spread: dict, old_spread: dict) -> float:
+    return max(0.15, 2.0 * (new_spread.get(k, 0.0) + old_spread.get(k, 0.0)))
 
 
 def main() -> None:
     if len(sys.argv) < 2:
         sys.exit(__doc__)
-    new = _load(sys.argv[1])
+    new_rec = _load(sys.argv[1])
     if len(sys.argv) > 2:
-        old = _load(sys.argv[2])
+        old_rec = _load(sys.argv[2])
         old_name = sys.argv[2]
     else:
         out = subprocess.run(
             ["git", "-C", "/root/repo", "show", "HEAD:BENCH_LOCAL.json"],
             capture_output=True, text=True, check=True,
         ).stdout
-        old = json.loads(out)["queries"]
+        if not out.strip():
+            sys.exit("no committed BENCH_LOCAL.json at HEAD to diff against")
+        old_rec = json.loads(out)
         old_name = "HEAD:BENCH_LOCAL.json"
+    new, old = new_rec["queries"], old_rec["queries"]
+    new_spread = new_rec.get("spread", {})
+    old_spread = old_rec.get("spread", {})
 
     print(f"new: {sys.argv[1]} ({len(new)} queries, {sum(new.values()):.1f}s)")
     print(f"old: {old_name} ({len(old)} queries, {sum(old.values()):.1f}s)")
@@ -67,9 +85,25 @@ def main() -> None:
     if ratios:
         print(f"median ratio {statistics.median(ratios.values()):.3f} "
               f"over {len(ratios)} comparable queries")
-        print("worst regressions:")
-        for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])[:8]:
-            print(f"  {r:5.2f}x  {new[k]:6.2f} vs {old[k]:6.2f}  {k}")
+        regressions = {
+            k: r for k, r in ratios.items()
+            if r > 1.0 + _band(k, new_spread, old_spread)
+        }
+        if regressions:
+            print(f"REGRESSIONS beyond noise band ({len(regressions)}):")
+            for k, r in sorted(regressions.items(), key=lambda kv: -kv[1]):
+                print(f"  {r:5.2f}x  {new[k]:6.2f} vs {old[k]:6.2f}  "
+                      f"(band ±{_band(k, new_spread, old_spread):.0%})  {k}")
+        else:
+            print("no regressions beyond the per-query noise band")
+        drift = sorted(
+            ((k, r) for k, r in ratios.items() if k not in regressions),
+            key=lambda kv: -kv[1],
+        )[:5]
+        print("largest drifts within noise:")
+        for k, r in drift:
+            print(f"  {r:5.2f}x  {new[k]:6.2f} vs {old[k]:6.2f}  "
+                  f"(band ±{_band(k, new_spread, old_spread):.0%})  {k}")
         print("best improvements:")
         for k, r in sorted(ratios.items(), key=lambda kv: kv[1])[:4]:
             print(f"  {r:5.2f}x  {new[k]:6.2f} vs {old[k]:6.2f}  {k}")

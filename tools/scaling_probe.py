@@ -161,6 +161,10 @@ PROBES = [
     "detection_labels_e2e",
     "text_bpe_train_merges",
     "text_bpe_tokenize_corpus",
+    # round-15: type-widening restart replay (the WMS/UTM/JPEG fixture
+    # gates are sf-independent by construction, like the COG/MVT round
+    # trips — not probed)
+    "stream_upsert_type_widening_replay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
