@@ -66,6 +66,30 @@ def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
     return False
 
 
+def _same_ignoring_nullability(a: T.DataType, b: T.DataType) -> bool:
+    """Structural type equality that ignores nullability at every level
+    (array containsNull, struct field nullable, map valueContainsNull).
+    A nullability-only difference is not a type drift: Spark's union and
+    when/otherwise coerce it losslessly, and a source column built via
+    F.array(F.lit(...)) (containsNull=false) must keep merging into a
+    parquet-read target (containsNull=true) as it always did."""
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, T.ArrayType):
+        return _same_ignoring_nullability(a.elementType, b.elementType)
+    if isinstance(a, T.MapType):
+        return _same_ignoring_nullability(
+            a.keyType, b.keyType
+        ) and _same_ignoring_nullability(a.valueType, b.valueType)
+    if isinstance(a, T.StructType):
+        return len(a.fields) == len(b.fields) and all(
+            fa.name == fb.name
+            and _same_ignoring_nullability(fa.dataType, fb.dataType)
+            for fa, fb in zip(a.fields, b.fields)
+        )
+    return a == b
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -131,7 +155,9 @@ def merge_upsert(
         for f in source.schema.fields
         if f.name.lower() not in meta
         and f.name.lower() in tgt_by_lower
-        and tgt_by_lower[f.name.lower()].dataType != f.dataType
+        and not _same_ignoring_nullability(
+            tgt_by_lower[f.name.lower()].dataType, f.dataType
+        )
     ]
     if mismatched and not evolve_schema:
         detail = ", ".join(

@@ -2647,9 +2647,6 @@ def multimodal_jpeg_tile_channel_sums(spark, sf_dir):
     Scale shape: one executor task per tile partition; decode is
     numpy-vectorized per tile (Huffman is the only per-symbol loop) and
     embarrassingly parallel — identical to a production TMS ingest."""
-    import numpy as np
-    import pandas as pd
-
     from label_maker_dask_spark.multimodal.jpeg_tiles_fixture import (
         JPEG_B64,
         XS,
@@ -2657,6 +2654,7 @@ def multimodal_jpeg_tile_channel_sums(spark, sf_dir):
         ZOOM,
         tile_bytes,
     )
+    from label_maker_dask_spark.queries_shared import image_channel_sums
     from label_maker_dask_spark.sources.imagery import fetch_images
 
     tiles = spark.createDataFrame(
@@ -2668,39 +2666,13 @@ def multimodal_jpeg_tile_channel_sums(spark, sf_dir):
     images = fetch_images(
         tiles, image_fetcher=lambda z, x, y: blobs[(x, y)]
     )
+    return image_channel_sums(images, _decode_jpeg_pixels)
 
-    def sums(batches):
-        from label_maker_dask_spark.multimodal.images import (
-            decode_compressed,
-        )
 
-        dec = decode_compressed("jpeg")
-        for pdf in batches:
-            out = []
-            for z, x, y, blob in zip(
-                pdf["z"], pdf["x"], pdf["y"], pdf["image"]
-            ):
-                px = dec(bytes(blob))
-                if px.ndim == 2:
-                    px = px[:, :, None]
-                for ch in range(px.shape[2]):
-                    out.append(
-                        (
-                            int(z),
-                            int(x),
-                            int(y),
-                            ch,
-                            int(px[:, :, ch].astype(np.int64).sum()),
-                        )
-                    )
-            if out:
-                yield pd.DataFrame(
-                    out, columns=["z", "x", "y", "channel", "px_sum"]
-                )
+def _decode_jpeg_pixels(blob: bytes):
+    from label_maker_dask_spark.multimodal.images import decode_compressed
 
-    return images.mapInPandas(
-        sums, "z int, x int, y int, channel int, px_sum long"
-    )
+    return decode_compressed("jpeg")(blob)
 
 
 #: power-of-two n_cells ladder targeting ~64 vectors per cell, floor 16
@@ -3179,8 +3151,8 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # (the PQ index build) ahead of their readers for timing attribution.
 # ``tests/test_catalog_contract.py`` asserts this list matches the
 # derivation, so adding a catalog entry without re-running the tool
-# fails pytest.  With 244 entries and 50 slots the policy bounds full
-# driver re-proof at ceil(244/50) = 5 rounds; entries rotated out stay
+# fails pytest.  With 245 entries and 50 slots the policy bounds full
+# driver re-proof at ceil(245/50) = 5 rounds; entries rotated out stay
 # covered by the full local replay (tools/check_oracle.py).
 #
 # Round-15 derivation: the 7 round-14 entries the driver never gated

@@ -568,40 +568,23 @@ def raster_wms_window_channel_sums(spark, sf_dir):
         wms_image_fetcher,
     )
 
+    from label_maker_dask_spark.queries_shared import image_channel_sums
+
     tiles = spark.createDataFrame(
         [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],
         "z int, x long, y long",
     ).repartition(8)
     fetcher = wms_image_fetcher(_WMS_TEMPLATE, http_get=_wms_fixture_server)
     images = fetch_images(tiles, image_fetcher=fetcher)
+    return image_channel_sums(images, _decode_geotiff_pixels)
 
-    def sums(batches):
-        from label_maker_dask_spark.sources.tiff import TiffFile
 
-        for pdf in batches:
-            out = []
-            for z, x, y, blob in zip(
-                pdf["z"], pdf["x"], pdf["y"], pdf["image"]
-            ):
-                px = TiffFile(bytes(blob)).read_rows(0, 256)
-                for ch in range(px.shape[2]):
-                    out.append(
-                        (
-                            int(z),
-                            int(x),
-                            int(y),
-                            ch,
-                            int(px[:, :, ch].astype(np.int64).sum()),
-                        )
-                    )
-            if out:
-                yield pd.DataFrame(
-                    out, columns=["z", "x", "y", "channel", "px_sum"]
-                )
+def _decode_geotiff_pixels(blob: bytes):
+    """Full-raster decode of a served 256x256 GeoTIFF (the WMS gates'
+    executor-side decode step)."""
+    from label_maker_dask_spark.sources.tiff import TiffFile
 
-    return images.mapInPandas(
-        sums, "z int, x int, y int, channel int, px_sum long"
-    )
+    return TiffFile(blob).read_rows(0, 256)
 
 
 # --------------------------------------------------------------------------
@@ -696,6 +679,22 @@ def _snyder_envelope(z: int, x: int, y: int, densify_pts: int = 21):
     return min(xs), min(ys), max(xs), max(ys)
 
 
+#: (tx, ty) -> Snyder envelope, computed once per process (the grid is
+#: fixed; without the cache every GetMap re-projected all 18 candidate
+#: envelopes — ~1.7k trig evaluations per request on the executor)
+_SNYDER_ENVELOPES: dict = {}
+
+
+def _snyder_envelopes() -> dict:
+    if not _SNYDER_ENVELOPES:
+        for tx in _WMS_UTM_XS:
+            for ty in _WMS_UTM_YS:
+                _SNYDER_ENVELOPES[(tx, ty)] = _snyder_envelope(
+                    _WMS_UTM_ZOOM, tx, ty
+                )
+    return _SNYDER_ENVELOPES
+
+
 def _wms_utm_fixture_server(url: str) -> bytes:
     """Hermetic UTM GetMap endpoint: parse the 1.1.1 x-first bbox and
     find WHICH candidate tile's Snyder envelope it matches within 1 m —
@@ -713,11 +712,9 @@ def _wms_utm_fixture_server(url: str) -> bytes:
     got = [float(v) for v in (q.get("bbox") or [""])[0].split(",")]
     xmin, ymin, xmax, ymax = got  # 1.1.1: x-first, no axis swap
     hits = []
-    for tx in _WMS_UTM_XS:
-        for ty in _WMS_UTM_YS:
-            exp = _snyder_envelope(_WMS_UTM_ZOOM, tx, ty)
-            if all(abs(g - e) <= 1.0 for g, e in zip(got, exp)):
-                hits.append((tx, ty))
+    for (tx, ty), exp in _snyder_envelopes().items():
+        if all(abs(g - e) <= 1.0 for g, e in zip(got, exp)):
+            hits.append((tx, ty))
     if len(hits) != 1:
         raise ValueError(
             f"bbox {got} matches {len(hits)} candidate tiles under the "
@@ -790,34 +787,9 @@ def raster_wms_utm_window_channel_sums(spark, sf_dir):
         _WMS_UTM_TEMPLATE, http_get=_wms_utm_fixture_server
     )
     images = fetch_images(tiles, image_fetcher=fetcher)
+    from label_maker_dask_spark.queries_shared import image_channel_sums
 
-    def sums(batches):
-        from label_maker_dask_spark.sources.tiff import TiffFile
-
-        for pdf in batches:
-            out = []
-            for z, x, y, blob in zip(
-                pdf["z"], pdf["x"], pdf["y"], pdf["image"]
-            ):
-                px = TiffFile(bytes(blob)).read_rows(0, 256)
-                for ch in range(px.shape[2]):
-                    out.append(
-                        (
-                            int(z),
-                            int(x),
-                            int(y),
-                            ch,
-                            int(px[:, :, ch].astype(np.int64).sum()),
-                        )
-                    )
-            if out:
-                yield pd.DataFrame(
-                    out, columns=["z", "x", "y", "channel", "px_sum"]
-                )
-
-    return images.mapInPandas(
-        sums, "z int, x int, y int, channel int, px_sum long"
-    )
+    return image_channel_sums(images, _decode_geotiff_pixels)
 
 
 def _cog_channel_sums(spark, epsg: int, tiled: bool = True):

@@ -124,3 +124,44 @@ SELECT event_type, bucket,
        count(*) AS n
 FROM b GROUP BY event_type, bucket
 """
+
+
+def image_channel_sums(images, decode):
+    """Shared (z, x, y, image binary) -> (z, x, y, channel, px_sum)
+    mapInPandas stage for the transport/codec gates (WMS 3857/UTM, JPEG
+    tiles): decode each fetched blob with ``decode(bytes) -> (H, W[, C])
+    uint8`` and emit per-channel pixel sums.  One definition so the
+    channel loop and output schema cannot drift between entries.
+
+    ``decode`` must be importable/pickle-friendly (a module-level
+    function or a closure over plain data) — it runs executor-side."""
+    import numpy as np
+    import pandas as pd
+
+    def sums(batches):
+        for pdf in batches:
+            out = []
+            for z, x, y, blob in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["image"]
+            ):
+                px = decode(bytes(blob))
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                for ch in range(px.shape[2]):
+                    out.append(
+                        (
+                            int(z),
+                            int(x),
+                            int(y),
+                            ch,
+                            int(px[:, :, ch].astype(np.int64).sum()),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "channel", "px_sum"]
+                )
+
+    return images.mapInPandas(
+        sums, "z int, x int, y int, channel int, px_sum long"
+    )

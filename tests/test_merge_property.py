@@ -179,3 +179,24 @@ def test_widening_lattice():
     assert not _is_widening(T.DecimalType(12, 2), T.DecimalType(13, 4))
     assert not _is_widening(T.LongType(), T.DecimalType(12, 2))
     assert not _is_widening(T.StringType(), T.LongType())
+
+
+def test_nested_nullability_difference_is_not_a_type_mismatch(spark):
+    """array<string> with containsNull=false (F.array of literals) must
+    keep merging into a parquet-style containsNull=true target exactly
+    as before the type-drift gate existed — nullability is not drift."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, ["a", "b"])], "k long, tags array<string>"
+    )
+    source = spark.createDataFrame([(1,), (2,)], "k long").select(
+        "k", F.array(F.lit("x")).alias("tags")
+    )
+    assert dict(source.dtypes)["tags"] == "array<string>"
+    for flag in (False, True):
+        out = merge_upsert(target, source, keys=["k"], evolve_schema=flag)
+        got = {(r.k, tuple(r.tags)) for r in out.collect()}
+        assert got == {(1, ("x",)), (2, ("x",))}

@@ -123,9 +123,14 @@ def main() -> int:
     from label_maker_dask_spark import queries as Q
 
     catalog = sorted(dict.keys(Q.QUERIES))
-    window = derive_window(catalog)
     if "--check" in sys.argv:
+        # verify the COMMITTED window: exclude the correctness file that
+        # window itself produced (same exclusion as the contract test),
+        # else --check flips red the moment the driver records the very
+        # gate the window was built for
         current = list(Q._DRIVER_WINDOW)
+        history = gating_history(exclude_window=set(current))
+        window = derive_window(catalog, last=history)
         if current != window:
             print("STALE window. Derived:")
             for n in window:
@@ -133,7 +138,9 @@ def main() -> int:
             return 1
         print("window up to date")
         return 0
-    for n in window:
+    # derivation mode (round start): use the FULL history — the previous
+    # round's correctness file keys match the OLD window, not this one
+    for n in derive_window(catalog):
         print(f'    "{n}",')
     return 0
 
