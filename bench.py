@@ -323,6 +323,8 @@ HEADLINE = [
     "similarity_neardup_cosine",
     "similarity_neardup_srp_ann",
     "similarity_ivf_topk_ann",
+    "similarity_recall_srp_vs_exact",
+    "similarity_recall_ivf_vs_exact",
     # text / curation
     "text_lang_id",
     "text_fingerprints",

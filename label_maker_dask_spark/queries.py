@@ -1418,6 +1418,70 @@ def similarity_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=5)
 
 
+def _recall_oracle_from(exact_sql: str, ann_sql: str) -> str:
+    """Compose two top-k oracle SELECTs into a per-query recall count —
+    the intersected hit count of the approximate top-k against the exact
+    one (both queries already rank deterministically)."""
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({exact_sql})),
+    ann AS (SELECT query_id, neighbor_id FROM ({ann_sql}))
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM exact e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+def _recall_counts(exact, ann):
+    """Per-query intersection counts of two deterministic top-k frames."""
+    hits = ann.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+
+
+def _srp_recall_oracle(filter_pred: str) -> str:
+    return _recall_oracle_from(
+        _topk_oracle(filter_pred), _lsh_topk_oracle(filter_pred)
+    )
+
+
+@register("similarity_recall_srp_vs_exact", _srp_recall_oracle("vec_id % 25 = 0"))
+def similarity_recall_srp_vs_exact(spark, sf_dir):
+    """Recall@5 of the SRP-bucketed ANN path against exact brute force —
+    the QUALITY observable every ANN deployment monitors, not just a
+    determinism gate: per query, how many of the true top-5 neighbors
+    the bucket join recovered.  Both sides are deterministic (exact
+    ties break on neighbor id; buckets are replayable integer
+    arithmetic), so the per-query hit counts themselves hash-match the
+    oracle, which recomputes exact-vs-candidate top-k and intersects.
+    A hyperplane-coefficient drift, a bucket-join bug that inflates
+    candidates, or a top-k tie-break change all shift n_hit and go red.
+
+    Scale shape: the exact side is the two-phase cosine_topk (corpus
+    streams once, per-batch top-(k+1) prune); the ANN side is the
+    bucket join; the intersection joins two O(|queries| * k) frames —
+    at 100 TB you run this on a sampled query set exactly like this
+    entry's 1-in-25 slice, and the corpus passes stay the only
+    corpus-scale work."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(emb, queries, k=5), lsh_topk(emb, queries, k=5)
+    )
+
+
 # =====================================================================
 # Extended join / agg / scalar surface
 # =====================================================================
@@ -2771,6 +2835,45 @@ def _ivf_oracle(filter_pred: str, k: int = 5, n_probe: int = 4) -> str:
     """
 
 
+def _ivf_recall_oracle() -> str:
+    return _recall_oracle_from(
+        _topk_oracle("vec_id % 25 = 0"), _ivf_oracle("vec_id % 25 = 0")
+    )
+
+
+@register("similarity_recall_ivf_vs_exact", _ivf_recall_oracle())
+def similarity_recall_ivf_vs_exact(spark, sf_dir):
+    """Recall@5 of the IVF tier against exact brute force — the quality
+    observable for the RECOMMENDED scale path, next to the SRP tier's
+    (``similarity_recall_srp_vs_exact``, whose single-table 8-plane
+    recall is ~0.03 on this corpus: per-plane sign agreement for a
+    cos≈0.5 neighbor is ~0.67, and 0.67^8 ≈ 0.04 — exactly why
+    production ANN here means IVF probes, not one SRP table).  IVF with
+    the constant-occupancy ladder probes 4 cells (~25% of this corpus)
+    and measures recall@5 ≈ 0.44 at sf0.01 — ~15x the SRP tier on the
+    same queries; the synthetic near-random embeddings are the ANN
+    WORST case (true neighbors barely concentrate), so both numbers are
+    floors, and the gap, not the absolute, is the signal.  The
+    per-query hit counts
+    hash-match because cell assignment, probe ranking, and both top-k
+    orders are deterministic.  The oracle composes the two existing
+    top-k oracles and intersects.
+
+    Scale shape: both sides bound their corpus passes (two-phase exact
+    prune; partition-pruned probes); the intersection is
+    O(|queries| * k)."""
+    from label_maker_dask_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    ann = ivf_topk(
+        emb, queries, k=5,
+        n_cells=_ivf_auto_cells(_emb_count(spark, sf_dir)), n_probe=4,
+    )
+    return _recall_counts(exact, ann)
+
+
 @register("similarity_ivf_topk_ann", _ivf_oracle("vec_id % 25 = 0"))
 def similarity_ivf_topk(spark, sf_dir):
     """IVF-style ANN (the scale path beyond SRP-LSH): Voronoi cells around
@@ -3151,16 +3254,17 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # (the PQ index build) ahead of their readers for timing attribution.
 # ``tests/test_catalog_contract.py`` asserts this list matches the
 # derivation, so adding a catalog entry without re-running the tool
-# fails pytest.  With 245 entries and 50 slots the policy bounds full
-# driver re-proof at ceil(245/50) = 5 rounds; entries rotated out stay
+# fails pytest.  With 247 entries and 50 slots the policy bounds full
+# driver re-proof at ceil(247/50) = 5 rounds; entries rotated out stay
 # covered by the full local replay (tools/check_oracle.py).
 #
 # Round-15 derivation: the 7 round-14 entries the driver never gated
 # (judge-replayed green in r14 — this window makes the proof driver-
 # side: the BPE triad + stream twin, the MVT round trip, the 3857 COG
-# and striped-GeoTIFF twins), the 4 entries NEW this round (the WMS
+# and striped-GeoTIFF twins), the 6 entries NEW this round (the WMS
 # 3857 + UTM gates, the JPEG decode gate, the type-widening restart
-# replay), and 39 stale retirees last gated r9-r10.
+# replay, the SRP and IVF recall@5 observables), and 37 stale
+# retirees last gated r9-r10.
 _DRIVER_WINDOW = [
     "multimodal_jpeg_tile_channel_sums",
     "mvt_roundtrip_feature_stats",
@@ -3168,6 +3272,8 @@ _DRIVER_WINDOW = [
     "raster_geotiff_striped_channel_sums",
     "raster_wms_utm_window_channel_sums",
     "raster_wms_window_channel_sums",
+    "similarity_recall_ivf_vs_exact",
+    "similarity_recall_srp_vs_exact",
     "stream_bpe_word_freq_replay",
     "stream_upsert_type_widening_replay",
     "text_bpe_tokenize_corpus",
@@ -3210,8 +3316,6 @@ _DRIVER_WINDOW = [
     "q18_large_volume_customers",
     "q1_pricing_summary",
     "q21_suppliers_who_shipped_last",
-    "q3_shipping_priority",
-    "q9_product_profit",
 ]
 
 

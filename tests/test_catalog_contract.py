@@ -46,6 +46,8 @@ PINNED_DRIVER_WINDOW = [
     "raster_geotiff_striped_channel_sums",
     "raster_wms_utm_window_channel_sums",
     "raster_wms_window_channel_sums",
+    "similarity_recall_ivf_vs_exact",
+    "similarity_recall_srp_vs_exact",
     "stream_bpe_word_freq_replay",
     "stream_upsert_type_widening_replay",
     "text_bpe_tokenize_corpus",
@@ -88,8 +90,6 @@ PINNED_DRIVER_WINDOW = [
     "q18_large_volume_customers",
     "q1_pricing_summary",
     "q21_suppliers_who_shipped_last",
-    "q3_shipping_priority",
-    "q9_product_profit",
 ]
 
 
