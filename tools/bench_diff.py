@@ -18,7 +18,7 @@ max(0.15, 2 * (spread_new + spread_old))`` — within the band it is
 reported as drift-within-noise, so driver-side machine noise (the r14
 streaming ~1.3x that was flat locally) is classifiable without manually
 cross-checking two files.  Old files without a "spread" key degrade to
-the flat 15% band.
+the flat 25% band.
 """
 
 from __future__ import annotations
@@ -52,7 +52,15 @@ def _load(path: str) -> dict:
 
 
 def _band(k: str, new_spread: dict, old_spread: dict) -> float:
-    return max(0.15, 2.0 * (new_spread.get(k, 0.0) + old_spread.get(k, 0.0)))
+    """Per-query noise band.  The floor is 25%, calibrated from measured
+    CROSS-RUN drift on identical code (three same-day 244-query runs:
+    296.4 s / 311.2 s / 320.5 s suite totals, individual queries moving
+    1.1-1.2x between runs): a run's two back-to-back passes share JVM +
+    page-cache state, so the recorded within-run spread UNDERESTIMATES
+    the run-to-run variance a diff actually faces.  Anything beyond
+    1.25x (or beyond the recorded spread when that is larger) is a real
+    candidate; below it, cross-check before treating as a regression."""
+    return max(0.25, 2.0 * (new_spread.get(k, 0.0) + old_spread.get(k, 0.0)))
 
 
 def main() -> None:
