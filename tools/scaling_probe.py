@@ -163,8 +163,11 @@ PROBES = [
     "text_bpe_tokenize_corpus",
     # round-15: type-widening restart replay (the WMS/UTM/JPEG fixture
     # gates are sf-independent by construction, like the COG/MVT round
-    # trips — not probed)
+    # trips — not probed) and the ANN recall observables (exact side is
+    # the corpus-scale pass; candidate sides are bucket/probe joins)
     "stream_upsert_type_widening_replay",
+    "similarity_recall_srp_vs_exact",
+    "similarity_recall_ivf_vs_exact",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
