@@ -1444,9 +1444,7 @@ def _recall_counts(exact, ann):
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_hit"),
+            F.count(F.col("hit")).alias("n_hit"),
         )
     )
 

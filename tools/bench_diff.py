@@ -14,7 +14,7 @@ HEAD (via `git show`).  Ratio = new/old; >1 is slower.
 Noise classification (round 15, r14 verdict item 5): bench.py records
 each query's relative spread between its two passes.  A drift counts as
 a REGRESSION only when the ratio exceeds ``1 + band`` where ``band =
-max(0.15, 2 * (spread_new + spread_old))`` — within the band it is
+max(0.25, 2 * (spread_new + spread_old))`` — within the band it is
 reported as drift-within-noise, so driver-side machine noise (the r14
 streaming ~1.3x that was flat locally) is classifiable without manually
 cross-checking two files.  Old files without a "spread" key degrade to

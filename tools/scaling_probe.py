@@ -145,7 +145,6 @@ PROBES = [
     "anomaly_seasonal_dow_residual",
     "similarity_pq_adc_topk_ann",
     "text_source_kl_divergence",
-    "similarity_pq_stored_topk_ann",
     "stream_pq_index_replay",
     "profile_srp_bucket_skew",
     "similarity_hotbucket_dedup_adversarial",
