@@ -325,6 +325,8 @@ HEADLINE = [
     "similarity_ivf_topk_ann",
     "similarity_recall_srp_vs_exact",
     "similarity_recall_ivf_vs_exact",
+    "similarity_lsh_multiprobe_topk_ann",
+    "similarity_recall_srp_multiprobe_vs_exact",
     # text / curation
     "text_lang_id",
     "text_fingerprints",

@@ -307,12 +307,41 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k: compare only pairs sharing an SRP bucket.  Recall < 1 by
     construction (ANN contract); bucket join shuffles on the small int
-    bucket id.  Increase recall with multi-probe (flip one bit) if needed."""
+    bucket id.
+
+    ``multiprobe=1`` enables standard multi-probe LSH (Lv et al. 2007):
+    each query also probes the ``n_planes`` buckets at Hamming distance 1
+    (one hyperplane sign flipped — the buckets a near-boundary neighbor
+    most likely fell into), trading a (n_planes+1)x candidate bound for
+    several-fold recall.  Implemented as a query-side explode over the
+    probe bucket ids, so the join stays an EQUI-join on the bucket key —
+    never a hamming theta-join — and a (query, neighbor) pair still
+    matches at most once (a corpus row has one bucket; the probe set is
+    distinct).  The recall lift is measured, hash-gated evidence:
+    ``similarity_recall_srp_multiprobe_vs_exact`` vs
+    ``similarity_recall_srp_vs_exact``."""
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            f"multiprobe={multiprobe!r}: only 0 (exact bucket) and 1 "
+            "(single-bit flips) are supported — deeper probe sequences "
+            "multiply candidates past what one SRP table justifies; use "
+            "IVF probes (ivf_topk) for a tunable recall/cost dial"
+        )
     c = srp_units(embeddings, "neighbor_id", "cv", n_planes, dim, id_col, vec_col)
     q = srp_units(queries, "query_id", "qv", n_planes, dim, id_col, vec_col)
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -1383,7 +1383,9 @@ def text_token_stats(spark, sf_dir):
 
 # --- rows-only (non-SQL-expressible or ANN-recall) entries -------------------
 
-def _lsh_topk_oracle(filter_pred: str, k: int = 5) -> str:
+def _lsh_topk_oracle(
+    filter_pred: str, k: int = 5, multiprobe: int = 0, n_planes: int = 8
+) -> str:
     from label_maker_dask_spark.functions.vectors import (
         normalized_sql,
         unit_dot_rounded_sql,
@@ -1393,9 +1395,17 @@ def _lsh_topk_oracle(filter_pred: str, k: int = 5) -> str:
     nv = normalized_sql("embedding")
     bucket = srp_bucket_sql("embedding")
     cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    if multiprobe:
+        flips = ", ".join(["0"] + [str(1 << j) for j in range(n_planes)])
+        qs = f"""(SELECT vec_id, nv, xor(bucket, f.flip) AS bucket
+                  FROM bs CROSS JOIN
+                       (SELECT unnest([{flips}]) AS flip) f
+                  WHERE {filter_pred})"""
+    else:
+        qs = f"(SELECT * FROM bs WHERE {filter_pred})"
     return f"""
     WITH bs AS (SELECT vec_id, {nv} AS nv, {bucket} AS bucket FROM embeddings),
-    qs AS (SELECT * FROM bs WHERE {filter_pred})
+    qs AS {qs}
     SELECT query_id, rank, neighbor_id, cosine_sim FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {cos} AS cosine_sim,
@@ -1416,6 +1426,23 @@ def similarity_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return lsh_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_lsh_multiprobe_topk_ann",
+    _lsh_topk_oracle("vec_id % 25 = 0", multiprobe=1),
+)
+def similarity_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe SRP ANN top-k (Lv et al. 2007): each query also
+    probes the 8 single-bit-flip buckets — the buckets a near-boundary
+    neighbor most likely fell into — as a query-side explode feeding the
+    SAME equi-join on the bucket key (9x the candidate bound, never a
+    hamming theta-join).  Deterministic like the single-probe form, so
+    the oracle replays the exact probe expansion; the recall lift is
+    quantified by ``similarity_recall_srp_multiprobe_vs_exact``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return lsh_topk(emb, queries, k=5, multiprobe=1)
 
 
 def _recall_oracle_from(exact_sql: str, ann_sql: str) -> str:
@@ -1477,6 +1504,30 @@ def similarity_recall_srp_vs_exact(spark, sf_dir):
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return _recall_counts(
         cosine_topk(emb, queries, k=5), lsh_topk(emb, queries, k=5)
+    )
+
+
+@register(
+    "similarity_recall_srp_multiprobe_vs_exact",
+    _recall_oracle_from(
+        _topk_oracle("vec_id % 25 = 0"),
+        _lsh_topk_oracle("vec_id % 25 = 0", multiprobe=1),
+    ),
+)
+def similarity_recall_srp_multiprobe_vs_exact(spark, sf_dir):
+    """Recall@5 of MULTI-PROBE SRP against exact brute force — the
+    measured payoff of probing the 8 single-bit-flip buckets: for a
+    cos≈0.5 neighbor the per-plane agreement is ~0.67, so exact-bucket
+    recall is 0.67^8 ≈ 0.04 while hamming≤1 adds 8·0.67^7·0.33 ≈ 0.16 —
+    multi-probe should land ~5x the single-probe tier on this corpus,
+    for a 9x candidate bound.  Hash-gated like its single-probe twin;
+    together with the IVF recall entry the three rows measure the whole
+    recall/cost dial."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(emb, queries, k=5),
+        lsh_topk(emb, queries, k=5, multiprobe=1),
     )
 
 
@@ -3252,17 +3303,17 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # (the PQ index build) ahead of their readers for timing attribution.
 # ``tests/test_catalog_contract.py`` asserts this list matches the
 # derivation, so adding a catalog entry without re-running the tool
-# fails pytest.  With 247 entries and 50 slots the policy bounds full
-# driver re-proof at ceil(247/50) = 5 rounds; entries rotated out stay
+# fails pytest.  With 249 entries and 50 slots the policy bounds full
+# driver re-proof at ceil(249/50) = 5 rounds; entries rotated out stay
 # covered by the full local replay (tools/check_oracle.py).
 #
 # Round-15 derivation: the 7 round-14 entries the driver never gated
 # (judge-replayed green in r14 — this window makes the proof driver-
 # side: the BPE triad + stream twin, the MVT round trip, the 3857 COG
-# and striped-GeoTIFF twins), the 6 entries NEW this round (the WMS
+# and striped-GeoTIFF twins), the 8 entries NEW this round (the WMS
 # 3857 + UTM gates, the JPEG decode gate, the type-widening restart
-# replay, the SRP and IVF recall@5 observables), and 37 stale
-# retirees last gated r9-r10.
+# replay, multi-probe SRP + its recall twin, the SRP and IVF
+# recall@5 observables), and 35 stale retirees last gated r9-r10.
 _DRIVER_WINDOW = [
     "multimodal_jpeg_tile_channel_sums",
     "mvt_roundtrip_feature_stats",
@@ -3270,7 +3321,9 @@ _DRIVER_WINDOW = [
     "raster_geotiff_striped_channel_sums",
     "raster_wms_utm_window_channel_sums",
     "raster_wms_window_channel_sums",
+    "similarity_lsh_multiprobe_topk_ann",
     "similarity_recall_ivf_vs_exact",
+    "similarity_recall_srp_multiprobe_vs_exact",
     "similarity_recall_srp_vs_exact",
     "stream_bpe_word_freq_replay",
     "stream_upsert_type_widening_replay",
@@ -3312,8 +3365,6 @@ _DRIVER_WINDOW = [
     "q13_customer_order_distribution",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q21_suppliers_who_shipped_last",
 ]
 
 

@@ -46,7 +46,9 @@ PINNED_DRIVER_WINDOW = [
     "raster_geotiff_striped_channel_sums",
     "raster_wms_utm_window_channel_sums",
     "raster_wms_window_channel_sums",
+    "similarity_lsh_multiprobe_topk_ann",
     "similarity_recall_ivf_vs_exact",
+    "similarity_recall_srp_multiprobe_vs_exact",
     "similarity_recall_srp_vs_exact",
     "stream_bpe_word_freq_replay",
     "stream_upsert_type_widening_replay",
@@ -88,8 +90,6 @@ PINNED_DRIVER_WINDOW = [
     "q13_customer_order_distribution",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q21_suppliers_who_shipped_last",
 ]
 
 
