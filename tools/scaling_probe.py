@@ -167,6 +167,8 @@ PROBES = [
     "stream_upsert_type_widening_replay",
     "similarity_recall_srp_vs_exact",
     "similarity_recall_ivf_vs_exact",
+    "similarity_lsh_multiprobe_topk_ann",
+    "similarity_recall_srp_multiprobe_vs_exact",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
