@@ -1,19 +1,36 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full record JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a COMPACT summary line
+(same metric/value/unit/sf plus floor-subset ratio, worst cells, and a
+pointer to the full record file).  The full per-query map is >16 KB at
+249 entries and the driver's tail capture truncates it mid-JSON (the
+round-15 BENCH record parsed as null) — the compact line is printed LAST
+so any tail capture ends with one complete, parseable JSON object.
 
 Each query executes to completion through a noop sink (no driver collect,
 no disk write — measures the plan, not the gather).
 
-Timing is BEST-OF-2: the whole suite runs twice and each query reports
-its per-query minimum.  One shared JVM runs every query back-to-back, so
-a single pass charges late-suite entries 25-50% of GC/page-cache drift
-(measured; SCALE.md documents the same effect for the sf1 probes) — the
-min of two interleaved passes attributes deltas to plan changes, not to
-suite position.  The relative spread between the two passes is recorded
-per query ("spread" in the JSON) so tools/bench_diff.py can classify a
-drift as within-noise or a real regression.
+Timing is BEST-OF-2 by default: the whole suite runs twice and each query
+reports its per-query minimum.  One shared JVM runs every query
+back-to-back, so a single pass charges late-suite entries 25-50% of
+GC/page-cache drift (measured; SCALE.md documents the same effect for the
+sf1 probes) — the min of two interleaved passes attributes deltas to plan
+changes, not to suite position.  The relative spread between the passes
+is recorded per query ("spread" in the JSON) so tools/bench_diff.py can
+classify a drift as within-noise or a real regression.
+
+Flags (round 16):
+  --only a,b,c        run only these queries (coverage contract skipped);
+                      the standalone re-measure path bench_diff --recheck
+                      drives for beyond-band cells
+  --passes N          passes per query (default 2; rechecks use 3)
+  --out PATH          write the full record to PATH instead of the
+                      default BENCH_RUN.json ("-" = stdout only)
+  --commit-snapshot   ALSO write BENCH_LOCAL.json (the committed,
+                      bench_diff-HEAD-diffable snapshot).  Without it the
+                      tree stays clean across driver rounds: driver runs
+                      land in the gitignored BENCH_RUN.json.
 
 Coverage contract (round 15): HEADLINE + EXCLUDED must cover the query
 catalog exactly — main() fails loudly otherwise, so no entry can be
@@ -372,7 +389,46 @@ EXCLUDED = {
 }
 
 
+#: round-1 BASELINE.md floor (22 queries at sf0.1) — the compact summary
+#: line reports the suite's standing against it so even a truncated
+#: driver capture records the headline ratio.  Kept in sync with
+#: BASELINE.md's JSON block and tools/bench_diff.py's copy.
+FLOOR = {
+    "q1_pricing_summary": 0.497, "q3_shipping_priority": 0.817,
+    "q5_region_revenue": 1.026, "q9_product_profit": 1.018,
+    "q10_returned_items": 0.802, "q13_customer_order_distribution": 0.477,
+    "q21_suppliers_who_shipped_last": 1.315,
+    "join_left_order_item_counts": 0.977, "agg_rollup_region_nation": 0.445,
+    "agg_pivot_status_by_priority": 0.38, "window_running_order_total": 0.583,
+    "window_top3_orders_per_customer": 0.472, "events_tumbling_hourly": 0.438,
+    "events_sessionize_30m": 0.669, "glfilter_select_events": 0.686,
+    "classification_labels_flagship": 0.786,
+    "segmentation_raster_class_areas": 2.343, "dedup_exact_sha256": 0.292,
+    "dedup_minhash_lsh_pairs": 1.413, "similarity_cosine_topk": 0.547,
+    "text_stats_per_doc": 0.619, "text_tfidf_top_terms": 1.434,
+}
+
+
+def _parse_args(argv: list[str]) -> dict:
+    opts = {"only": None, "passes": 2, "out": "BENCH_RUN.json",
+            "commit_snapshot": False}
+    it = iter(argv)
+    for a in it:
+        if a == "--only":
+            opts["only"] = [s for s in next(it).split(",") if s]
+        elif a == "--passes":
+            opts["passes"] = int(next(it))
+        elif a == "--out":
+            opts["out"] = next(it)
+        elif a == "--commit-snapshot":
+            opts["commit_snapshot"] = True
+        else:
+            raise SystemExit(f"bench.py: unknown argument {a!r}\n\n{__doc__}")
+    return opts
+
+
 def main() -> None:
+    opts = _parse_args(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -392,12 +448,25 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if opts["only"] is not None:
+        unknown = sorted(set(opts["only"]) - set(Q.QUERIES))
+        if unknown:
+            raise SystemExit(f"bench.py --only: unknown queries {unknown}")
+        wanted = set(opts["only"])
+        # HEADLINE order first (PRECEDENCE builders like the PQ index
+        # build keep their position), then any non-HEADLINE catalog
+        # entries the caller explicitly asked for
+        suite = [n for n in HEADLINE if n in wanted] + [
+            n for n in opts["only"] if n not in set(HEADLINE)
+        ]
+    else:
+        suite = HEADLINE
     # JVM warmup so measured queries don't pay JIT/classload/codegen cost:
     # run the same plans once against the smallest scale factor first
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in suite:
             try:
                 Q.QUERIES[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -406,22 +475,24 @@ def main() -> None:
                 pass
         spark.catalog.clearCache()
 
-    # full-coverage contract (r14 verdict item 2): every catalog entry is
-    # benched or consciously excluded with a reason — a new entry that is
-    # neither fails the bench run loudly instead of regressing invisibly
-    catalog = set(Q.QUERIES)
-    uncovered = sorted(catalog - set(HEADLINE) - set(EXCLUDED))
-    stale = sorted((set(HEADLINE) | set(EXCLUDED)) - catalog)
-    overlap = sorted(set(HEADLINE) & set(EXCLUDED))
-    if uncovered or stale or overlap:
-        raise SystemExit(
-            f"bench coverage broken — uncovered: {uncovered}, "
-            f"stale names: {stale}, benched-and-excluded: {overlap}"
-        )
+    if opts["only"] is None:
+        # full-coverage contract (r14 verdict item 2): every catalog entry
+        # is benched or consciously excluded with a reason — a new entry
+        # that is neither fails the bench run loudly instead of regressing
+        # invisibly
+        catalog = set(Q.QUERIES)
+        uncovered = sorted(catalog - set(HEADLINE) - set(EXCLUDED))
+        stale = sorted((set(HEADLINE) | set(EXCLUDED)) - catalog)
+        overlap = sorted(set(HEADLINE) & set(EXCLUDED))
+        if uncovered or stale or overlap:
+            raise SystemExit(
+                f"bench coverage broken — uncovered: {uncovered}, "
+                f"stale names: {stale}, benched-and-excluded: {overlap}"
+            )
 
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _pass in range(2):
-        for name in HEADLINE:
+    runs: dict[str, list[float]] = {name: [] for name in suite}
+    for _pass in range(opts["passes"]):
+        for name in suite:
             fn = Q.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -450,19 +521,51 @@ def main() -> None:
         }
     )
     print(record)
-    # the driver's BENCH_r*.json capture keeps only a tail of stdout,
-    # which truncates the per-query map once the suite is large — also
-    # persist the full record next to the script so every round's
-    # complete numbers survive in git (committed as BENCH_LOCAL.json)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"),
-            "w",
-        ) as fh:
-            fh.write(record + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout already has the record
+
+    # persist the full record: BENCH_RUN.json (gitignored) by default so
+    # driver rounds leave the tree clean; BENCH_LOCAL.json (the committed
+    # snapshot bench_diff diffs against HEAD) only under --commit-snapshot
+    here = os.path.dirname(os.path.abspath(__file__))
+    outputs = []
+    if opts["out"] != "-":
+        out = opts["out"]
+        outputs.append(out if os.path.isabs(out) else os.path.join(here, out))
+    if opts["commit_snapshot"]:
+        outputs.append(os.path.join(here, "BENCH_LOCAL.json"))
+    for path in outputs:
+        try:
+            with open(path, "w") as fh:
+                fh.write(record + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout already has the record
+
+    # compact summary LAST: the driver's tail capture truncates the >16 KB
+    # full record mid-JSON (round-15's BENCH_r15.json parsed as null), so
+    # the final stdout line is a complete, small JSON object carrying the
+    # headline numbers and a pointer to the full per-query record
+    floor_have = [k for k in FLOOR if k in times]
+    slowest = sorted(times, key=lambda k: -times[k])[:5]
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "passes": opts["passes"],
+        "full_record": (os.path.basename(outputs[0]) if outputs else None),
+        "slowest": {k: times[k] for k in slowest},
+    }
+    if floor_have:
+        ours = sum(times[k] for k in floor_have)
+        floor = sum(FLOOR[k] for k in floor_have)
+        worst = max(floor_have, key=lambda k: times[k] / FLOOR[k])
+        summary["floor_subset"] = {
+            "n": len(floor_have),
+            "ratio": round(ours / floor, 3),
+            "worst_query": worst,
+            "worst_ratio": round(times[worst] / FLOOR[worst], 3),
+        }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -128,16 +128,16 @@ def merge_upsert(
     - TYPE WIDENING: a shared column whose source type is a LOSSLESS
       up-cast of the target's (int->bigint, float->double, a decimal
       precision/scale bump — :func:`_is_widening`) up-casts the stored
-      column; the narrower direction (an old producer still emitting
-      int into an already-widened bigint table) up-casts the source
-      side so the stored schema never narrows.  A lossy or incompatible
-      change (long->int, string->int, int->float) raises naming the
-      column.
+      column.  A lossy or incompatible change (long->int, string->int,
+      int->float) raises naming the column.
 
-    Off by default — and WITHOUT the flag any shared-column type
-    mismatch raises instead of letting union coercion silently rewrite
-    the stored schema (a malformed change feed changing a column's type
-    must be loud).
+    Off by default.  WITHOUT the flag, a mismatch that would require
+    rewriting the STORED schema (a wider or incompatible source type)
+    raises — a malformed change feed changing a column's type must be
+    loud.  The narrower direction (an old producer still emitting int
+    into an already-long stored column) is applied unconditionally: the
+    source-side up-cast is lossless, never touches the stored schema,
+    and matches the implicit numeric coercion every SQL MERGE performs.
 
     100 TB posture: module docstring — broadcast left-join for matches,
     keys-only anti-join for inserts, nothing collected but the (small,
@@ -159,6 +159,21 @@ def merge_upsert(
             tgt_by_lower[f.name.lower()].dataType, f.dataType
         )
     ]
+    # Narrow-source drift (int feed into a long stored column) is handled
+    # unconditionally: the up-cast happens on the SOURCE side only, is
+    # lossless by _is_widening, and leaves the stored schema untouched —
+    # the coercion every SQL MERGE applies implicitly.  Only mismatches
+    # that would rewrite the stored schema remain gated behind the flag.
+    narrow_src = [
+        (tf, f) for tf, f in mismatched if _is_widening(f.dataType, tf.dataType)
+    ]
+    for tf, f in narrow_src:
+        source = source.withColumn(f.name, F.col(f.name).cast(tf.dataType))
+    mismatched = [
+        (tf, f)
+        for tf, f in mismatched
+        if not _is_widening(f.dataType, tf.dataType)
+    ]
     if mismatched and not evolve_schema:
         detail = ", ".join(
             f"{tf.name}: target {tf.dataType.simpleString()} vs source "
@@ -174,15 +189,11 @@ def merge_upsert(
     if evolve_schema:
         for tf, f in mismatched:
             if _is_widening(tf.dataType, f.dataType):
-                # stored column up-casts (int table, bigint feed)
+                # stored column up-casts (int table, bigint feed); the
+                # narrow-source direction never reaches here — it was
+                # applied unconditionally above
                 target = target.withColumn(
                     tf.name, F.col(tf.name).cast(f.dataType)
-                )
-            elif _is_widening(f.dataType, tf.dataType):
-                # old producer still emits the narrow type: up-cast the
-                # batch so the stored schema never narrows
-                source = source.withColumn(
-                    f.name, F.col(f.name).cast(tf.dataType)
                 )
             else:
                 raise ValueError(

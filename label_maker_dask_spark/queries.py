@@ -3314,6 +3314,13 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # 3857 + UTM gates, the JPEG decode gate, the type-widening restart
 # replay, multi-probe SRP + its recall twin, the SRP and IVF
 # recall@5 observables), and 35 stale retirees last gated r9-r10.
+# The round this window gates in — the explicit window identity
+# tools/rotate_window.py and the contract tests use to exclude the
+# window's OWN driver evidence when re-checking the rotation decision
+# (round-15 used key-set equality, which broke on any metadata key the
+# driver might add to a correctness file).  Bump together with the list.
+_DRIVER_WINDOW_ROUND = 16
+
 _DRIVER_WINDOW = [
     "multimodal_jpeg_tile_channel_sums",
     "mvt_roundtrip_feature_stats",

@@ -501,6 +501,19 @@ _WMS_TEMPLATE = (
 )
 
 
+def _parse_query_ci(url: str) -> dict:
+    """Parse a request URL's query string with case-insensitive KEYS but
+    values preserved verbatim — the production ``wms_image_fetcher``'s
+    parsing contract.  Lowercasing the whole URL (the reference's
+    pattern) would also fold parameter VALUES, silently passing a
+    server that validates case-sensitive layers or tokens."""
+    from urllib.parse import parse_qs, urlparse
+
+    return {
+        k.lower(): v for k, v in parse_qs(urlparse(url).query).items()
+    }
+
+
 def _wms_fixture_server(url: str) -> bytes:
     """Hermetic GetMap endpoint: parse the request's bbox (1.3.0 y-first,
     EPSG:3857 — the reference's unconditional swap, utils.py:87-90),
@@ -509,14 +522,15 @@ def _wms_fixture_server(url: str) -> bytes:
     tight (1e-6 of a tile): the fetcher's whole job is producing THIS
     bbox, so anything off-grid is a bug, not noise."""
     import math
-    from urllib.parse import parse_qs, urlparse
 
     from label_maker_dask_spark.sources.tiff_write import write_geotiff
 
-    q = parse_qs(urlparse(url.lower()).query)
+    q = _parse_query_ci(url)
     if (q.get("version") or [""])[0] != "1.3.0":
         raise ValueError(f"fixture server wants WMS 1.3.0, got url {url!r}")
-    if (q.get("crs") or [""])[0] != "epsg:3857":
+    # CRS codes are case-insensitive by the WMS spec; only the VALUE's
+    # case folds here — a layers/token param would be validated verbatim
+    if (q.get("crs") or [""])[0].lower() != "epsg:3857":
         raise ValueError(f"fixture server wants EPSG:3857, got url {url!r}")
     vals = [float(v) for v in (q.get("bbox") or [""])[0].split(",")]
     ymin, xmin, ymax, xmax = vals  # 1.3.0: y-first
@@ -700,14 +714,12 @@ def _wms_utm_fixture_server(url: str) -> bytes:
     find WHICH candidate tile's Snyder envelope it matches within 1 m —
     a biased Karney series, a missed srs parse, or a wrongly-applied
     1.3.0 swap leaves no candidate and raises."""
-    from urllib.parse import parse_qs, urlparse
-
     from label_maker_dask_spark.sources.tiff_write import write_geotiff
 
-    q = parse_qs(urlparse(url.lower()).query)
+    q = _parse_query_ci(url)
     if (q.get("version") or [""])[0] != "1.1.1":
         raise ValueError(f"fixture server wants WMS 1.1.1, got url {url!r}")
-    if (q.get("srs") or [""])[0] != "epsg:32633":
+    if (q.get("srs") or [""])[0].lower() != "epsg:32633":
         raise ValueError(f"fixture server wants EPSG:32633, got {url!r}")
     got = [float(v) for v in (q.get("bbox") or [""])[0].split(",")]
     xmin, ymin, xmax, ymax = got  # 1.1.1: x-first, no axis swap
@@ -732,7 +744,11 @@ def _wms_utm_fixture_server(url: str) -> bytes:
         tiled=True,
         compression=8,
         predictor=2,
-        epsg=3857,  # georeferencing tag unused by the sums decode
+        # self-consistent georeferencing: the bbox IS EPSG:32633, so tag
+        # it that way — the sums decode ignores the tag today, but the
+        # fixture must not bake a lie a future CRS-validating decode
+        # would trip over (round-15 advice item)
+        epsg=32633,
     )
 
 

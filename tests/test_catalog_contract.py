@@ -103,11 +103,11 @@ def test_window_matches_rotation_derivation():
     committed _DRIVER_WINDOW must equal tools/rotate_window.py's
     derivation (never-gated entries first — which automatically pulls in
     entries new this round — then least-recently-gated), computed over
-    the gating history MINUS the correctness file this very window
-    produced (same exclusion as test_window_retirement_discipline: the
-    round's closing gate must not retroactively flip the rotation
-    decision that preceded it).  Adding a catalog entry without
-    re-running the tool fails here."""
+    the gating history BEFORE the round this window gates in
+    (Q._DRIVER_WINDOW_ROUND — same exclusion as
+    test_window_retirement_discipline: the round's closing gate must not
+    retroactively flip the rotation decision that preceded it).  Adding
+    a catalog entry without re-running the tool fails here."""
     import importlib.util
     import os
 
@@ -118,7 +118,7 @@ def test_window_matches_rotation_derivation():
     rw = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rw)
     history = rw.gating_history(
-        repo, exclude_window=set(PINNED_DRIVER_WINDOW)
+        repo, exclude_round=Q._DRIVER_WINDOW_ROUND
     )
     derived = rw.derive_window(
         sorted(dict.keys(Q.QUERIES)), repo, last=history
@@ -241,30 +241,17 @@ def test_window_retirement_discipline():
     seat, so future rounds can't silently re-gate the same 50 and
     starve fresh entries of evidence.
 
-    Evidence produced by the CURRENT window's own driver gate is
-    excluded (a correctness file whose key set matches the pinned
-    window): the invariant judges the rotation DECISION, which was made
-    before that file existed — without the exclusion the test would
-    flip red the moment the driver records the very gate the window was
+    Evidence from the round this window gates in or later
+    (Q._DRIVER_WINDOW_ROUND — the explicit window identity) is excluded:
+    the invariant judges the rotation DECISION, which was made before
+    that evidence existed — without the exclusion the test would flip
+    red the moment the driver records the very gate the window was
     built for."""
-    import glob
-    import json
-    import os
-
-    last = _last_gated_round()
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        try:
-            if set(json.load(open(f))) == set(PINNED_DRIVER_WINDOW):
-                # this window has already been gated: its seats are spent
-                # evidence, not a rotation decision to re-judge
-                last = {
-                    n: r for n, r in last.items()
-                    if n not in set(PINNED_DRIVER_WINDOW)
-                }
-                break
-        except Exception:
-            pass
+    last = {
+        n: r
+        for n, r in _last_gated_round().items()
+        if r < Q._DRIVER_WINDOW_ROUND
+    }
     if not last:
         pytest.skip("no committed CORRECTNESS_r*.json yet")
     latest = max(last.values())

@@ -148,6 +148,21 @@ def test_type_widening_narrow_source_upcasts(spark):
     assert {(r.k, r.v) for r in out.collect()} == {(1, 7), (2, 8)}
 
 
+def test_narrow_source_merges_without_evolve_flag(spark):
+    """An int feed into a long stored column is the implicit coercion
+    every SQL MERGE performs: the source-side up-cast is lossless and
+    never touches the stored schema, so it applies WITHOUT
+    evolve_schema — existing callers with benign narrow-type drift
+    keep merging (round-15 advice item)."""
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10_000_000_000)], "k long, v long")
+    source = spark.createDataFrame([(1, 7), (2, 8)], "k long, v int")
+    out = merge_upsert(target, source, keys=["k"])
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 7), (2, 8)}
+
+
 def test_lossy_type_change_refused_even_with_evolve(spark):
     import pytest
 

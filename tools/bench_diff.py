@@ -6,44 +6,44 @@ subset — the per-round regression triage this repo otherwise re-derives
 inline every time.
 
 Usage:
-  PYTHONPATH=/root/repo python tools/bench_diff.py NEW.json [OLD.json]
+  PYTHONPATH=/root/repo python tools/bench_diff.py NEW.json [OLD.json] [--recheck]
 
-With one argument, compares against the committed BENCH_LOCAL.json at
-HEAD (via `git show`).  Ratio = new/old; >1 is slower.
+With one positional argument, compares against the committed
+BENCH_LOCAL.json at HEAD (via `git show`).  Ratio = new/old; >1 is slower.
 
 Noise classification (round 15, r14 verdict item 5): bench.py records
-each query's relative spread between its two passes.  A drift counts as
+each query's relative spread between its passes.  A drift counts as
 a REGRESSION only when the ratio exceeds ``1 + band`` where ``band =
-max(0.25, 2 * (spread_new + spread_old))`` — within the band it is
-reported as drift-within-noise, so driver-side machine noise (the r14
-streaming ~1.3x that was flat locally) is classifiable without manually
-cross-checking two files.  Old files without a "spread" key degrade to
-the flat 25% band.
+min(max(0.25, 2 * (spread_new + spread_old)), 1.0)`` — within the band
+it is reported as drift-within-noise, so driver-side machine noise (the
+r14 streaming ~1.3x that was flat locally) is classifiable without
+manually cross-checking two files.  The 1.0 cap (round 16) keeps a
+first-pass warmup outlier in the recorded spread from inflating the
+band to ±1000%+ and blinding the classifier permanently for that query.
+Old files without a "spread" key degrade to the flat 25% band.
+
+``--recheck`` (round 16, r15 verdict item 3): automates the manual
+best-of-3 standalone re-measure SCALE.md's drift calibration performed
+by hand — every beyond-band cell is re-run in a FRESH JVM (one
+``bench.py --only <flagged> --passes 3`` subprocess, so the re-measure
+shares none of the original run's GC/page-cache state), and each cell
+gets a ``rechecked`` verdict: "noise" when the fresh best-of-3 lands
+back inside the band against OLD, "regression" when it stays out.  The
+verdicts are printed per cell and written to BENCH_RECHECK.json.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
 
-#: the round-1 BASELINE.md floor (22 queries at sf0.1) — kept in sync
-#: with the JSON block in BASELINE.md
-FLOOR = {
-    "q1_pricing_summary": 0.497, "q3_shipping_priority": 0.817,
-    "q5_region_revenue": 1.026, "q9_product_profit": 1.018,
-    "q10_returned_items": 0.802, "q13_customer_order_distribution": 0.477,
-    "q21_suppliers_who_shipped_last": 1.315,
-    "join_left_order_item_counts": 0.977, "agg_rollup_region_nation": 0.445,
-    "agg_pivot_status_by_priority": 0.38, "window_running_order_total": 0.583,
-    "window_top3_orders_per_customer": 0.472, "events_tumbling_hourly": 0.438,
-    "events_sessionize_30m": 0.669, "glfilter_select_events": 0.686,
-    "classification_labels_flagship": 0.786,
-    "segmentation_raster_class_areas": 2.343, "dedup_exact_sha256": 0.292,
-    "dedup_minhash_lsh_pairs": 1.413, "similarity_cosine_topk": 0.547,
-    "text_stats_per_doc": 0.619, "text_tfidf_top_terms": 1.434,
-}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import FLOOR  # noqa: E402  (single source for the floor table)
 
 
 def _load(path: str) -> dict:
@@ -57,22 +57,62 @@ def _band(k: str, new_spread: dict, old_spread: dict) -> float:
     296.4 s / 311.2 s / 320.5 s suite totals, individual queries moving
     1.1-1.2x between runs): a run's two back-to-back passes share JVM +
     page-cache state, so the recorded within-run spread UNDERESTIMATES
-    the run-to-run variance a diff actually faces.  Anything beyond
-    1.25x (or beyond the recorded spread when that is larger) is a real
-    candidate; below it, cross-check before treating as a regression."""
-    return max(0.25, 2.0 * (new_spread.get(k, 0.0) + old_spread.get(k, 0.0)))
+    the run-to-run variance a diff actually faces.  The 1.0 cap keeps a
+    warmup outlier in the recorded spread (BENCH_LOCAL has recorded
+    spreads of 5-15 for first-pass stragglers) from widening the band
+    past any signal — a >2x drift is ALWAYS a recheck candidate."""
+    return min(
+        max(0.25, 2.0 * (new_spread.get(k, 0.0) + old_spread.get(k, 0.0))),
+        1.0,
+    )
+
+
+def _recheck(flagged: dict, old: dict, bands: dict) -> dict:
+    """Re-measure each flagged cell best-of-3 in a fresh JVM and classify
+    noise vs regression against OLD with the same per-query band."""
+    names = sorted(flagged)
+    out_path = os.path.join(REPO, "BENCH_RECHECK.json")
+    cmd = [
+        sys.executable, os.path.join(REPO, "bench.py"),
+        "--only", ",".join(names), "--passes", "3", "--out", out_path,
+    ]
+    print(f"\nrechecking {len(names)} flagged cell(s) in a fresh JVM: "
+          f"{' '.join(cmd)}")
+    subprocess.run(cmd, check=True, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    fresh = _load(out_path)["queries"]
+    verdicts = {}
+    for k in names:
+        ratio = fresh[k] / old[k]
+        verdict = "noise" if ratio <= 1.0 + bands[k] else "regression"
+        verdicts[k] = {
+            "original_ratio": round(flagged[k], 3),
+            "recheck_best_of_3": fresh[k],
+            "recheck_ratio": round(ratio, 3),
+            "band": round(bands[k], 3),
+            "rechecked": verdict,
+        }
+        print(f"  {verdict:10s} {k}: fresh best-of-3 {fresh[k]:.2f}s vs "
+              f"old {old[k]:.2f}s = {ratio:.2f}x (band ±{bands[k]:.0%}, "
+              f"was {flagged[k]:.2f}x)")
+    with open(out_path, "w") as fh:
+        json.dump({"queries": fresh, "verdicts": verdicts}, fh, indent=1)
+    print(f"recheck verdicts written to {out_path}")
+    return verdicts
 
 
 def main() -> None:
-    if len(sys.argv) < 2:
+    args = [a for a in sys.argv[1:] if a != "--recheck"]
+    do_recheck = "--recheck" in sys.argv[1:]
+    if not args:
         sys.exit(__doc__)
-    new_rec = _load(sys.argv[1])
-    if len(sys.argv) > 2:
-        old_rec = _load(sys.argv[2])
-        old_name = sys.argv[2]
+    new_rec = _load(args[0])
+    if len(args) > 1:
+        old_rec = _load(args[1])
+        old_name = args[1]
     else:
         out = subprocess.run(
-            ["git", "-C", "/root/repo", "show", "HEAD:BENCH_LOCAL.json"],
+            ["git", "-C", REPO, "show", "HEAD:BENCH_LOCAL.json"],
             capture_output=True, text=True, check=True,
         ).stdout
         if not out.strip():
@@ -83,13 +123,14 @@ def main() -> None:
     new_spread = new_rec.get("spread", {})
     old_spread = old_rec.get("spread", {})
 
-    print(f"new: {sys.argv[1]} ({len(new)} queries, {sum(new.values()):.1f}s)")
+    print(f"new: {args[0]} ({len(new)} queries, {sum(new.values()):.1f}s)")
     print(f"old: {old_name} ({len(old)} queries, {sum(old.values()):.1f}s)")
 
     # sub-0.3s cells are noise-band (BASELINE.md's own caveat)
     ratios = {
         k: new[k] / old[k] for k in new if k in old and old[k] > 0.3
     }
+    regressions: dict = {}
     if ratios:
         print(f"median ratio {statistics.median(ratios.values()):.3f} "
               f"over {len(ratios)} comparable queries")
@@ -122,18 +163,27 @@ def main() -> None:
               ", ".join(only_new))
 
     have = [k for k in FLOOR if k in new]
-    if not have:
+    if have:
+        ours = sum(new[k] for k in have)
+        floor = sum(FLOOR[k] for k in have)
+        print(f"BASELINE floor subset ({len(have)}/22): "
+              f"{ours:.2f}s vs {floor:.2f}s = {ours / floor:.2f}x")
+        worst = max(have, key=lambda k: new[k] / FLOOR[k])
+        print(f"  worst per-query {new[worst] / FLOOR[worst]:.2f}x ({worst}); "
+              f"the 2x per-query gate "
+              f"{'HOLDS' if all(new[k] / FLOOR[k] < 2 for k in have) else 'FAILS'}")
+    else:
         print("BASELINE floor subset: no floor-subset queries present "
               "in the new bench JSON")
-        return
-    ours = sum(new[k] for k in have)
-    floor = sum(FLOOR[k] for k in have)
-    print(f"BASELINE floor subset ({len(have)}/22): "
-          f"{ours:.2f}s vs {floor:.2f}s = {ours / floor:.2f}x")
-    worst = max(have, key=lambda k: new[k] / FLOOR[k])
-    print(f"  worst per-query {new[worst] / FLOOR[worst]:.2f}x ({worst}); "
-          f"the 2x per-query gate "
-          f"{'HOLDS' if all(new[k] / FLOOR[k] < 2 for k in have) else 'FAILS'}")
+
+    if do_recheck:
+        if regressions:
+            bands = {
+                k: _band(k, new_spread, old_spread) for k in regressions
+            }
+            _recheck(regressions, old, bands)
+        else:
+            print("\n--recheck: nothing flagged, no re-measure needed")
 
 
 if __name__ == "__main__":

@@ -57,25 +57,30 @@ PRECEDENCE = [
 
 
 def gating_history(
-    repo: str = REPO, exclude_window: set | None = None
+    repo: str = REPO, exclude_round: int | None = None
 ) -> Dict[str, int]:
     """name -> last round gated green (absent = never gated).
 
-    ``exclude_window``: skip any correctness file whose key set equals
-    this window — the file the current window itself produced.  The
-    contract test uses it so a round's closing gate doesn't flip the
-    derivation check red for the rotation decision that preceded it."""
+    ``exclude_round``: skip correctness files from this round ON — the
+    evidence the current window itself produces (queries.py embeds the
+    window's round as ``_DRIVER_WINDOW_ROUND``).  The contract test uses
+    it so a round's closing gate doesn't flip the derivation check red
+    for the rotation decision that preceded it.  Round-15's key-set-
+    equality exclusion broke if the driver ever added a metadata key to
+    the file (and could silently drop an older round whose window
+    coincidentally matched); the explicit round identity has neither
+    failure mode."""
     last: Dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue
         rnd = int(m.group(1))
+        if exclude_round is not None and rnd >= exclude_round:
+            continue
         try:
             data = json.load(open(path))
         except (OSError, json.JSONDecodeError):
-            continue
-        if exclude_window is not None and set(data) == exclude_window:
             continue
         for name, res in data.items():
             if not isinstance(res, dict):
@@ -124,12 +129,12 @@ def main() -> int:
 
     catalog = sorted(dict.keys(Q.QUERIES))
     if "--check" in sys.argv:
-        # verify the COMMITTED window: exclude the correctness file that
-        # window itself produced (same exclusion as the contract test),
+        # verify the COMMITTED window: exclude evidence from the round
+        # that window gates in (same exclusion as the contract test),
         # else --check flips red the moment the driver records the very
         # gate the window was built for
         current = list(Q._DRIVER_WINDOW)
-        history = gating_history(exclude_window=set(current))
+        history = gating_history(exclude_round=Q._DRIVER_WINDOW_ROUND)
         window = derive_window(catalog, last=history)
         if current != window:
             print("STALE window. Derived:")
