@@ -1,9 +1,13 @@
-"""Dependency-free PNG decoder (stdlib zlib + numpy).
+"""Dependency-free PNG codec (stdlib zlib + numpy).
 
 Decodes 8-bit non-interlaced PNGs (grayscale / gray+alpha / RGB / RGBA,
 all five scanline filters) so the multimodal decode stage and the TMS
-tile reader work on real PNG bytes without an imaging library.  The
-encoder twin lives in ``results.py`` (``_png_bytes``).
+tile reader work on real PNG bytes without an imaging library.
+``encode_png`` is the writer twin (filter-0 scanlines — valid, simple,
+and deterministic); ``results.py`` renders previews through it, and the
+``raster_tms_window_channel_sums`` gate round-trips engine-written PNG
+tiles through ``decode_png`` the way the MVT gate round-trips the
+protobuf codec.
 """
 
 from __future__ import annotations
@@ -15,6 +19,37 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W[, C]) uint8 array -> PNG bytes (8-bit, non-interlaced,
+    filter 0 on every scanline).  Channel count picks the color type:
+    1 gray, 2 gray+alpha, 3 RGB, 4 RGBA — the exact shapes
+    ``decode_png`` accepts, so encode→decode is the identity."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in _COLOR_TYPE:
+        raise ValueError(f"expected (H, W, 1|2|3|4) uint8, got {arr.shape}")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    raw = b"".join(b"\x00" + arr[row].tobytes() for row in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_png(data: bytes) -> np.ndarray:

@@ -19,6 +19,8 @@ class — the oracle's CASE picks the same class.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Window
@@ -806,6 +808,108 @@ def raster_wms_utm_window_channel_sums(spark, sf_dir):
     from label_maker_dask_spark.queries_shared import image_channel_sums
 
     return image_channel_sums(images, _decode_geotiff_pixels)
+
+
+# --------------------------------------------------------------------------
+# TMS read path under the same gate (the LAST ungated source path after
+# r14-r15 gated COG/striped/WMS/MVT/JPEG): the PRODUCTION
+# ``tms_image_fetcher`` — ``{z}/{x}/{y}`` templating, ``{ACCESS_TOKEN}``
+# resolved from the driver env at plan time (reference utils.py:130-140,
+# 154-163 SafeDict semantics) — driven against a strict fixture tile
+# server that re-derives the slippy tile from the request URL's PATH
+# alone, validates the substituted token VERBATIM (case-sensitive), and
+# serves engine-written PNG bytes decoded executor-side by the
+# from-scratch PNG decoder.  One oracle (_cog_oracle) now gates four
+# transports: COG window, striped GeoTIFF, WMS GetMap, and TMS GET.
+# --------------------------------------------------------------------------
+
+_TMS_TOKEN = "tk.Fixture-R16-cAsE"  # mixed case: a value-folding parse fails
+_TMS_TEMPLATE = (
+    "https://tiles.example/v4/world/{z}/{x}/{y}.png"
+    "?access_token={ACCESS_TOKEN}"
+)
+
+
+def _tms_fixture_server(url: str) -> bytes:
+    """Hermetic TMS endpoint: recover (z, x, y) from the path segments,
+    demand the access token arrived substituted and UNFOLDED, and render
+    the tile's closed-form pixels as an engine-written PNG.  A missed
+    ``{z}/{x}/{y}`` substitution, a dropped/garbled token, or an
+    off-grid tile raises — red err cell, never convenient pixels."""
+    from urllib.parse import urlparse
+
+    from label_maker_dask_spark.multimodal.png import encode_png
+
+    if "{" in url:
+        raise ValueError(f"unsubstituted template placeholder in {url!r}")
+    u = urlparse(url)
+    q = _parse_query_ci(url)
+    if (q.get("access_token") or [""])[0] != _TMS_TOKEN:
+        raise ValueError(
+            f"fixture server wants the exact ACCESS_TOKEN, got url {url!r}"
+        )
+    parts = u.path.rsplit("/", 3)
+    if len(parts) != 4 or not parts[3].endswith(".png"):
+        raise ValueError(f"not a {{z}}/{{x}}/{{y}}.png path: {u.path!r}")
+    z, x, y = int(parts[1]), int(parts[2]), int(parts[3][: -len(".png")])
+    if z != _COG_ZOOM or x not in _COG_XS or y not in _COG_YS:
+        raise ValueError(f"tile ({z},{x},{y}) is off the fixture grid")
+    cols = np.arange(x * 256, x * 256 + 256)
+    arr = np.zeros((256, 256, 3), dtype=np.uint8)
+    for ch in range(3):
+        arr[:, :, ch] = ((cols * 7 + ch * 13) % 256)[None, :]
+    return encode_png(arr)
+
+
+def _decode_png_pixels(blob: bytes):
+    from label_maker_dask_spark.multimodal.png import decode_png
+
+    return decode_png(bytes(blob))
+
+
+@register("raster_tms_window_channel_sums", _cog_oracle())
+def raster_tms_window_channel_sums(spark, sf_dir):
+    """The TMS read path (A10) under the cross-engine value-hash gate —
+    the last source transport verified only by hermetic pytest until
+    round 16.  Tiles flow through the PRODUCTION ``tms_image_fetcher``:
+    ``{ACCESS_TOKEN}`` resolves from the driver env at plan time (the
+    reference's SafeDict passthrough, utils.py:130-140, but baked into
+    the closure — executors don't inherit driver env on a real
+    cluster), ``{z}/{x}/{y}`` template per tile, injected transport.
+    The fixture server re-derives the tile from the URL path alone and
+    validates the token VERBATIM — so a templating drift, a dropped
+    token, or a case-folding parse goes red — then serves PNG bytes
+    written by the engine's own encoder, decoded executor-side by the
+    from-scratch decoder (a codec round trip like the MVT gate).  The
+    oracle is the same closed form as the COG/WMS entries.
+
+    Scale shape: one executor task per tile partition, each fetch
+    independent; swap http_get for the default pooled-requests session
+    and the same plan runs against a live XYZ endpoint."""
+    from label_maker_dask_spark.queries_shared import image_channel_sums
+    from label_maker_dask_spark.sources.imagery import (
+        fetch_images,
+        tms_image_fetcher,
+    )
+
+    tiles = spark.createDataFrame(
+        [(int(_COG_ZOOM), int(x), int(y)) for x in _COG_XS for y in _COG_YS],
+        "z int, x long, y long",
+    ).repartition(8)
+    prev = os.environ.get("ACCESS_TOKEN")
+    os.environ["ACCESS_TOKEN"] = _TMS_TOKEN
+    try:
+        # plan-time resolution: the token bakes into the fetcher closure
+        # here, so restoring the env before the action proves no
+        # fetch-time env read survives
+        fetcher = tms_image_fetcher(_TMS_TEMPLATE, http_get=_tms_fixture_server)
+    finally:
+        if prev is None:
+            del os.environ["ACCESS_TOKEN"]
+        else:
+            os.environ["ACCESS_TOKEN"] = prev
+    images = fetch_images(tiles, image_fetcher=fetcher)
+    return image_channel_sums(images, _decode_png_pixels)
 
 
 def _cog_channel_sums(spark, epsg: int, tiled: bool = True):

@@ -17,8 +17,6 @@ bytes via zlib/struct (stdlib), shown as data-URI ``<img>`` cards.
 from __future__ import annotations
 
 import base64
-import struct
-import zlib
 from typing import Optional, Sequence
 
 import numpy as np
@@ -85,27 +83,11 @@ def class_match(ml_type: str, i: int, label: Column = None) -> Column:
 
 
 def _png_bytes(arr: np.ndarray) -> bytes:
-    """Encode an (H, W, 3) uint8 array as a valid RGB PNG (zlib/struct)."""
-    h, w = arr.shape[:2]
-    raw = b"".join(
-        b"\x00" + arr[row].astype(np.uint8).tobytes() for row in range(h)
-    )
+    """Encode an (H, W, 3) uint8 array as a valid RGB PNG — delegates to
+    the codec module's writer (multimodal/png.encode_png)."""
+    from label_maker_dask_spark.multimodal.png import encode_png
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
-    )
+    return encode_png(arr.astype(np.uint8))
 
 
 def png_data_uri(arr: np.ndarray) -> str:

@@ -54,12 +54,20 @@ def _is_tif(imagery: str) -> bool:
     return False
 
 
-def _template_url(imagery: str, z: int, x: int, y: int) -> str:
-    """Template substitution incl. the reference's SafeDict ACCESS_TOKEN
-    env passthrough (utils.py:130-140, 157-159)."""
+def _resolve_token(imagery: str) -> str:
+    """The reference's SafeDict ACCESS_TOKEN env passthrough
+    (utils.py:130-140, 157-159) — but resolved ONCE, at plan time, on
+    the driver: executors are not guaranteed to carry the driver's env
+    (a real cluster ships closures, not environments), so the token is
+    baked into the template the closure captures instead of read per
+    fetch."""
     token = os.environ.get("ACCESS_TOKEN")
     if token:
         imagery = imagery.replace("{ACCESS_TOKEN}", token)
+    return imagery
+
+
+def _template_url(imagery: str, z: int, x: int, y: int) -> str:
     return imagery.format_map(_SafeDict(x=x, y=y, z=z))
 
 
@@ -68,17 +76,31 @@ class _SafeDict(dict):
         return "{" + key + "}"
 
 
-def tms_image_fetcher(imagery: str) -> ImageFetcher:
+def tms_image_fetcher(
+    imagery: str, http_get: Optional[Callable[[str], bytes]] = None
+) -> ImageFetcher:
     """GET ``{z}/{x}/{y}`` image bytes (reference utils.py:154-163); raw
-    bytes out — no PIL decode in the scan."""
-    import requests
+    bytes out — no PIL decode in the scan.  ``{ACCESS_TOKEN}`` resolves
+    from the driver's env at plan time (see ``_resolve_token``).
 
-    session = requests.Session()
+    ``http_get`` injects the transport (url -> body bytes), same
+    contract as ``wms_image_fetcher``: custom auth, a retrying client,
+    or the hermetic fixture server of the
+    ``raster_tms_window_channel_sums`` gate.  Default is a pooled
+    ``requests`` session, imported only when actually needed."""
+    imagery = _resolve_token(imagery)
+    if http_get is None:
+        import requests
+
+        session = requests.Session()
+
+        def http_get(url: str) -> bytes:
+            r = session.get(url, timeout=30)
+            r.raise_for_status()
+            return r.content
 
     def fetch(z: int, x: int, y: int) -> bytes:
-        r = session.get(_template_url(imagery, z, x, y), timeout=30)
-        r.raise_for_status()
-        return r.content
+        return http_get(_template_url(imagery, z, x, y))
 
     return fetch
 

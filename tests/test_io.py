@@ -126,3 +126,36 @@ def test_wms_fetcher_parses_leading_query_param():
     )
     assert f2.version == "1.1.1"
     assert f2.srs == "epsg:3857"
+
+
+def test_tms_fetcher_resolves_token_at_plan_time(monkeypatch):
+    """{ACCESS_TOKEN} bakes into the closure when the fetcher is BUILT
+    (driver/plan time): executors don't inherit driver env on a real
+    cluster, so a fetch-time env read would silently 404 there.  The
+    env is cleared before the fetch to prove no late read survives."""
+    from label_maker_dask_spark.sources.imagery import tms_image_fetcher
+
+    seen = []
+    monkeypatch.setenv("ACCESS_TOKEN", "tk.secret")
+    f = tms_image_fetcher(
+        "https://t.example/{z}/{x}/{y}.png?access_token={ACCESS_TOKEN}",
+        http_get=lambda url: (seen.append(url), b"png-bytes")[1],
+    )
+    monkeypatch.delenv("ACCESS_TOKEN")
+    assert f(4, 11, 2) == b"png-bytes"
+    assert seen == ["https://t.example/4/11/2.png?access_token=tk.secret"]
+
+
+def test_tms_fetcher_leaves_unknown_placeholders_without_env():
+    """Without ACCESS_TOKEN in the env the placeholder survives verbatim
+    (the reference's SafeDict semantics, utils.py:130-140)."""
+    from label_maker_dask_spark.sources.imagery import tms_image_fetcher
+
+    os.environ.pop("ACCESS_TOKEN", None)
+    urls = []
+    f = tms_image_fetcher(
+        "https://t.example/{z}/{x}/{y}.png?t={ACCESS_TOKEN}",
+        http_get=lambda url: (urls.append(url), b"x")[1],
+    )
+    f(1, 2, 3)
+    assert urls == ["https://t.example/1/2/3.png?t={ACCESS_TOKEN}"]

@@ -95,3 +95,17 @@ def test_bad_bytes_raise():
         decode_png(b"not a png at all")
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+
+
+def test_encode_png_public_writer_round_trips():
+    from label_maker_dask_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(10, 13, ch), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(arr)), arr)
+    # 2-D gray input encodes as color type 0 and decodes to (H, W, 1)
+    g = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(g))[:, :, 0], g)
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4, 5), dtype=np.uint8))
