@@ -372,6 +372,17 @@ HEADLINE = [
     "udtf_chunk_documents",
     # round-15 streaming addition
     "stream_upsert_type_widening_replay",
+    # round-16: the TMS transport gate, the multi-table SRP high-recall
+    # tier, and the planted-cluster recall observables (multi-table /
+    # single-table / SQ8 / PQ — each cell times an exact-baseline pass
+    # plus the ANN tier under measure)
+    "raster_tms_window_channel_sums",
+    "similarity_lsh_multitable_topk_ann",
+    "similarity_recall_srp_planted_vs_exact",
+    "similarity_recall_multitable_planted_vs_exact",
+    "similarity_recall_sq8_planted_vs_exact",
+    "similarity_recall_pq_planted_vs_exact",
+    "similarity_recall_ivf_planted_vs_exact",
 ]
 
 #: Catalog entries deliberately NOT benched — each with the reason the

@@ -214,15 +214,22 @@ def projection_coeff(j: int, d: int) -> float:
     return ((j * 2654435761 + d * 40503) % 1024) / 1024.0 - 0.5
 
 
-def srp_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+def srp_bucket_sql(
+    vec: str, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> str:
     """DuckDB twin of :func:`srp_bucket`: the same left-fold dot products
     against the same inlined coefficient literals (each coefficient is a
     multiple of 1/1024, so the decimal literal is an exact float64 and both
     engines evaluate identical arithmetic), making SRP-bucketed ANN results
     replayable — and therefore oracle-checkable — despite being
-    'approximate' relative to brute force."""
+    'approximate' relative to brute force.  ``plane_offset`` selects the
+    hyperplane family: table t of a multi-table index uses planes
+    ``t*n_planes .. (t+1)*n_planes - 1`` (the coefficient stream is one
+    infinite deterministic sequence, so tables are as independent as the
+    single-table planes are from each other)."""
     terms = []
-    for j in range(n_planes):
+    for bit in range(n_planes):
+        j = plane_offset + bit
         coeffs = ", ".join(repr(projection_coeff(j, d)) for d in range(dim))
         dot_j = (
             f"list_reduce(list_prepend(0.0::DOUBLE, "
@@ -230,21 +237,25 @@ def srp_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64) -> str:
             f"i -> {vec}[i]::DOUBLE * ([{coeffs}]::DOUBLE[])[i])), "
             f"(x, y) -> x + y)"
         )
-        terms.append(f"(CASE WHEN {dot_j} > 0 THEN {1 << j} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {dot_j} > 0 THEN {1 << bit} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::INT"
 
 
-def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Signed-random-projection bucket id: bit j = sign of <vec, r_j>."""
+def srp_bucket(
+    vec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
+    """Signed-random-projection bucket id: bit j = sign of <vec, r_j>.
+    ``plane_offset`` selects the hyperplane family (multi-table LSH)."""
     bits = []
-    for j in range(n_planes):
+    for bit in range(n_planes):
+        j = plane_offset + bit
         coeffs = F.array(*[F.lit(projection_coeff(j, d)) for d in range(dim)])
         dot_j = F.aggregate(
             F.zip_with(vec, coeffs, lambda x, r: x.cast("double") * r),
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        bits.append(F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        bits.append(F.when(dot_j > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
     return sum(bits, F.lit(0)).cast("int")
 
 
@@ -329,7 +340,8 @@ def lsh_topk(
             f"multiprobe={multiprobe!r}: only 0 (exact bucket) and 1 "
             "(single-bit flips) are supported — deeper probe sequences "
             "multiply candidates past what one SRP table justifies; use "
-            "IVF probes (ivf_topk) for a tunable recall/cost dial"
+            "lsh_multitable_topk (L independent tables, the high-recall "
+            "tier) or IVF probes (ivf_topk) for a tunable recall/cost dial"
         )
     c = srp_units(embeddings, "neighbor_id", "cv", n_planes, dim, id_col, vec_col)
     q = srp_units(queries, "query_id", "qv", n_planes, dim, id_col, vec_col)
@@ -350,6 +362,120 @@ def lsh_topk(
             "neighbor_id",
             F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def srp_units_tables(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table twin of :func:`srp_units`: one Arrow pass emitting
+    ``(id, unit vector, tbl, bucket)`` — ``n_tables`` rows per input row,
+    table t bucketed by hyperplanes ``t*n_planes..(t+1)*n_planes-1``.
+    All ``n_tables * n_planes`` projections are computed in a single
+    batched fold (numpy across rows, Python loop over the fixed plane
+    axis — the same left-to-right bit-exactness contract as
+    ``srp_units``), so the multi-table index costs one corpus pass, not
+    L."""
+    import numpy as np
+    import pandas as pd
+
+    total = n_tables * n_planes
+    coeffs = np.array(
+        [[projection_coeff(j, d) for d in range(dim)] for j in range(total)]
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            unit = _unit_exact(mat)
+            dp = _dots_exact(mat, coeffs)  # (n, n_tables * n_planes)
+            signs = (dp > 0).astype(np.int64)
+            n = len(mat)
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for bit in range(n_planes):
+                    buckets[:, t] |= signs[:, t * n_planes + bit] << bit
+            yield pd.DataFrame(
+                {
+                    id_alias: np.repeat(ids, n_tables),
+                    vec_alias: [u for u in unit for _ in range(n_tables)],
+                    "tbl": np.tile(
+                        np.arange(n_tables, dtype=np.int32), n
+                    ),
+                    "bucket": buckets.reshape(-1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen,
+        f"{id_alias} {id_type}, {vec_alias} array<double>, "
+        "tbl int, bucket int",
+    )
+
+
+def lsh_multitable_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table SRP ANN top-k — the standard E2LSH high-recall
+    construction (Indyk–Motwani / Gionis et al. OR-composition): L
+    independent 8-plane tables, a candidate is any corpus row sharing a
+    bucket with the query in ANY table.  Per-pair miss probability
+    drops from ``1 - p^b`` to ``(1 - p^b)^L`` (p = per-plane sign
+    agreement, b = n_planes), which is what takes SRP from a ~0.56
+    recall@5 tier to >=0.9 on the planted-cluster corpus — measured,
+    hash-gated evidence: ``similarity_recall_multitable_planted_vs_exact``
+    vs ``similarity_recall_srp_planted_vs_exact``.
+
+    Scale shape: the corpus emits L index rows per vector in ONE Arrow
+    pass (the L-times index size every multi-table LSH deployment pays);
+    the join stays an EQUI-join on the composite (tbl, bucket) key with
+    the query side broadcast; duplicate (query, neighbor) candidates —
+    pairs colliding in several tables — collapse BEFORE scoring via
+    dropDuplicates (value-deterministic: every copy carries the same
+    unit vectors), so each surviving pair is scored exactly once and the
+    candidate-work bound is sum over tables of per-bucket occupancy."""
+    c = srp_units_tables(
+        embeddings, "neighbor_id", "cv", n_planes, n_tables, dim,
+        id_col, vec_col,
+    )
+    q = srp_units_tables(
+        queries, "query_id", "qv", n_planes, n_tables, dim, id_col, vec_col
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -1632,18 +1758,20 @@ def _pq_train_ctes_sql(
     dim: int,
     corpus_pred: str,
     train_pred: str,
+    table: str = "embeddings",
 ) -> str:
     """The shared DuckDB CTE prefix replaying PQ training + encoding +
     SRP bucketing (``subv``/``cb1``/``codes``/``bkt``) — used by the ADC
     query oracle and the index-build stats oracle so the two can never
-    drift."""
+    drift.  ``table`` names the source relation (a view or upstream
+    CTE, e.g. the planted-cluster corpus of the recall gates)."""
     sq = (
         f"list_reduce(list_transform(generate_series(1, {sub_dim}), "
         "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x,y) -> x + y)"
     )
     return f"""subv AS (
       SELECT vec_id, m, v[(m-1)*{sub_dim}+1 : m*{sub_dim}] AS sub
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
             WHERE {corpus_pred})
       CROSS JOIN (SELECT unnest(generate_series(1, {n_sub})) AS m)),
     tsub AS (SELECT * FROM subv WHERE {train_pred}),
@@ -1676,7 +1804,7 @@ def _pq_train_ctes_sql(
                  {sq.format(a='s.sub', b='c.cu')} ASC, c.code ASC) AS rn
         FROM subv s JOIN cb1 c USING (m)) WHERE rn = 1),
     bkt AS (SELECT vec_id, {srp_bucket_sql('embedding', dim=dim)} AS bucket
-            FROM embeddings WHERE {corpus_pred})"""
+            FROM {table} WHERE {corpus_pred})"""
 
 
 def pq_adc_oracle_sql(
@@ -1688,19 +1816,21 @@ def pq_adc_oracle_sql(
     dim: int = 64,
     corpus_pred: str = "TRUE",
     train_pred: str = "TRUE",
+    table: str = "embeddings",
 ) -> str:
     """DuckDB twin of :func:`pq_adc_topk` — unrolls seed init, one Lloyd
     refinement with the same integer-quantized means, encoding, the SRP
     candidate join, and the integer-quantized ADC sum.  ``corpus_pred``
     restricts the indexed corpus; ``train_pred`` restricts which corpus
     rows TRAIN the codebooks (the incremental-maintenance contract:
-    appended vectors encode under codebooks they never trained)."""
+    appended vectors encode under codebooks they never trained);
+    ``table`` names the source relation."""
     sq = (
         f"list_reduce(list_transform(generate_series(1, {sub_dim}), "
         "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x,y) -> x + y)"
     )
     ctes = _pq_train_ctes_sql(
-        n_sub, sub_dim, n_codes, dim, corpus_pred, train_pred
+        n_sub, sub_dim, n_codes, dim, corpus_pred, train_pred, table
     )
     return f"""
     WITH {ctes},

@@ -2827,16 +2827,21 @@ def _emb_count(spark: SparkSession, sf_dir) -> int:
     return _CORPUS_COUNT_CACHE[key]
 
 
-def _ivf_cells_sql() -> str:
+def _ivf_cells_sql(src: str = "embeddings") -> str:
     """The ladder as a scalar subquery over the corpus row count."""
     whens = " ".join(
         f"WHEN count(*) <= {bound} THEN {cells}"
         for bound, cells in _IVF_CELL_LADDER
     )
-    return f"(SELECT CASE {whens} ELSE 1024 END FROM embeddings)"
+    return f"(SELECT CASE {whens} ELSE 1024 END FROM {src})"
 
 
-def _ivf_oracle(filter_pred: str, k: int = 5, n_probe: int = 4) -> str:
+def _ivf_oracle(
+    filter_pred: str, k: int = 5, n_probe: int = 4,
+    src: str = "embeddings",
+) -> str:
+    """``src`` names the corpus relation — a view or a parenthesized
+    inline SELECT (the planted-cluster recall gate passes the latter)."""
     from label_maker_dask_spark.functions.vectors import (
         normalized_sql,
         unit_dot_rounded_sql,
@@ -2847,9 +2852,9 @@ def _ivf_oracle(filter_pred: str, k: int = 5, n_probe: int = 4) -> str:
     return f"""
     WITH cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, {nv} AS cv
-      FROM (SELECT * FROM embeddings ORDER BY vec_id
-            LIMIT {_ivf_cells_sql()})),
-    corpus AS (SELECT vec_id, {nv} AS nv FROM embeddings),
+      FROM (SELECT * FROM {src} ORDER BY vec_id
+            LIMIT {_ivf_cells_sql(src)})),
+    corpus AS (SELECT vec_id, {nv} AS nv FROM {src}),
     assign AS (
       SELECT c.vec_id, cent.cell,
              row_number() OVER (
@@ -3263,6 +3268,7 @@ from label_maker_dask_spark import queries_relational_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_graph_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_scale_ext  # noqa: E402,F401
 from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F401
+from label_maker_dask_spark import queries_planted_ext  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible window curation.
@@ -3303,17 +3309,17 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 # (the PQ index build) ahead of their readers for timing attribution.
 # ``tests/test_catalog_contract.py`` asserts this list matches the
 # derivation, so adding a catalog entry without re-running the tool
-# fails pytest.  With 249 entries and 50 slots the policy bounds full
-# driver re-proof at ceil(249/50) = 5 rounds; entries rotated out stay
+# fails pytest.  With 256 entries and 50 slots the policy bounds full
+# driver re-proof at ceil(256/50) = 6 rounds; entries rotated out stay
 # covered by the full local replay (tools/check_oracle.py).
 #
-# Round-15 derivation: the 7 round-14 entries the driver never gated
-# (judge-replayed green in r14 — this window makes the proof driver-
-# side: the BPE triad + stream twin, the MVT round trip, the 3857 COG
-# and striped-GeoTIFF twins), the 8 entries NEW this round (the WMS
-# 3857 + UTM gates, the JPEG decode gate, the type-widening restart
-# replay, multi-probe SRP + its recall twin, the SRP and IVF
-# recall@5 observables), and 35 stale retirees last gated r9-r10.
+# Round-16 derivation: the 6 entries NEW this round (the TMS
+# transport gate, multi-table SRP + the four planted-corpus recall
+# observables), then the stalest tier — last gated r10-r11: q1/q3/q9/
+# q21, SCD-2 history, the IVF join form, the spatial grid join, TWAP,
+# TF-IDF, heavy hitters, HLL rollup, market basket, k-hop, triangles,
+# CDC merge, the hot-user as-of adversarial, and the r10 streaming
+# replay block.
 # The round this window gates in — the explicit window identity
 # tools/rotate_window.py and the contract tests use to exclude the
 # window's OWN driver evidence when re-checking the rotation decision
@@ -3322,56 +3328,56 @@ from label_maker_dask_spark import queries_streaming_replay_ext  # noqa: E402,F4
 _DRIVER_WINDOW_ROUND = 16
 
 _DRIVER_WINDOW = [
-    "multimodal_jpeg_tile_channel_sums",
-    "mvt_roundtrip_feature_stats",
-    "raster_cog_window_channel_sums_3857",
-    "raster_geotiff_striped_channel_sums",
-    "raster_wms_utm_window_channel_sums",
-    "raster_wms_window_channel_sums",
-    "similarity_lsh_multiprobe_topk_ann",
-    "similarity_recall_ivf_vs_exact",
-    "similarity_recall_srp_multiprobe_vs_exact",
-    "similarity_recall_srp_vs_exact",
-    "stream_bpe_word_freq_replay",
-    "stream_upsert_type_widening_replay",
-    "text_bpe_tokenize_corpus",
-    "text_bpe_train_merges",
-    "text_bpe_vocab",
-    "similarity_cosine_topk",
-    "similarity_lsh_topk_ann",
-    "sort_limit_global_top50",
-    "text_lang_id",
-    "text_stats_per_doc",
-    "timeseries_gapfill_interpolated",
-    "timeseries_ohlc_hourly_by_type",
-    "udf_grouped_median",
-    "window_running_order_total",
-    "window_top3_orders_per_customer",
-    "agg_cms_daily_merged_user_counts",
-    "agg_exact_percentiles",
-    "agg_kmv_trailing7_users",
-    "agg_mode_priority_by_status",
-    "agg_winsorized_mean_price",
-    "analytics_equidepth_histogram_price",
-    "analytics_rfm_customer_segments",
-    "anomaly_zscore_daily_events",
-    "classification_labels_flagship",
-    "curation_end_to_end",
-    "curation_leakage_safe_split",
-    "dedup_components_simhash60",
-    "dedup_exact_sha256",
-    "dedup_minhash_lsh_pairs",
-    "detection_pixel_bbox_math",
-    "events_sessionize_30m",
-    "glfilter_select_events",
-    "join_asof_latest_order",
-    "join_asof_nearest_order_event",
-    "join_bloom_pruned_order_revenue",
-    "multimodal_audio_rms_windows",
-    "multimodal_phash_neardup_pairs",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
+    "raster_tms_window_channel_sums",
+    "similarity_lsh_multitable_topk_ann",
+    "similarity_recall_ivf_planted_vs_exact",
+    "similarity_recall_multitable_planted_vs_exact",
+    "similarity_recall_pq_planted_vs_exact",
+    "similarity_recall_sq8_planted_vs_exact",
+    "similarity_recall_srp_planted_vs_exact",
+    "q1_pricing_summary",
+    "q21_suppliers_who_shipped_last",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "scd2_user_state_history",
+    "segmentation_raster_class_areas",
+    "similarity_ivf_join_topk_ann",
+    "spatial_grid_bbox_join",
+    "text_tfidf_top_terms",
+    "timeseries_twap_user_daily",
+    "agg_heavy_hitters_users",
+    "agg_hll_sketch_weekly_users",
+    "analytics_market_basket_part_pairs",
+    "asof_merge_hotuser_adversarial",
+    "attribution_linear",
+    "graph_event_transitions",
+    "graph_khop_reachability",
+    "graph_triangle_copurchase",
+    "merge_upsert_orders_cdc",
+    "pii_regex_scan",
+    "q11_part_value_concentration",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_promotion_part_suppliers",
+    "sample_exact_k_per_lang",
+    "scalar_null_semantics",
+    "stream_accumulate_supplier_replay",
+    "stream_dedup_replay",
+    "stream_interval_join_outer_replay",
+    "stream_interval_join_semi_replay",
+    "stream_late_data_drop_replay",
+    "stream_neardup_index_replay",
+    "stream_ohlc_hourly_replay",
+    "stream_scd2_bucketed_user_state_replay",
+    "stream_scd2_user_state_replay",
+    "stream_session_30m_replay",
+    "stream_sliding_1h30m_replay",
+    "stream_upsert_bucketed_orders_replay",
+    "stream_upsert_orders_replay",
+    "stream_versioned_diff_replay",
 ]
 
 

@@ -1,0 +1,357 @@
+"""High-recall ANN gates on a planted-cluster corpus (round 16).
+
+The synthetic ``embeddings`` table is near-random — the ANN worst case,
+where the round-15 recall ladder honestly measured SRP at ~0.03 and IVF
+at ~0.44 recall@5.  A production curation user (SemDeDup-style) runs ANN
+in the regime it is built for: corpora with real cluster structure.
+This module plants that regime DETERMINISTICALLY, derived from nothing
+but ``vec_id`` via exact integer arithmetic both engines replay:
+
+    planted[d] = center(vec_id % K, d) + 1/8 * noise(vec_id, d)
+    center(k, d) = ((k*48271 + d*16807 + 11) % 2048) / 2048 - 1/2
+    noise(i, d)  = ((i*1103515245 + d*12345 + 7) % 1024) / 1024 - 1/2
+
+Every term is a dyadic rational with <= 14 fractional bits and magnitude
+< 1, so each element is EXACT in float64 and the Spark and DuckDB
+corpora are bit-identical — the recall counts themselves hash-gate.
+K = 16 clusters; within-cluster cosine ~0.95-0.99, cross-cluster ~0.1,
+and every exact top-5 neighbor is within-cluster by construction
+(verified in tests/test_similarity.py), so recall@5 measures exactly
+what an ANN deployment cares about: does the index recover the true
+near neighbors?
+
+The gated ladder (sf0.01 / sf0.1 measured values in SCALE.md):
+
+- ``similarity_recall_srp_planted_vs_exact``        — 1 table,  ~0.56
+- ``similarity_recall_multitable_planted_vs_exact`` — 4 tables, >=0.9
+  (the r15 verdict's shippable high-recall tier: the standard E2LSH
+  OR-construction, ``operators/similarity.lsh_multitable_topk``)
+- ``similarity_recall_sq8_planted_vs_exact``        — SQ8 codes on
+  1-table SRP candidates: quantization loss measured against the same
+  exact top-5 (bounded below the candidate ceiling in tests)
+- ``similarity_recall_pq_planted_vs_exact``         — PQ/ADC likewise
+- ``similarity_recall_ivf_planted_vs_exact``        — the IVF coarse
+  quantizer under planted structure its seed centroids didn't plan for
+
+plus ``similarity_lsh_multitable_topk_ann``: the multi-table operator's
+determinism gate on the REAL (near-random) embeddings table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from label_maker_dask_spark.functions.vectors import (
+    normalized_sql,
+    unit_dot_rounded_sql,
+)
+from label_maker_dask_spark.operators.similarity import (
+    cosine_topk,
+    lsh_multitable_topk,
+    lsh_topk,
+    pq_adc_oracle_sql,
+    pq_adc_topk,
+    sq8_codes_sql,
+    sq8_rescore_topk,
+    srp_bucket_sql,
+)
+from label_maker_dask_spark.queries import (
+    _emb_count,
+    _ivf_auto_cells,
+    _ivf_oracle,
+    _recall_counts,
+    _recall_oracle_from,
+    _t,
+    register,
+)
+
+_K = 16          # planted clusters
+_DIM = 64
+_PRED = "vec_id % 25 = 0"  # the catalog's standard query subset
+
+
+def _planted_embeddings(spark, sf_dir):
+    """The planted corpus as pure Column arithmetic over the embeddings
+    table's vec_id (whole-stage codegen, no UDF): (vec_id,
+    embedding array<double>) with the module-docstring formula."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    elems = []
+    for d in range(_DIM):
+        center = (
+            ((vid % _K) * 48271 + F.lit(d * 16807 + 11)) % 2048
+        ) / F.lit(2048.0) - 0.5
+        noise = (
+            (vid * 1103515245 + F.lit(d * 12345 + 7)) % 1024
+        ) / F.lit(1024.0) - 0.5
+        elems.append(center + F.lit(0.125) * noise)
+    return emb.select("vec_id", F.array(*elems).alias("embedding"))
+
+
+def _planted_select() -> str:
+    """DuckDB twin of :func:`_planted_embeddings` (bare SELECT — embed
+    as a CTE body or a parenthesized inline relation)."""
+    terms = ", ".join(
+        f"(((vec_id % {_K}) * 48271 + {d * 16807 + 11}) % 2048) / 2048.0"
+        f" - 0.5 + 0.125 * "
+        f"(((vec_id * 1103515245 + {d * 12345 + 7}) % 1024) / 1024.0 - 0.5)"
+        for d in range(_DIM)
+    )
+    return f"SELECT vec_id, [{terms}]::DOUBLE[] AS embedding FROM embeddings"
+
+
+def _planted_topk_oracle(filter_pred: str, k: int = 5) -> str:
+    """Exact brute-force top-k over the planted corpus (the recall
+    denominators) — the planted twin of queries._topk_oracle."""
+    nv = normalized_sql("embedding")
+    cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    return f"""
+    WITH planted AS ({_planted_select()}),
+    qs AS (SELECT vec_id, {nv} AS nv FROM planted WHERE {filter_pred}),
+    cs AS (SELECT vec_id, {nv} AS nv FROM planted)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+      FROM qs q JOIN cs c ON q.vec_id != c.vec_id)
+    WHERE rank <= {k}
+    """
+
+
+def _lsh_multitable_oracle(
+    filter_pred: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    src_select: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """DuckDB twin of lsh_multitable_topk: per-table bucket exprs (plane
+    family t*n_planes..), a DISTINCT candidate union over the L
+    equi-joins, exact-fold scoring of each surviving pair once."""
+    nv = normalized_sql("embedding")
+    cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{srp_bucket_sql('embedding', n_planes, _DIM, t * n_planes)}"
+        f" AS bucket FROM src"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH src AS ({src_select}),
+    u AS (SELECT vec_id, {nv} AS nv FROM src),
+    b AS ({tables}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id != c.vec_id AND q.{filter_pred})
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine_sim,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY {cos} DESC, cand.neighbor_id ASC) AS rank
+      FROM cand JOIN u q ON q.vec_id = cand.query_id
+                JOIN u c ON c.vec_id = cand.neighbor_id)
+    WHERE rank <= {k}
+    """
+
+
+def _lsh_planted_oracle(filter_pred: str, k: int = 5) -> str:
+    """Single-table SRP top-k over the planted corpus — the ladder
+    baseline the multi-table gate is measured against."""
+    nv = normalized_sql("embedding")
+    bucket = srp_bucket_sql("embedding")
+    cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    return f"""
+    WITH planted AS ({_planted_select()}),
+    bs AS (SELECT vec_id, {nv} AS nv, {bucket} AS bucket FROM planted),
+    qs AS (SELECT * FROM bs WHERE {filter_pred})
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+      FROM qs q JOIN bs c ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_lsh_multitable_topk_ann",
+    _lsh_multitable_oracle(_PRED),
+)
+def similarity_lsh_multitable_topk_ann(spark, sf_dir):
+    """Multi-table SRP ANN top-k on the REAL embeddings table — the
+    operator's determinism gate (the recall gate lives on the planted
+    corpus where recall is meaningful).  4 independent 8-plane tables,
+    candidate = same bucket in ANY table, each pair scored once.  The
+    bucketing is replayable integer arithmetic, so the oracle recomputes
+    the identical candidate union and the result hash-matches.
+
+    Scale shape: ONE corpus pass emits all 4 index rows per vector; the
+    join is an equi-join on (tbl, bucket) with the query side broadcast;
+    the pair dedup collapses duplicates before any scoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return lsh_multitable_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_recall_srp_planted_vs_exact",
+    _recall_oracle_from(
+        _planted_topk_oracle(_PRED), _lsh_planted_oracle(_PRED)
+    ),
+)
+def similarity_recall_srp_planted_vs_exact(spark, sf_dir):
+    """Recall@5 of SINGLE-table SRP on the planted-cluster corpus — the
+    regime where ANN is supposed to work (within-cluster cosine ~0.95+,
+    per-plane sign agreement ~0.9, so one 8-plane table recovers ~0.5-
+    0.6 of true top-5) — the honest baseline the multi-table tier's
+    >=0.9 is measured against, in the same corpus, same queries, same
+    exact denominators.  Hash-gated like every recall row: both sides
+    are deterministic, so the per-query hit counts replay exactly."""
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(planted, queries, k=5),
+        lsh_topk(planted, queries, k=5),
+    )
+
+
+@register(
+    "similarity_recall_multitable_planted_vs_exact",
+    _recall_oracle_from(
+        _planted_topk_oracle(_PRED),
+        _lsh_multitable_oracle(
+            _PRED, src_select=_planted_select()
+        ),
+    ),
+)
+def similarity_recall_multitable_planted_vs_exact(spark, sf_dir):
+    """THE shippable-tier gate (r15 verdict item 1): recall@5 of 4-table
+    SRP on the planted-cluster corpus, against exact brute force.
+    Measured >= 0.9 (0.93 at sf0.01, 0.98 at sf0.1 — SCALE.md round-16
+    rows; tests/test_similarity.py pins the floor), at a candidate-work
+    bound of sum-over-tables bucket occupancy (~4x the single-table
+    candidates, ~30-70% of the corpus per query on this 16-cluster
+    fixture vs 100% for brute force — the ratio widens with corpus size
+    since bucket count is fixed but cluster spread isn't).  A production
+    curation user ships THIS configuration: lsh_multitable_topk with
+    n_tables sized to the recall target by 1-(1-p^b)^L."""
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(planted, queries, k=5),
+        lsh_multitable_topk(planted, queries, k=5),
+    )
+
+
+def _sq8_planted_oracle(filter_pred: str, k: int = 5) -> str:
+    """SQ8 rescoring top-k over the planted corpus (codes CTE sourced
+    from the planted relation)."""
+    return f"""
+    WITH planted AS ({_planted_select()}),
+    {sq8_codes_sql(table="planted")}
+    SELECT query_id, rank, neighbor_id, q8_score FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+                 i -> q.code[i] * c.code[i])) AS BIGINT) AS q8_score,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                     i -> q.code[i] * c.code[i])) DESC, c.vec_id ASC) AS rank
+      FROM codes q JOIN codes c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.{filter_pred}) WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_recall_sq8_planted_vs_exact",
+    _recall_oracle_from(
+        _planted_topk_oracle(_PRED), _sq8_planted_oracle(_PRED)
+    ),
+)
+def similarity_recall_sq8_planted_vs_exact(spark, sf_dir):
+    """Recall@5 of the SQ8 quantized tier on the planted corpus (r15
+    verdict item 7): candidates from 1-table SRP buckets, ranking by
+    int8 code dots — so this row measures CANDIDATE loss + RANKING loss
+    against the same exact top-5 the other rows use.  Measured 0.38 at
+    sf0.01 vs the 0.56 single-table candidate ceiling: the loss is real
+    and mostly SEMANTIC, not grid resolution — the code dot approximates
+    the RAW-space inner product (codes are affine in x, uncentered),
+    while the exact ranking is unit-cosine; on clustered, non-centered
+    data the two orders diverge.  That is precisely what this row
+    exists to measure instead of assume (the ordering sq8 <= 1-table
+    SRP is pinned in tests/test_similarity.py)."""
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(planted, queries, k=5),
+        sq8_rescore_topk(planted, F.col("vec_id") % 25 == 0, k=5),
+    )
+
+
+@register(
+    "similarity_recall_pq_planted_vs_exact",
+    _recall_oracle_from(
+        _planted_topk_oracle(_PRED),
+        pq_adc_oracle_sql(_PRED, table=f"({_planted_select()})"),
+    ),
+)
+def similarity_recall_pq_planted_vs_exact(spark, sf_dir):
+    """Recall@5 of the PQ/ADC quantized tier on the planted corpus (r15
+    verdict item 7): same 1-table SRP candidates, ranking by asymmetric
+    distance over 8 one-byte subspace codes — the most aggressive
+    compression in the catalog (16x vs float32).  Measured 0.48 at
+    sf0.01: ABOVE the SQ8 row (0.38) despite coarser codes, because ADC
+    ranks by raw-space L2 — monotone-equivalent to cosine when norms
+    cluster, as planted norms do — while SQ8's uncentered code dot is
+    not.  The quantized-tier ordering on clustered data (pq, sq8 both
+    <= the 0.56 candidate ceiling) is pinned in
+    tests/test_similarity.py."""
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(planted, queries, k=5),
+        pq_adc_topk(planted, F.col("vec_id") % 25 == 0, k=5),
+    )
+
+
+@register(
+    "similarity_recall_ivf_planted_vs_exact",
+    _recall_oracle_from(
+        _planted_topk_oracle(_PRED),
+        _ivf_oracle(_PRED, src=f"({_planted_select()})"),
+    ),
+)
+def similarity_recall_ivf_planted_vs_exact(spark, sf_dir):
+    """Recall@5 of the IVF tier on the planted corpus — completing the
+    5-tier ladder in the regime ANN serves (the r15 IVF row measured
+    0.44 on the near-random worst case).  Same corpus-scaled cell
+    ladder and 4 probes as the production entries; seed centroids are
+    the lowest-id vectors, so cells only approximate the planted
+    clusters — the row measures how the coarse quantizer fares when the
+    corpus HAS structure the centroids didn't plan for.  Measured 1.00
+    at both sf0.01 and sf0.1: with ~64-vector cells and 4 probes, a
+    clustered query's true top-5 never escapes its probe set — IVF is
+    the strongest tier in-regime (vs 0.44 on the near-random worst
+    case), which is exactly the recommendation the ladder exists to
+    ground."""
+    from label_maker_dask_spark.operators.similarity import ivf_topk
+
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(planted, queries, k=5),
+        ivf_topk(
+            planted, queries, k=5,
+            n_cells=_ivf_auto_cells(_emb_count(spark, sf_dir)), n_probe=4,
+        ),
+    )
+
+
+from label_maker_dask_spark.queries import (  # noqa: E402
+    _finalize_registry_order as _refinalize,
+)
+
+_refinalize()

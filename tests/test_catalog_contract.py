@@ -40,56 +40,56 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
-    "multimodal_jpeg_tile_channel_sums",
-    "mvt_roundtrip_feature_stats",
-    "raster_cog_window_channel_sums_3857",
-    "raster_geotiff_striped_channel_sums",
-    "raster_wms_utm_window_channel_sums",
-    "raster_wms_window_channel_sums",
-    "similarity_lsh_multiprobe_topk_ann",
-    "similarity_recall_ivf_vs_exact",
-    "similarity_recall_srp_multiprobe_vs_exact",
-    "similarity_recall_srp_vs_exact",
-    "stream_bpe_word_freq_replay",
-    "stream_upsert_type_widening_replay",
-    "text_bpe_tokenize_corpus",
-    "text_bpe_train_merges",
-    "text_bpe_vocab",
-    "similarity_cosine_topk",
-    "similarity_lsh_topk_ann",
-    "sort_limit_global_top50",
-    "text_lang_id",
-    "text_stats_per_doc",
-    "timeseries_gapfill_interpolated",
-    "timeseries_ohlc_hourly_by_type",
-    "udf_grouped_median",
-    "window_running_order_total",
-    "window_top3_orders_per_customer",
-    "agg_cms_daily_merged_user_counts",
-    "agg_exact_percentiles",
-    "agg_kmv_trailing7_users",
-    "agg_mode_priority_by_status",
-    "agg_winsorized_mean_price",
-    "analytics_equidepth_histogram_price",
-    "analytics_rfm_customer_segments",
-    "anomaly_zscore_daily_events",
-    "classification_labels_flagship",
-    "curation_end_to_end",
-    "curation_leakage_safe_split",
-    "dedup_components_simhash60",
-    "dedup_exact_sha256",
-    "dedup_minhash_lsh_pairs",
-    "detection_pixel_bbox_math",
-    "events_sessionize_30m",
-    "glfilter_select_events",
-    "join_asof_latest_order",
-    "join_asof_nearest_order_event",
-    "join_bloom_pruned_order_revenue",
-    "multimodal_audio_rms_windows",
-    "multimodal_phash_neardup_pairs",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
+    "raster_tms_window_channel_sums",
+    "similarity_lsh_multitable_topk_ann",
+    "similarity_recall_ivf_planted_vs_exact",
+    "similarity_recall_multitable_planted_vs_exact",
+    "similarity_recall_pq_planted_vs_exact",
+    "similarity_recall_sq8_planted_vs_exact",
+    "similarity_recall_srp_planted_vs_exact",
+    "q1_pricing_summary",
+    "q21_suppliers_who_shipped_last",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "scd2_user_state_history",
+    "segmentation_raster_class_areas",
+    "similarity_ivf_join_topk_ann",
+    "spatial_grid_bbox_join",
+    "text_tfidf_top_terms",
+    "timeseries_twap_user_daily",
+    "agg_heavy_hitters_users",
+    "agg_hll_sketch_weekly_users",
+    "analytics_market_basket_part_pairs",
+    "asof_merge_hotuser_adversarial",
+    "attribution_linear",
+    "graph_event_transitions",
+    "graph_khop_reachability",
+    "graph_triangle_copurchase",
+    "merge_upsert_orders_cdc",
+    "pii_regex_scan",
+    "q11_part_value_concentration",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_promotion_part_suppliers",
+    "sample_exact_k_per_lang",
+    "scalar_null_semantics",
+    "stream_accumulate_supplier_replay",
+    "stream_dedup_replay",
+    "stream_interval_join_outer_replay",
+    "stream_interval_join_semi_replay",
+    "stream_late_data_drop_replay",
+    "stream_neardup_index_replay",
+    "stream_ohlc_hourly_replay",
+    "stream_scd2_bucketed_user_state_replay",
+    "stream_scd2_user_state_replay",
+    "stream_session_30m_replay",
+    "stream_sliding_1h30m_replay",
+    "stream_upsert_bucketed_orders_replay",
+    "stream_upsert_orders_replay",
+    "stream_versioned_diff_replay",
 ]
 
 

@@ -1187,3 +1187,141 @@ def test_pq_arrow_assignment_nonlong_id(spark):
     got = _pq_assign_arrow(subv, cb).collect()
     assert len(got) == 40
     assert all(isinstance(r.vec_id, str) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Round 16: multi-probe contract pin + the multi-table / planted recall gates
+# ---------------------------------------------------------------------------
+
+
+def _all_candidates(emb, queries, n_planes, dim, multiprobe):
+    """Every scored candidate pair of lsh_topk (k = corpus size returns
+    the FULL ranked candidate list per query, not a top-k cut)."""
+    n = emb.count()
+    out = lsh_topk(
+        emb, queries, k=n, n_planes=n_planes, dim=dim, multiprobe=multiprobe
+    ).collect()
+    pairs = {}
+    for r in out:
+        pairs.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return pairs
+
+
+def test_multiprobe_candidate_superset_and_occupancy_bound(spark):
+    """Pin the multi-probe contract (operators/similarity.py lsh_topk):
+    per query, the hamming<=1 candidate set (a) CONTAINS the exact-bucket
+    set, (b) equals EXACTLY the union of occupants of the n_planes+1
+    probed buckets minus self — the equi-join-over-probes construction
+    matches each (query, neighbor) pair at most once and never reaches
+    outside the probe set — and (c) therefore never exceeds
+    (n_planes+1) x the largest bucket's occupancy.  Deterministic
+    derivations (seeded numpy corpora x plane counts) rather than one
+    example, pinning the contract against probe-sequence changes."""
+    import numpy as np
+
+    from label_maker_dask_spark.operators.similarity import srp_units
+
+    dim = 8
+    for seed, n_planes in [(0, 4), (1, 4), (2, 6)]:
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(40, dim)).round(3)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+            "vec_id long, embedding array<double>",
+        )
+        queries = emb.where("vec_id % 7 = 0")
+        exact = _all_candidates(emb, queries, n_planes, dim, multiprobe=0)
+        probed = _all_candidates(emb, queries, n_planes, dim, multiprobe=1)
+
+        buckets = {
+            r.vec_id: r.bucket
+            for r in srp_units(
+                emb, "vec_id", "v", n_planes=n_planes, dim=dim
+            ).collect()
+        }
+        occupants = {}
+        for vid, b in buckets.items():
+            occupants.setdefault(b, set()).add(vid)
+        max_occ = max(len(v) for v in occupants.values())
+        for qid in range(0, 40, 7):
+            got = probed.get(qid, set())
+            # (a) superset of the exact-bucket candidates
+            assert exact.get(qid, set()) <= got, (seed, n_planes, qid)
+            # (b) exactly the probed-bucket union minus self
+            probes = {buckets[qid]} | {
+                buckets[qid] ^ (1 << j) for j in range(n_planes)
+            }
+            assert len(probes) == n_planes + 1  # bit flips are distinct
+            expect = set().union(
+                *(occupants.get(b, set()) for b in probes)
+            ) - {qid}
+            assert got == expect, (seed, n_planes, qid)
+            # (c) the documented candidate bound
+            assert len(got) <= (n_planes + 1) * max_occ
+
+
+def test_multitable_candidates_superset_of_single_table(spark):
+    """OR-construction invariant: table 0 of lsh_multitable_topk uses
+    the SAME plane family as single-table lsh_topk, so the multi-table
+    candidate set per query contains the single-table one — recall can
+    only go up with L (full candidate lists via k = corpus size)."""
+    import label_maker_dask_spark.queries as Q
+    from label_maker_dask_spark.operators.similarity import (
+        lsh_multitable_topk,
+    )
+
+    emb = Q._t(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id % 50 = 0")
+    n = emb.count()
+    single = lsh_topk(emb, queries, k=n).collect()
+    multi = lsh_multitable_topk(emb, queries, k=n, n_tables=4).collect()
+    s_pairs = {(r.query_id, r.neighbor_id) for r in single}
+    m_pairs = {(r.query_id, r.neighbor_id) for r in multi}
+    assert s_pairs <= m_pairs
+    assert len(m_pairs) > len(s_pairs)  # the extra tables add candidates
+    # each surviving pair scored once: no duplicate (query, neighbor)
+    assert len(multi) == len(m_pairs)
+    # scores agree with the single-table fold on shared pairs
+    s_sim = {(r.query_id, r.neighbor_id): r.cosine_sim for r in single}
+    for r in multi:
+        if (r.query_id, r.neighbor_id) in s_sim:
+            assert r.cosine_sim == s_sim[(r.query_id, r.neighbor_id)]
+
+
+def test_planted_recall_ladder_and_floor(spark):
+    """The round-16 shippable-tier gate, locally: on the planted-cluster
+    corpus (a) every exact top-5 neighbor is within-cluster — the
+    fixture plants what it claims; (b) 4-table SRP recall@5 >= 0.9 (the
+    r15 verdict's done-bar); (c) the ladder orders as designed:
+    multitable > single-table, and both quantized tiers sit at or below
+    the single-table candidate ceiling (their candidates ARE the
+    single-table buckets)."""
+    import pyspark.sql.functions as F
+
+    import label_maker_dask_spark.queries as Q
+    import label_maker_dask_spark.queries_planted_ext as P
+
+    sf = "/root/testdata/sf0.001"
+    planted = P._planted_embeddings(spark, sf)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(planted, queries, k=5).collect()
+    assert all(r.query_id % 16 == r.neighbor_id % 16 for r in exact)
+
+    def recall(name):
+        row = (
+            Q.QUERIES[name](spark, sf)
+            .agg(F.sum("n_hit").alias("h"), F.sum("n_exact").alias("e"))
+            .collect()[0]
+        )
+        return row.h / row.e
+
+    multi = recall("similarity_recall_multitable_planted_vs_exact")
+    srp1 = recall("similarity_recall_srp_planted_vs_exact")
+    sq8 = recall("similarity_recall_sq8_planted_vs_exact")
+    pq = recall("similarity_recall_pq_planted_vs_exact")
+    ivf = recall("similarity_recall_ivf_planted_vs_exact")
+    assert multi >= 0.9, multi            # the shippable-tier floor
+    assert ivf >= 0.9, ivf                # IVF in-regime (measured 1.0)
+    assert srp1 < multi                   # the multi-table lift is real
+    assert sq8 <= srp1 and pq <= srp1     # candidate-ceiling ordering
+    assert min(sq8, pq) > 0.2             # quantized tiers still useful
