@@ -554,16 +554,27 @@ def main() -> None:
     # full record mid-JSON (round-15's BENCH_r15.json parsed as null), so
     # the final stdout line is a complete, small JSON object carrying the
     # headline numbers and a pointer to the full per-query record
+    print(json.dumps(build_summary(
+        times, sf, opts["passes"],
+        os.path.basename(outputs[0]) if outputs else None,
+    )))
+
+
+def build_summary(
+    times: dict, sf: float, passes: int, full_record: str | None
+) -> dict:
+    """The compact tail-survivable record (tested contract: bounded size,
+    required keys, floor-subset standing)."""
     floor_have = [k for k in FLOOR if k in times]
     slowest = sorted(times, key=lambda k: -times[k])[:5]
     summary = {
         "metric": "headline_suite_seconds",
-        "value": total,
+        "value": round(sum(times.values()), 3),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(times),
-        "passes": opts["passes"],
-        "full_record": (os.path.basename(outputs[0]) if outputs else None),
+        "passes": passes,
+        "full_record": full_record,
         "slowest": {k: times[k] for k in slowest},
     }
     if floor_have:
@@ -576,7 +587,7 @@ def main() -> None:
             "worst_query": worst,
             "worst_ratio": round(times[worst] / FLOOR[worst], 3),
         }
-    print(json.dumps(summary))
+    return summary
 
 
 if __name__ == "__main__":
