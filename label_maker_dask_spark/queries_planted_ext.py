@@ -9,7 +9,14 @@ but ``vec_id`` via exact integer arithmetic both engines replay:
 
     planted[d] = center(vec_id % K, d) + 1/8 * noise(vec_id, d)
     center(k, d) = ((k*48271 + d*16807 + 11) % 2048) / 2048 - 1/2
-    noise(i, d)  = ((i*1103515245 + d*12345 + 7) % 1024) / 1024 - 1/2
+    noise(i, d)  = (((i % 2097143)*1103515245 + d*12345 + 7) % 1024)
+                   / 1024 - 1/2
+
+(the ``% 2097143`` pre-reduction — a prime below 2^21 — keeps the
+product under 2^51 for ANY vec_id domain: the sf1 replay corpus carries
+ids up to ~4e10, which would overflow int64 multiplied raw; at the
+driver scale factors ids are < 2M so the reduction is the identity and
+every committed oracle hash is unchanged)
 
 Every term is a dyadic rational with <= 14 fractional bits and magnitude
 < 1, so each element is EXACT in float64 and the Spark and DuckDB
@@ -82,7 +89,7 @@ def _planted_embeddings(spark, sf_dir):
             ((vid % _K) * 48271 + F.lit(d * 16807 + 11)) % 2048
         ) / F.lit(2048.0) - 0.5
         noise = (
-            (vid * 1103515245 + F.lit(d * 12345 + 7)) % 1024
+            ((vid % 2097143) * 1103515245 + F.lit(d * 12345 + 7)) % 1024
         ) / F.lit(1024.0) - 0.5
         elems.append(center + F.lit(0.125) * noise)
     return emb.select("vec_id", F.array(*elems).alias("embedding"))
@@ -94,7 +101,8 @@ def _planted_select() -> str:
     terms = ", ".join(
         f"(((vec_id % {_K}) * 48271 + {d * 16807 + 11}) % 2048) / 2048.0"
         f" - 0.5 + 0.125 * "
-        f"(((vec_id * 1103515245 + {d * 12345 + 7}) % 1024) / 1024.0 - 0.5)"
+        f"((((vec_id % 2097143) * 1103515245 + {d * 12345 + 7}) % 1024)"
+        f" / 1024.0 - 0.5)"
         for d in range(_DIM)
     )
     return f"SELECT vec_id, [{terms}]::DOUBLE[] AS embedding FROM embeddings"

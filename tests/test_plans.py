@@ -6,6 +6,7 @@ same artifact a human would inspect before a 100 TB run."""
 
 import contextlib
 import io
+import re as _re
 
 import pytest
 
@@ -521,3 +522,21 @@ def test_pq_join_form_never_broadcasts_query_subvectors(spark):
         logical = df._jdf.queryExecution().logical().toString()
     # exactly one broadcast hint in the whole tree: the codebook
     assert logical.count("ResolvedHint") == 1
+
+
+def test_lsh_multitable_broadcasts_queries_never_shuffles_corpus_by_bucket(spark):
+    """The multi-table OR-construction must keep the single-table plan
+    discipline at L tables: the exploded query side broadcasts into an
+    equi-join on (tbl, bucket) — the corpus NEVER repartitions by
+    bucket — and the only shuffles allowed are the candidate-pair dedup
+    and the final per-query window (both O(candidates), not O(corpus))."""
+    plan = plan_of(Q.QUERIES["similarity_lsh_multitable_topk_ann"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, f"expected <=2 shuffle Exchanges, saw {n_shuffles}"
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "bucket" not in keys, (
+            f"corpus repartitioned by bucket: {keys[:120]}"
+        )
