@@ -1423,6 +1423,64 @@ def sq8_rescore_topk(
     )
 
 
+def sq8_rescore_exact_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    rescore: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THREE-stage ANN — the full production SQ8 shape: SRP buckets
+    generate candidates, int8 code dots keep the quantized
+    top-``rescore`` per query, and ONLY those R rows are rescored with
+    exact unit-cosine folds for the final top-k.
+
+    Why: the planted-corpus gates measured the quantized RANKING losing
+    recall as candidate counts grow (0.38 of the 0.56 candidate ceiling
+    at sf0.01, 0.24 at the sf1 replay — near-ties cross the code grid's
+    resolution).  Rescoring the quantized top-R with exact vectors
+    recovers the ceiling at R ~ 10k-fold fewer exact dots than scoring
+    every candidate: the float vectors are touched for R rows per
+    query, never for the candidate set — the memory-bound win of the
+    codes survives.  Gated:
+    ``similarity_recall_sq8_rescored_planted_vs_exact``.
+
+    Determinism: quantized cut ties break (q8_score desc, neighbor
+    asc); final ties (cosine desc, neighbor asc) — both replayed by the
+    oracle.  A true top-k neighbor outside the quantized top-R stays
+    missed (that residual IS the measured recall gap)."""
+    quantized = sq8_rescore_topk(
+        embeddings, query_pred, k=rescore, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    # plan shape: the (queries x R) frame broadcasts INTO the corpus scan
+    # for the neighbor vectors (the corpus never shuffles), then the
+    # query vectors — a query-subset-sized frame — broadcast in turn
+    cv = normalized(embeddings, id_col, vec_col, "neighbor_id", "cnv")
+    qv = normalized(
+        embeddings.where(query_pred), id_col, vec_col, "query_id", "qnv"
+    )
+    rescored = (
+        cv.join(F.broadcast(quantized), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qnv"), F.col("cnv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def sq8_codes_sql(
     vec: str = "embedding", dim: int = 64, table: str = "embeddings"
 ) -> str:

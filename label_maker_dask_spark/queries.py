@@ -3309,8 +3309,8 @@ from label_maker_dask_spark import queries_planted_ext  # noqa: E402,F401
 # (the PQ index build) ahead of their readers for timing attribution.
 # ``tests/test_catalog_contract.py`` asserts this list matches the
 # derivation, so adding a catalog entry without re-running the tool
-# fails pytest.  With 256 entries and 50 slots the policy bounds full
-# driver re-proof at ceil(256/50) = 6 rounds; entries rotated out stay
+# fails pytest.  With 257 entries and 50 slots the policy bounds full
+# driver re-proof at ceil(257/50) = 6 rounds; entries rotated out stay
 # covered by the full local replay (tools/check_oracle.py).
 #
 # Round-16 derivation: the 6 entries NEW this round (the TMS
@@ -3334,6 +3334,7 @@ _DRIVER_WINDOW = [
     "similarity_recall_multitable_planted_vs_exact",
     "similarity_recall_pq_planted_vs_exact",
     "similarity_recall_sq8_planted_vs_exact",
+    "similarity_recall_sq8_rescored_planted_vs_exact",
     "similarity_recall_srp_planted_vs_exact",
     "q1_pricing_summary",
     "q21_suppliers_who_shipped_last",
@@ -3377,7 +3378,6 @@ _DRIVER_WINDOW = [
     "stream_sliding_1h30m_replay",
     "stream_upsert_bucketed_orders_replay",
     "stream_upsert_orders_replay",
-    "stream_versioned_diff_replay",
 ]
 
 

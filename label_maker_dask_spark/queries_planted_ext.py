@@ -325,6 +325,72 @@ def similarity_recall_pq_planted_vs_exact(spark, sf_dir):
     )
 
 
+def _sq8_rescored_planted_oracle(
+    filter_pred: str, k: int = 5, rescore: int = 50
+) -> str:
+    """DuckDB twin of sq8_rescore_exact_topk over the planted corpus:
+    quantized top-``rescore`` cut, exact unit-cosine re-rank."""
+    nv = normalized_sql("embedding")
+    cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    return f"""
+    WITH planted AS ({_planted_select()}),
+    {sq8_codes_sql(table="planted")},
+    u AS (SELECT vec_id, {nv} AS nv FROM planted),
+    qcut AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                     i -> q.code[i] * c.code[i])) DESC, c.vec_id ASC) AS rn
+        FROM codes q
+        JOIN codes c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        WHERE q.{filter_pred}) WHERE rn <= {rescore})
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT qcut.query_id, qcut.neighbor_id, {cos} AS cosine_sim,
+             row_number() OVER (PARTITION BY qcut.query_id
+               ORDER BY {cos} DESC, qcut.neighbor_id ASC) AS rank
+      FROM qcut JOIN u q ON q.vec_id = qcut.query_id
+                JOIN u c ON c.vec_id = qcut.neighbor_id)
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_recall_sq8_rescored_planted_vs_exact",
+    _recall_oracle_from(
+        _planted_topk_oracle(_PRED), _sq8_rescored_planted_oracle(_PRED)
+    ),
+)
+def similarity_recall_sq8_rescored_planted_vs_exact(spark, sf_dir):
+    """Recall@5 of the FULL production SQ8 shape — quantized top-50 cut
+    + exact rescoring (similarity.sq8_rescore_exact_topk) — on the
+    planted corpus.  The companion ``similarity_recall_sq8_planted_
+    vs_exact`` row measured the quantized ranking losing recall as
+    candidates grow (0.38 / 0.53 / 0.24 across the sf ladder); this row
+    measures the recovery — AND its limit.  At R=50 recall returns to
+    the SRP candidate ceiling exactly where candidates are bucket-sized
+    (0.56 at sf0.01, 0.958 at sf0.1 — both = the 1-table SRP row) but
+    saturates at 0.58 against sf1's ~2400 candidates/query; the
+    measured R dial there is 50 -> 0.58, 200 -> 0.93, 800 -> 1.00
+    (SCALE.md), i.e. R must track per-bucket occupancy, not k.  The
+    float vectors are touched for R rows per query instead of the whole
+    candidate set, so the codes' memory-bound win survives at every R
+    that matters.  Together the pair is the measured case FOR two-stage
+    rescoring — including how to size it — not an assumption."""
+    from label_maker_dask_spark.operators.similarity import (
+        sq8_rescore_exact_topk,
+    )
+
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(planted, queries, k=5),
+        sq8_rescore_exact_topk(
+            planted, F.col("vec_id") % 25 == 0, k=5, rescore=50
+        ),
+    )
+
+
 @register(
     "similarity_recall_ivf_planted_vs_exact",
     _recall_oracle_from(

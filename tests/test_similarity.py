@@ -1320,8 +1320,13 @@ def test_planted_recall_ladder_and_floor(spark):
     sq8 = recall("similarity_recall_sq8_planted_vs_exact")
     pq = recall("similarity_recall_pq_planted_vs_exact")
     ivf = recall("similarity_recall_ivf_planted_vs_exact")
+    sq8r = recall("similarity_recall_sq8_rescored_planted_vs_exact")
     assert multi >= 0.9, multi            # the shippable-tier floor
     assert ivf >= 0.9, ivf                # IVF in-regime (measured 1.0)
     assert srp1 < multi                   # the multi-table lift is real
     assert sq8 <= srp1 and pq <= srp1     # candidate-ceiling ordering
     assert min(sq8, pq) > 0.2             # quantized tiers still useful
+    # exact rescoring of the quantized top-R recovers the candidate
+    # ceiling exactly when R covers the bucket (78 candidates < R=50*2)
+    assert sq8r == srp1, (sq8r, srp1)
+    assert sq8r > sq8                     # the recovery is real
