@@ -1309,6 +1309,94 @@ def lsh_topk_stored(
     )
 
 
+def write_srp_multitable_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the multi-table SRP index: unit vectors written once
+    per table, partitioned by ``(tbl, bucket)`` — the L-times storage
+    every multi-table LSH deployment provisions, laid out so a query
+    touches only its probed partitions.  Like the single-table index,
+    no sidecar: hyperplanes are index-derived arithmetic any reader
+    recomputes."""
+    (
+        srp_units_tables(
+            embeddings, id_col, "v", n_planes, n_tables, dim,
+            id_col, vec_col,
+        )
+        .write.partitionBy("tbl", "bucket")
+        .mode("overwrite")
+        .parquet(path + "/data")
+    )
+
+
+def lsh_multitable_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """High-recall ANN against a stored multi-table index: the query
+    side computes its L buckets, and the corpus scan is filtered with
+    an OR-of-(tbl, bucket IN ...) predicate — PARTITION filters, so of
+    the L * 2^n_planes partitions only the probed ones leave storage
+    (<= |queries| * L, independent of corpus size).  Results are
+    identical to the on-the-fly :func:`lsh_multitable_topk` (same
+    coefficients, same fold arithmetic, same pair dedup).
+
+    The probed-key collect is bounded by the query-set contract
+    (|queries| * n_tables rows of two ints), mirroring
+    :func:`lsh_topk_stored`."""
+    q = srp_units_tables(
+        queries, "query_id", "qv", n_planes, n_tables, dim, id_col, vec_col
+    )
+    probed: dict = {}
+    for r in q.select("tbl", "bucket").distinct().collect():
+        probed.setdefault(r["tbl"], []).append(r["bucket"])
+    cond = None
+    for t, buckets in sorted(probed.items()):
+        c_t = (F.col("tbl") == t) & F.col("bucket").isin(sorted(buckets))
+        cond = c_t if cond is None else (cond | c_t)
+    c = (
+        spark.read.parquet(path + "/data")
+        .where(cond)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "tbl",
+            "bucket",
+        )
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (SQ8): the compression tier under every large ANN
 # deployment (FAISS ScalarQuantizer / vector-DB int8 storage).  Train a

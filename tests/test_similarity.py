@@ -1330,3 +1330,36 @@ def test_planted_recall_ladder_and_floor(spark):
     # ceiling exactly when R covers the bucket (78 candidates < R=50*2)
     assert sq8r == srp1, (sq8r, srp1)
     assert sq8r > sq8                     # the recovery is real
+
+
+def test_multitable_stored_index_matches_onthefly_and_prunes(spark, tmp_path):
+    """The stored multi-table index must return EXACTLY the on-the-fly
+    result and prune non-probed (tbl, bucket) partitions at the scan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        lsh_multitable_topk,
+        lsh_multitable_topk_stored,
+        write_srp_multitable_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "srp_mt_index")
+    write_srp_multitable_index(emb, path, n_tables=4)
+
+    stored = lsh_multitable_topk_stored(spark, path, queries, k=5, n_tables=4)
+    onthefly = lsh_multitable_topk(emb, queries, k=5, n_tables=4)
+    a = sorted(map(tuple, stored.collect()))
+    b = sorted(map(tuple, onthefly.collect()))
+    assert a == b and len(a) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stored.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "tbl" in pf_lines[0] and "bucket" in pf_lines[0]
