@@ -373,6 +373,36 @@ def lsh_topk(
     )
 
 
+#: per-bucket occupancy the plane ladder targets (same figure as the IVF
+#: cell ladder: a bucket's candidates stay a constant-sized unit of work)
+SRP_TARGET_OCCUPANCY = 64
+
+
+def srp_auto_planes(n: int, n_tables: int = 1) -> int:
+    """Corpus-scaled plane count: the SRP twin of ``_ivf_auto_cells``.
+
+    A FIXED ``n_planes`` fixes the bucket count at ``2^b`` per table, so
+    per-bucket occupancy — and with it candidate volume per query —
+    grows linearly with the corpus (the round-16 scaling probe measured
+    exp 0.95 on the top decade at b=8).  Sizing ``b = ceil(log2(n /
+    SRP_TARGET_OCCUPANCY))`` keeps expected occupancy ~constant, making
+    probe work per query O(1) in corpus size; each extra plane halves
+    occupancy, and the plane family is an infinite deterministic
+    coefficient stream (:func:`projection_coeff`), so raising b is a
+    re-bucketing, not a redesign.  ``n_tables`` does not change the
+    sizing: L multiplies the candidate constant, never the growth
+    exponent — recall, not occupancy, is what L buys.
+
+    Floor 3 (8 buckets — below that bucketing stops pruning), cap 24
+    (16M buckets per table covers 10^9 vectors at the target occupancy;
+    beyond that the INT bucket id would need widening first)."""
+    import math
+
+    if n <= SRP_TARGET_OCCUPANCY:
+        return 3
+    return max(3, min(24, math.ceil(math.log2(n / SRP_TARGET_OCCUPANCY))))
+
+
 def srp_units_tables(
     df: DataFrame,
     id_alias: str,

@@ -1363,3 +1363,39 @@ def test_multitable_stored_index_matches_onthefly_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines and "tbl" in pf_lines[0] and "bucket" in pf_lines[0]
+
+
+def test_srp_auto_planes_keeps_occupancy_constant(spark):
+    """The plane ladder must hold expected per-bucket occupancy near
+    SRP_TARGET_OCCUPANCY across corpus decades (the fixed-b hazard the
+    round-16 probe measured as exp 0.95), and MEASURED mean occupancy
+    on the real embeddings ladder must stay within 4x of target (signs
+    are data-dependent, not uniform)."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        SRP_TARGET_OCCUPANCY,
+        srp_auto_planes,
+        srp_units,
+    )
+
+    # expected occupancy n / 2^b lands in (target/2, target] by the
+    # ceil; floor/cap behavior pinned
+    for n in (100, 500, 2_000, 20_000, 1_000_000, 10**9):
+        b = srp_auto_planes(n)
+        assert 3 <= b <= 24
+        if 8 * SRP_TARGET_OCCUPANCY < n < 2**24 * SRP_TARGET_OCCUPANCY:
+            assert SRP_TARGET_OCCUPANCY / 2 < n / 2**b <= SRP_TARGET_OCCUPANCY
+    assert srp_auto_planes(1) == 3
+    assert srp_auto_planes(10**12) == 24
+
+    for sf_dir, n in [("/root/testdata/sf0.01", 500),
+                      ("/root/testdata/sf0.1", 2_000)]:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        b = srp_auto_planes(n)
+        occ = (
+            srp_units(emb, "vec_id", "v", n_planes=b)
+            .groupBy("bucket").count()
+            .agg(F.avg("count").alias("m")).collect()[0].m
+        )
+        assert occ <= 4 * SRP_TARGET_OCCUPANCY, (sf_dir, b, occ)

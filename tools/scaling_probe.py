@@ -169,6 +169,15 @@ PROBES = [
     "similarity_recall_ivf_vs_exact",
     "similarity_lsh_multiprobe_topk_ann",
     "similarity_recall_srp_multiprobe_vs_exact",
+    # round-16: the multi-table high-recall tier (L-times index rows in
+    # one Arrow pass + candidate-pair dedup), the TMS transport gate is
+    # fixture-fixed and not probed, and the planted recall observables
+    # (exact side corpus-scale; planted corpus derives 1:1 from
+    # embeddings so it scales with sf)
+    "similarity_lsh_multitable_topk_ann",
+    "similarity_recall_multitable_planted_vs_exact",
+    "similarity_recall_sq8_rescored_planted_vs_exact",
+    "similarity_recall_pq_planted_vs_exact",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
