@@ -384,6 +384,7 @@ HEADLINE = [
     "similarity_recall_pq_planted_vs_exact",
     "similarity_recall_ivf_planted_vs_exact",
     "similarity_recall_sq8_rescored_planted_vs_exact",
+    "similarity_recall_pq_rescored_planted_vs_exact",
 ]
 
 #: Catalog entries deliberately NOT benched — each with the reason the

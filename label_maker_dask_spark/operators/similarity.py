@@ -1573,15 +1573,34 @@ def sq8_rescore_exact_topk(
         embeddings, query_pred, k=rescore, dim=dim,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
-    # plan shape: the (queries x R) frame broadcasts INTO the corpus scan
-    # for the neighbor vectors (the corpus never shuffles), then the
-    # query vectors — a query-subset-sized frame — broadcast in turn
+    return exact_rescore_topk(
+        embeddings, query_pred, quantized, k, id_col, vec_col
+    )
+
+
+def exact_rescore_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The shared exact-rescoring stage of the two-stage quantized ANN
+    shapes (:func:`sq8_rescore_exact_topk`, :func:`pq_rescore_exact_
+    topk`): score each (query_id, neighbor_id) candidate pair with the
+    exact unit-cosine fold and keep the per-query top-k.
+
+    Plan shape: the (queries x R) candidate frame broadcasts INTO the
+    corpus scan for the neighbor vectors (the corpus never shuffles),
+    then the query vectors — a query-subset-sized frame — broadcast in
+    turn."""
     cv = normalized(embeddings, id_col, vec_col, "neighbor_id", "cnv")
     qv = normalized(
         embeddings.where(query_pred), id_col, vec_col, "query_id", "qnv"
     )
     rescored = (
-        cv.join(F.broadcast(quantized), "neighbor_id")
+        cv.join(F.broadcast(candidates), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
@@ -1596,6 +1615,32 @@ def sq8_rescore_exact_topk(
         rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def pq_rescore_exact_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    rescore: int = 50,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ twin of :func:`sq8_rescore_exact_topk`: ADC ranks the SRP
+    candidates by 1-byte subspace codes, the quantized top-``rescore``
+    per query re-rank under exact unit-cosine folds.  Same measured
+    rationale and R sizing (R tracks per-bucket occupancy, not k) —
+    gated: ``similarity_recall_pq_rescored_planted_vs_exact``."""
+    quantized = pq_adc_topk(
+        embeddings, query_pred, k=rescore, n_sub=n_sub, sub_dim=sub_dim,
+        n_codes=n_codes, dim=dim, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    return exact_rescore_topk(
+        embeddings, query_pred, quantized, k, id_col, vec_col
     )
 
 

@@ -391,6 +391,61 @@ def similarity_recall_sq8_rescored_planted_vs_exact(spark, sf_dir):
     )
 
 
+def _pq_rescored_planted_oracle(
+    filter_pred: str, k: int = 5, rescore: int = 50
+) -> str:
+    """DuckDB twin of pq_rescore_exact_topk over the planted corpus:
+    the full ADC oracle at k=``rescore`` is the cut, exact unit-cosine
+    re-ranks it."""
+    nv = normalized_sql("embedding")
+    cos = unit_dot_rounded_sql("q.nv", "c.nv")
+    cut = pq_adc_oracle_sql(
+        filter_pred, k=rescore, table=f"({_planted_select()})"
+    )
+    return f"""
+    WITH planted AS ({_planted_select()}),
+    u AS (SELECT vec_id, {nv} AS nv FROM planted),
+    qcut AS (SELECT query_id, neighbor_id FROM ({cut}))
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT qcut.query_id, qcut.neighbor_id, {cos} AS cosine_sim,
+             row_number() OVER (PARTITION BY qcut.query_id
+               ORDER BY {cos} DESC, qcut.neighbor_id ASC) AS rank
+      FROM qcut JOIN u q ON q.vec_id = qcut.query_id
+                JOIN u c ON c.vec_id = qcut.neighbor_id)
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_recall_pq_rescored_planted_vs_exact",
+    _recall_oracle_from(
+        _planted_topk_oracle(_PRED), _pq_rescored_planted_oracle(_PRED)
+    ),
+)
+def similarity_recall_pq_rescored_planted_vs_exact(spark, sf_dir):
+    """Recall@5 of the full production PQ shape — ADC top-50 cut + exact
+    rescoring (similarity.pq_rescore_exact_topk) — on the planted
+    corpus, the PQ twin of the rescored-SQ8 row.  Measures the recovery
+    of the ADC ranking loss (raw 0.48/0.62/0.28 across the sf ladder)
+    toward the 1-table SRP candidate ceiling at the same R sizing rule:
+    full recovery where R covers the bucket, saturation where
+    candidates outgrow R (SCALE.md).  With both quantized tiers' raw
+    AND rescored recalls gated, the two-stage recommendation is fully
+    measured on both code families."""
+    from label_maker_dask_spark.operators.similarity import (
+        pq_rescore_exact_topk,
+    )
+
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    return _recall_counts(
+        cosine_topk(planted, queries, k=5),
+        pq_rescore_exact_topk(
+            planted, F.col("vec_id") % 25 == 0, k=5, rescore=50
+        ),
+    )
+
+
 @register(
     "similarity_recall_ivf_planted_vs_exact",
     _recall_oracle_from(

@@ -45,6 +45,7 @@ PINNED_DRIVER_WINDOW = [
     "similarity_recall_ivf_planted_vs_exact",
     "similarity_recall_multitable_planted_vs_exact",
     "similarity_recall_pq_planted_vs_exact",
+    "similarity_recall_pq_rescored_planted_vs_exact",
     "similarity_recall_sq8_planted_vs_exact",
     "similarity_recall_sq8_rescored_planted_vs_exact",
     "similarity_recall_srp_planted_vs_exact",
@@ -89,7 +90,6 @@ PINNED_DRIVER_WINDOW = [
     "stream_session_30m_replay",
     "stream_sliding_1h30m_replay",
     "stream_upsert_bucketed_orders_replay",
-    "stream_upsert_orders_replay",
 ]
 
 

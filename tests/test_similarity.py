@@ -1321,6 +1321,7 @@ def test_planted_recall_ladder_and_floor(spark):
     pq = recall("similarity_recall_pq_planted_vs_exact")
     ivf = recall("similarity_recall_ivf_planted_vs_exact")
     sq8r = recall("similarity_recall_sq8_rescored_planted_vs_exact")
+    pqr = recall("similarity_recall_pq_rescored_planted_vs_exact")
     assert multi >= 0.9, multi            # the shippable-tier floor
     assert ivf >= 0.9, ivf                # IVF in-regime (measured 1.0)
     assert srp1 < multi                   # the multi-table lift is real
@@ -1329,7 +1330,8 @@ def test_planted_recall_ladder_and_floor(spark):
     # exact rescoring of the quantized top-R recovers the candidate
     # ceiling exactly when R covers the bucket (78 candidates < R=50*2)
     assert sq8r == srp1, (sq8r, srp1)
-    assert sq8r > sq8                     # the recovery is real
+    assert pqr == srp1, (pqr, srp1)
+    assert sq8r > sq8 and pqr > pq        # the recovery is real
 
 
 def test_multitable_stored_index_matches_onthefly_and_prunes(spark, tmp_path):

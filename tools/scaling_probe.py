@@ -178,6 +178,7 @@ PROBES = [
     "similarity_recall_multitable_planted_vs_exact",
     "similarity_recall_sq8_rescored_planted_vs_exact",
     "similarity_recall_pq_planted_vs_exact",
+    "similarity_recall_pq_rescored_planted_vs_exact",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
