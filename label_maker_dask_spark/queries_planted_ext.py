@@ -37,6 +37,9 @@ The gated ladder (sf0.01 / sf0.1 measured values in SCALE.md):
   1-table SRP candidates: quantization loss measured against the same
   exact top-5 (bounded below the candidate ceiling in tests)
 - ``similarity_recall_pq_planted_vs_exact``         — PQ/ADC likewise
+- ``similarity_recall_{sq8,pq}_rescored_planted_vs_exact`` — the full
+  production two-stage shapes (quantized top-R cut + exact rescoring),
+  measuring the recovery of the quantized ranking loss and its R limit
 - ``similarity_recall_ivf_planted_vs_exact``        — the IVF coarse
   quantizer under planted structure its seed centroids didn't plan for
 
