@@ -385,6 +385,7 @@ HEADLINE = [
     "similarity_recall_ivf_planted_vs_exact",
     "similarity_recall_sq8_rescored_planted_vs_exact",
     "similarity_recall_pq_rescored_planted_vs_exact",
+    "profile_multitable_candidate_volume",
 ]
 
 #: Catalog entries deliberately NOT benched — each with the reason the

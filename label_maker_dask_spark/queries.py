@@ -3309,8 +3309,8 @@ from label_maker_dask_spark import queries_planted_ext  # noqa: E402,F401
 # (the PQ index build) ahead of their readers for timing attribution.
 # ``tests/test_catalog_contract.py`` asserts this list matches the
 # derivation, so adding a catalog entry without re-running the tool
-# fails pytest.  With 258 entries and 50 slots the policy bounds full
-# driver re-proof at ceil(258/50) = 6 rounds; entries rotated out stay
+# fails pytest.  With 259 entries and 50 slots the policy bounds full
+# driver re-proof at ceil(259/50) = 6 rounds; entries rotated out stay
 # covered by the full local replay (tools/check_oracle.py).
 #
 # Round-16 derivation: the 6 entries NEW this round (the TMS
@@ -3328,6 +3328,7 @@ from label_maker_dask_spark import queries_planted_ext  # noqa: E402,F401
 _DRIVER_WINDOW_ROUND = 16
 
 _DRIVER_WINDOW = [
+    "profile_multitable_candidate_volume",
     "raster_tms_window_channel_sums",
     "similarity_lsh_multitable_topk_ann",
     "similarity_recall_ivf_planted_vs_exact",
@@ -3377,7 +3378,6 @@ _DRIVER_WINDOW = [
     "stream_scd2_user_state_replay",
     "stream_session_30m_replay",
     "stream_sliding_1h30m_replay",
-    "stream_upsert_bucketed_orders_replay",
 ]
 
 

@@ -328,6 +328,75 @@ def similarity_recall_pq_planted_vs_exact(spark, sf_dir):
     )
 
 
+def _multitable_candidate_volume_oracle(
+    filter_pred: str, n_planes: int = 8, n_tables: int = 4
+) -> str:
+    bucket_exprs = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{srp_bucket_sql('embedding', n_planes, _DIM, t * n_planes)}"
+        f" AS bucket FROM planted"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH planted AS ({_planted_select()}),
+    b AS ({bucket_exprs}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.tbl
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id != c.vec_id AND q.{filter_pred})
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_sum,
+           CAST(count(DISTINCT neighbor_id) AS BIGINT) AS n_union,
+           CAST(sum(CASE WHEN tbl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_table0
+    FROM pairs GROUP BY query_id
+    """
+
+
+@register(
+    "profile_multitable_candidate_volume",
+    _multitable_candidate_volume_oracle(_PRED),
+)
+def profile_multitable_candidate_volume(spark, sf_dir):
+    """The candidate-WORK observable behind the multi-table recall gate:
+    per query on the planted corpus, the summed per-table candidate
+    occurrences (``n_sum`` — what the equi-joins actually process), the
+    distinct union that survives the pair dedup (``n_union`` — what gets
+    scored), and table 0 alone (``n_table0`` — the single-table
+    baseline, same plane family as ``lsh_topk``).  Hash-gated, so the
+    bound — union <= sum <= n_tables x max-bucket occupancy — is
+    driver-checked evidence, not prose.  Measured at sf0.01: avg
+    n_sum 109 / n_union 69 / n_table0 34 per query — the joins process
+    ~3.2x the single-table occurrences but only ~2.0x reach scoring,
+    because on clustered data the tables' candidate sets OVERLAP
+    heavily (the dedup-before-scoring design earns its keep); that 2.0x
+    scored work buys the +0.37 recall.  This is the pre-flight a
+    deployment runs before choosing L (the recall/cost dial's cost
+    axis; the recall rows are its quality axis).
+
+    Scale shape: the same broadcast equi-join as the ANN entries, with
+    the scoring stage replaced by counting aggregates that collapse
+    map-side."""
+    from label_maker_dask_spark.operators.similarity import (
+        srp_units_tables,
+    )
+
+    planted = _planted_embeddings(spark, sf_dir)
+    queries = planted.where(F.col("vec_id") % 25 == 0)
+    c = srp_units_tables(planted, "neighbor_id", "cv", 8, 4, _DIM)
+    q = srp_units_tables(queries, "query_id", "qv", 8, 4, _DIM)
+    pairs = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "tbl")
+    )
+    return pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_sum"),
+        F.countDistinct("neighbor_id").alias("n_union"),
+        F.sum(F.when(F.col("tbl") == 0, 1).otherwise(0)).alias("n_table0"),
+    )
+
+
 def _sq8_rescored_planted_oracle(
     filter_pred: str, k: int = 5, rescore: int = 50
 ) -> str:

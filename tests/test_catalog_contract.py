@@ -40,6 +40,7 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
+    "profile_multitable_candidate_volume",
     "raster_tms_window_channel_sums",
     "similarity_lsh_multitable_topk_ann",
     "similarity_recall_ivf_planted_vs_exact",
@@ -89,7 +90,6 @@ PINNED_DRIVER_WINDOW = [
     "stream_scd2_user_state_replay",
     "stream_session_30m_replay",
     "stream_sliding_1h30m_replay",
-    "stream_upsert_bucketed_orders_replay",
 ]
 
 

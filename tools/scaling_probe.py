@@ -179,6 +179,7 @@ PROBES = [
     "similarity_recall_sq8_rescored_planted_vs_exact",
     "similarity_recall_pq_planted_vs_exact",
     "similarity_recall_pq_rescored_planted_vs_exact",
+    "profile_multitable_candidate_volume",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
