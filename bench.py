@@ -403,6 +403,18 @@ EXCLUDED = {
 }
 
 
+#: Stored-index READ entries that time the read path alone because a
+#: PRECEDENCE builder entry (which owns the build cost) runs earlier in
+#: HEADLINE and leaves a process-shared index behind.  bench_diff
+#: --recheck consults this map: re-measuring a reader in a fresh JVM
+#: without its builder would charge the index (re)build to the reader's
+#: cell and bias the verdict toward "regression".
+PRECEDENCE = {
+    "similarity_pq_stored_topk_ann": "similarity_pq_index_build",
+    "similarity_pq_join_topk_ann": "similarity_pq_index_build",
+}
+
+
 #: round-1 BASELINE.md floor (22 queries at sf0.1) — the compact summary
 #: line reports the suite's standing against it so even a truncated
 #: driver capture records the headline ratio.  Kept in sync with
@@ -427,13 +439,22 @@ def _parse_args(argv: list[str]) -> dict:
     opts = {"only": None, "passes": 2, "out": "BENCH_RUN.json",
             "commit_snapshot": False}
     it = iter(argv)
+
+    def _value(opt: str) -> str:
+        try:
+            return next(it)
+        except StopIteration:
+            raise SystemExit(
+                f"bench.py: option {opt} requires a value\n\n{__doc__}"
+            )
+
     for a in it:
         if a == "--only":
-            opts["only"] = [s for s in next(it).split(",") if s]
+            opts["only"] = [s for s in _value(a).split(",") if s]
         elif a == "--passes":
-            opts["passes"] = int(next(it))
+            opts["passes"] = int(_value(a))
         elif a == "--out":
-            opts["out"] = next(it)
+            opts["out"] = _value(a)
         elif a == "--commit-snapshot":
             opts["commit_snapshot"] = True
         else:

@@ -100,6 +100,7 @@ def merge_upsert(
     action_col: Optional[str] = None,
     assume_unique_source: bool = False,
     evolve_schema: bool = False,
+    coerce_narrow_source: bool = True,
 ) -> DataFrame:
     """Apply ``source`` onto ``target`` by ``keys``; returns the merged table.
 
@@ -138,6 +139,10 @@ def merge_upsert(
     into an already-long stored column) is applied unconditionally: the
     source-side up-cast is lossless, never touches the stored schema,
     and matches the implicit numeric coercion every SQL MERGE performs.
+    Callers for whom a narrow-type drift (a feed whose column type
+    regressed long->int) must stay LOUD rather than be losslessly
+    coerced pass ``coerce_narrow_source=False``: the mismatch then
+    raises exactly like any other type drift without ``evolve_schema``.
 
     100 TB posture: module docstring — broadcast left-join for matches,
     keys-only anti-join for inserts, nothing collected but the (small,
@@ -164,16 +169,23 @@ def merge_upsert(
     # lossless by _is_widening, and leaves the stored schema untouched —
     # the coercion every SQL MERGE applies implicitly.  Only mismatches
     # that would rewrite the stored schema remain gated behind the flag.
-    narrow_src = [
-        (tf, f) for tf, f in mismatched if _is_widening(f.dataType, tf.dataType)
-    ]
-    for tf, f in narrow_src:
-        source = source.withColumn(f.name, F.col(f.name).cast(tf.dataType))
-    mismatched = [
-        (tf, f)
-        for tf, f in mismatched
-        if not _is_widening(f.dataType, tf.dataType)
-    ]
+    # (coerce_narrow_source=False opts back into the pre-coercion
+    # contract: narrow drift stays in `mismatched` and raises below)
+    if coerce_narrow_source:
+        narrow_src = [
+            (tf, f)
+            for tf, f in mismatched
+            if _is_widening(f.dataType, tf.dataType)
+        ]
+        for tf, f in narrow_src:
+            source = source.withColumn(
+                f.name, F.col(f.name).cast(tf.dataType)
+            )
+        mismatched = [
+            (tf, f)
+            for tf, f in mismatched
+            if not _is_widening(f.dataType, tf.dataType)
+        ]
     if mismatched and not evolve_schema:
         detail = ", ".join(
             f"{tf.name}: target {tf.dataType.simpleString()} vs source "

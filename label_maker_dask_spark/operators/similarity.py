@@ -1393,7 +1393,10 @@ def lsh_multitable_topk_stored(
     probed: dict = {}
     for r in q.select("tbl", "bucket").distinct().collect():
         probed.setdefault(r["tbl"], []).append(r["bucket"])
-    cond = None
+    # empty query set → no probed partitions: fold would leave cond=None
+    # and .where(None) raises an opaque error; an always-false predicate
+    # keeps the plan (and output schema) intact and returns zero rows
+    cond = F.lit(False) if not probed else None
     for t, buckets in sorted(probed.items()):
         c_t = (F.col("tbl") == t) & F.col("bucket").isin(sorted(buckets))
         cond = c_t if cond is None else (cond | c_t)

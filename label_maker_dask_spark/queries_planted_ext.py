@@ -13,7 +13,8 @@ but ``vec_id`` via exact integer arithmetic both engines replay:
                    / 1024 - 1/2
 
 (the ``% 2097143`` pre-reduction — a prime below 2^21 — keeps the
-product under 2^51 for ANY vec_id domain: the sf1 replay corpus carries
+product under 2^52 for ANY vec_id domain (max 2097142 * 1103515245
+~= 2.31e15, far inside int64's 2^63 limit): the sf1 replay corpus carries
 ids up to ~4e10, which would overflow int64 multiplied raw; at the
 driver scale factors ids are < 2M so the reduction is the identity and
 every committed oracle hash is unchanged)

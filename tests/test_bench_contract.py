@@ -88,3 +88,27 @@ def test_band_is_capped_so_warmup_outliers_cannot_blind_the_classifier():
     assert bd._band("q", {"q": 14.6}, {"q": 10.8}) == 1.0   # capped
     assert bd._band("q", {}, {}) == 0.25                    # floor
     assert bd._band("q", {"q": 0.1}, {"q": 0.1}) == 0.4     # 2*(s+s)
+
+
+def test_parse_args_missing_value_is_a_usage_error_not_a_traceback():
+    """--only/--passes/--out as the LAST argument with no value must hit
+    the usage-error path (SystemExit naming the option), not leak a bare
+    StopIteration from next(it) (round-16 advice item)."""
+    import pytest
+
+    for opt in ("--only", "--passes", "--out"):
+        with pytest.raises(SystemExit, match=opt):
+            bench._parse_args([opt])
+    # a value present still parses
+    assert bench._parse_args(["--passes", "3"])["passes"] == 3
+
+
+def test_precedence_readers_and_builders_are_benched_in_order():
+    """Every PRECEDENCE reader and its builder must be HEADLINE entries
+    with the builder positioned EARLIER, so a full bench run (and a
+    --only recheck that prepends the builder) charges the index build to
+    the builder's cell, never the reader's."""
+    for reader, builder in bench.PRECEDENCE.items():
+        assert reader in bench.HEADLINE, reader
+        assert builder in bench.HEADLINE, builder
+        assert bench.HEADLINE.index(builder) < bench.HEADLINE.index(reader)

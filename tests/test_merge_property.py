@@ -215,3 +215,24 @@ def test_nested_nullability_difference_is_not_a_type_mismatch(spark):
         out = merge_upsert(target, source, keys=["k"], evolve_schema=flag)
         got = {(r.k, tuple(r.tags)) for r in out.collect()}
         assert got == {(1, ("x",)), (2, ("x",))}
+
+
+def test_narrow_source_coercion_has_a_strict_opt_out(spark):
+    """coerce_narrow_source=False restores the pre-coercion contract: a
+    feed whose column type regressed (long stored, int feed) raises
+    loudly instead of being silently (if losslessly) up-cast — the
+    round-16 advice item's opt-out for callers that treat narrow drift
+    as a malformed change feed."""
+    import pytest
+
+    from label_maker_dask_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, 10_000_000_000)], "k long, v long")
+    source = spark.createDataFrame([(1, 7), (2, 8)], "k long, v int")
+    with pytest.raises(ValueError, match="type mismatch"):
+        merge_upsert(
+            target, source, keys=["k"], coerce_narrow_source=False
+        )
+    # the default stays coercing (round-15 contract unchanged)
+    out = merge_upsert(target, source, keys=["k"])
+    assert dict(out.dtypes)["v"] == "bigint"

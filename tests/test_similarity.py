@@ -1401,3 +1401,27 @@ def test_srp_auto_planes_keeps_occupancy_constant(spark):
             .agg(F.avg("count").alias("m")).collect()[0].m
         )
         assert occ <= 4 * SRP_TARGET_OCCUPANCY, (sf_dir, b, occ)
+
+
+def test_multitable_stored_empty_query_set_returns_empty_not_error(
+    spark, tmp_path
+):
+    """An empty probe set must yield an empty result frame with the
+    output schema — the bucket-predicate fold over zero collected query
+    buckets previously left cond=None and .where(None) raised an opaque
+    error (round-16 advice item)."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.similarity import (
+        lsh_multitable_topk_stored,
+        write_srp_multitable_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "srp_mt_empty")
+    write_srp_multitable_index(emb, path, n_tables=2)
+    out = lsh_multitable_topk_stored(
+        spark, path, emb.where(F.lit(False)), k=5, n_tables=2
+    )
+    assert out.columns == ["query_id", "rank", "neighbor_id", "cosine_sim"]
+    assert out.count() == 0

@@ -69,12 +69,26 @@ def _band(k: str, new_spread: dict, old_spread: dict) -> float:
 
 def _recheck(flagged: dict, old: dict, bands: dict) -> dict:
     """Re-measure each flagged cell best-of-3 in a fresh JVM and classify
-    noise vs regression against OLD with the same per-query band."""
+    noise vs regression against OLD with the same per-query band.
+
+    A flagged STORED-INDEX READER (bench.PRECEDENCE) gets its builder
+    prepended to the --only list: in a fresh JVM the process-shared
+    index doesn't exist yet, so without the builder the reader's first
+    pass would rebuild it inside its own timing and inflate the recheck
+    ratio toward a false "regression".  The builder's time is measured
+    but excluded from the verdicts — only the flagged names are judged,
+    matching the baseline's cost attribution."""
+    from bench import PRECEDENCE  # noqa: E402  (same map bench.py orders by)
+
     names = sorted(flagged)
+    builders = sorted(
+        {PRECEDENCE[k] for k in names if k in PRECEDENCE} - set(names)
+    )
     out_path = os.path.join(REPO, "BENCH_RECHECK.json")
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"),
-        "--only", ",".join(names), "--passes", "3", "--out", out_path,
+        "--only", ",".join(builders + names), "--passes", "3",
+        "--out", out_path,
     ]
     print(f"\nrechecking {len(names)} flagged cell(s) in a fresh JVM: "
           f"{' '.join(cmd)}")
