@@ -23,6 +23,30 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen twin of :func:`dot` for a statically known dimension.
+
+    The higher-order fold in :func:`dot` is interpreted per element (no
+    whole-stage codegen, a zipped array allocation per pair), which
+    dominates every all-pairs scoring join.  Unrolling the fold into a
+    left-associated chain of ``acc + a[i]*b[i]`` compiles into straight-
+    line generated code — the SAME IEEE operation sequence (start 0.0,
+    add products in element order, identical casts), so results are
+    bit-identical, not merely close.  Rows whose arrays do not match
+    ``dim`` fall back to the fold itself, keeping the value contract for
+    every input (out-of-range ``element_at`` would otherwise yield NULL
+    where the fold yields a number)."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
+        )
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), acc
+    ).otherwise(dot(a, b))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
 

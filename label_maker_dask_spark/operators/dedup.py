@@ -107,7 +107,9 @@ def doc_shingles(
             yield pd.DataFrame({"doc_id": doc_ids[d], "sh": sh})
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    return docs.select(id_col, text_col).mapInPandas(
+    from label_maker_dask_spark.operators.guards import parallelism_floor
+
+    return parallelism_floor(docs.select(id_col, text_col)).mapInPandas(
         gen, f"doc_id {id_type}, sh long"
     )
 
@@ -242,7 +244,9 @@ def minhash_doc_profiles(
 
     id_type = docs.schema[id_col].dataType.simpleString()
     sig_cols = ", ".join(f"mh{j} long" for j in range(k))
-    return docs.select(id_col, text_col).mapInPandas(
+    from label_maker_dask_spark.operators.guards import parallelism_floor
+
+    return parallelism_floor(docs.select(id_col, text_col)).mapInPandas(
         gen, f"doc_id {id_type}, shs array<long>, {sig_cols}"
     )
 
@@ -265,8 +269,15 @@ def jaccard_pairs(
     quadratic cost is the point."""
     from label_maker_dask_spark.operators.guards import ensure_small_input
 
+    # materialize once: the shingle frame (an Arrow pass for the catalog
+    # callers) feeds FOUR consumers — the guard's count, the sizes agg,
+    # and both self-join sides; left lazy Spark re-runs the pass per
+    # consumer.  The guard's count doubles as the materialization action.
+    # The sizes joins lose the frame's stats, so they carry the explicit
+    # broadcast the materialize module prescribes (sizes is one row per
+    # doc, bounded by the same guard that bounds the all-pairs join).
     shingled = ensure_small_input(
-        shingled,
+        materialize(shingled, eager=False),
         max_rows,
         "jaccard_pairs",
         "minhash_neardup_pairs (LSH candidates + jaccard_pairs_for_candidates)",
@@ -282,8 +293,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -467,8 +478,10 @@ def containment_pairs(
     on candidates only)."""
     from label_maker_dask_spark.operators.guards import ensure_small_input
 
+    # same materialize-once + explicit-broadcast shape as jaccard_pairs
+    # (four consumers of the shingle Arrow pass; see the comment there)
     shingled = ensure_small_input(
-        shingled,
+        materialize(shingled, eager=False),
         max_rows,
         "containment_pairs",
         "minhash_neardup_pairs candidates + per-candidate set containment",
@@ -486,8 +499,8 @@ def containment_pairs(
     ca = F.round(F.col("n_inter") / F.col("n_a"), 6)
     cb = F.round(F.col("n_inter") / F.col("n_b"), 6)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -670,7 +683,9 @@ def simhash_signatures_df(
             yield pd.DataFrame({"doc_id": doc_ids, "simhash": sig})
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    return docs.select(id_col, text_col).mapInPandas(
+    from label_maker_dask_spark.operators.guards import parallelism_floor
+
+    return parallelism_floor(docs.select(id_col, text_col)).mapInPandas(
         gen, f"doc_id {id_type}, simhash long"
     )
 
@@ -739,6 +754,15 @@ def banded_hamming_pairs(
         raise ValueError(f"bands={bands} must divide bits={bits}")
     if bits > 63:
         raise ValueError("bits > 63 would reach the sign bit of LONG")
+    # materialize the signature frame once: both sides of the band-bucket
+    # self-join reference it, and for the SimHash callers ``sigs`` is an
+    # Arrow signature pass that would otherwise run twice per query
+    # (guide §1.2 "don't compute things you throw away"; same
+    # multi-consumer rationale as minhash_neardup_pairs).  The band join
+    # keys are compact integers on two same-sized sides, so losing the
+    # checkpointed frame's stats (no auto-broadcast) costs nothing —
+    # the join output volume, not the input exchange, dominates.
+    sigs = materialize(sigs, eager=False)
     width = bits // bands
     mask = (1 << width) - 1
     banded = sigs.select(
@@ -767,17 +791,19 @@ def banded_hamming_pairs(
         F.col("_id").alias("id_b"), F.col("_sig").alias("sb"),
         "band", "bval",
     )
-    cand = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-        .distinct()
-    )
+    # verify BEFORE the dedup shuffle: hamming is a function of (sa, sb),
+    # so filtering candidates first and then dropping band-collision
+    # duplicates yields the identical pair set while the distinct's
+    # exchange carries only true pairs (narrow-signature bands produce
+    # candidate volumes orders of magnitude above the result)
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -39,4 +39,27 @@ def ensure_small_input(
     return df
 
 
-__all__ = ["ensure_small_input"]
+def parallelism_floor(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` up to the cluster's default
+    parallelism — ONLY when its current partition count is below it.
+
+    Why: a compute-bound stage (an Arrow ``mapInPandas`` pass, an
+    all-pairs nested-loop join) inherits the SCAN's partitioning, and a
+    small input — one parquet file, one row group — scans as ONE
+    partition, serializing the whole stage through one core / one Python
+    worker regardless of cluster size (guide §2: partitioning must be
+    scale-adaptive, and byte-based sizing cannot see compute-bound
+    work).  The floor is derived from the cluster
+    (``defaultParallelism``), never a constant; on a real corpus the
+    scan already exceeds it and this is the identity — no payload is
+    ever reshuffled at scale.  Results are unaffected: callers apply it
+    only in front of row-wise/pair-wise stages whose output is
+    partitioning-independent."""
+    sc = df.sparkSession.sparkContext
+    floor = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(floor)
+    return df
+
+
+__all__ = ["ensure_small_input", "parallelism_floor"]

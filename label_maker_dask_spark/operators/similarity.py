@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from label_maker_dask_spark.functions.vectors import dot, norm
+from label_maker_dask_spark.functions.vectors import dot, dot_fixed, norm
+from label_maker_dask_spark.operators.guards import parallelism_floor
 
 #: Brute-force / IVF operators ship the query set with the task closure, so
 #: it must stay driver- and executor-memory small.  At 64-dim float64 the
@@ -136,7 +137,9 @@ def cosine_topk(
             )
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
+    scored = parallelism_floor(
+        embeddings.select(id_col, vec_col)
+    ).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -245,7 +248,14 @@ def srp_bucket(
     vec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
 ) -> Column:
     """Signed-random-projection bucket id: bit j = sign of <vec, r_j>.
-    ``plane_offset`` selects the hyperplane family (multi-table LSH)."""
+    ``plane_offset`` selects the hyperplane family (multi-table LSH).
+
+    Stays the interpreted fold on purpose: this expression form only
+    runs once per ROW (not per pair), so per-row cost is negligible,
+    while an unrolled n_planes*dim chain multiplies the plan size and
+    measurably slows analysis/codegen of every query embedding it
+    (round-17 measurement; the per-PAIR scoring path is where
+    ``dot_fixed`` pays off)."""
     bits = []
     for bit in range(n_planes):
         j = plane_offset + bit
@@ -305,7 +315,7 @@ def srp_units(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return parallelism_floor(df.select(id_col, vec_col)).mapInPandas(
         gen, f"{id_alias} {id_type}, {vec_alias} array<double>, bucket int"
     )
 
@@ -360,7 +370,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot_fixed(F.col("qv"), F.col("cv"), dim), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -455,7 +467,7 @@ def srp_units_tables(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return parallelism_floor(df.select(id_col, vec_col)).mapInPandas(
         gen,
         f"{id_alias} {id_type}, {vec_alias} array<double>, "
         "tbl int, bucket int",
@@ -505,7 +517,9 @@ def lsh_multitable_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        F.round(
+            dot_fixed(F.col("qv"), F.col("cv"), dim), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -537,9 +551,125 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot_fixed(F.col("va"), F.col("vb"), dim), 6
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def neardup_exact_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_corpus: int = 100_000,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold — the brute-force oracle twin
+    of :func:`embedding_neardup_pairs`, restructured from a JVM
+    nested-loop join into one Arrow pass (guide §4.2: hand whole batches
+    to vectorized native code instead of evaluating an expression per
+    pair).
+
+    Shape: the corpus is bounded (same 100k contract the catalog guard
+    enforces), collected once and unit-normalized with the exact
+    left-fold (:func:`_unit_exact`), then shipped to executors as a
+    Spark broadcast; the same corpus streams through ``mapInPandas``
+    and each batch computes its block of the pair matrix with
+    :func:`_dots_exact` — vectorized over pairs, sequential over the
+    dim axis, so every dot is BIT-IDENTICAL to the ``zip_with`` +
+    ``aggregate`` fold the previous join projection evaluated (and to
+    the DuckDB oracle).  Rounding and the final threshold stay in the
+    JVM (``F.round`` half-up on the exact double), with a conservative
+    ``threshold - 1e-6`` raw pre-cut so no pair that could round up to
+    the threshold is dropped in Python.
+
+    Faithfulness to the join form: pairs are emitted once (id_a <
+    id_b); rows whose vector is NULL or whose length differs from the
+    batch's are handled per length group — a cross-length pair's
+    ``zip_with`` fold yields NULL (dropped by the threshold filter),
+    and same-length pairs fold over that length — so the emitted set is
+    identical for ANY input, not just the uniform-64 corpus."""
+    import numpy as np
+    import pandas as pd
+
+    bpd = embeddings.select(id_col, vec_col).limit(max_corpus + 1).toPandas()
+    if len(bpd) > max_corpus:
+        raise ValueError(
+            f"neardup_exact_pairs: input exceeds max_corpus={max_corpus}. "
+            "This is the exact quadratic baseline; at scale use "
+            "embedding_neardup_pairs (SRP-bucketed), or raise max_corpus "
+            "explicitly if the quadratic cost is intended."
+        )
+
+    def _by_length(ids, vecs):
+        """Group (id, vector) rows by vector length -> {len: (ids, unit
+        matrix)}; NULL vectors are dropped (their fold dot is NULL)."""
+        groups: dict = {}
+        keep = [
+            (i, v) for i, v in zip(ids, vecs)
+            if v is not None and len(v) > 0
+        ]
+        if not keep:
+            return groups
+        lens = np.array([len(v) for _, v in keep])
+        arr_ids = np.array([i for i, _ in keep])
+        for ln in np.unique(lens):
+            sel = lens == ln
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for (_, v), m
+                 in zip(keep, sel) if m]
+            )
+            groups[int(ln)] = (arr_ids[sel], _unit_exact(mat))
+        return groups
+
+    b_groups = _by_length(
+        bpd[id_col].to_numpy(), bpd[vec_col].to_numpy()
+    )
+    bc = embeddings.sparkSession.sparkContext.broadcast(b_groups)
+    raw_cut = threshold - 1e-6
+
+    def score(batches):
+        groups = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for ln, (a_ids, am) in _by_length(
+                pdf[id_col].to_numpy(), pdf[vec_col].to_numpy()
+            ).items():
+                if ln not in groups:
+                    continue
+                b_ids, bm = groups[ln]
+                # slab the pair-matrix so memory stays ~32 MB per block
+                slab = max(1, (1 << 22) // max(len(b_ids), 1))
+                for s in range(0, len(a_ids), slab):
+                    sa_ids, sam = a_ids[s:s + slab], am[s:s + slab]
+                    sims = _dots_exact(sam, bm)
+                    ai, bi = np.nonzero(
+                        (sims >= raw_cut)
+                        & (sa_ids[:, None] < b_ids[None, :])
+                    )
+                    if len(ai) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "id_a": sa_ids[ai],
+                            "id_b": b_ids[bi],
+                            "raw_sim": sims[ai, bi],
+                        }
+                    )
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    scored = parallelism_floor(
+        embeddings.select(id_col, vec_col)
+    ).mapInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, raw_sim double"
+    )
+    return (
+        scored.withColumn("cosine_sim", F.round(F.col("raw_sim"), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )
 
 
@@ -595,7 +725,9 @@ def ivf_topk(
                 yield out
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
+    scored = parallelism_floor(
+        embeddings.select(id_col, vec_col)
+    ).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -666,7 +798,7 @@ def _assigned_cells(embeddings: DataFrame, cm, id_col: str, vec_col: str) -> Dat
             out["cell"] = np.argmax(_dots_exact(xm, cm), axis=1).astype("int32")
             yield out
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return parallelism_floor(embeddings.select(id_col, vec_col)).mapInPandas(
         assign, f"{id_col} {id_type}, {vec_col} {vec_type}, cell int"
     )
 
@@ -760,7 +892,9 @@ def ivf_topk_join(
                 }
             )
 
-    corpus = embeddings.select(id_col, vec_col).mapInPandas(
+    corpus = parallelism_floor(
+        embeddings.select(id_col, vec_col)
+    ).mapInPandas(
         corpus_gen, f"neighbor_id {id_type}, cv array<double>, cell int"
     )
 
@@ -1261,7 +1395,9 @@ def ivf_topk_stored(
                 yield out
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    scored = corpus.select(id_col, vec_col, "cell").mapInPandas(
+    scored = parallelism_floor(
+        corpus.select(id_col, vec_col, "cell")
+    ).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1326,7 +1462,9 @@ def lsh_topk_stored(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot_fixed(F.col("qv"), F.col("cv"), dim), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1418,7 +1556,9 @@ def lsh_multitable_topk_stored(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        F.round(
+            dot_fixed(F.col("qv"), F.col("cv"), dim), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -1501,6 +1641,7 @@ def sq8_dot(a: Column, b: Column) -> Column:
     )
 
 
+
 def sq8_rescore_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -1577,7 +1718,7 @@ def sq8_rescore_exact_topk(
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
     return exact_rescore_topk(
-        embeddings, query_pred, quantized, k, id_col, vec_col
+        embeddings, query_pred, quantized, k, id_col, vec_col, dim
     )
 
 
@@ -1588,6 +1729,7 @@ def exact_rescore_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """The shared exact-rescoring stage of the two-stage quantized ANN
     shapes (:func:`sq8_rescore_exact_topk`, :func:`pq_rescore_exact_
@@ -1608,7 +1750,9 @@ def exact_rescore_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qnv"), F.col("cnv")), 6).alias("cosine_sim"),
+            F.round(
+                dot_fixed(F.col("qnv"), F.col("cnv"), dim), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1643,7 +1787,7 @@ def pq_rescore_exact_topk(
         n_codes=n_codes, dim=dim, id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
     return exact_rescore_topk(
-        embeddings, query_pred, quantized, k, id_col, vec_col
+        embeddings, query_pred, quantized, k, id_col, vec_col, dim
     )
 
 

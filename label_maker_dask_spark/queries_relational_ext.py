@@ -1103,20 +1103,56 @@ def udf_cogroup_orders_events(spark, sf_dir):
     applyInPandas)."""
     import pandas as pd
 
-    ords = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_totalprice").cast("decimal(28,8)").alias("price"),
+    # aggregate-before-shuffle (guide §2.3): the decimal sum and both
+    # counts collapse map-side to ONE row per key, so the cogroup's
+    # exchanges and the Arrow boundary carry |keys| rows instead of
+    # every order/event row — and the pandas function reads scalars
+    # instead of summing object-dtype Decimal columns.  Spark's decimal
+    # sum is exact, so round(·, 2) sees the same Decimal the row-level
+    # pandas sum produced and the result is value-identical.
+    #
+    # The repartition pins the cogroup stage's parallelism to the
+    # cluster (2x defaultParallelism, nudged off the session shuffle
+    # count so physical planning cannot elide it as redundant): this
+    # stage's cost is per-GROUP Python round-trip overhead, which AQE's
+    # byte-based coalescing cannot see — it folds the small post-agg
+    # exchange to ONE partition and serializes every group through a
+    # single Python worker (measured 22 s -> 3.3 s at sf0.1; the
+    # partition count scales with the cluster, not a constant).
+    nparts = spark.sparkContext.defaultParallelism * 2
+    if nparts == int(spark.conf.get("spark.sql.shuffle.partitions")):
+        nparts += 1
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_totalprice").cast("decimal(28,8)").alias("price"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("price_sum"),
+        )
+        .repartition(nparts, "user_id")
     )
-    ev = _t(spark, sf_dir, "events").select("user_id")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .repartition(nparts, "user_id")
+    )
 
     def reconcile(key, odf, edf):
-        value = float(round(odf["price"].sum(), 2)) if len(odf) else 0.0
+        value = (
+            float(round(odf["price_sum"].iloc[0], 2)) if len(odf) else 0.0
+        )
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "n_orders": [len(odf)],
+                "n_orders": [int(odf["n_orders"].iloc[0]) if len(odf) else 0],
                 "order_value": [value],
-                "n_events": [len(edf)],
+                "n_events": [int(edf["n_events"].iloc[0]) if len(edf) else 0],
             }
         )
 

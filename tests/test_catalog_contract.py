@@ -40,56 +40,56 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
-    "profile_multitable_candidate_volume",
-    "raster_tms_window_channel_sums",
-    "similarity_lsh_multitable_topk_ann",
-    "similarity_recall_ivf_planted_vs_exact",
-    "similarity_recall_multitable_planted_vs_exact",
-    "similarity_recall_pq_planted_vs_exact",
-    "similarity_recall_pq_rescored_planted_vs_exact",
-    "similarity_recall_sq8_planted_vs_exact",
-    "similarity_recall_sq8_rescored_planted_vs_exact",
-    "similarity_recall_srp_planted_vs_exact",
-    "q1_pricing_summary",
-    "q21_suppliers_who_shipped_last",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "scd2_user_state_history",
-    "segmentation_raster_class_areas",
-    "similarity_ivf_join_topk_ann",
-    "spatial_grid_bbox_join",
-    "text_tfidf_top_terms",
-    "timeseries_twap_user_daily",
-    "agg_heavy_hitters_users",
-    "agg_hll_sketch_weekly_users",
-    "analytics_market_basket_part_pairs",
-    "asof_merge_hotuser_adversarial",
-    "attribution_linear",
-    "graph_event_transitions",
-    "graph_khop_reachability",
-    "graph_triangle_copurchase",
-    "merge_upsert_orders_cdc",
-    "pii_regex_scan",
-    "q11_part_value_concentration",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_promotion_part_suppliers",
-    "sample_exact_k_per_lang",
-    "scalar_null_semantics",
-    "stream_accumulate_supplier_replay",
-    "stream_dedup_replay",
-    "stream_interval_join_outer_replay",
-    "stream_interval_join_semi_replay",
-    "stream_late_data_drop_replay",
-    "stream_neardup_index_replay",
-    "stream_ohlc_hourly_replay",
-    "stream_scd2_bucketed_user_state_replay",
-    "stream_scd2_user_state_replay",
-    "stream_session_30m_replay",
-    "stream_sliding_1h30m_replay",
+    "stream_upsert_bucketed_orders_replay",
+    "stream_upsert_orders_replay",
+    "stream_versioned_diff_replay",
+    "text_bm25_top_docs",
+    "text_bpe_token_counts",
+    "text_feature_hashing_vectors",
+    "timeseries_rolling_corr_views_purchases",
+    "udf_cogroup_orders_events",
+    "window_ratio_to_report_nation_share",
+    "agg_pivot_status_by_priority",
+    "anomaly_cusum_daily_events",
+    "dedup_components_minhash",
+    "dedup_simhash16_neardup_pairs",
+    "embedding_kmeans_clusters",
+    "events_cohort_weekly_retention",
+    "events_funnel_signup_view_purchase",
+    "explode_outer_returned_lines",
+    "join_skew_salted_hotkey_adversarial",
+    "layout_compaction_rewrite",
+    "layout_zorder_file_pruning",
+    "layout_zorder_incremental_append",
+    "multimodal_audio_zcr_windows",
+    "multimodal_image_resize_stats",
+    "multimodal_phash_signatures",
+    "multimodal_video_frame_sample",
+    "pack_sequences_512",
+    "q22_global_sales_opportunity",
+    "scalar_array_algebra",
+    "scalar_date_arithmetic",
+    "scalar_variant_extract",
+    "sessionize_hotuser_adversarial",
+    "similarity_ivf_topk_ann",
+    "snapshot_time_travel_read",
+    "sort_limit_offset_page3",
+    "spatial_points_to_tiles_z6",
+    "stateful_running_user_stats",
+    "stream_interval_join_full_replay",
+    "stream_interval_join_hotuser_replay",
+    "stream_interval_join_replay",
+    "stream_interval_join_restart_replay",
+    "stream_running_stats_replay",
+    "stream_session_restart_replay",
+    "stream_session_timeout_replay",
+    "stream_static_join_enrich_replay",
+    "stream_tile_source_partitioned_replay",
+    "stream_tile_source_replay",
+    "stream_transitions_hotkey_replay",
+    "stream_transitions_stateful_replay",
+    "stream_upsert_restart_replay",
+    "text_unigram_logprob",
 ]
 
 
