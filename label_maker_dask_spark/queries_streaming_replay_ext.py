@@ -86,33 +86,23 @@ def _write_ordered_batches(batches, changes_dir: str) -> None:
     previous query run) are left untouched — only newly written files
     are stamped.
 
-    The per-batch writes are INDEPENDENT Spark jobs (each derives from
-    the base tables, none reads another's output), so they run from a
-    small driver thread pool (guide §2.6 "overlap independent jobs"):
-    each batch lands in its own temp dir concurrently — one job's tail
-    back-fills the others' idle cores — and publication into
-    ``changes_dir`` stays sequential, preserving the exact
-    file-per-batch + ordered-mtime contract of the serial form.  Every
-    replay entry pays this prep 3-4 times; overlapping it cut the prep
-    wall-clock ~2x at sf0.1 without touching delivery semantics."""
+    The per-batch writes run SEQUENTIALLY on purpose: overlapping them
+    from a driver thread pool (guide §2.6) was tried and measured a net
+    loss at sf0.1 — each ``coalesce(1)`` job is sub-second, so pooled
+    py4j submissions contend on the driver instead of back-filling
+    cores (A/B best-of-2, same fresh JVM conditions: interval-join
+    replay 6.1 s serial vs 9.3 s pooled; session-30m 4.3 vs 7.7;
+    dedup 4.1 vs 5.0).  Revisit only if a batch derivation becomes
+    expensive enough to dominate its own job-submission latency."""
     import shutil
-    from concurrent.futures import ThreadPoolExecutor
 
     base_mtime = time.time() - _MTIME_STEP * (len(batches) + 1)
     parent = os.path.dirname(changes_dir.rstrip("/"))
     tmps = [
         os.path.join(parent, f"_batch_stage_{i}") for i in range(len(batches))
     ]
-
-    def _write(i: int) -> None:
-        batches[i].coalesce(1).write.mode("overwrite").parquet(tmps[i])
-
-    if len(batches) > 1:
-        with ThreadPoolExecutor(max_workers=min(4, len(batches))) as pool:
-            list(pool.map(_write, range(len(batches))))
-    elif batches:
-        _write(0)
     for i, tmp in enumerate(tmps):
+        batches[i].coalesce(1).write.mode("overwrite").parquet(tmp)
         t = base_mtime + _MTIME_STEP * i
         for f in sorted(os.listdir(tmp)):
             if f.startswith(("_", ".")):
