@@ -267,7 +267,15 @@ def segmentation_labels(
         head["label"] = [arr.tobytes()]
         return pd.DataFrame(head)
 
-    out = features.groupBy(*cols).applyInPandas(burn, schema=schema)
+    # pin the grouped-map stage's parallelism: per-tile rasterize cost is
+    # Python compute AQE's byte-based coalescing cannot see (guards
+    # docstring has the measurements) — without the pin every tile burns
+    # through one worker
+    from label_maker_dask_spark.operators.guards import pin_group_parallelism
+
+    out = pin_group_parallelism(features, *cols).groupBy(*cols).applyInPandas(
+        burn, schema=schema
+    )
     if tiles is not None:
         empty = F.lit(bytes(256 * 256))
         out = (

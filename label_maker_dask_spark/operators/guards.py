@@ -62,4 +62,31 @@ def parallelism_floor(df: DataFrame) -> DataFrame:
     return df
 
 
-__all__ = ["ensure_small_input", "parallelism_floor"]
+def pin_group_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``keys`` with an EXPLICIT partition
+    count so a following ``groupBy(*keys).applyInPandas`` (or cogroup)
+    stage keeps cluster-wide parallelism.
+
+    Why: the grouped-map stage's cost is per-GROUP Python compute, which
+    AQE's byte-based partition coalescing cannot see — a small post-
+    shuffle byte size folds the exchange to ONE partition and serializes
+    every group through a single Python worker (measured on the
+    segmentation rasterize: 5.2-6.8 s with coalescing vs 1.5-2.9 s
+    without, sf0.1; same failure mode as the cogroup reconcile, 22 s ->
+    3.3 s).  ``repartition(n, *keys)`` plans as REPARTITION_BY_NUM,
+    which AQE never coalesces, and the grouped-map reuses the hash
+    partitioning so no second exchange is added.
+
+    The count is derived from the cluster (2x ``defaultParallelism``,
+    nudged off the session shuffle-partition count so physical planning
+    cannot elide the node as redundant) — scale-adaptive, not a local
+    constant.  Results are unaffected: grouped-map output is
+    partitioning-independent."""
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism * 2
+    if nparts == int(spark.conf.get("spark.sql.shuffle.partitions")):
+        nparts += 1
+    return df.repartition(nparts, *keys)
+
+
+__all__ = ["ensure_small_input", "parallelism_floor", "pin_group_parallelism"]
