@@ -209,6 +209,7 @@ def minhash_doc_profiles(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = 16,
+    floor: bool = True,
 ) -> DataFrame:
     """One narrow Arrow pass producing, per document, BOTH its distinct
     shingle-hash set (``shs`` array) and its k-wide MinHash signature
@@ -244,9 +245,18 @@ def minhash_doc_profiles(
 
     id_type = docs.schema[id_col].dataType.simpleString()
     sig_cols = ", ".join(f"mh{j} long" for j in range(k))
-    from label_maker_dask_spark.operators.guards import parallelism_floor
+    narrow = docs.select(id_col, text_col)
+    # ``floor=False`` is for PER-MICRO-BATCH callers (streaming/neardup):
+    # there the pass runs once per batch inside a multi-action pipeline,
+    # and the floor's extra exchange + 32-way partitioning of a tiny
+    # batch multiplies every downstream job's task count — measured
+    # +5.5 s on stream_neardup_index_replay at sf0.1 for zero gain
+    # (a real delta scans as many files and has parallelism already).
+    if floor:
+        from label_maker_dask_spark.operators.guards import parallelism_floor
 
-    return parallelism_floor(docs.select(id_col, text_col)).mapInPandas(
+        narrow = parallelism_floor(narrow)
+    return narrow.mapInPandas(
         gen, f"doc_id {id_type}, shs array<long>, {sig_cols}"
     )
 

@@ -157,7 +157,13 @@ def _apply_neardup_batch_locked(
         os.makedirs(index_path, exist_ok=True)
         _record_applied(index_path, run_id, -1)
     spark = batch.sparkSession
-    prof = minhash_doc_profiles(batch, text_col, id_col, n, k)
+    # floor=False: the profile pass runs once PER MICRO-BATCH here, and
+    # the parallelism floor's repartition of a batch-sized input adds an
+    # exchange plus a 32-way partitioning that every one of this
+    # function's three write actions re-schedules (measured +5.5 s per
+    # replay cell at sf0.1); a production-sized delta arrives as many
+    # source files and scans with parallelism anyway
+    prof = minhash_doc_profiles(batch, text_col, id_col, n, k, floor=False)
     prof = prof.transform(materialize, eager=True)  # bands + self-pairs + verify
 
     new_bands = minhash_band_rows(prof.drop("shs"), bands)
