@@ -86,31 +86,100 @@ def _write_ordered_batches(batches, changes_dir: str) -> None:
     previous query run) are left untouched — only newly written files
     are stamped.
 
-    The per-batch writes run SEQUENTIALLY on purpose: overlapping them
-    from a driver thread pool (guide §2.6) was tried and measured a net
-    loss at sf0.1 — each ``coalesce(1)`` job is sub-second, so pooled
-    py4j submissions contend on the driver instead of back-filling
-    cores (A/B best-of-2, same fresh JVM conditions: interval-join
-    replay 6.1 s serial vs 9.3 s pooled; session-30m 4.3 vs 7.7;
-    dedup 4.1 vs 5.0).  Revisit only if a batch derivation becomes
-    expensive enough to dominate its own job-submission latency."""
+    Consecutive batches sharing a column layout (names + types; the
+    usual case — every batch is a filter/derivation of one source
+    frame) are written in ONE Spark job: each branch is tagged with a
+    literal batch-id column and ``coalesce(1)``-d BEFORE a union, so
+    the union's partition list is exactly one partition per batch — no
+    shuffle, no sort, and each task evaluates its branch the same way
+    the legacy per-batch ``coalesce(1)`` job did (identical file
+    content, identical row order).  ``partitionBy(_b)`` then lands one
+    file per batch directory in one pass.  That replaces N sequential
+    driver-blocking jobs — each re-scanning the source — with one job
+    whose N branch scans run concurrently across the cluster (guide
+    §2.6 via a single job rather than a thread pool: the pooled form
+    was tried in this round and measured a net LOSS from py4j
+    submission contention — interval-join replay 6.1 s serial vs 9.3 s
+    pooled.  A repartition(n, _b)+sortWithinPartitions variant was also
+    tried and measured a net loss: the added exchange plus a 3-task
+    sort of the largest batch frames cost far more than the saved job
+    submissions, e.g. stream_bpe_word_freq_replay 6.6 s -> 24 s).
+
+    Batches whose layout differs from their neighbors' (the schema-
+    evolution legs) and batches that come out empty (no file under
+    ``partitionBy`` — the legacy path writes a schema-only file, and
+    batch-boundary semantics must not silently change) fall back to the
+    original per-batch ``coalesce(1)`` write."""
     import shutil
+    import tempfile
 
     base_mtime = time.time() - _MTIME_STEP * (len(batches) + 1)
     parent = os.path.dirname(changes_dir.rstrip("/"))
-    tmps = [
-        os.path.join(parent, f"_batch_stage_{i}") for i in range(len(batches))
-    ]
-    for i, tmp in enumerate(tmps):
-        batches[i].coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    def publish(src: str, i: int, prefix: str = "") -> None:
         t = base_mtime + _MTIME_STEP * i
+        dst = os.path.join(changes_dir, prefix + os.path.basename(src))
+        os.rename(src, dst)
+        os.utime(dst, (t, t))
+
+    def write_single(df, i: int, stage_root: str) -> None:
+        tmp = os.path.join(stage_root, f"single_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         for f in sorted(os.listdir(tmp)):
-            if f.startswith(("_", ".")):
-                continue
-            dst = os.path.join(changes_dir, f)
-            os.rename(os.path.join(tmp, f), dst)
-            os.utime(dst, (t, t))
+            if not f.startswith(("_", ".")):
+                publish(os.path.join(tmp, f), i)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def layout(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    # consecutive same-layout runs -> one grouped write each
+    groups: list[tuple[int, list]] = []
+    for i, b in enumerate(batches):
+        if groups and layout(groups[-1][1][-1]) == layout(b):
+            groups[-1][1].append(b)
+        else:
+            groups.append((i, [b]))
+
+    stage_root = tempfile.mkdtemp(prefix="_batch_stage_", dir=parent)
+    try:
+        for start, dfs in groups:
+            if len(dfs) == 1:
+                write_single(dfs[0], start, stage_root)
+                continue
+            u = dfs[0].withColumn("_b", F.lit(start)).coalesce(1)
+            for j, d in enumerate(dfs[1:], 1):
+                u = u.unionByName(
+                    d.withColumn("_b", F.lit(start + j)).coalesce(1)
+                )
+            gdir = os.path.join(stage_root, f"group_{start}")
+            (
+                u.write.partitionBy("_b")
+                .mode("overwrite")
+                .parquet(gdir)
+            )
+            for j in range(len(dfs)):
+                i = start + j
+                bdir = os.path.join(gdir, f"_b={i}")
+                files = (
+                    [
+                        f
+                        for f in sorted(os.listdir(bdir))
+                        if not f.startswith(("_", "."))
+                    ]
+                    if os.path.isdir(bdir)
+                    else []
+                )
+                if len(files) == 1:
+                    # batch-id prefix: one job names its files by TASK id,
+                    # so two batches co-located in a task share a basename
+                    publish(os.path.join(bdir, files[0]), i, f"b{i}-")
+                else:
+                    # empty batch (no file) or unexpected multi-file:
+                    # reproduce the legacy per-batch write exactly
+                    write_single(dfs[j], i, stage_root)
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
 
 
 def _open_batch_stream(spark, batches, schema: str, name: str):
@@ -1358,15 +1427,22 @@ def _drive_tile_stream(spark, name: str, mode: str = None) -> DataFrame:
     )
     try:
         deadline = time.time() + 300
+        # progress-based completion check: each StreamingQueryProgress is
+        # emitted AFTER its micro-batch commits, so summing numInputRows
+        # over distinct committed batch ids counts rows durably in the
+        # exactly-once parquet sink — the same signal the old
+        # ``spark.read.parquet(out).count()`` poll computed, without
+        # launching a full count JOB per 0.2 s poll tick (each poll was a
+        # listing + scan; the polls, not the stream, dominated the cell)
+        seen: dict = {}
         while time.time() < deadline:
             if not q.isActive:  # died: surface the real error, don't
                 exc = q.exception()  # burn the deadline on a dead query
                 raise RuntimeError(f"{name} query failed: {exc}")
-            try:
-                if spark.read.parquet(out).count() >= expected:
-                    break
-            except Exception:
-                pass  # sink dir not created yet
+            for p in q.recentProgress:
+                seen[p["batchId"]] = p["numInputRows"]
+            if sum(seen.values()) >= expected:
+                break
             time.sleep(0.2)
     finally:
         q.stop()
