@@ -137,9 +137,14 @@ def cosine_topk(
             )
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
-    scored = parallelism_floor(
-        embeddings.select(id_col, vec_col)
-    ).mapInPandas(
+    # no parallelism floor here: per-row work is bounded by the collected
+    # query set (<= max_queries dots), so a small single-partition input
+    # is fast serially, and a large input scans with parallelism anyway —
+    # the floor's exchange + per-task Python worker fan-out measured as a
+    # net LOSS on every bounded-query scorer (round-17 interleaved A/B;
+    # the floor stays ONLY where per-row work is corpus-sized:
+    # neardup_exact_pairs)
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -315,7 +320,9 @@ def srp_units(
                 }
             )
 
-    return parallelism_floor(df.select(id_col, vec_col)).mapInPandas(
+    # no floor: per-row work is a fixed n_planes*dim stencil — serial is
+    # fine for small inputs, scans parallelize large ones (r17 A/B)
+    return df.select(id_col, vec_col).mapInPandas(
         gen, f"{id_alias} {id_type}, {vec_alias} array<double>, bucket int"
     )
 
@@ -467,7 +474,8 @@ def srp_units_tables(
                 }
             )
 
-    return parallelism_floor(df.select(id_col, vec_col)).mapInPandas(
+    # no floor: fixed L*n_planes*dim per-row stencil (see srp_units)
+    return df.select(id_col, vec_col).mapInPandas(
         gen,
         f"{id_alias} {id_type}, {vec_alias} array<double>, "
         "tbl int, bucket int",
@@ -661,6 +669,10 @@ def neardup_exact_pairs(
                     )
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
+    # the floor STAYS here: per-row work is corpus-sized (each batch row
+    # scores against the whole broadcast corpus), so a one-partition scan
+    # serializes an O(n^2) pair matrix through one core — round-17
+    # interleaved A/B: 0.91 s floored vs 3.77 s unfloored at sf0.1
     scored = parallelism_floor(
         embeddings.select(id_col, vec_col)
     ).mapInPandas(
@@ -725,9 +737,14 @@ def ivf_topk(
                 yield out
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
-    scored = parallelism_floor(
-        embeddings.select(id_col, vec_col)
-    ).mapInPandas(
+    # no parallelism floor here: per-row work is bounded by the collected
+    # query set (<= max_queries dots), so a small single-partition input
+    # is fast serially, and a large input scans with parallelism anyway —
+    # the floor's exchange + per-task Python worker fan-out measured as a
+    # net LOSS on every bounded-query scorer (round-17 interleaved A/B;
+    # the floor stays ONLY where per-row work is corpus-sized:
+    # neardup_exact_pairs)
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -798,7 +815,8 @@ def _assigned_cells(embeddings: DataFrame, cm, id_col: str, vec_col: str) -> Dat
             out["cell"] = np.argmax(_dots_exact(xm, cm), axis=1).astype("int32")
             yield out
 
-    return parallelism_floor(embeddings.select(id_col, vec_col)).mapInPandas(
+    # no floor: one argmax over n_cells per row (see srp_units rationale)
+    return embeddings.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} {id_type}, {vec_col} {vec_type}, cell int"
     )
 
@@ -892,9 +910,8 @@ def ivf_topk_join(
                 }
             )
 
-    corpus = parallelism_floor(
-        embeddings.select(id_col, vec_col)
-    ).mapInPandas(
+    # no floor: linear per-row cell assignment (see srp_units rationale)
+    corpus = embeddings.select(id_col, vec_col).mapInPandas(
         corpus_gen, f"neighbor_id {id_type}, cv array<double>, cell int"
     )
 
@@ -1395,9 +1412,8 @@ def ivf_topk_stored(
                 yield out
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    scored = parallelism_floor(
-        corpus.select(id_col, vec_col, "cell")
-    ).mapInPandas(
+    # no floor: bounded-query scorer (see the ivf_topk rationale)
+    scored = corpus.select(id_col, vec_col, "cell").mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, raw_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
