@@ -153,6 +153,20 @@ def session_defaults(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: inferred parquet schema per testdata table path — METADATA only,
+#: never data or results: every action over a ``_t`` frame still scans
+#: the parquet files.  ``spark.read.parquet`` re-infers the schema from
+#: file footers on EVERY call (~50-60 ms per read at sf0.1 vs ~12 ms
+#: with an explicit schema — measured round 18), and the catalog calls
+#: ``_t`` 1-3x per query x 258 queries x 2 bench passes, so the
+#: re-inference alone costs 15-30 s per bench pass.  Safe to key on the
+#: path because the testdata directories are immutable for a process's
+#: lifetime (this cache is NOT for maintained/mutable tables — those
+#: manage their own schema lifecycles, e.g. streaming/upsert.py's
+#: per-batch ``base_schema``).
+_T_SCHEMAS: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table.  The events table has carried TIMESTAMP(NANOS)
     across driver regenerations, which Spark's parquet reader rejects by
@@ -162,12 +176,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncates nanos to its micro timestamps the same way, so the engines
     agree."""
     session_defaults(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _T_SCHEMAS.get(path)
+    if schema is None:
+        # one inference per table per process (nanosAsLong is set above,
+        # so a TIMESTAMP(NANOS) column infers as long here exactly as it
+        # did on the uncached path)
+        schema = spark.read.parquet(path).schema
+        _T_SCHEMAS[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 # =====================================================================
