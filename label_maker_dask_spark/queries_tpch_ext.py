@@ -14,6 +14,7 @@ Registered into the same QUERIES/ORACLES catalog as
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from label_maker_dask_spark.queries import _t, register
@@ -262,36 +263,61 @@ def q21_suppliers_who_shipped_last(spark, sf_dir):
     ordering stands in for the receipt-vs-commit lateness test (no
     commit/receipt dates).
 
-    Scale: the two correlated subqueries are a left-semi and a left-anti
-    self-join of lineitem, both hashing on orderkey — same key as the
-    orders join, so AQE can chain the exchanges; supplier is broadcast."""
+    Shape (round 18): the two correlated self-joins used to run as a
+    left-semi + left-anti SortMergeJoin pair — three exchanges of the
+    fact table on the same key plus two SMJ sorts.  Both subqueries are
+    per-ORDER facts, so they collapse into window aggregates over ONE
+    exchange of lineitem:
+
+    - EXISTS (another supplier in the order)  ⇔  min(supp) != max(supp)
+      over the order;
+    - NOT EXISTS (a strictly later line from another supplier)  ⇔  the
+      row ships at the order's max date when ≥2 distinct suppliers
+      reach that max (struct-max/min extracts the supplier extremes at
+      the max date: ``max(struct(d, s))`` / ``max(struct(d, -s))``), or
+      the row belongs to the unique last supplier ``u`` and ships no
+      earlier than ``max(d | supp != u)`` (a second window over the
+      SAME partitioning — no new exchange); a null ship date always
+      passes the anti-join (``d3 > NULL`` never matches), kept
+      explicitly for any-input parity with the join form.
+
+    Proven row-identical to the join form at sf0.001/0.01/0.1 (exceptAll
+    both ways = 0) and re-proven against the DuckDB oracle, which still
+    states the EXISTS/NOT-EXISTS form.  Orders ('F' filter) stays a
+    broadcast left-semi; supplier is broadcast."""
     li = _t(spark, sf_dir, "lineitem")
-    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    s, d = F.col("l_suppkey"), F.col("l_shipdate")
+    w = Window.partitionBy("l_orderkey")
+    ann = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            F.min(s).over(w).alias("_smin"),
+            F.max(s).over(w).alias("_smax"),
+            F.max(d).over(w).alias("_m1"),
+            F.max(F.struct(d.alias("d"), s.alias("s")))
+            .over(w)["s"]
+            .alias("_uhi"),
+            (-F.max(F.struct(d.alias("d"), (-s).alias("ns"))).over(w)["ns"])
+            .alias("_ulo"),
+        )
+        .withColumn("_mo", F.max(F.when(s != F.col("_uhi"), d)).over(w))
     )
-    l3 = li.select(
-        F.col("l_orderkey").alias("o3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("d3"),
-    )
+    multi = F.col("_uhi") != F.col("_ulo")
+    qualified = ann.where(
+        (F.col("_smin") != F.col("_smax"))
+        & (
+            d.isNull()
+            | (multi & (d == F.col("_m1")))
+            | (~multi & (s == F.col("_uhi")) & (F.col("_mo") <= d))
+        )
+    ).select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     return (
-        l1.join(
-            l2,
-            (F.col("o2") == F.col("l_orderkey"))
-            & (F.col("s2") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("o3") == F.col("l_orderkey"))
-            & (F.col("s3") != F.col("l_suppkey"))
-            & (F.col("d3") > F.col("l_shipdate")),
-            "left_anti",
-        )
-        .join(orders.select("o_orderkey"),
+        qualified.join(orders.select("o_orderkey"),
               F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
