@@ -2420,20 +2420,28 @@ def q15_top_supplier(spark, sf_dir):
     """,
 )
 def q17_small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17 (correlated scalar subquery -> agg + equi-join): revenue
-    from below-half-average-quantity orders of one brand.  l_quantity is
+    """TPC-H Q17 (correlated scalar subquery): revenue from
+    below-half-average-quantity orders of one brand.  l_quantity is
     integral, so sum/count — and therefore the avg threshold — are exact
-    doubles in both engines regardless of summation order."""
+    doubles in both engines regardless of summation order (which is also
+    why the window form below equals the old agg+join-back form bit for
+    bit: both divide the same exact sum by the same count).
+
+    Shape (round 18): the per-part threshold used to be a full-lineitem
+    aggregation joined back onto the brand-filtered scan — a second
+    fact-table exchange.  The brand semi-filter keeps EVERY lineitem row
+    of the surviving parts, so the threshold is computable as a window
+    avg over the filtered rows themselves: one lineitem pass, one
+    exchange of only the brand's rows.  Row-identical to the join form
+    (exceptAll both ways = 0 at all three SFs), oracle unchanged."""
     li = _t(spark, sf_dir, "lineitem")
     part = F.broadcast(
         _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
     )
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        .withColumn("qty_threshold", 0.5 * F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -2452,26 +2460,32 @@ def q17_small_quantity_revenue(spark, sf_dir):
     """,
 )
 def q18_large_volume_customers(spark, sf_dir):
-    """TPC-H Q18 (HAVING subquery -> left-semi join): orders whose total
-    quantity exceeds 150, with their customers.  Quantity sums are exact
-    (integral doubles), so the HAVING cut is cross-engine stable."""
+    """TPC-H Q18 (HAVING subquery): orders whose total quantity exceeds
+    150, with their customers.  Quantity sums are exact (integral
+    doubles), so the HAVING cut is cross-engine stable.
+
+    Shape (round 18): the output's ``sum_qty`` groups by the order key,
+    so it IS the HAVING subquery's per-order sum — the old left-semi +
+    lineitem re-join + re-aggregation recomputed a value the first
+    aggregate already held.  One lineitem aggregation now feeds the cut
+    AND the output; the surviving orders (a >150-qty tail, orders of
+    magnitude below order count) join orders/customer directly.
+    Row-identical to the semi-join form (exceptAll both ways = 0 at all
+    three SFs) and re-proven against the unchanged oracle."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .where(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
-                    F.col("o_orderkey") == F.col("b_orderkey"), "left_semi")
+        orders.join(big, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 F.round("o_totalprice", 2).alias("o_totalprice"))
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                "sum_qty")
     )
 
 
