@@ -398,16 +398,30 @@ def join_anti(spark, sf_dir):
     """,
 )
 def join_left_counts(spark, sf_dir):
+    """Aggregate lineitem BEFORE the outer join (guide §2.3 "aggregate
+    before you shuffle"): the old join-then-group shape moved every
+    lineitem row through the join and only then collapsed per order, so
+    at scale the join shuffles the full fact table.  Both requested
+    aggregates are per-orderkey facts of lineitem alone, so the
+    pre-aggregated frame (one row per orderkey) joins orders with ~4x
+    fewer rows crossing the exchange; unmatched orders surface as nulls
+    and take the same count=0 / qty=0 the outer-join group produced
+    (count(l_orderkey) counted no non-null rows; sum over an empty
+    group was NULL before coalesce).  l_quantity is integral, so the
+    sum is exact regardless of either form's addition order —
+    row-identical by construction, proven at sf0.001/0.01/0.1."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("l_orderkey").alias("_n"),
+        F.sum("l_quantity").alias("_q"),
+    )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
-        .groupBy("o_orderkey")
-        .agg(
-            F.count("l_orderkey").alias("n_items"),
-            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
-                "total_qty"
-            ),
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_items"),
+            F.round(F.coalesce(F.col("_q"), F.lit(0.0)), 2).alias("total_qty"),
         )
     )
 
@@ -2076,20 +2090,36 @@ def approx_distinct_hll(spark, sf_dir):
 def q2_min_price_supplier(spark, sf_dir):
     """TPC-H Q2 shape (correlated min-per-group): for every part, the
     supplier quoting the lowest observed price, ties on suppkey.  min() is
-    order-independent so the double compares identically cross-engine; the
-    window is a single shuffle on partkey with WindowGroupLimit pushdown."""
+    order-independent so the double compares identically cross-engine.
+
+    Shape (round 18, guide §2.4): the old form aggregated per
+    (partkey, suppkey) and then ranked suppliers per partkey in a second
+    exchange + window sort.  But rank-1-by-(min_price, suppkey) is just
+    the lexicographic minimum of (price, suppkey) over the part's raw
+    rows: the winning supplier's per-supplier min IS the part's global
+    min price, and ties on that price resolve to the lowest suppkey in
+    both forms.  So ``min(struct(price, suppkey))`` per partkey computes
+    the identical (supplier, price) in ONE map-side-partial aggregation —
+    2 Exchanges + 2 Sorts + Window -> 1 Exchange, no sort at all.
+    Row-identical to the window form at sf0.001/0.01/0.1 (exceptAll both
+    ways = 0; no null prices exist, and both forms would drop an
+    all-null-price part: min() skips nulls and rows still rank)."""
     li = _t(spark, sf_dir, "lineitem")
-    cost = (
-        li.groupBy(
-            F.col("l_partkey").alias("partkey"),
-            F.col("l_suppkey").alias("suppkey"),
-        ).agg(F.min("l_extendedprice").alias("min_price"))
+    best = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("l_extendedprice").alias("p"),
+                    F.col("l_suppkey").alias("s"),
+                )
+            ).alias("_m")
+        )
     )
-    w = Window.partitionBy("partkey").orderBy("min_price", "suppkey")
-    return (
-        cost.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("partkey", "suppkey", F.round("min_price", 2).alias("min_price"))
+    return best.select(
+        "partkey",
+        F.col("_m.s").alias("suppkey"),
+        F.round(F.col("_m.p"), 2).alias("min_price"),
     )
 
 

@@ -130,17 +130,25 @@ def q13_customer_order_distribution(spark, sf_dir):
     excluding urgent orders (stand-in for the NOT LIKE comment filter the
     reduced schema lacks).
 
-    Scale: one shuffle join on custkey, per-customer count collapses
-    map-side, and the outer distribution agg is over tiny cardinality."""
+    Scale (round 18, guide §2.3 "aggregate before you shuffle"): the
+    per-customer count is a fact of orders alone, so orders collapses
+    to one row per custkey BEFORE the outer join instead of moving
+    every order row through it — the join exchange carries |customers
+    with orders| rows, not |orders|.  Customers with no surviving
+    orders surface as NULL and take the same c_count=0 the outer-join
+    group produced (count(o_orderkey) over an all-null group was 0).
+    Counts are exact integers — row-identical by construction, proven
+    at sf0.001/0.01/0.1; the outer distribution agg stays tiny."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") != "1-URGENT"
     )
-    per_cust = (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_cust_orders = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n")
     )
+    per_cust = cust.join(
+        per_cust_orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
