@@ -2137,20 +2137,31 @@ def q2_min_price_supplier(spark, sf_dir):
     """,
 )
 def q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape (EXISTS -> left-semi join): orders with at least one
-    late shipment (>60 days after order date; the reduced schema has no
-    commit/receipt dates).  The semi join hashes on the equi key; the date
-    inequality rides as a join-side filter."""
+    """TPC-H Q4 shape (EXISTS -> late-shipment qualification): orders with
+    at least one late shipment (>60 days after order date; the reduced
+    schema has no commit/receipt dates).
+
+    Shape (round 18, guide §2.3): the EXISTS predicate compares only the
+    MAXIMUM per-order ship date — ``EXISTS(l: l_shipdate > X)`` ⇔
+    ``max(l_shipdate) > X`` (max skips NULLs exactly as the semi join's
+    ``NULL > X`` never matched; an all-NULL or empty group yields NULL >
+    X = false = no EXISTS witness, and the inner join drops the order the
+    same way the semi join did).  So lineitem collapses map-side to one
+    (orderkey, max shipdate) row per order before the join instead of
+    moving every row through it.  Timestamps are exact values under max —
+    row-identical to the semi-join form by construction and proven at
+    sf0.001/0.01/0.1."""
     orders = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    late = (li.l_orderkey == orders.o_orderkey) & (
-        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_last_ship")
     )
     return (
-        orders.join(li, late, "left_semi")
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .where(F.col("_last_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
