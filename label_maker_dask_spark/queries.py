@@ -2431,7 +2431,14 @@ def q14_promo_revenue(spark, sf_dir):
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape (argmax via scalar subquery): quarterly revenue per
     supplier, keep the max.  Spark expresses the scalar subquery as a
-    1-row broadcast cross join — no driver round-trip, stays one plan."""
+    1-row broadcast cross join — no driver round-trip, stays one plan.
+
+    Round 18: the ``revenue`` CTE feeds both the join and the max
+    subquery, and Spark compiled the lineitem scan + agg TWICE (the
+    pruned threshold side breaks exchange reuse — executed plan showed 2
+    lineitem scans, 0 ReusedExchange).  A lazy ``localCheckpoint`` of
+    the supplier-cardinality frame shares the one pass (r17 §8 shape);
+    values bit-identical (exceptAll = 0 at all three SFs)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -2440,7 +2447,7 @@ def q15_top_supplier(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
-    )
+    ).localCheckpoint(eager=False)
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     sup = _t(spark, sf_dir, "supplier")
     return (

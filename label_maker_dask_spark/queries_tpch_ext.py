@@ -42,9 +42,18 @@ def q11_part_value_concentration(spark, sf_dir):
     (TESTDATA.md), so lineitem revenue is the supply-value fact.
 
     Scale: nation+supplier dims broadcast; one shuffle for the per-part
-    agg; the threshold is a 1-row broadcast (no second scan of the base
-    join — the aggregated frame is reused for the total).  Sums go through
-    exact decimals so the threshold cut is cross-engine stable."""
+    agg; the threshold is a 1-row broadcast.  Sums go through exact
+    decimals so the threshold cut is cross-engine stable.
+
+    Round 18: the per-part ``value`` frame feeds BOTH the output and the
+    threshold subquery, and Spark compiled the whole fact join + agg
+    TWICE (column pruning narrows the threshold side's exchange, so
+    neither static exchange reuse nor AQE stage reuse fired — verified
+    on the executed plan: 6 parquet scans, 0 ReusedExchange).  A lazy
+    ``localCheckpoint`` materializes the part-cardinality frame once and
+    both consumers read it — the same share-the-pass shape the dedup
+    operators use (r17 §8).  Values bit-identical (the checkpoint caches
+    the identical computation; exceptAll = 0 at all three SFs)."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
@@ -59,6 +68,7 @@ def q11_part_value_concentration(spark, sf_dir):
                 )
             ).alias("val")
         )
+        .localCheckpoint(eager=False)
     )
     threshold = value.agg((F.sum("val") * F.lit(0.001)).alias("cutoff"))
     return (
