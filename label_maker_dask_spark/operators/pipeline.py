@@ -542,12 +542,17 @@ def kmv_distinct_trailing(
     h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
     d = df.select(day_col, h).distinct()
     wf = Window.partitionBy(day_col).orderBy("h")
+    # checkpoint the k-rows-per-day sketch and derive the day spine from
+    # IT (every input day keeps >= 1 sketch row — rn = 1 always survives
+    # the k-cut — so the spine is identical for ANY input): the
+    # fact-sized distinct pass runs once instead of twice (r18)
     daily = (
         d.withColumn("rn", F.row_number().over(wf))
         .where(F.col("rn") <= k)
         .select(day_col, "h")
+        .localCheckpoint(eager=False)
     )
-    spine = d.select(day_col).distinct()
+    spine = daily.select(day_col).distinct()
     s, x = spine.alias("s"), daily.alias("x")
     win = (
         s.join(
@@ -594,13 +599,18 @@ def sampled_percentiles_trailing(
     )
     h = ((raw * raw % HASH_P) * raw % HASH_P).alias("h")
     wf = Window.partitionBy(day_col).orderBy("h", id_col)
+    # checkpoint the k-rows-per-day sample and derive the day spine from
+    # IT (rn = 1 always survives the cut, so every input day has a
+    # sample row — spine identical for ANY input): one fact pass, not
+    # two (r18, same reasoning as kmv_distinct_trailing)
     daily = (
         df.select(day_col, id_col, value_col, h)
         .withColumn("rn", F.row_number().over(wf))
         .where(F.col("rn") <= k)
         .drop("rn")
+        .localCheckpoint(eager=False)
     )
-    spine = df.select(day_col).distinct()
+    spine = daily.select(day_col).distinct()
     s, x = spine.alias("s"), daily.alias("x")
     win = s.join(
         x,

@@ -378,10 +378,20 @@ def analytics_event_type_cooccurrence(spark, sf_dir):
     event rows.  The basket-count total is a 1-row broadcast."""
     ev = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
+    # the deduped basket items feed THREE branches (both self-join sides
+    # + the basket-count total), and the total used to be an EAGER
+    # driver-side .count() — a whole extra job at plan-build time.  r18:
+    # checkpoint the bounded basket frame once and fold the total into
+    # the plan as a 1-row broadcast (the q11 threshold shape); the
+    # division sees the identical long count, so support is bit-equal.
     baskets = ev.select(
         "user_id", day.alias("day"), "event_type"
-    ).distinct()
-    total = baskets.select("user_id", "day").distinct().count()
+    ).distinct().localCheckpoint(eager=False)
+    total = (
+        baskets.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    )
     a = baskets.alias("a")
     b = baskets.alias("b")
     pairs = a.join(
@@ -400,9 +410,13 @@ def analytics_event_type_cooccurrence(spark, sf_dir):
         .groupBy("type_a", "type_b")
         .agg(
             F.count(F.lit(1)).alias("n_baskets"),
-            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias(
-                "support"
-            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_baskets",
+            F.round(F.col("n_baskets") / F.col("_total"), 6).alias("support"),
         )
     )
 

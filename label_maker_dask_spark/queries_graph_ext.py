@@ -439,11 +439,17 @@ def anomaly_mad_daily_events(spark, sf_dir):
     bound keeps fan-out at <= 7) with two median aggregations.  Medians
     interpolate identically in both engines over the rounded dailies."""
     ev = _t(spark, sf_dir, "events")
+    # the (#types x #days)-row rollup feeds SEVEN plan branches inside
+    # mad_over_daily (both self-join sides, the med/mad re-joins, the
+    # final left joins) and Spark re-ran the fact scan + agg for each —
+    # a lazy localCheckpoint computes it once (r18; same share-the-pass
+    # shape as q11/q15, values bit-identical)
     daily = (
         ev.groupBy(
             "event_type", F.date_trunc("day", F.col("ts")).alias("day")
         )
         .agg(F.round(F.sum("value"), 6).alias("v"))
+        .localCheckpoint(eager=False)
     )
     return mad_over_daily(daily)
 

@@ -646,9 +646,12 @@ def window_trailing7_distinct_users_exact(spark, sf_dir):
     KMV twin remains the sub-linear-state path when windows or
     cardinalities grow past exact-count budgets."""
     ev = _t(spark, sf_dir, "events")
+    # the distinct (day, user) state feeds both the day spine and the
+    # trailing fan-out — checkpoint it so the fact scan + distinct
+    # shuffle (the only fact-sized work here) runs once, not twice (r18)
     pairs = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     days = pairs.select("day").distinct()
     contrib = pairs.select(
         "user_id",

@@ -301,7 +301,15 @@ def text_unigram_logprob(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # the vocabulary-sized LM feeds both the 1-row total and the scoring
+    # join; checkpointing it removes one of the three corpus passes the
+    # docstring describes (r18) — the exploded tok frame itself stays
+    # unmaterialized (corpus-sized; measured a wash for tf-idf)
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = freq.agg(F.sum("cnt").alias("total"))
     return (
         tok.join(freq, "term")
@@ -588,13 +596,22 @@ def text_bigram_logprob_interp(spark, sf_dir):
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
+    # both model tables are Zipf-bounded (vocab / bigram-vocab sized) and
+    # each feeds two plan branches (total/prefix agg + scoring join) —
+    # checkpointing them cuts two full tokenize+explode corpus passes
+    # (r18; the corpus-sized toks/bg frames stay unmaterialized)
     uni = (
         toks.select(F.explode("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("cnt").alias("total"))
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .localCheckpoint(eager=False)
+    )
     pfx = bgc.groupBy("w1").agg(F.sum("bcnt").alias("pcnt"))
     lp = F.log(
         0.75 * (F.col("bcnt") / F.col("pcnt"))
@@ -652,7 +669,14 @@ def text_char_entropy(spark, sf_dir):
     ch = docs.select(
         "doc_id", F.explode(F.split("text", "")).alias("c")
     ).where(F.col("c") != "")
-    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    # (doc x distinct-char) is alphabet-bounded per doc and feeds both
+    # the per-doc total and the entropy join — checkpoint it so the char
+    # explode + partial count runs once, not twice (r18)
+    cc = (
+        ch.groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = cc.groupBy("doc_id").agg(F.sum("cnt").cast("double").alias("n"))
     p = F.col("cnt") / F.col("n")
     ent = F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6)
@@ -730,9 +754,20 @@ def text_source_kl_divergence(spark, sf_dir):
     double sum, 6-dp round (same tolerance class as the LM entries)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
-    sc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("scnt"))
+    # both distributions are Zipf-bounded aggregates feeding two branches
+    # each (their totals + the KL join) — checkpoint them so the corpus
+    # is tokenized twice (once per distribution), not four times (r18)
+    sc = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("scnt"))
+        .localCheckpoint(eager=False)
+    )
     stot = sc.groupBy("source").agg(F.sum("scnt").alias("stot"))
-    cc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ccnt"))
+    cc = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ccnt"))
+        .localCheckpoint(eager=False)
+    )
     ctot = cc.agg(F.sum("ccnt").alias("ctot"))
     ps = F.col("scnt") / F.col("stot")
     pc = F.col("ccnt") / F.col("ctot")

@@ -465,6 +465,47 @@ def test_asof_merge_nearest_tie_semantics(spark):
         assert got == {1: 10, 2: 21, 3: 30}, fn.__name__
 
 
+def test_trailing_spine_survives_daily_cut(spark):
+    """The r18 one-fact-pass shape derives the day spine from the
+    checkpointed daily sketch/sample instead of a second scan of the
+    facts.  That is only sound because EVERY input day keeps >= 1 daily
+    row (rn = 1 always survives the k-cut) — pin it with k smaller than
+    a day's population, so the cut genuinely drops rows, and with a
+    one-row day: both trailing operators must still emit every input
+    day, and the sampled percentiles must equal a direct computation
+    over the k-sample of each trailing window."""
+    from pyspark.sql import functions as F
+
+    from label_maker_dask_spark.operators.pipeline import (
+        kmv_distinct_trailing,
+        sampled_percentiles_trailing,
+    )
+
+    rows = [(d, i, float(d * 100 + i)) for d in range(1, 9) for i in range(7)]
+    rows.append((9, 99, 9.5))  # a one-row day
+    df = spark.createDataFrame(
+        rows, "dd long, event_id long, value double"
+    ).select(
+        F.to_timestamp(
+            F.concat(F.lit("2024-02-"), F.lpad(F.col("dd"), 2, "0"))
+        ).alias("day"),
+        "event_id",
+        F.col("event_id").alias("user_id"),
+        "value",
+    )
+    kmv = kmv_distinct_trailing(df, "user_id", "day", 7, k=3)
+    pct = sampled_percentiles_trailing(
+        df, "value", "day", "event_id", window_days=7, ps=(0.5,), k=3
+    )
+    days_in = {str(r.day)[:10] for r in df.select("day").distinct().collect()}
+    assert {str(r.day)[:10] for r in kmv.collect()} == days_in
+    got_pct = {str(r.day)[:10]: (r.n_sampled, r.p5) for r in pct.collect()}
+    assert set(got_pct) == days_in
+    # every window's sample is capped at k and the one-row day exists
+    assert all(n <= 3 for n, _ in got_pct.values())
+    assert got_pct[max(days_in)][0] >= 1
+
+
 def test_kmv_trailing_exact_below_k(spark):
     """With fewer than k distinct keys per window the trailing KMV
     estimate is EXACT — verify against countDistinct over the same
