@@ -70,9 +70,11 @@ def timeseries_gapfill_daily_revenue(spark, sf_dir):
     aggregated min/max, not collected to the driver.
     """
     orders = _t(spark, sf_dir, "orders")
+    # daily feeds the spine bounds AND the spine join — checkpoint the
+    # date-cardinality rollup so the fact scan + agg runs once (r18)
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
-    )
+    ).localCheckpoint(eager=False)
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
     # Date-spine window: cardinality = number of days, not fact rows.

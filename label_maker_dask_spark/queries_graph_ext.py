@@ -593,9 +593,13 @@ def anomaly_cusum_daily_events(spark, sf_dir):
     cardinality is #types x #days regardless of event volume.
     """
     ev = _t(spark, sf_dir, "events")
+    # daily feeds the params agg AND the deviation join — checkpoint the
+    # (#types x #days) rollup so the fact scan + agg runs once (r18)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.round(F.sum("value") * 1000, 0).cast("long").alias("v"))
+    ).agg(
+        F.round(F.sum("value") * 1000, 0).cast("long").alias("v")
+    ).localCheckpoint(eager=False)
     stats = daily.groupBy("event_type").agg(
         F.sum("v").alias("s"),
         F.count(F.lit(1)).alias("n"),
@@ -848,9 +852,11 @@ def anomaly_seasonal_dow_residual(spark, sf_dir):
     map-side to #types x #days rows; the 7-cohort stats frame is tiny and
     broadcast back — the fact table never shuffles twice."""
     ev = _t(spark, sf_dir, "events")
+    # daily feeds the cohort stats AND the scoring join — checkpoint the
+    # (#types x #days) rollup so the fact scan + agg runs once (r18)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    ).agg(F.round(F.sum("value"), 6).alias("v")).localCheckpoint(eager=False)
     dowd = daily.select(
         "event_type",
         "day",

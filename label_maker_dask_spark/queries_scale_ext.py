@@ -243,6 +243,8 @@ def timeseries_gapfill_interpolated(spark, sf_dir):
     unpartitioned windows never see fact-table cardinality.
     """
     orders = _t(spark, sf_dir, "orders")
+    # daily feeds the spine bounds AND the spine join — checkpoint the
+    # date-cardinality rollup so the fact scan + agg runs once (r18)
     daily = (
         orders.where(F.col("o_totalprice") > 450000)
         .groupBy(F.to_date("o_orderdate").alias("day"))
@@ -251,6 +253,7 @@ def timeseries_gapfill_interpolated(spark, sf_dir):
             .cast("long")
             .alias("rev")
         )
+        .localCheckpoint(eager=False)
     )
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
