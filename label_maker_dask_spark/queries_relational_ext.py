@@ -133,7 +133,11 @@ def merge_upsert_orders_cdc(spark, sf_dir):
         F.lit("N").alias("o_orderstatus"),
         F.lit(False).alias("is_delete"),
     )
-    src = upd.unionByName(ins)
+    # the change batch feeds both merge branches (matched-update join +
+    # insert anti-join) and was re-derived — and re-broadcast-built —
+    # per branch; a CDC batch is bounded by definition, so checkpoint it
+    # once (r18)
+    src = upd.unionByName(ins).localCheckpoint(eager=False)
     return merge_upsert(
         ords,
         src,
@@ -970,18 +974,23 @@ def spatial_tile_pyramid_rollup(spark, sf_dir):
         ((F.col("event_id") * 104729 % 16000) / 100.0 - 80.0).alias("lat"),
     )
     tile = lnglat_to_tile_cols(F.col("lon"), F.col("lat"), zoom=10)
+    # each union branch re-derived its whole ancestry lazily (z6 replays
+    # z8 replays z10 replays the fact scan — 3 fact passes); checkpoint
+    # the tile-cardinality levels so the fact aggregates once and each
+    # parent level aggregates its checkpointed child (r18)
     z10 = (
         pts.select(
             tile.getField("x").alias("x"), tile.getField("y").alias("y")
         )
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
 
     def parent(child):
         return child.groupBy(
             F.shiftright("x", 2).alias("x"), F.shiftright("y", 2).alias("y")
-        ).agg(F.sum("n").alias("n"))
+        ).agg(F.sum("n").alias("n")).localCheckpoint(eager=False)
 
     z8 = parent(z10)
     z6 = parent(z8)
