@@ -1234,7 +1234,12 @@ def curation_repeat_upsample(spark, sf_dir):
     c = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("c"), F.max(w).alias("w")
     )
-    d = c.withColumn("dens", F.expr(f"c * {resolution} div w"))
+    # the lang-cardinality density table feeds the anchor max, the
+    # epoch broadcast AND the final report — checkpoint it so the
+    # corpus group-count runs once, not three times (r18)
+    d = c.withColumn(
+        "dens", F.expr(f"c * {resolution} div w")
+    ).localCheckpoint(eager=False)
     a = d.agg(F.max("dens").alias("adens"))
     r = d.crossJoin(F.broadcast(a)).withColumn(
         "epochs",
