@@ -185,16 +185,21 @@ def test_histogram_prunes_to_single_column(spark):
 
 
 def test_gapfill_window_runs_on_date_spine_not_fact(spark):
-    """The forward-fill window must sit above the day-level aggregate (date
-    cardinality), never above the raw fact scan: in the plan tree (parents
-    print before children) a day-level Aggregate must appear between the
-    Window and every scan of the orders fact."""
+    """The forward-fill window must run over date-cardinality rows, never
+    over the raw fact scan.  Since r18 the day-level rollup is a lazy
+    localCheckpoint (computed once for the spine bounds AND the join),
+    so the guarantee is structural: the window's subtree contains ONLY
+    the checkpointed daily relation (Scan ExistingRDD) — the orders
+    fact cannot appear under the window at all."""
     tree = tree_of(Q.QUERIES["timeseries_gapfill_daily_revenue"](spark, SF))
+    assert "Window" in tree
+    assert "orders.parquet" not in tree, (
+        "fact scan leaked back into the gap-fill plan"
+    )
     win_pos = tree.index("Window")
-    first_scan = tree.index("orders.parquet")
-    assert win_pos < first_scan, "window must sit above the fact scan"
-    agg_between = tree[win_pos:first_scan]
-    assert "HashAggregate" in agg_between or "SortAggregate" in agg_between
+    assert "ExistingRDD" in tree[win_pos:], (
+        "window must read the checkpointed day-level rollup"
+    )
 
 
 def test_pagerank_iterations_reuse_cached_frames(spark):
