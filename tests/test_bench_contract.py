@@ -112,3 +112,39 @@ def test_precedence_readers_and_builders_are_benched_in_order():
         assert reader in bench.HEADLINE, reader
         assert builder in bench.HEADLINE, builder
         assert bench.HEADLINE.index(builder) < bench.HEADLINE.index(reader)
+
+
+def test_embed_referee_only_updates_the_matching_snapshot(tmp_path):
+    """--recheck folds its fresh-JVM verdicts into BENCH_LOCAL.json so
+    the committed snapshot is self-adjudicating (round-16 verdict item
+    8) — but ONLY when the snapshot carries the exact per-query map of
+    the record that was rechecked; another run's snapshot must be left
+    byte-untouched rather than mislabeled."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff", os.path.join(repo, "tools", "bench_diff.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    queries = {"a": 1.0, "b": 2.5}
+    verdicts = {"b": {"recheck_best_of_3": 0.9, "rechecked": "noise"}}
+
+    snap = tmp_path / "BENCH_LOCAL.json"
+    snap.write_text(json.dumps({"value": 3.5, "queries": queries}) + "\n")
+    assert bd._embed_referee(queries, verdicts, str(snap)) is True
+    updated = json.loads(snap.read_text())
+    assert updated["referee"] == verdicts
+    assert updated["queries"] == queries
+
+    other = tmp_path / "other.json"
+    before = json.dumps({"value": 9.9, "queries": {"a": 9.9}}) + "\n"
+    other.write_text(before)
+    assert bd._embed_referee(queries, verdicts, str(other)) is False
+    assert other.read_text() == before
+
+    missing = tmp_path / "nope.json"
+    assert bd._embed_referee(queries, verdicts, str(missing)) is False

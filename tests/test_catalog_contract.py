@@ -40,56 +40,56 @@ def test_every_oracle_key_has_a_query():
 # This pin makes any reordering an INTENTIONAL edit of both lists, never
 # a side effect of moving a registration between modules.
 PINNED_DRIVER_WINDOW = [
-    "stream_upsert_bucketed_orders_replay",
-    "stream_upsert_orders_replay",
-    "stream_versioned_diff_replay",
-    "text_bm25_top_docs",
-    "text_bpe_token_counts",
-    "text_feature_hashing_vectors",
-    "timeseries_rolling_corr_views_purchases",
-    "udf_cogroup_orders_events",
-    "window_ratio_to_report_nation_share",
-    "agg_pivot_status_by_priority",
-    "anomaly_cusum_daily_events",
-    "dedup_components_minhash",
-    "dedup_simhash16_neardup_pairs",
-    "embedding_kmeans_clusters",
-    "events_cohort_weekly_retention",
-    "events_funnel_signup_view_purchase",
-    "explode_outer_returned_lines",
-    "join_skew_salted_hotkey_adversarial",
-    "layout_compaction_rewrite",
-    "layout_zorder_file_pruning",
-    "layout_zorder_incremental_append",
-    "multimodal_audio_zcr_windows",
-    "multimodal_image_resize_stats",
-    "multimodal_phash_signatures",
-    "multimodal_video_frame_sample",
-    "pack_sequences_512",
-    "q22_global_sales_opportunity",
-    "scalar_array_algebra",
-    "scalar_date_arithmetic",
-    "scalar_variant_extract",
-    "sessionize_hotuser_adversarial",
-    "similarity_ivf_topk_ann",
-    "snapshot_time_travel_read",
-    "sort_limit_offset_page3",
-    "spatial_points_to_tiles_z6",
-    "stateful_running_user_stats",
-    "stream_interval_join_full_replay",
-    "stream_interval_join_hotuser_replay",
-    "stream_interval_join_replay",
-    "stream_interval_join_restart_replay",
-    "stream_running_stats_replay",
-    "stream_session_restart_replay",
-    "stream_session_timeout_replay",
-    "stream_static_join_enrich_replay",
-    "stream_tile_source_partitioned_replay",
-    "stream_tile_source_replay",
-    "stream_transitions_hotkey_replay",
-    "stream_transitions_stateful_replay",
-    "stream_upsert_restart_replay",
-    "text_unigram_logprob",
+    "timeseries_ema30_daily_revenue",
+    "transitions_chunked_hotuser_adversarial",
+    "unpivot_lineitem_metrics",
+    "window_ntile_length_deciles",
+    "window_percent_rank_cume_dist",
+    "window_top3_orders_with_ties",
+    "window_trailing7_distinct_users_exact",
+    "window_trailing_1h_user_activity",
+    "window_value_frames",
+    "agg_approx_distinct_users",
+    "agg_approx_percentiles_sampled",
+    "agg_corr_covar_by_returnflag",
+    "agg_cube_segment_priority",
+    "agg_histogram_order_totals",
+    "agg_kmv_merged_weekly_users",
+    "agg_kmv_setops_weekday_weekend",
+    "analytics_chi2_event_type_by_hour",
+    "analytics_event_path_trigrams",
+    "analytics_event_type_cooccurrence",
+    "attribution_last_touch",
+    "curation_hotcomponent_adversarial",
+    "curation_mixture_resample",
+    "curation_quality_funnel",
+    "curation_repeat_upsample",
+    "curation_semdedup_cluster_profiles",
+    "dedup_cluster_representatives",
+    "dedup_containment_lsh_pairs",
+    "dedup_fuzzy_part_names",
+    "embedding_kmeans_clusters_arrow",
+    "events_sessionize_30m_chunked",
+    "events_sliding_1h_30m",
+    "graph_event_transitions_chunked",
+    "join_asof_forward_next_event",
+    "join_asof_latest_order_merge",
+    "join_full_nation_supplier",
+    "join_range_orders_near_event",
+    "join_theta_acctbal",
+    "profile_join_key_skew_lineitem",
+    "q2_min_price_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_expectations_orders",
+    "sample_stratified_by_lang",
+    "sample_weighted_by_quality",
+    "segmentation_buffered_ring_areas",
+    "similarity_neardup_srp_ann",
+    "stream_transitions_restart_replay",
+    "text_bigram_top20",
+    "text_chunk_sliding_overlap",
 ]
 
 

@@ -115,6 +115,35 @@ def _recheck(flagged: dict, old: dict, bands: dict) -> dict:
     return verdicts
 
 
+def _embed_referee(
+    new_queries: dict, verdicts: dict, snapshot_path: str | None = None
+) -> bool:
+    """Fold the fresh-JVM referee verdicts INTO the committed snapshot
+    (round-16 verdict item 8): BENCH_RECHECK.json is gitignored, so
+    without this the adjudication of a beyond-band cell lives only in
+    prose — a reader of BENCH_LOCAL.json alone would take an in-suite
+    transient (e.g. a 3x environment spike on one cell, measured at
+    0.96x in a fresh JVM) at face value.
+
+    The verdicts are embedded ONLY when the snapshot carries the exact
+    per-query map of the record that was just diffed and rechecked —
+    embedding another run's verdicts would mislabel the snapshot.
+    Returns True when the snapshot was updated."""
+    path = snapshot_path or os.path.join(REPO, "BENCH_LOCAL.json")
+    try:
+        with open(path) as fh:
+            snap = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    if snap.get("queries") != new_queries:
+        return False
+    snap["referee"] = verdicts
+    with open(path, "w") as fh:
+        fh.write(json.dumps(snap) + "\n")
+    print(f"referee verdicts embedded into {path}")
+    return True
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--recheck"]
     do_recheck = "--recheck" in sys.argv[1:]
@@ -195,7 +224,8 @@ def main() -> None:
             bands = {
                 k: _band(k, new_spread, old_spread) for k in regressions
             }
-            _recheck(regressions, old, bands)
+            verdicts = _recheck(regressions, old, bands)
+            _embed_referee(new, verdicts)
         else:
             print("\n--recheck: nothing flagged, no re-measure needed")
 
